@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.{t, dec, dsum}
+
+/** Relational query surface (SURVEY.md §2.b): scans, filters, joins,
+  * aggregations, windows, sorts/top-k, set ops, scalar/date/array
+  * functions, rollup/cube — each paired with an ANSI-SQL oracle that
+  * DuckDB runs over the same parquet tables.
+  *
+  * Determinism rules (driver hash-compares values):
+  *  - every SUM/AVG over doubles goes through DECIMAL(18,2) (see
+  *    [[graft.tables]]);
+  *  - every output has a total ORDER BY (Catalyst's EliminateSorts
+  *    drops it under Bench's count(), so it costs nothing there);
+  *  - DuckDB-side casts pin BIGINT-vs-INT and TIMESTAMP precision
+  *    differences.
+  */
+object Relational {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped pricing summary: groupBy + sum/avg/count. */
+  private val q01: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec($"l_quantity")).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** Selective filter + narrow projection (parquet pushdown path). */
+  private val q02: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_quantity" > 49.0 &&
+          $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_discount" <= 0.02)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity > 49.0 AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_discount <= 0.02
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  /** TPC-H Q5-shaped star join: revenue per nation in one region. */
+  private val q03: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(su, $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin)
+
+  /** Broadcast dimension join: revenue by part brand. */
+  private val q04: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(dsum($"l_extendedprice").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"p_brand")
+    },
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
+  /** Left-semi join (EXISTS): customers having a big order, per segment. */
+  private val q05: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val big = t(s, d, "orders").filter($"o_totalprice" > 300000.0)
+      t(s, d, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    },
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  /** Left-anti join (NOT EXISTS): customers without orders, per nation. */
+  private val q06: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_nationkey")
+    },
+    """SELECT c_nationkey, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+
+  /** Ranking window: each customer's single most expensive order. */
+  private val q07: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey")
+    },
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin)
+
+  /** Running-total window: cumulative revenue per supplier over time. */
+  private val q08: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .withColumn("running_rev",
+          sum(dec($"l_extendedprice")).over(w).cast("double"))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_rev")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_rev
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
+
+  /** lag/lead window: mean inter-event value delta per event type. */
+  private val q09: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .withColumn("delta", dec($"value") - dec(lag($"value", 1).over(w)))
+        .groupBy($"event_type")
+        .agg((sum($"delta").cast("double") / count($"delta")).as("avg_delta"),
+          count($"delta").as("n_deltas"))
+        .orderBy($"event_type")
+    },
+    """SELECT event_type,
+      |  CAST(SUM(delta) AS DOUBLE) / COUNT(delta) AS avg_delta,
+      |  COUNT(delta) AS n_deltas
+      |FROM (SELECT event_type,
+      |        CAST(value AS DECIMAL(18,2)) - CAST(LAG(value, 1) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,2))
+      |          AS delta
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  /** Top-k: 20 most expensive orders (TakeOrderedAndProject). */
+  private val q10: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
+
+  /** Set ops: (1995 ∩ 1996 buyers) ∪ (1997 buyers ∖ 1995 buyers). */
+  private val q11: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      def buyers(y: Int): DataFrame = t(s, d, "orders")
+        .filter(year($"o_orderdate") === y).select($"o_custkey")
+      buyers(1995).intersect(buyers(1996))
+        .union(buyers(1997).except(buyers(1995)))
+        .distinct()
+        .orderBy($"o_custkey")
+    },
+    """SELECT o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  UNION
+      |  (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |   EXCEPT
+      |   SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+      |) ORDER BY o_custkey""".stripMargin)
+
+  /** Distinct projection (dropDuplicates on a column subset). */
+  private val q12: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select($"l_returnflag", $"l_linestatus")
+        .dropDuplicates()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    """SELECT DISTINCT l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** ROLLUP hierarchy totals. */
+  private val q13: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
+  /** CUBE over order status × priority. */
+  private val q14: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+
+  /** Scalar string functions: md5 / concat / substr / case / regex. */
+  private val q15: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "supplier")
+        .select(
+          $"s_suppkey",
+          md5($"s_name".cast("binary")).as("name_md5"),
+          concat($"s_name", lit("|"), upper($"s_name")).as("tagged"),
+          substring($"s_name", 1, 8).as("prefix8"),
+          length($"s_name").as("name_len"),
+          regexp_replace($"s_name", "[0-9]+", "N").as("name_norm"),
+          trim(lower($"s_name")).as("name_clean"))
+        .orderBy($"s_suppkey")
+    },
+    """SELECT s_suppkey,
+      |  md5(s_name) AS name_md5,
+      |  s_name || '|' || upper(s_name) AS tagged,
+      |  substr(s_name, 1, 8) AS prefix8,
+      |  CAST(length(s_name) AS INTEGER) AS name_len,
+      |  regexp_replace(s_name, '[0-9]+', 'N', 'g') AS name_norm,
+      |  trim(lower(s_name)) AS name_clean
+      |FROM supplier ORDER BY s_suppkey""".stripMargin)
+
+  /** Date/time functions: extract fields, cast, day arithmetic. */
+  private val q16: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .filter($"o_orderstatus" === "F")
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("o_year"),
+          month($"o_orderdate").as("o_month"),
+          dayofmonth($"o_orderdate").as("o_day"),
+          quarter($"o_orderdate").as("o_quarter"),
+          to_date($"o_orderdate").as("o_date"),
+          date_add(to_date($"o_orderdate"), 30).as("due_date"),
+          datediff(to_date(lit("2000-01-01")), to_date($"o_orderdate"))
+            .as("days_to_y2k"))
+        .orderBy($"o_orderkey")
+    },
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+      |  CAST(day(o_orderdate) AS INTEGER) AS o_day,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+      |  CAST(o_orderdate AS DATE) AS o_date,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k
+      |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin)
+
+  /** Tumbling 1-hour event-time window (batch form of the streaming agg). */
+  private val q17: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select(graft.tables.ntz($"w.start").as("hour_ts"), $"event_type", $"n", $"sum_value")
+        .orderBy($"hour_ts", $"event_type")
+    },
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin)
+
+  /** Array functions: split + explode token counts. */
+  private val q18: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select(explode(split($"p_name", " ")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"token")
+    },
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+      |GROUP BY token ORDER BY token""".stripMargin)
+
+  val all: Seq[(String, (Fn, Option[String]))] = Seq(
+    "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
+    "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
+    "q03_join_revenue_by_nation" -> (q03._1, Some(q03._2)),
+    "q04_broadcast_join_brand" -> (q04._1, Some(q04._2)),
+    "q05_semi_join_exists" -> (q05._1, Some(q05._2)),
+    "q06_anti_join_not_exists" -> (q06._1, Some(q06._2)),
+    "q07_window_top_order_per_cust" -> (q07._1, Some(q07._2)),
+    "q08_window_running_revenue" -> (q08._1, Some(q08._2)),
+    "q09_window_lag_event_delta" -> (q09._1, Some(q09._2)),
+    "q10_topk_orders" -> (q10._1, Some(q10._2)),
+    "q11_setops_buyers" -> (q11._1, Some(q11._2)),
+    "q12_distinct_flags" -> (q12._1, Some(q12._2)),
+    "q13_rollup_qty" -> (q13._1, Some(q13._2)),
+    "q14_cube_orders" -> (q14._1, Some(q14._2)),
+    "q15_scalar_string_funcs" -> (q15._1, Some(q15._2)),
+    "q16_date_funcs" -> (q16._1, Some(q16._2)),
+    "q17_events_hourly_window" -> (q17._1, Some(q17._2)),
+    "q18_array_token_counts" -> (q18._1, Some(q18._2)),
+  )
+}
