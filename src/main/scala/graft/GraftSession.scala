@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // parity with the PySpark reference (Spark 3, ANSI off): failed
+      // casts yield null instead of throwing — the validation layer is
+      // what flags bad values, not the cast
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -1,0 +1,63 @@
+package graft.scd2
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.schema.Layout
+
+/** SCD2 upsert — the reference *declares* this operator but the
+  * implementation is missing (`generate_deal_details_bronze.py:11,195`
+  * imports a `perform_scd2` that exists nowhere; SURVEY §2.9/§2.c).
+  * This is the repaired, normative implementation.
+  *
+  * Semantics (SURVEY §2.c):
+  *  - row identity = (ed_code, pcd) + PRIMARY_COLS[dataType];
+  *  - change detection via `checksum` = md5(ed_code‖pcd‖PKs) — the
+  *    keys-only quirk is preserved for parity, so a changed non-key
+  *    attribute with unchanged keys does NOT produce a new version;
+  *  - unchanged matched rows keep the old version; changed matched
+  *    rows expire the old (valid_to=now, iscurrent=0) and append the
+  *    new; unmatched-old rows persist; unmatched-new rows insert;
+  *  - history rows (iscurrent==0) pass through untouched.
+  *
+  * Without Delta MERGE this composes from one full-outer equi-join on
+  * the PK plus unionByName — shuffle on the PK only, partition-scoped
+  * (callers feed it a single `part`), so at 100 TB the merge cost is
+  * bounded by the resubmitted partition, never the whole table.
+  */
+object Scd2 {
+
+  def merge(oldDf: DataFrame, newDf: DataFrame, dataType: String): DataFrame = {
+    val pks = (Seq("ed_code", "pcd") ++ Layout.primaryCols(dataType))
+      .distinct.filter(oldDf.columns.contains)
+    val hist = oldDf.filter(col("iscurrent") =!= 1)
+    val oldCur = oldDf.filter(col("iscurrent") === 1)
+
+    val o = oldCur.alias("o")
+    val n = newDf.alias("n")
+    val joinCond = pks.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val joined = o.join(n, joinCond, "full_outer")
+      .withColumn("_matched",
+        col("o.checksum").isNotNull && col("n.checksum").isNotNull)
+      .withColumn("_changed",
+        col("_matched") && col("o.checksum") =!= col("n.checksum"))
+
+    val oCols = oldCur.columns.map(c => col(s"o.$c").as(c))
+    val nCols = newDf.columns.map(c => col(s"n.$c").as(c))
+
+    // old side survives unless it was matched by a changed new version
+    val keptOld = joined.filter(col("o.checksum").isNotNull && !col("_changed"))
+      .select(oCols: _*)
+    val expiredOld = joined.filter(col("_changed"))
+      .select(oCols: _*)
+      .withColumn("valid_to", current_timestamp())
+      .withColumn("iscurrent", lit(0))
+    // new side inserts when unmatched or changed
+    val inserted = joined.filter(col("n.checksum").isNotNull &&
+        (!col("_matched") || col("_changed")))
+      .select(nCols: _*)
+
+    hist.unionByName(keptOld, allowMissingColumns = true)
+      .unionByName(expiredOld, allowMissingColumns = true)
+      .unionByName(inserted, allowMissingColumns = true)
+  }
+}

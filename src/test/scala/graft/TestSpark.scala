@@ -1,0 +1,10 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole test run. */
+object TestSpark {
+  lazy val spark: SparkSession =
+    GraftSession.build(master = "local[4]", shufflePartitions = 4,
+      appName = "graft-test")
+}

@@ -1,0 +1,76 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import graft.TestSpark
+
+/** Fixture contract: FIXTURES.md §A.1 (BOM, NULs, ND codes, units row,
+  * No Collateral, mixed case, accents, short rows). */
+class CleanCsvSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeFixture(dir: String): String = {
+    val rows = Seq(
+      "junk_header,AL2,AL3,AL4,AL5",             // cell 0 gets renamed AL1
+      "date,pool id,servicer,backup,lease id",   // units row — skipped
+      "2023-07-31,POOL1,  MixedCase Srl  ,ND5,LÉASE-1",
+      "",                                        // blank line — skipped
+      "2023-07-31,POOL1,No Collateral,,L2",
+      "2023-07-31,POOL2,plain,x,L3",
+    ).mkString("\n")
+    val withNoise = "\uFEFF" + rows.replace("plain", "pla\u0000in")
+    val p = Paths.get(dir, "LESSES0001_2023_07_31_Loan_Data.csv")
+    Files.write(p, withNoise.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("cleaning, lineage, and bookkeeping semantics") {
+    val dir = Files.createTempDirectory("cleancsv").toString
+    val df = CleanCsv.read(spark, writeFixture(dir), "assets").cache()
+    val cols = df.columns.toSeq
+    assert(cols.take(5) == Seq("AL1", "AL2", "AL3", "AL4", "AL5"))
+    assert(Seq("filename", "pcd", "ed_code", "valid_from", "valid_to",
+      "iscurrent", "checksum", "part").forall(cols.contains))
+
+    val rows = df.orderBy("AL5").collect()
+    assert(rows.length == 3) // units + blank dropped
+    val r1 = rows.find(_.getAs[String]("AL5") == "l3").get
+    assert(r1.getAs[String]("AL3") == "plain")   // NUL byte stripped
+    assert(r1.getAs[String]("ed_code") == "LESSES0001")
+    assert(r1.getAs[String]("pcd") == "2023-07-31")
+    assert(r1.getAs[String]("part") == "LESSES0001_20230731")
+    assert(r1.getAs[Int]("iscurrent") == 1)
+    assert(r1.getAs[String]("checksum").length == 32)
+
+    val r2 = rows.find(r => Option(r.getAs[String]("AL5")).contains("lÉase-1".toLowerCase)) // léase → lease
+    assert(r2.isEmpty, "accents must be transliterated to ASCII")
+    val r3 = rows.find(_.getAs[String]("AL5") == "lease-1").get
+    assert(r3.getAs[String]("AL3") == "mixedcase srl") // lower + trim
+    assert(r3.getAs[String]("AL4") == null)            // ND5 → null
+
+    val r4 = rows.find(_.getAs[String]("AL5") == "l2").get
+    assert(r4.getAs[String]("AL3") == null)            // No Collateral → null
+    assert(r4.getAs[String]("AL4") == null)            // empty → null
+  }
+
+  test("duplicate header columns are rejected") {
+    val dir = Files.createTempDirectory("cleancsv2").toString
+    val p = Paths.get(dir, "D1_2023_01_01_Loan_Data.csv")
+    Files.write(p, "a,AL2,AL2\nunits,u,u\n1,2,3\n".getBytes(StandardCharsets.UTF_8))
+    assertThrows[IllegalArgumentException] {
+      CleanCsv.read(spark, p.toString, "assets")
+    }
+  }
+
+  test("amortisation tapes truncate to 121 columns") {
+    val dir = Files.createTempDirectory("cleancsv3").toString
+    val header = (1 to 150).map(i => s"AS$i").mkString(",")
+    val units = (1 to 150).map(_ => "u").mkString(",")
+    val data = (1 to 150).map(_.toString).mkString(",")
+    val p = Paths.get(dir, "D1_2023_01_01_Amortisation.csv")
+    Files.write(p, s"$header\n$units\n$data\n".getBytes(StandardCharsets.UTF_8))
+    val df = CleanCsv.read(spark, p.toString, "amortisation")
+    assert(df.columns.count(_.startsWith("AS")) == 121)
+  }
+}

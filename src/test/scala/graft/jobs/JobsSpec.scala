@@ -1,0 +1,82 @@
+package graft.jobs
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import graft.TestSpark
+
+/** End-to-end miniature pipeline (SURVEY.md §7.2): assets CSV →
+  * bronze parquet with SCD2 cols → validated/typed/topic-split silver,
+  * including quarantine and idempotent re-run. */
+class JobsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeAssetsCsv(dir: String): Unit = {
+    // AL1 date(PK), AL2 pool(PK), AL5 lease id, AL6 originator,
+    // AL7 y/n enum, AL18 enum 0..6, AL30 number, AL50/AL51 dates
+    val rows = Seq(
+      "AL1,AL2,AL5,AL6,AL7,AL18,AL30,AL50,AL51",
+      "Cut-off,Pool,Lease,Orig,Reg,Form,Price,Start,Maturity",
+      // valid row
+      "2023-07-31,P1,L1,OrigCo,y,3,1234.567,2020-01-01,2026-06",
+      // invalid enum AL18=9 → quarantine
+      "2023-07-31,P1,L2,OrigCo,n,9,10,2020-01-01,2026-06",
+      // AL51 before 2012 min bound → quarantine
+      "2023-07-31,P1,L3,OrigCo,y,3,10,2020-01-01,2011-01-01",
+      // exact duplicate of the valid row → dropDuplicates in silver
+      "2023-07-31,P1,L1,OrigCo,y,3,1234.567,2020-01-01,2026-06",
+    ).mkString("\n")
+    Files.write(Paths.get(dir, "DEAL1_2023_07_31_Loan_Data.csv"),
+      rows.getBytes(StandardCharsets.UTF_8))
+    // a Labeled tape that must be excluded from discovery
+    Files.write(Paths.get(dir, "DEAL1_2023_07_31_Labeled_Loan_Data.csv"),
+      rows.getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("bronze → silver end to end with quarantine and idempotency") {
+    val raw = Files.createTempDirectory("raw").toString
+    val lake = Files.createTempDirectory("lake").toString
+    writeAssetsCsv(raw)
+
+    val loaded = Jobs.bronzeCsv(spark, raw, lake, "assets", "DEAL1",
+      "Loan_Data", "2023-07-31")
+    assert(loaded == Seq(("DEAL1", "2023-07-31")))
+
+    val bronze = spark.read.parquet(s"$lake/bronze/assets")
+    assert(bronze.count() == 4)
+    assert(bronze.columns.contains("checksum"))
+    assert(bronze.select("part").distinct().as[String].collect()
+      .toSeq == Seq("DEAL1_20230731"))
+
+    // first-write-wins: re-running with a new date must skip the existing
+    // partition and write no new ledger rows
+    val rerun = Jobs.bronzeCsv(spark, raw, lake, "assets", "DEAL1",
+      "Loan_Data", "2023-08-01")
+    assert(rerun.isEmpty)
+    // same date: whole job skipped by clean-dump probe
+    val sameDay = Jobs.bronzeCsv(spark, raw, lake, "assets", "DEAL1",
+      "Loan_Data", "2023-07-31")
+    assert(sameDay.isEmpty)
+
+    Jobs.silverTopicSplit(spark, lake, "assets")
+
+    // 2 invalid rows quarantined with error annotations
+    val dirty = spark.read.parquet(s"$lake/dirty_dumps/assets")
+    assert(dirty.count() == 2)
+    assert(dirty.filter($"qc_errors".contains("AL18")).count() == 1)
+    assert(dirty.filter($"qc_errors".contains("AL51")).count() == 1)
+
+    // lease_info: valid row + dup → 1 row after dedup, typed values
+    val leaseInfo = spark.read.parquet(s"$lake/silver/assets/lease_info")
+    assert(leaseInfo.count() == 1)
+    val r = leaseInfo.collect()(0)
+    assert(r.getAs[java.sql.Date]("AL1").toString == "2023-07-31")
+    assert(r.getAs[Boolean]("AL7") == true)
+    assert(r.getAs[Double]("AL30") == 1234.57) // 2-dp rounding
+    // lease_features carries AL50/AL51 as dates
+    val feats = spark.read.parquet(s"$lake/silver/assets/lease_features")
+    assert(feats.collect()(0).getAs[java.sql.Date]("AL50").toString == "2020-01-01")
+  }
+}
