@@ -26,9 +26,13 @@ import graft.schema.Layout
   */
 object Scd2 {
 
-  def merge(oldDf: DataFrame, newDf: DataFrame, dataType: String): DataFrame = {
-    val pks = (Seq("ed_code", "pcd") ++ Layout.primaryCols(dataType))
-      .distinct.filter(oldDf.columns.contains)
+  def merge(oldDf: DataFrame, newDf: DataFrame, dataType: String): DataFrame =
+    mergeOnKeys(oldDf, newDf,
+      (Seq("ed_code", "pcd") ++ Layout.primaryCols(dataType))
+        .distinct.filter(oldDf.columns.contains))
+
+  /** Same merge with caller-chosen identity columns. */
+  def mergeOnKeys(oldDf: DataFrame, newDf: DataFrame, pks: Seq[String]): DataFrame = {
     val hist = oldDf.filter(col("iscurrent") =!= 1)
     val oldCur = oldDf.filter(col("iscurrent") === 1)
 
