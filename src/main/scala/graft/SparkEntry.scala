@@ -13,7 +13,7 @@ import graft.{queries => q}
 object SparkEntry {
 
   private val registry: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] =
-    q.Relational.all ++ q.PipelineQ.all
+    q.Relational.all ++ q.PipelineQ.all ++ q.ExtQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,178 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extensions; BASELINE.json). Four families:
+  *
+  *  - exact: hash-groupBy on content digest — one shuffle on the
+  *    digest, linear at any scale;
+  *  - MinHash + LSH: shingle → k-minhash signature → banded bucket
+  *    join → exact-Jaccard verification of candidates. The shuffle is
+  *    on (band, bucket) keys, so the candidate join never goes
+  *    quadratic; the exact verify touches only candidate pairs;
+  *  - SimHash: md5-derived bit votes per token → 32-bit signature;
+  *    hamming-ball pairing. md5 keeps the signature engine-portable
+  *    (the DuckDB oracle reproduces it bit-for-bit);
+  *  - n-gram Jaccard: exact pair similarity via shingle-set join —
+  *    the verification primitive, also exposed standalone;
+  *  - embedding cosine: near-dup by vector similarity.
+  *
+  * All operators are DataFrame-composed (no RDDs, no driver loops);
+  * at 100 TB the only superlinear risk is a skewed shingle/bucket key,
+  * which AQE skew-join handles (hot shingles can also be dropped as
+  * stop-shingles by callers).
+  */
+object Dedup {
+
+  /** Word n-gram (shingle) set, distinct, as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact-duplicate groups: digest → ids sharing it (size > 1). */
+  def exactDupGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), md5(col(text).cast("binary")).as("digest"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col(id))).as("ids"))
+      .filter(col("n_docs") > 1)
+
+  /** (id, shingle) exploded pairs — the dedup working set. */
+  private def shingleRows(df: DataFrame, id: String, text: String, n: Int) =
+    df.select(col(id).as("_id"), explode(shingles(col(text), n)).as("sh"))
+
+  /** Exact n-gram Jaccard for all pairs sharing ≥1 shingle, keeping
+    * pairs with similarity ≥ threshold. Shuffles on the shingle key
+    * (co-groups only docs that can possibly match). */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val rows = shingleRows(df, id, text, n).cache()
+    val sizes = rows.groupBy("_id").agg(count(lit(1)).as("sz"))
+    val shared = rows.as("a").join(rows.as("b"),
+        col("a.sh") === col("b.sh") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(sizes.as("sa"), col("id_a") === col("sa._id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb._id"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    out
+  }
+
+  /** MinHash signature rows (_id, i, mh): k universal-hash permutations
+    * over xxhash64 base hashes — pure arithmetic, no per-permutation
+    * rehash of the shingle text. */
+  private def minhashRows(rows: DataFrame, k: Int) = {
+    // deterministic odd multipliers / offsets derived from the index
+    val perm = transform(sequence(lit(0), lit(k - 1)),
+      i => pmod(
+        (xxhash64(col("sh")) + lit(982451653L)) * (i * 2 + 1) + i * 40099,
+        lit(2147483647L)))
+    rows.select(col("_id"), posexplode(perm).as(Seq("i", "hv")))
+      .groupBy("_id", "i").agg(min("hv").as("mh"))
+  }
+
+  /** MinHash+LSH near-dup pairs: k-perm signatures, b bands of r rows
+    * (k = b*r), bucket join per band, then EXACT Jaccard verification
+    * at `threshold` — LSH only prunes; verified similarity decides. */
+  def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
+                      threshold: Double, bands: Int = 64, rowsPerBand: Int = 2)
+      : DataFrame = {
+    val k = bands * rowsPerBand
+    val rows = shingleRows(df, id, text, n).cache()
+    val sig = minhashRows(rows, k)
+      .withColumn("band", col("i") % bands)
+    // bucket key: hash of the band's minhash values in row order
+    val buckets = sig.groupBy("_id", "band")
+      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("i"), col("mh"))))), col("band")).as("bucket"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    // exact verify on candidates only
+    val sizes = rows.groupBy("_id").agg(count(lit(1)).as("sz"))
+    val shared = candidates
+      .join(rows.as("ra"), col("id_a") === col("ra._id"))
+      .join(rows.as("rb"), col("id_b") === col("rb._id") &&
+        col("ra.sh") === col("rb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("id_a") === col("sa._id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb._id"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash from md5 nibbles of each token: bit j comes from
+    * hex char j/4 of md5(token); tokens vote ±1 per bit; the sign of
+    * the vote sum sets the signature bit. Engine-portable by
+    * construction (md5 + integer arithmetic only — the DuckDB oracle
+    * reproduces it exactly). */
+  def simhash32(text: Column): Column = {
+    val toks = split(text, " ")
+    val bitsPerTok = transform(toks, t => {
+      val h = md5(t.cast("binary"))
+      transform(sequence(lit(0), lit(31)), j => {
+        // nibble = hex digit j/4; vote = ±1 from bit j%4 of the nibble
+        val nib = conv(h.substr((j / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
+        val sel = pmod(j, lit(4))
+        val shifted = when(sel === 0, nib).when(sel === 1, floor(nib / 2))
+          .when(sel === 2, floor(nib / 4)).otherwise(floor(nib / 8)).cast("int")
+        pmod(shifted, lit(2)) * 2 - 1
+      })
+    })
+    // element-wise vote sum across tokens, then sign → bit → weight
+    val votes = aggregate(bitsPerTok,
+      transform(sequence(lit(0), lit(31)), _ => lit(0)),
+      (acc, bits) => zip_with(acc, bits, (a, b) => a + b))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(31)),
+        (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+  }
+
+  /** SimHash near-dup pairs within a hamming ball. Quadratic pair join
+    * guarded by banding on signature bytes for scale: docs must share
+    * at least one of the four signature bytes to pair (pigeonhole:
+    * ≤3 bit flips cannot change all four bytes). */
+  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int)
+      : DataFrame = {
+    require(maxHamming <= 3, "byte banding guarantees recall only for hamming <= 3")
+    val sigs = df.select(col(id).as("_id"), simhash32(col(text)).as("sig"))
+    val bytes = array((0 to 3).map(b =>
+      pmod(floor(col("sig") / math.pow(2, b * 8).toLong).cast("long"), lit(256))): _*)
+    val banded = sigs.select(col("_id"), col("sig"),
+      posexplode(bytes).as(Seq("band", "byte")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup pairs (threshold on double-precision
+    * cosine; see Similarity.cosine for the op-order contract that
+    * keeps it engine-reproducible). */
+  def embeddingNearDups(df: DataFrame, id: String, vec: String,
+                        threshold: Double): DataFrame = {
+    val v = df.select(col(id).as("_id"), col(vec).as("v"))
+    v.as("a").join(v.as("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

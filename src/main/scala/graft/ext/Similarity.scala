@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (north-star extension).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact, one broadcast of the (small)
+  *    query set against a corpus scan — linear in corpus size, the
+  *    correctness baseline;
+  *  - hyperplane-LSH bucketed top-k: sign-bit sketch over
+  *    deterministic pseudo-random hyperplanes; candidates must share
+  *    the full sketch (or a band of it), cutting the scanned corpus by
+  *    ~2^bits. The scale path for 100 TB corpora: bucket join instead
+  *    of cross join, with recall controlled by bits/bands.
+  *
+  * Floating-point contract: all arithmetic is double-precision with a
+  * FIXED operation order — elementwise products summed left-to-right
+  * (aggregate over zip_with), cosine = dot / (sqrt(na) * sqrt(nb)) —
+  * so results are bit-reproducible across engines that mirror the
+  * order (the DuckDB oracle does).
+  */
+object Similarity {
+
+  /** Element products summed in index order, double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Vector scaled to unit L2 norm (double elements). */
+  def unitNorm(a: Column): Column =
+    transform(a, x => x.cast("double") / norm(a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbours for each query vector (brute force).
+    * Queries are expected to be small → broadcast; corpus streams. */
+  def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,
+                     corpus: DataFrame, cId: String, cVec: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv")))
+    val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component r(plane, dim):
+    * xxhash64-derived uniform in [-0.5, 0.5). */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane * 1024 + dim, lit(7919)), lit(100000L)).cast("double")
+      / 100000.0) - 0.5
+
+  /** Sign-bit sketch over `bits` hyperplanes. */
+  def lshSketch(vec: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), p => {
+        val d = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(d > 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (a, b) => a + b)
+
+  /** ANN top-k via LSH buckets: only corpus vectors sharing the query's
+    * sketch are scored. Smaller `bits` → bigger buckets → higher
+    * recall, more compute. */
+  def lshTopK(queries: DataFrame, qId: String, qVec: String,
+              corpus: DataFrame, cId: String, cVec: String,
+              k: Int, bits: Int = 8): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
+      lshSketch(col(qVec), bits).as("sk")))
+    val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"),
+      lshSketch(col(cVec), bits).as("sk"))
+    val scored = q.join(c, Seq("sk")).filter(col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

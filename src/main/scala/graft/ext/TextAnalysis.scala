@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extensions beyond the reference surface; BASELINE.json).
+  *
+  * Everything is a pure `Column` expression — codegen'd, no UDFs, no
+  * shuffles beyond the caller's own aggregations — so each operator
+  * streams over a 100 TB documents table at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the multiset — duplicates preserved). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex splits on letter/digit
+    * boundaries and punctuation, approximating byte-pair tokenizer
+    * granularity without a vocab. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
+      t => length(t) > 0))
+
+  /** Stopword ratio over a caller-supplied lexicon. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    size(stops).cast("double") / size(toks)
+  }
+
+  /** Mean token length — a cheap quality signal (gibberish and
+    * boilerplate skew short/long). */
+  def meanTokenLength(text: Column): Column =
+    (length(text) - size(tokens(text)) + 1).cast("double") / size(tokens(text))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / length(text)
+
+  /** Composite quality score in [0,1]: favors mid-length documents
+    * with low punctuation noise (weights are a demo policy; real
+    * pipelines tune them). 4-dp rounding is floor(x*1e4+0.5)/1e4
+    * rather than round(): the explicit formula is bit-identical in any
+    * engine given identical inputs, where native round() algorithms
+    * differ on doubles. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    floor((lenScore * 0.6 + punctPenalty * 0.4) * 10000.0 + 0.5) / 10000.0
+  }
+
+  /** Language-ID by marker-word voting: per language, count tokens in
+    * its marker lexicon; highest count wins (ties broken by lexicon
+    * order). N-gram-profile LID distilled to a deterministic,
+    * SQL-expressible core. */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val scored = markers.map { case (lang, words) =>
+      (lang, size(filter(toks, t => t.isInCollection(words))))
+    }
+    // argmax with first-wins tiebreak
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Document fingerprint: minimum md5 over word 5-grams — a
+    * winnowing-style content signature that is stable under small
+    * edits away from the minimal shingle. */
+  def fingerprint(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val grams = transform(sequence(lit(0), greatest(n - 5, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(5))))
+    array_min(transform(grams, g => md5(g.cast("binary"))))
+  }
+}

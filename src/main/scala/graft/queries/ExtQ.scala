@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.t
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline extension queries (north-star surface):
+  * dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding),
+  * ANN similarity search, text analysis, multimodal metadata — each
+  * running the real graft.ext operator with a DuckDB oracle where the
+  * semantics are SQL-expressible.
+  *
+  * The documents table has planted near-dups (25 pairs at 3-gram
+  * Jaccard ≥ 0.8, all other pairs < 0.1), so thresholds at 0.6
+  * separate signal from noise with huge margin — which also makes
+  * MinHash-LSH recall effectively exact (miss probability ≤ 1e-28 at
+  * 64 bands × 2 rows for s ≥ 0.8).
+  */
+object ExtQ {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** Shared DuckDB CTE: distinct word-3-gram shingle rows per doc. */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |      for i in range(1, len(s) - 1) ])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |jac AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    COUNT(*)::DOUBLE /
+      |      (any_value(sa.sz) + any_value(sb.sz) - COUNT(*)) AS jaccard
+      |  FROM sh a
+      |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  JOIN sizes sa ON sa.doc_id = a.doc_id
+      |  JOIN sizes sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  /** Exact dedup by content digest over a corpus with synthesized
+    * duplicates (every 7th doc re-appears under id+10000). */
+  private val x01: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val withDups = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      Dedup.exactDupGroups(withDups, "doc_id", "text")
+        .orderBy($"digest")
+    },
+    """SELECT md5(text) AS digest, COUNT(*) AS n_docs,
+      |  list_sort(list(doc_id)) AS ids
+      |FROM (SELECT doc_id, text FROM documents
+      |      UNION ALL
+      |      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0)
+      |GROUP BY digest HAVING COUNT(*) > 1 ORDER BY digest""".stripMargin)
+
+  /** Exact n-gram Jaccard near-dup pairs (the verification primitive). */
+  private val x02: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH $shingleCte
+       |SELECT id_a, id_b, jaccard FROM jac
+       |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)
+
+  /** MinHash+LSH near-dups: banded signature pruning + exact verify.
+    * Oracle is the exact-Jaccard pair set — LSH recall at this margin
+    * is exact, so pruning must not change the answer. */
+  private val x03: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6, bands = 64, rowsPerBand = 2)
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH $shingleCte
+       |SELECT id_a, id_b, jaccard FROM jac
+       |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)
+
+  /** SimHash signatures, bit-for-bit reproduced by the oracle from
+    * md5 nibble votes. */
+  private val x04: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", Dedup.simhash32($"text").as("simhash"))
+        .orderBy($"doc_id")
+    },
+    """SELECT doc_id,
+      |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+      |       AS BIGINT) AS simhash
+      |FROM (
+      |  SELECT doc_id, j, SUM(2 * bit - 1) AS vote
+      |  FROM (
+      |    SELECT doc_id, j,
+      |      CAST(floor(nib / pow(2, j % 4)) AS BIGINT) % 2 AS bit
+      |    FROM (
+      |      SELECT doc_id, j,
+      |        strpos('0123456789abcdef',
+      |          substr(md5(tok), CAST(floor(j / 4) AS INTEGER) + 1, 1)) - 1 AS nib
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents)
+      |      CROSS JOIN (SELECT unnest(range(0, 32)) AS j)))
+      |  GROUP BY doc_id, j)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** DuckDB double-precision cosine mirroring Similarity.cosine's op
+    * order exactly: left-fold dot, cosine = dot/(sqrt(na)*sqrt(nb)). */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_reduce([ CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |              for i in range(1, len($a) + 1) ], (x, y) -> x + y) /
+       |  (sqrt(list_reduce([ CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)
+       |              for i in range(1, len($a) + 1) ], (x, y) -> x + y)) *
+       |   sqrt(list_reduce([ CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |              for i in range(1, len($b) + 1) ], (x, y) -> x + y)))""".stripMargin
+
+  /** Embedding-cosine near-dup pairs. */
+  private val x05: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .select($"id_a", $"id_b",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""SELECT id_a, id_b, floor(cosine * 1e6 + 0.5) / 1e6 AS cos6 FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS cosine
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin)
+
+  /** Brute-force cosine top-10 for 5 query vectors. */
+  private val x06: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.filter($"vec_id" < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10)
+        .select($"query_id", $"neighbour_id", $"rank",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    },
+    s"""SELECT query_id, neighbour_id, rank, floor(cosine * 1e6 + 0.5) / 1e6 AS cos6
+       |FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id)
+       |      AS INTEGER) AS rank
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+
+  /** Per-document text statistics + quality score. */
+  private val x07: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(
+          $"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          TextAnalysis.meanTokenLength($"text").as("mean_tok_len"),
+          TextAnalysis.stopwordRatio($"text", Seq("the", "a", "value", "data"))
+            .as("stop_ratio"),
+          TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+      |    / len(string_split(text, ' ')) AS mean_tok_len,
+      |  len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a', 'value', 'data')))::DOUBLE
+      |    / len(string_split(text, ' ')) AS stop_ratio,
+      |  floor((least(length(text)::DOUBLE / 500.0, 1.0) * 0.6 +
+      |         (1.0 - least((length(text) -
+      |            length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |            / length(text) * 5.0, 1.0)) * 0.4) * 10000.0 + 0.5) / 10000.0
+      |    AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Marker-word language ID vs the labeled lang column. */
+  private val x08: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val markers = Seq(
+        "en" -> Seq("the", "a"), "de" -> Seq("table", "row"),
+        "fr" -> Seq("value", "data"), "es" -> Seq("query", "join"))
+      t(s, d, "documents")
+        .select($"lang".as("labeled"),
+          TextAnalysis.langId($"text", markers).as("detected"))
+        .groupBy($"labeled", $"detected")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"labeled", $"detected")
+    },
+    """SELECT labeled, detected, COUNT(*) AS n FROM (
+      |  SELECT lang AS labeled,
+      |    CASE WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+      |         WHEN s_fr = mx THEN 'fr' ELSE 'es' END AS detected
+      |  FROM (
+      |    SELECT lang,
+      |      len(list_filter(toks, x -> x IN ('the', 'a'))) AS s_en,
+      |      len(list_filter(toks, x -> x IN ('table', 'row'))) AS s_de,
+      |      len(list_filter(toks, x -> x IN ('value', 'data'))) AS s_fr,
+      |      len(list_filter(toks, x -> x IN ('query', 'join'))) AS s_es,
+      |      greatest(
+      |        len(list_filter(toks, x -> x IN ('the', 'a'))),
+      |        len(list_filter(toks, x -> x IN ('table', 'row'))),
+      |        len(list_filter(toks, x -> x IN ('value', 'data'))),
+      |        len(list_filter(toks, x -> x IN ('query', 'join')))) AS mx
+      |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)))
+      |GROUP BY labeled, detected ORDER BY labeled, detected""".stripMargin)
+
+  /** Winnowing-style fingerprint: min md5 over word 5-grams. */
+  private val x09: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+    """SELECT doc_id,
+      |  list_aggregate([ md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' '
+      |                     || s[i+3] || ' ' || s[i+4])
+      |    for i in range(1, greatest(len(s) - 4, 1) + 1) ], 'min') AS fingerprint
+      |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+      |ORDER BY doc_id""".stripMargin)
+
+  /** Multimodal payload metadata (binary column plumbing; the decode
+    * stub itself is spec-tested — no SQL surface for mapPartitions). */
+  private val x10: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Multimodal.attachPayload(t(s, d, "documents"), "doc_id", "text")
+        .select($"media_id", $"media_type",
+          length($"payload").as("n_bytes"),
+          md5($"payload").as("digest"))
+        .orderBy($"media_id")
+    },
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS media_type,
+      |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+      |  md5(text) AS digest
+      |FROM documents ORDER BY media_id""".stripMargin)
+
+  val all: Seq[(String, (Fn, Option[String]))] = Seq(
+    "x01_dedup_exact" -> (x01._1, Some(x01._2)),
+    "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
+    "x03_dedup_minhash_lsh" -> (x03._1, Some(x03._2)),
+    "x04_dedup_simhash" -> (x04._1, Some(x04._2)),
+    "x05_dedup_embedding_cosine" -> (x05._1, Some(x05._2)),
+    "x06_ann_bruteforce_topk" -> (x06._1, Some(x06._2)),
+    "x07_text_stats_quality" -> (x07._1, Some(x07._2)),
+    "x08_langid_markers" -> (x08._1, Some(x08._2)),
+    "x09_doc_fingerprint" -> (x09._1, Some(x09._2)),
+    "x10_multimodal_metadata" -> (x10._1, Some(x10._2)),
+  )
+}

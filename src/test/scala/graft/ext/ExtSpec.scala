@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup of 0
+    (2L, "completely different words about spark catalyst optimizer plans"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getSeq[Long](groups(0).fieldIndex("ids")).toSeq == Seq(0L, 3L))
+  }
+
+  test("ngram jaccard finds the planted near-dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))  // one word differs
+    assert(pairs.contains((0L, 3L)))  // identical
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH agrees with exact jaccard at high margin") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-dups land close in hamming space") {
+    val sigs = docs.select($"doc_id", Dedup.simhash32($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(0L) == sigs(3L))                    // identical text
+    assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(2L)))
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbour_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bits → 16 buckets over ~150 vectors: recall won't be total, but
+    // buckets must produce non-empty, exact-scored, correctly-ranked hits
+    val approx = Similarity.lshTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, bits = 4)
+      .collect()
+    assert(approx.nonEmpty)
+    val recall = approx.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbour_id"))).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("multimodal: payload attach, stub decode batching, frame sampling") {
+    val media = Multimodal.attachPayload(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeStub(media, featureDim = 8).cache()
+    assert(decoded.count() == 4)
+    val r = decoded.filter($"media_id" === 0).collect()(0)
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Int]("n_bytes") == 59)
+    assert(meta.getAs[String]("digest").length == 32)
+    assert(meta.getAs[Int]("width") >= 16 && meta.getAs[Int]("width") < 80)
+    assert(r.getSeq[Float](r.fieldIndex("features")).length == 8)
+    // identical payloads → identical features (deterministic stub)
+    val f0 = decoded.filter($"media_id" === 0).select("features").collect()(0)
+    val f3 = decoded.filter($"media_id" === 3).select("features").collect()(0)
+    assert(f0.getSeq[Float](0).toSeq == f3.getSeq[Float](0).toSeq)
+
+    val frames = Multimodal.frameSample(media, stride = 16)
+    assert(frames.filter($"media_id" === 0).count() == 3) // 59 bytes / 16
+    assert(frames.columns.toSeq ==
+      Seq("media_id", "frame_no", "frame_digest"))
+  }
+
+  test("text analysis shapes") {
+    val r = docs.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.fingerprint($"text").as("fp"),
+      TextAnalysis.langId($"text",
+        Seq("en" -> Seq("the"), "xx" -> Seq("zzz"))).as("lang"))
+      .collect()
+    assert(r(0).getAs[Int]("n") == 12)
+    assert(r(0).getAs[String]("fp").length == 32)
+    assert(r(0).getAs[String]("lang") == "en")
+    assert(r(2).getAs[String]("lang") == "en") // tie (0 = 0) → first wins
+  }
+}
