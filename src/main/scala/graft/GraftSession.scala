@@ -31,6 +31,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // local-scale split sizing: the synthetic tables are single
+      // sub-128MB parquet files, which the default maxPartitionBytes
+      // turns into ONE scan partition — serializing every downstream
+      // stage on a 32-core box. 1 MB splits restore scan parallelism
+      // here; on a real cluster with properly sized files the 128 MB
+      // default is right (override via SPARK_GRAFT_MAX_PARTITION_BYTES).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (1024 * 1024).toString))
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
@@ -39,6 +47,8 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExpressions.register(spark)
+    graft.functions.MinHashAgg.register(spark)
     spark
   }
 }

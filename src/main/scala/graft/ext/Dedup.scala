@@ -41,9 +41,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col(id))).as("ids"))
       .filter(col("n_docs") > 1)
 
-  /** (id, shingle) exploded pairs — the dedup working set. */
-  private def shingleRows(df: DataFrame, id: String, text: String, n: Int) =
-    df.select(col(id).as("_id"), explode(shingles(col(text), n)).as("sh"))
+  /** (id, shingle) exploded pairs — the dedup working set. The
+    * pre-explode repartition spreads the (cheap) input rows so the
+    * (expensive) explode + hash work runs on every core — the same
+    * shape that keeps 100 TB of documents from bottlenecking on the
+    * scan's split count. */
+  private def shingleRows(df: DataFrame, id: String, text: String, n: Int) = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(id).as("_id"), col(text).as("_text")).repartition(parts)
+      .select(col("_id"), explode(shingles(col("_text"), n)).as("sh"))
+  }
 
   /** Exact n-gram Jaccard for all pairs sharing ≥1 shingle, keeping
     * pairs with similarity ≥ threshold. Shuffles on the shingle key
@@ -66,33 +73,27 @@ object Dedup {
     out
   }
 
-  /** MinHash signature rows (_id, i, mh): k universal-hash permutations
-    * over xxhash64 base hashes — pure arithmetic, no per-permutation
-    * rehash of the shingle text. */
-  private def minhashRows(rows: DataFrame, k: Int) = {
-    // deterministic odd multipliers / offsets derived from the index
-    val perm = transform(sequence(lit(0), lit(k - 1)),
-      i => pmod(
-        (xxhash64(col("sh")) + lit(982451653L)) * (i * 2 + 1) + i * 40099,
-        lit(2147483647L)))
-    rows.select(col("_id"), posexplode(perm).as(Seq("i", "hv")))
-      .groupBy("_id", "i").agg(min("hv").as("mh"))
-  }
-
-  /** MinHash+LSH near-dup pairs: k-perm signatures, b bands of r rows
-    * (k = b*r), bucket join per band, then EXACT Jaccard verification
-    * at `threshold` — LSH only prunes; verified similarity decides. */
+  /** MinHash+LSH near-dup pairs: k-perm signatures via the native
+    * [[graft.functions.MinHashAgg]] (map-side partial aggregation —
+    * the shuffle carries one k-long signature per doc, not k rows per
+    * shingle), b bands of r rows (k = b*r), bucket join per band, then
+    * EXACT Jaccard verification at `threshold` — LSH only prunes;
+    * verified similarity decides. */
   def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
                       threshold: Double, bands: Int = 64, rowsPerBand: Int = 2)
       : DataFrame = {
     val k = bands * rowsPerBand
     val rows = shingleRows(df, id, text, n).cache()
-    val sig = minhashRows(rows, k)
-      .withColumn("band", col("i") % bands)
-    // bucket key: hash of the band's minhash values in row order
-    val buckets = sig.groupBy("_id", "band")
-      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("i"), col("mh"))))), col("band")).as("bucket"))
+    val sig = rows.groupBy("_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("sh"), k).as("sig"))
+    // one row per (doc, band); bucket key hashes the band's slice of
+    // the signature (slot order is positional → stable)
+    val buckets = sig.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(concat_ws(",", transform(
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string"))), b)))
+        .as(Seq("band", "bucket")))
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a._id") < col("b._id"))
@@ -169,8 +170,12 @@ object Dedup {
     * keeps it engine-reproducible). */
   def embeddingNearDups(df: DataFrame, id: String, vec: String,
                         threshold: Double): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // the O(n²) pair scoring parallelizes over the LEFT side's
+    // partitions (the right side broadcasts) — spread it
     val v = df.select(col(id).as("_id"), col(vec).as("v"))
-    v.as("a").join(v.as("b"), col("a._id") < col("b._id"))
+    v.repartition(parts).as("a")
+      .join(broadcast(v).as("b"), col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element products summed in index order, double precision. */
+  /** Element products summed in index order, double precision.
+    * Backed by the codegen'd native expression
+    * [[graft.functions.DotProduct]] — same operation order as the
+    * higher-order-function form (`aggregate(zip_with(...))`), ~two
+    * orders of magnitude faster in O(n²) pair joins because the loop
+    * participates in whole-stage codegen instead of interpreting two
+    * lambdas per element. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,9 +46,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,
                      corpus: DataFrame, cId: String, cVec: String,
                      k: Int): DataFrame = {
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv")))
+    // corpus drives parallelism (queries broadcast): spread its rows
+    // so per-pair scoring isn't bound to the scan's split count
     val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"))
-    val scored = q.join(c, col("query_id") =!= col("neighbour_id"))
+      .repartition(parts)
+    val scored = c.join(q, col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
@@ -75,10 +84,14 @@ object Similarity {
   def lshTopK(queries: DataFrame, qId: String, qVec: String,
               corpus: DataFrame, cId: String, cVec: String,
               k: Int, bits: Int = 8): DataFrame = {
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
       lshSketch(col(qVec), bits).as("sk")))
-    val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"),
-      lshSketch(col(cVec), bits).as("sk"))
+    // repartition BEFORE sketching: the per-row sketch (bits × dim
+    // muls) is the expensive map work
+    val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"))
+      .repartition(parts)
+      .withColumn("sk", lshSketch(col("cv"), bits))
     val scored = q.join(c, Seq("sk")).filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
         cosine(col("qv"), col("cv")).as("cosine"))

@@ -59,15 +59,14 @@ object TextAnalysis {
     * SQL-expressible core. */
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     val toks = tokens(text)
-    val scored = markers.map { case (lang, words) =>
-      (lang, size(filter(toks, t => t.isInCollection(words))))
-    }
-    // argmax with first-wins tiebreak
-    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
-      case ((bestScore, bestLang), (lang, score)) =>
-        (when(score > bestScore, score).otherwise(bestScore),
-          when(score > bestScore, lit(lang)).otherwise(bestLang))
-    }._2
+    // score each lexicon once; argmax = first index achieving the max
+    // (equivalent to a first-wins fold, without the fold's O(n²)
+    // duplication of score subtrees)
+    val scores = array(markers.map { case (_, words) =>
+      size(filter(toks, t => t.isInCollection(words)))
+    }: _*)
+    val langs = array(markers.map { case (lang, _) => lit(lang) }: _*)
+    element_at(langs, array_position(scores, array_max(scores)).cast("int"))
   }
 
   /** Document fingerprint: minimum md5 over word 5-grams — a

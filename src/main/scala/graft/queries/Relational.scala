@@ -365,6 +365,38 @@ object Relational {
       |FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
       |GROUP BY token ORDER BY token""".stripMargin)
 
+  /** Distinct-count + min/max aggregates. */
+  private val q19: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count_distinct($"o_custkey").as("n_custs"),
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** HyperLogLog approximate distinct — algorithm-specific, so no
+    * cross-engine oracle (driver records the rows-only check); the
+    * spec asserts its error envelope against the exact count. */
+  private val q20: Fn =
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          approx_count_distinct($"l_orderkey").as("approx_orders"))
+    }
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -384,5 +416,7 @@ object Relational {
     "q16_date_funcs" -> (q16._1, Some(q16._2)),
     "q17_events_hourly_window" -> (q17._1, Some(q17._2)),
     "q18_array_token_counts" -> (q18._1, Some(q18._2)),
+    "q19_agg_distinct_minmax" -> (q19._1, Some(q19._2)),
+    "q20_approx_count_distinct" -> (q20, None),
   )
 }
