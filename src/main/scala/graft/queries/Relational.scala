@@ -397,6 +397,64 @@ object Relational {
           approx_count_distinct($"l_orderkey").as("approx_orders"))
     }
 
+  /** JSON extraction from the events props column. */
+  private val q21: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select($"event_id",
+          get_json_object($"props", "$.k").as("k_str"),
+          get_json_object($"props", "$.k").cast("int").as("k_int"),
+          get_json_object($"props", "$.missing").as("k_missing"))
+        .filter($"k_int" > 50)
+        .orderBy($"event_id")
+    },
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+      |  json_extract_string(props, '$.missing') AS k_missing
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+      |ORDER BY event_id""".stripMargin)
+
+  /** LIKE / regexp predicates and extraction. */
+  private val q22: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .filter($"p_name".like("%red%") || $"p_name".rlike("^blue"))
+        .select($"p_partkey", $"p_name",
+          regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"))
+        .orderBy($"p_partkey")
+    },
+    """SELECT p_partkey, p_name,
+      |  coalesce(regexp_extract(p_name, '([a-z]+)$', 1), '') AS last_word
+      |FROM part
+      |WHERE p_name LIKE '%red%' OR regexp_matches(p_name, '^blue')
+      |ORDER BY p_partkey""".stripMargin)
+
+  /** Conditional scalar functions: coalesce/nullif/greatest/least. */
+  private val q23: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .select($"c_custkey",
+          coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("OTHER"))
+            .as("segment_norm"),
+          greatest($"c_acctbal", lit(0.0)).as("bal_floor"),
+          least($"c_nationkey", lit(10)).as("nation_cap"),
+          when($"c_acctbal" < 0, "overdrawn")
+            .when($"c_acctbal" < 1000, "low").otherwise("high").as("bal_band"))
+        .orderBy($"c_custkey")
+    },
+    """SELECT c_custkey,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_norm,
+      |  greatest(c_acctbal, 0.0) AS bal_floor,
+      |  least(c_nationkey, 10) AS nation_cap,
+      |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+      |       WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_band
+      |FROM customer ORDER BY c_custkey""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -418,5 +476,8 @@ object Relational {
     "q18_array_token_counts" -> (q18._1, Some(q18._2)),
     "q19_agg_distinct_minmax" -> (q19._1, Some(q19._2)),
     "q20_approx_count_distinct" -> (q20, None),
+    "q21_json_extract" -> (q21._1, Some(q21._2)),
+    "q22_like_regexp" -> (q22._1, Some(q22._2)),
+    "q23_conditional_funcs" -> (q23._1, Some(q23._2)),
   )
 }

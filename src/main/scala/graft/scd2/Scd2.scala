@@ -26,6 +26,10 @@ import graft.schema.Layout
   */
 object Scd2 {
 
+  /** Precondition: each input snapshot carries at most one CURRENT row
+    * per PK (the reference's tapes guarantee this; a duplicate-PK
+    * snapshot would cross-match in the full-outer join and yield
+    * multiple current versions — found by GraftProperties). */
   def merge(oldDf: DataFrame, newDf: DataFrame, dataType: String): DataFrame =
     mergeOnKeys(oldDf, newDf,
       (Seq("ed_code", "pcd") ++ Layout.primaryCols(dataType))
