@@ -74,8 +74,12 @@ object CleanCsv {
 
     // distributed line source; split 0 starts at byte 0 of the file, so
     // dropping its first two lines removes exactly header + units row
-    // (`bronze_funcs.py:88-92`)
-    val lines = spark.sparkContext.textFile(path)
+    // (`bronze_funcs.py:88-92`). minPartitions MUST be 1: the default
+    // (2) halves small files so split 0 can contain only the header
+    // line (wide-header tapes!), leaking the units row into bronze.
+    // With 1, splits follow the 32MB block size, so split 0 always
+    // holds both lines while large tapes still parallelize.
+    val lines = spark.sparkContext.textFile(path, 1)
       .mapPartitionsWithIndex((i, it) => if (i == 0) it.drop(2) else it)
     import spark.implicits._
     val raw = spark.createDataset(lines).toDF("_line")

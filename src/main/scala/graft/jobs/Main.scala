@@ -17,13 +17,14 @@ object Main {
   sealed trait Stage { def name: String }
   case object BronzeAsset extends Stage { val name = "bronze_asset" }
   case object BronzeBondInfo extends Stage { val name = "bronze_bond_info" }
+  case object BronzeAmortisation extends Stage { val name = "bronze_amortisation" }
   case object BronzeDealDetails extends Stage { val name = "bronze_deal_details" }
   case object SilverAsset extends Stage { val name = "silver_asset" }
   case object SilverBondInfo extends Stage { val name = "silver_bond_info" }
   case object SilverDealDetails extends Stage { val name = "silver_deal_details" }
 
-  val stages: Seq[Stage] = Seq(BronzeAsset, BronzeBondInfo, BronzeDealDetails,
-    SilverAsset, SilverBondInfo, SilverDealDetails)
+  val stages: Seq[Stage] = Seq(BronzeAsset, BronzeBondInfo, BronzeAmortisation,
+    BronzeDealDetails, SilverAsset, SilverBondInfo, SilverDealDetails)
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -46,6 +47,12 @@ object Main {
       case BronzeBondInfo =>
         Jobs.bronzeCsv(spark, req("raw-dir"), lakeRoot, "bond_info",
           req("ed-code"), opts.getOrElse("file-key", "Bond_Info"),
+          req("ingestion-date"))
+      case BronzeAmortisation =>
+        // same bronze path; the reference truncates these tapes to 121
+        // columns and has no PK entry (degraded checksum — see CleanCsv)
+        Jobs.bronzeCsv(spark, req("raw-dir"), lakeRoot, "amortisation",
+          req("ed-code"), opts.getOrElse("file-key", "Amortisation"),
           req("ingestion-date"))
       case BronzeDealDetails =>
         Jobs.bronzeDealDetails(spark, req("raw-dir"), lakeRoot,

@@ -253,6 +253,28 @@ object ExtQ {
       |  md5(text) AS digest
       |FROM documents ORDER BY media_id""".stripMargin)
 
+  /** Salted skew-safe join + two-phase salted aggregation: the salting
+    * machinery must leave results IDENTICAL to the plain forms — the
+    * oracle is the unsalted SQL. */
+  private val x11: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").withColumn("p_partkey", $"l_partkey")
+      val p = t(s, d, "part").select($"p_partkey", $"p_brand")
+      val joined = graft.ext.Skew.saltedJoin(
+        li, p, "p_partkey", salts = 8,
+        bigSaltCols = Seq("l_orderkey", "l_linenumber"))
+      joined.groupBy($"p_brand")
+        .agg(graft.tables.dsum($"l_extendedprice").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"p_brand")
+    },
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -264,5 +286,6 @@ object ExtQ {
     "x08_langid_markers" -> (x08._1, Some(x08._2)),
     "x09_doc_fingerprint" -> (x09._1, Some(x09._2)),
     "x10_multimodal_metadata" -> (x10._1, Some(x10._2)),
+    "x11_salted_skew_join" -> (x11._1, Some(x11._2)),
   )
 }

@@ -72,5 +72,10 @@ class CleanCsvSpec extends AnyFunSuite {
     Files.write(p, s"$header\n$units\n$data\n".getBytes(StandardCharsets.UTF_8))
     val df = CleanCsv.read(spark, p.toString, "amortisation")
     assert(df.columns.count(_.startsWith("AS")) == 121)
+    // regression: with textFile's default minPartitions=2, the wide
+    // header became its own split and the units row leaked through
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("AS1") == "1")
   }
 }

@@ -79,4 +79,30 @@ class JobsSpec extends AnyFunSuite {
     val feats = spark.read.parquet(s"$lake/silver/assets/lease_features")
     assert(feats.collect()(0).getAs[java.sql.Date]("AL50").toString == "2020-01-01")
   }
+
+  test("bond_info bronze → silver end to end") {
+    val raw = Files.createTempDirectory("rawbond").toString
+    val lake = Files.createTempDirectory("lakebond").toString
+    val rows = Seq(
+      "BL1,BL2,BL4,BL11,BL19,BL25",
+      "Report Date,Issuer,Flag,Amount,Contact,Tranche",
+      "2023-07-31,ISSUER GmbH,y,1000.555,ops team,A1",
+      "2023-07-31,ISSUER GmbH,n,2000.4,ops team,B2",
+    ).mkString("\n")
+    Files.write(Paths.get(raw, "DEAL2_2023_07_31_Bond_Info.csv"),
+      rows.getBytes(StandardCharsets.UTF_8))
+
+    Jobs.bronzeCsv(spark, raw, lake, "bond_info", "DEAL2", "Bond_Info",
+      "2023-07-31")
+    Jobs.silverTopicSplit(spark, lake, "bond_info")
+
+    val bondInfo = spark.read.parquet(s"$lake/silver/bond_info/bond_info")
+    assert(bondInfo.count() == 2)
+    val byFlag = bondInfo.orderBy("BL11").collect()
+    assert(byFlag(0).getAs[Boolean]("BL4") == true)   // y → true
+    assert(byFlag(0).getAs[Double]("BL11") == 1000.56) // 2-dp round
+    val tranche = spark.read.parquet(s"$lake/silver/bond_info/tranche_info")
+    assert(tranche.select("BL25").orderBy("BL25").collect()
+      .map(_.getString(0)).toSeq == Seq("a1", "b2"))
+  }
 }
