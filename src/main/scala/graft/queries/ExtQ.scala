@@ -275,6 +275,54 @@ object ExtQ {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 
+  /** As-of join: each purchase enriched with the user's most recent
+    * prior (or simultaneous) click. Oracle: DuckDB's native ASOF JOIN. */
+  private val x12: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+      val clicks = ev.filter($"event_type" === "click")
+      graft.ext.Temporal.asOfJoin(purchases, clicks,
+          key = "user_id", ts = "ts", tieBreak = "event_id",
+          payload = Seq("event_id", "value"))
+        .select($"event_id", $"user_id", $"value",
+          $"asof_event_id".as("click_id"), $"asof_value".as("click_value"))
+        .orderBy($"event_id")
+    },
+    """SELECT p.event_id, p.user_id, p.value,
+      |  c.event_id AS click_id, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin)
+
+  /** Gap-based sessionization (30-minute gap) via session_window.
+    * Oracle: the classic gaps-and-islands lag/cumsum formulation. */
+  private val x13: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      graft.ext.Temporal.sessionize(t(s, d, "events"),
+          key = "user_id", ts = "ts", value = "value", gap = "30 minutes")
+        .orderBy($"user_id", $"session_start")
+    },
+    """SELECT user_id,
+      |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, value, event_id,
+      |      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id) <= INTERVAL 30 MINUTE
+      |           THEN 0 ELSE 1 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -287,5 +335,7 @@ object ExtQ {
     "x09_doc_fingerprint" -> (x09._1, Some(x09._2)),
     "x10_multimodal_metadata" -> (x10._1, Some(x10._2)),
     "x11_salted_skew_join" -> (x11._1, Some(x11._2)),
+    "x12_asof_join" -> (x12._1, Some(x12._2)),
+    "x13_sessionize" -> (x13._1, Some(x13._2)),
   )
 }
