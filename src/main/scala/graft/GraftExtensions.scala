@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions entry point: makes graft's native functions
+  * injectable via configuration —
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — so any
+  * spark-submit job (not just GraftSession-built ones) gets them.
+  * GraftSession wires this class in by default.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[functions.DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[functions.MinHashAgg].getName, "graft_minhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.MinHashAgg(exprs(0), exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => sys.error(s"graft_minhash k must be an int literal, got $other")
+        }).toAggregateExpression()))
+  }
+}

@@ -20,6 +20,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -47,6 +48,8 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // imperative registration kept as a fallback for sessions that
+    // pre-existed getOrCreate (extensions only apply to new sessions)
     graft.functions.VectorExpressions.register(spark)
     graft.functions.MinHashAgg.register(spark)
     spark

@@ -455,6 +455,32 @@ object Relational {
       |       WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_band
       |FROM customer ORDER BY c_custkey""".stripMargin)
 
+  /** Correlated-subquery shape (TPC-H Q17 style): lineitems whose
+    * quantity is below 20% of their part's average quantity. */
+  private val q24: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val avgQty = li.groupBy($"l_partkey".as("pk"))
+        .agg((sum(dec($"l_quantity")).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      li.join(broadcast(avgQty), $"l_partkey" === $"pk")
+        .filter($"l_quantity" < $"avg_qty" * 0.2)
+        .groupBy($"l_partkey")
+        .agg(dsum($"l_extendedprice").as("below_avg_revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_partkey")
+    },
+    """SELECT l_partkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS below_avg_revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem l1
+      |WHERE l_quantity < 0.2 * (
+      |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -479,5 +505,6 @@ object Relational {
     "q21_json_extract" -> (q21._1, Some(q21._2)),
     "q22_like_regexp" -> (q22._1, Some(q22._2)),
     "q23_conditional_funcs" -> (q23._1, Some(q23._2)),
+    "q24_correlated_subquery" -> (q24._1, Some(q24._2)),
   )
 }
