@@ -1,0 +1,44 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gold-layer metrics (SURVEY.md §7.2's flagship business query; the
+  * reference computes its gold "index metrics" outside the repo —
+  * README.md:20-24 — so this is the in-engine equivalent).
+  *
+  * Reads the silver topic tables and aggregates business measures.
+  * All money sums go through DECIMAL(18,2) for reproducibility under
+  * any partitioning.
+  */
+object Gold {
+
+  /** Current principal outstanding (AL56) per country (AL15), from the
+    * silver lease_info (AL15) and lease_features (AL56) topic tables,
+    * joined on the shared primaries. */
+  def principalByCountry(spark: SparkSession, lakeRoot: String): DataFrame = {
+    val leaseInfo = spark.read.parquet(s"$lakeRoot/silver/assets/lease_info")
+    val feats = spark.read.parquet(s"$lakeRoot/silver/assets/lease_features")
+    val keys = Seq("ed_code", "part", "AL1", "AL2", "AL3", "AL4", "AL5")
+      .filter(c => leaseInfo.columns.contains(c) && feats.columns.contains(c))
+    leaseInfo.select((keys.map(col) :+ col("AL15")): _*)
+      .join(feats.select((keys.map(col) :+ col("AL56")): _*), keys)
+      .groupBy(col("AL15").as("country"))
+      .agg(
+        sum(col("AL56").cast("decimal(18,2)")).cast("double")
+          .as("principal_outstanding"),
+        count(lit(1)).as("n_leases"))
+      .orderBy(col("country").asc_nulls_first)
+  }
+
+  /** Deal-level portfolio summary from deal_info_table. */
+  def dealSummary(spark: SparkSession, lakeRoot: String): DataFrame =
+    spark.read.parquet(s"$lakeRoot/silver/deal_details/deal_info_table")
+      .groupBy(col("CountryCodeOfSecuritisedAsset").as("country"))
+      .agg(
+        sum(col("CurrentPoolBalance").cast("decimal(18,2)")).cast("double")
+          .as("pool_balance"),
+        sum(col("NumberOfActiveAssets")).as("active_assets"),
+        count(lit(1)).as("n_deals"))
+      .orderBy(col("country").asc_nulls_first)
+}

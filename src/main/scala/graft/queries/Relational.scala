@@ -481,6 +481,54 @@ object Relational {
       |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
       |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)
 
+  /** Pivot: returnflag counts spread across linestatus columns. */
+  private val q25: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .orderBy($"l_returnflag")
+    },
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  /** Exact interpolated percentiles (median / p90). Both engines use
+    * the (n-1)*p linear-interpolation definition over exact input
+    * doubles, so values agree bit-for-bit. */
+  private val q26: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          percentile($"o_totalprice", lit(0.5)).as("median_price"),
+          percentile($"o_totalprice", lit(0.9)).as("p90_price"))
+        .orderBy($"o_orderstatus")
+    },
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  /** Ordered string aggregation. */
+  private val q27: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "nation")
+        .groupBy($"n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list($"n_name")))
+          .as("nations"))
+        .orderBy($"n_regionkey")
+    },
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -506,5 +554,8 @@ object Relational {
     "q22_like_regexp" -> (q22._1, Some(q22._2)),
     "q23_conditional_funcs" -> (q23._1, Some(q23._2)),
     "q24_correlated_subquery" -> (q24._1, Some(q24._2)),
+    "q25_pivot" -> (q25._1, Some(q25._2)),
+    "q26_percentiles" -> (q26._1, Some(q26._2)),
+    "q27_string_agg" -> (q27._1, Some(q27._2)),
   )
 }

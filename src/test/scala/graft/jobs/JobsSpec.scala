@@ -80,6 +80,27 @@ class JobsSpec extends AnyFunSuite {
     assert(feats.collect()(0).getAs[java.sql.Date]("AL50").toString == "2020-01-01")
   }
 
+  test("gold: principal outstanding per country over the mini lake") {
+    val raw = Files.createTempDirectory("rawgold").toString
+    val lake = Files.createTempDirectory("lakegold").toString
+    val rows = Seq(
+      "AL1,AL2,AL5,AL15,AL56",
+      "Cut-off,Pool,Lease,Country,Principal",
+      "2023-07-31,P1,L1,DE,1000.50",
+      "2023-07-31,P1,L2,DE,2000.25",
+      "2023-07-31,P1,L3,FR,500.10",
+    ).mkString("\n")
+    Files.write(Paths.get(raw, "DEALG_2023_07_31_Loan_Data.csv"),
+      rows.getBytes(StandardCharsets.UTF_8))
+    Jobs.bronzeCsv(spark, raw, lake, "assets", "DEALG", "Loan_Data", "2023-07-31")
+    Jobs.silverTopicSplit(spark, lake, "assets")
+    val gold = Gold.principalByCountry(spark, lake).collect()
+      .map(r => r.getAs[String]("country") ->
+        (r.getAs[Double]("principal_outstanding"), r.getAs[Long]("n_leases"))).toMap
+    assert(gold("de") == (3000.75, 2L))
+    assert(gold("fr") == (500.1, 1L))
+  }
+
   test("bond_info bronze → silver end to end") {
     val raw = Files.createTempDirectory("rawbond").toString
     val lake = Files.createTempDirectory("lakebond").toString
