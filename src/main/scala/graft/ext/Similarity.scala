@@ -78,6 +78,83 @@ object Similarity {
       }),
       lit(0L), (a, b) => a + b)
 
+  /** IVF coarse quantizer: k-means centroids trained with
+    * deterministic init (lowest-id vectors) and a fixed iteration
+    * count — every step is a DataFrame op (broadcast centroid join +
+    * per-dimension mean), so training streams over an arbitrarily
+    * large corpus. Returns (centroid_id, centroid) rows. */
+  def ivfTrain(corpus: DataFrame, id: String, vec: String,
+               nCentroids: Int, iters: Int = 3,
+               trainSample: Int = 2048): DataFrame = {
+    val spark = corpus.sparkSession
+    // k-means trains on a bounded sample (standard IVF practice — the
+    // quantizer doesn't need the full 100 TB corpus), and centroids
+    // materialize driver-side each iteration: they are tiny by
+    // definition (nCentroids × dim), and collecting truncates the
+    // otherwise iteration-deep lineage
+    val v = corpus.select(col(id).as("_id"), col(vec).as("v"))
+      .orderBy("_id").limit(trainSample).cache()
+    var centroids = v.limit(nCentroids)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("_id")).as("cid"), col("v").as("cv"))
+    (1 to iters).foreach { _ =>
+      val next = assign(v, centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cv"))
+        .collect()
+      import scala.jdk.CollectionConverters._
+      centroids = spark.createDataFrame(next.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+    }
+    v.unpersist()
+    centroids
+  }
+
+  /** Nearest-centroid assignment (centroids broadcast). */
+  private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = v.join(broadcast(centroids))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("_id"), col("v"), col("cid"))
+  }
+
+  /** IVF ANN top-k: corpus bucketed by nearest centroid; each query
+    * probes its `nProbe` nearest centroid buckets only — the classic
+    * inverted-file scale path (scored rows shrink by ~nProbe/nCentroids). */
+  def ivfTopK(queries: DataFrame, qId: String, qVec: String,
+              corpus: DataFrame, cId: String, cVec: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfTrain(corpus, cId, cVec, nCentroids).cache()
+    val bucketed = assign(
+      corpus.select(col(cId).as("_id"), col(cVec).as("v")), cents)
+      .select(col("_id").as("neighbour_id"), col("v").as("cv2"), col("cid"))
+    val qProbes = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .join(broadcast(cents))
+      .withColumn("sim_c", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim_c").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val scored = qProbes.join(bucketed, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        cosine(col("qv"), col("cv2")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k via LSH buckets: only corpus vectors sharing the query's
     * sketch are scored. Smaller `bits` → bigger buckets → higher
     * recall, more compute. */

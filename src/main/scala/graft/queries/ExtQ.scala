@@ -337,5 +337,15 @@ object ExtQ {
     "x11_salted_skew_join" -> (x11._1, Some(x11._2)),
     "x12_asof_join" -> (x12._1, Some(x12._2)),
     "x13_sessionize" -> (x13._1, Some(x13._2)),
+    // IVF ANN: k-means quantizer has no SQL-expressible oracle →
+    // rows-only check here; ExtSpec asserts recall vs brute force and
+    // run-to-run determinism
+    "x14_ann_ivf_topk" -> (((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }): Fn, None),
   )
 }

@@ -63,6 +63,27 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("IVF ANN: probed buckets recover most brute-force neighbours") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbour_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 4)
+      .collect()
+    assert(ivf.nonEmpty)
+    val recall = ivf.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbour_id"))).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // determinism: a second run returns the identical result
+    val ivf2 = Similarity.ivfTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 4)
+      .collect()
+    assert(ivf.map(_.toString).toSeq == ivf2.map(_.toString).toSeq)
+  }
+
   test("multimodal: payload attach, stub decode batching, frame sampling") {
     val media = Multimodal.attachPayload(docs, "doc_id", "text")
     val decoded = Multimodal.decodeStub(media, featureDim = 8).cache()
