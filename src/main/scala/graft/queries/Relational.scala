@@ -529,6 +529,33 @@ object Relational {
     """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
 
+  /** Window frames beyond rows: RANGE frame over event-time seconds
+    * (trailing 1-hour activity), plus ntile and first_value. */
+  private val q28: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .withColumn("epoch_s", unix_timestamp($"ts"))
+      val wRange = Window.partitionBy($"user_id").orderBy($"epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+      val wUser = Window.partitionBy($"user_id").orderBy($"epoch_s", $"event_id")
+      ev.select(
+          $"event_id", $"user_id",
+          count(lit(1)).over(wRange).as("n_last_hour"),
+          ntile(4).over(wUser).as("quartile"),
+          first($"event_type").over(wUser).as("first_type"))
+        .orderBy($"event_id")
+    },
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
+      |  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id)
+      |    AS INTEGER) AS quartile,
+      |  FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_s, event_id) AS first_type
+      |FROM (SELECT *, CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+      |ORDER BY event_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -557,5 +584,6 @@ object Relational {
     "q25_pivot" -> (q25._1, Some(q25._2)),
     "q26_percentiles" -> (q26._1, Some(q26._2)),
     "q27_string_agg" -> (q27._1, Some(q27._2)),
+    "q28_window_frames" -> (q28._1, Some(q28._2)),
   )
 }
