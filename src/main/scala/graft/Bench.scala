@@ -4,30 +4,56 @@ package graft
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * Convention per BASELINE.md: warm JVM (one discarded warmup pass of
   * the first query), median of SPARK_GRAFT_BENCH_RUNS (default 3).
+  *
+  * Failures are first-class: a query that throws is recorded as -1.0
+  * (never a bogus fast "time"), and its name + error are logged to
+  * stderr at warm-up so a broken query can't silently deflate totals.
+  * The JSON line is ALSO written to SPARK_GRAFT_BENCH_OUT (default
+  * bench_result.json in the cwd) so the driver can read it even when
+  * sbt pollutes stdout.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     val spark = GraftSession.build(appName = "graft-bench")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup: executes one full pass so JIT/codegen/file-listing caches
-    // are hot before anything is timed
-    qs.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // are hot before anything is timed; failures are named, not hidden
+    qs.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] WARMUP FAILURE $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     val results = qs.map { case (name, fn) =>
+      var failed = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] FAILURE $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      name -> (if (failed) -1.0 else times(times.length / 2))
     }
+    val failures = results.count(_._2 < 0)
     val qsJson = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"failures":$failures,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      val w = new java.io.PrintWriter(outPath)
+      try w.println(line) finally w.close()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

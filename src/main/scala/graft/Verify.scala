@@ -23,7 +23,11 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset filter for local iteration (unset → all queries)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
         try {

@@ -165,11 +165,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding cosine near-dup pairs (threshold on double-precision
-    * cosine; see Similarity.cosine for the op-order contract that
-    * keeps it engine-reproducible). */
+  /** Embedding cosine near-dup pairs, LSH-bucketed — the 100 TB path.
+    * Each vector gets `bands` bucket ids (the sign pattern of
+    * `bitsPerBand` deterministic md5-derived hyperplanes per band,
+    * [[Planes]]); candidate pairs must share at least one (band,
+    * bucket) key; candidates are then EXACTLY cosine-verified at
+    * `threshold`. The shuffle is on (band, bucket) — docs that share
+    * no bucket never pair, so the join stays near-linear in the
+    * corpus instead of O(n²). Recall is governed by bands ×
+    * bitsPerBand in the usual LSH OR/AND way; because the planes are
+    * deterministic, the candidate set (and thus the output) is exactly
+    * reproducible by the DuckDB oracle (x05 mirrors the banding). */
   def embeddingNearDups(df: DataFrame, id: String, vec: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double, bands: Int = 8,
+                        bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val planes = Planes.components(bands * bitsPerBand, dim)
+    val v = df.select(col(id).as("_id"), col(vec).as("v"))
+      .repartition(parts).cache()
+    // band rows carry only (id, band, bucket) — the vectors join back
+    // on candidates only, so the banded shuffle is tiny even when the
+    // embedding payload is wide
+    val banded = v.select(col("_id"),
+      posexplode(Planes.bandBuckets(col("v"), planes, bands, bitsPerBand))
+        .as(Seq("band", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.as("va"), col("id_a") === col("va._id"))
+      .join(v.as("vb"), col("id_b") === col("vb._id"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va.v"), col("vb.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact all-pairs embedding cosine near-dups: O(n²) with the right
+    * side broadcast — the small-corpus correctness baseline ONLY (at
+    * 100 TB the broadcast alone OOMs; use [[embeddingNearDups]]). */
+  def embeddingNearDupsExact(df: DataFrame, id: String, vec: String,
+                             threshold: Double): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     // the O(n²) pair scoring parallelizes over the LEFT side's
     // partitions (the right side broadcasts) — spread it

@@ -60,23 +60,12 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component r(plane, dim):
-    * xxhash64-derived uniform in [-0.5, 0.5). */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane * 1024 + dim, lit(7919)), lit(100000L)).cast("double")
-      / 100000.0) - 0.5
-
-  /** Sign-bit sketch over `bits` hyperplanes. */
-  def lshSketch(vec: Column, bits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), p => {
-        val d = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") * planeComponent(p, i)),
-          lit(0.0), (acc, v) => acc + v)
-        when(d > 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
-      }),
-      lit(0L), (a, b) => a + b)
+  /** Sign-bit sketch over `bits` deterministic md5-derived hyperplanes
+    * ([[Planes]]): the plane matrix is hoisted to literals at plan
+    * time, so the per-row cost is `bits` codegen'd dot products — and
+    * the DuckDB oracle reproduces the sketch bit-for-bit (x15). */
+  def lshSketch(vec: Column, bits: Int, dim: Int = 64): Column =
+    Planes.sketch(vec, Planes.components(bits, dim))
 
   /** IVF coarse quantizer: k-means centroids trained with
     * deterministic init (lowest-id vectors) and a fixed iteration
@@ -87,16 +76,36 @@ object Similarity {
                nCentroids: Int, iters: Int = 3,
                trainSample: Int = 2048): DataFrame = {
     val spark = corpus.sparkSession
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val centSchema = StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("cv", ArrayType(DoubleType))))
     // k-means trains on a bounded sample (standard IVF practice — the
-    // quantizer doesn't need the full 100 TB corpus), and centroids
-    // materialize driver-side each iteration: they are tiny by
-    // definition (nCentroids × dim), and collecting truncates the
-    // otherwise iteration-deep lineage
-    val v = corpus.select(col(id).as("_id"), col(vec).as("v"))
-      .orderBy("_id").limit(trainSample).cache()
-    var centroids = v.limit(nCentroids)
-      .select(row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy("_id")).as("cid"), col("v").as("cv"))
+    // quantizer doesn't need the full 100 TB corpus). The sample is a
+    // deterministic, partition-layout-independent hash draw: a hash
+    // FILTER first shrinks the corpus to ~4×trainSample survivors (no
+    // full-corpus sort), then orderBy(hash).limit — a per-partition
+    // top-K heap (TakeOrderedAndProject) over the small survivor set.
+    val all = corpus.select(col(id).as("_id"), col(vec).as("v"))
+    val n = all.count()
+    val keepMod = math.max(1L, n / math.max(1L, trainSample.toLong * 4))
+    val v = all.filter(pmod(xxhash64(col("_id")), lit(keepMod)) === 0)
+      .orderBy(xxhash64(col("_id"), lit(17))).limit(trainSample)
+      .cache()
+    // deterministic init: the nCentroids hash-smallest sample rows,
+    // materialized driver-side (tiny by definition) — avoids any
+    // unpartitioned window; centroids collect every iteration anyway
+    // to truncate the iteration-deep lineage
+    val init = v.orderBy(xxhash64(col("_id"), lit(29))).limit(nCentroids)
+      .select(col("v")).collect()
+    var centroids = spark.createDataFrame(
+      init.toSeq.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1, r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        })
+      }.asJava, centSchema)
     (1 to iters).foreach { _ =>
       val next = assign(v, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -105,14 +114,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cv"))
         .collect()
-      import scala.jdk.CollectionConverters._
-      centroids = spark.createDataFrame(next.toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("cv",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)))))
+      centroids = spark.createDataFrame(next.toSeq.asJava, centSchema)
     }
     v.unpersist()
     centroids
@@ -160,15 +162,15 @@ object Similarity {
     * recall, more compute. */
   def lshTopK(queries: DataFrame, qId: String, qVec: String,
               corpus: DataFrame, cId: String, cVec: String,
-              k: Int, bits: Int = 8): DataFrame = {
+              k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
     val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
-      lshSketch(col(qVec), bits).as("sk")))
+      lshSketch(col(qVec), bits, dim).as("sk")))
     // repartition BEFORE sketching: the per-row sketch (bits × dim
     // muls) is the expensive map work
     val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"))
       .repartition(parts)
-      .withColumn("sk", lshSketch(col("cv"), bits))
+      .withColumn("sk", lshSketch(col("cv"), bits, dim))
     val scored = q.join(c, Seq("sk")).filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
         cosine(col("qv"), col("cv")).as("cosine"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Planes, Similarity, TextAnalysis}
 
 /** Training-data-pipeline extension queries (north-star surface):
   * dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding),
@@ -48,11 +48,15 @@ object ExtQ {
       val withDups = docs.select($"doc_id", $"text").unionByName(
         docs.filter($"doc_id" % 7 === 0)
           .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      // ids emitted as a comma-joined string (not array<long>): the
+      // driver's pandas hash-compare cannot sort array-valued cells
       Dedup.exactDupGroups(withDups, "doc_id", "text")
+        .select($"digest", $"n_docs",
+          concat_ws(",", transform($"ids", _.cast("string"))).as("ids"))
         .orderBy($"digest")
     },
     """SELECT md5(text) AS digest, COUNT(*) AS n_docs,
-      |  list_sort(list(doc_id)) AS ids
+      |  array_to_string(list_sort(list(doc_id)), ',') AS ids
       |FROM (SELECT doc_id, text FROM documents
       |      UNION ALL
       |      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0)
@@ -121,21 +125,71 @@ object ExtQ {
        |   sqrt(list_reduce([ CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
        |              for i in range(1, len($b) + 1) ], (x, y) -> x + y)))""".stripMargin
 
-  /** Embedding-cosine near-dup pairs. */
+  /** Embedding-cosine near-dup pairs via LSH banding + exact verify —
+    * the scale path (no O(n²) pair join). The oracle mirrors the
+    * banding deterministically: the md5-derived planes ([[Planes]])
+    * are reproduced in SQL, so the candidate set — and therefore the
+    * output — is identical by construction, not probabilistically. */
   private val x05: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4)
+          threshold = 0.4, bands = 8, bitsPerBand = 4, dim = 64)
         .select($"id_a", $"id_b",
           (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
         .orderBy($"id_a", $"id_b")
     },
-    s"""SELECT id_a, id_b, floor(cosine * 1e6 + 0.5) / 1e6 AS cos6 FROM (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    ${cosineSql("a.embedding", "b.embedding")} AS cosine
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    s"""WITH ${Planes.planesCteSql(32, 64)},
+       |${Planes.dotsCteSql("embeddings", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sk a JOIN sk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, floor(cosine * 1e6 + 0.5) / 1e6 AS cos6 FROM (
+       |  SELECT id_a, id_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+       |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin)
+
+  /** LSH-bucketed ANN top-k (the 100 TB ANN path): candidates must
+    * share the query's full sign-bit sketch; oracle mirrors the
+    * sketch exactly (same md5-derived planes). */
+  private val x15: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter($"vec_id" < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, bits = 4, dim = 64)
+        .select($"query_id", $"neighbour_id", $"rank",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    },
+    s"""WITH ${Planes.planesCteSql(4, 64)},
+       |${Planes.dotsCteSql("embeddings", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS sk
+       |  FROM dots GROUP BY vec_id)
+       |SELECT query_id, neighbour_id, rank, floor(cosine * 1e6 + 0.5) / 1e6 AS cos6
+       |FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+       |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${cosineSql("qe.embedding", "ce.embedding")} DESC, c.vec_id)
+       |      AS INTEGER) AS rank
+       |  FROM sk q
+       |  JOIN sk c ON q.sk = c.sk AND q.vec_id <> c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+       |  WHERE q.vec_id < 5)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 
   /** Brute-force cosine top-10 for 5 query vectors. */
   private val x06: (Fn, String) = (
@@ -347,5 +401,6 @@ object ExtQ {
         emb, "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
     }): Fn, None),
+    "x15_ann_lsh_topk" -> (x15._1, Some(x15._2)),
   )
 }

@@ -40,27 +40,31 @@ object Scd2 {
     val hist = oldDf.filter(col("iscurrent") =!= 1)
     val oldCur = oldDf.filter(col("iscurrent") === 1)
 
-    val o = oldCur.alias("o")
-    val n = newDf.alias("n")
+    // Explicit presence flags, NOT checksum non-nullity: cleaning can
+    // null a PK cell, which null-propagates through the md5 concat and
+    // leaves a legitimate CURRENT row with checksum NULL — keying
+    // presence off checksum would silently drop it from the merge.
+    val o = oldCur.withColumn("_o", lit(true)).alias("o")
+    val n = newDf.withColumn("_n", lit(true)).alias("n")
     val joinCond = pks.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
     val joined = o.join(n, joinCond, "full_outer")
-      .withColumn("_matched",
-        col("o.checksum").isNotNull && col("n.checksum").isNotNull)
+      .withColumn("_matched", col("o._o").isNotNull && col("n._n").isNotNull)
+      // null-safe inequality: null checksum vs null checksum = unchanged
       .withColumn("_changed",
-        col("_matched") && col("o.checksum") =!= col("n.checksum"))
+        col("_matched") && !(col("o.checksum") <=> col("n.checksum")))
 
     val oCols = oldCur.columns.map(c => col(s"o.$c").as(c))
     val nCols = newDf.columns.map(c => col(s"n.$c").as(c))
 
     // old side survives unless it was matched by a changed new version
-    val keptOld = joined.filter(col("o.checksum").isNotNull && !col("_changed"))
+    val keptOld = joined.filter(col("o._o").isNotNull && !col("_changed"))
       .select(oCols: _*)
     val expiredOld = joined.filter(col("_changed"))
       .select(oCols: _*)
       .withColumn("valid_to", current_timestamp())
       .withColumn("iscurrent", lit(0))
     // new side inserts when unmatched or changed
-    val inserted = joined.filter(col("n.checksum").isNotNull &&
+    val inserted = joined.filter(col("n._n").isNotNull &&
         (!col("_matched") || col("_changed")))
       .select(nCols: _*)
 

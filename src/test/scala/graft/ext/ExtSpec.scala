@@ -84,6 +84,41 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf.map(_.toString).toSeq == ivf2.map(_.toString).toSeq)
   }
 
+  test("bucketed embedding near-dups: candidates are a verified subset of exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4,
+        bands = 8, bitsPerBand = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every banded pair is a true pair with the IDENTICAL cosine (bit-equal:
+    // exact verify runs the same codegen'd dot product)
+    banded.foreach { case (pair, cos) => assert(exact(pair) == cos) }
+    assert(banded.nonEmpty)
+    // no BroadcastNestedLoopJoin anywhere in the bucketed plan
+    val plan = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("dot product: codegen'd native == HOF form; null on length mismatch") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(2.0, 0.5, -1.0)),
+    ).toDF("a", "b")
+    val r = df.select(
+      graft.functions.VectorExpressions.dot_product($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .first()
+    assert(r.getDouble(0) == r.getDouble(1))
+    // mismatched lengths → NULL, not a truncated partial sum
+    val mism = Seq((Array(1.0f, 2.0f), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorExpressions.dot_product($"a", $"b").as("d"))
+      .first()
+    assert(mism.isNullAt(0))
+  }
+
   test("multimodal: payload attach, stub decode batching, frame sampling") {
     val media = Multimodal.attachPayload(docs, "doc_id", "text")
     val decoded = Multimodal.decodeStub(media, featureDim = 8).cache()

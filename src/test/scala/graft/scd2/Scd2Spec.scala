@@ -55,6 +55,28 @@ class Scd2Spec extends AnyFunSuite {
     assert(poolA.filter($"iscurrent" === 1 && $"payload" === "v2").count() == 1)
   }
 
+  test("null-checksum current rows survive the merge (presence flags)") {
+    // A nulled PK cell null-propagates through the md5 concat →
+    // checksum NULL on a legitimate CURRENT row. Presence in the merge
+    // must not key off checksum, or this row silently vanishes.
+    val old = bronze(Seq(("2023-07-31", "poolA", "v1")))
+      .withColumn("AL2", lit(null).cast("string"))
+      .withColumn("checksum", lit(null).cast("string"))
+    val newDf = bronze(Seq(("2023-07-31", "poolC", "v1")))
+    val merged = Scd2.merge(old, newDf, "assets").cache()
+    // the null-key row persists as current; poolC inserts
+    assert(merged.filter($"AL2".isNull && $"iscurrent" === 1).count() == 1)
+    assert(merged.filter($"AL2" === "poolC" && $"iscurrent" === 1).count() == 1)
+    assert(merged.count() == 2)
+    // null-vs-null checksum on matching keys = unchanged, not a new version
+    val resub = bronze(Seq(("2023-07-31", "poolA", "v2")))
+      .withColumn("AL2", lit(null).cast("string"))
+      .withColumn("checksum", lit(null).cast("string"))
+    val merged2 = Scd2.merge(merged, resub, "assets").cache()
+    assert(merged2.filter($"AL2".isNull).count() == 1)
+    assert(merged2.filter($"AL2".isNull).select("payload").first().getString(0) == "v1")
+  }
+
   test("exactly one current version per PK after repeated merges") {
     var table = bronze(Seq(("2023-07-31", "poolA", "v1")))
     (1 to 3).foreach { i =>
