@@ -52,25 +52,52 @@ object Dedup {
       .select(col("_id"), explode(shingles(col("_text"), n)).as("sh"))
   }
 
-  /** Exact n-gram Jaccard for all pairs sharing ≥1 shingle, keeping
-    * pairs with similarity ≥ threshold. Shuffles on the shingle key
-    * (co-groups only docs that can possibly match). */
+  /** Exact n-gram Jaccard pairs at `threshold`, with PREFIX FILTERING
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07)
+    * for candidate generation: shingles are globally ordered by
+    * rarity (doc frequency asc, shingle asc) and each doc only joins
+    * on its first `|A| - ceil(θ·|A|) + 1` shingles in that order.
+    *
+    * Losslessness: if jaccard(A,B) ≥ θ then |A∩B| ≥ θ·max(|A|,|B|);
+    * the globally-smallest shared shingle is therefore within both
+    * docs' prefixes (were it outside A's prefix, all shared shingles
+    * would sit in A's last ceil(θ|A|)−1 < |A∩B| positions — a
+    * contradiction). So the prefix join finds every qualifying pair,
+    * and the Jaccard itself is verified EXACTLY over the full shingle
+    * sets. At scale this is the defense against hot shingles: the
+    * join only ever touches each doc's RAREST shingles, so
+    * stop-shingle-grade keys (high df) are systematically excluded
+    * from candidate generation without any lossy cap. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         n: Int, threshold: Double): DataFrame = {
     val rows = shingleRows(df, id, text, n).cache()
     val sizes = rows.groupBy("_id").agg(count(lit(1)).as("sz"))
-    val shared = rows.as("a").join(rows.as("b"),
+    // global rarity order; ties broken by shingle text for determinism
+    val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("df"), col("sh"))
+    val prefix = rows.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "_id")
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("_id", "sh")
+    val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    val out = shared
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    // exact verify over FULL shingle sets (candidates only)
+    val shared = candidates
+      .join(rows.as("ra"), col("id_a") === col("ra._id"))
+      .join(rows.as("rb"), col("id_b") === col("rb._id") &&
+        col("ra.sh") === col("rb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
       .join(sizes.as("sa"), col("id_a") === col("sa._id"))
       .join(sizes.as("sb"), col("id_b") === col("sb._id"))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    out
   }
 
   /** MinHash+LSH near-dup pairs: k-perm signatures via the native
@@ -115,16 +142,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash from md5 nibbles of each token: bit j comes from
+  /** 64-bit SimHash from md5 nibbles of each token: bit j comes from
     * hex char j/4 of md5(token); tokens vote ±1 per bit; the sign of
     * the vote sum sets the signature bit. Engine-portable by
     * construction (md5 + integer arithmetic only — the DuckDB oracle
-    * reproduces it exactly). */
-  def simhash32(text: Column): Column = {
+    * reproduces it exactly). 64 bits keep the signature space
+    * collision-sparse at billion-doc corpora (32 bits saturate).
+    * Bit 63's weight is Long.MinValue — the two's-complement value of
+    * the top bit — because +2^63 overflows signed 64-bit; adding it to
+    * the (non-negative, < 2^63) low-bit sum never overflows and both
+    * engines agree on the resulting signed value. */
+  def simhash64(text: Column): Column = {
     val toks = split(text, " ")
     val bitsPerTok = transform(toks, t => {
       val h = md5(t.cast("binary"))
-      transform(sequence(lit(0), lit(31)), j => {
+      transform(sequence(lit(0), lit(63)), j => {
         // nibble = hex digit j/4; vote = ±1 from bit j%4 of the nibble
         val nib = conv(h.substr((j / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
         val sel = pmod(j, lit(4))
@@ -135,24 +167,28 @@ object Dedup {
     })
     // element-wise vote sum across tokens, then sign → bit → weight
     val votes = aggregate(bitsPerTok,
-      transform(sequence(lit(0), lit(31)), _ => lit(0)),
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
       (acc, bits) => zip_with(acc, bits, (a, b) => a + b))
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(31)),
-        (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v <= 0, lit(0L))
+          .when(j === 63, lit(Long.MinValue))
+          .otherwise(pow(lit(2.0), j).cast("long"))),
       lit(0L), (a, b) => a + b)
   }
 
   /** SimHash near-dup pairs within a hamming ball. Quadratic pair join
     * guarded by banding on signature bytes for scale: docs must share
-    * at least one of the four signature bytes to pair (pigeonhole:
-    * ≤3 bit flips cannot change all four bytes). */
+    * at least one of the eight signature bytes to pair (pigeonhole:
+    * ≤7 bit flips cannot change all eight bytes; we require ≤7).
+    * Bytes are extracted with unsigned shifts — float division would
+    * lose bits beyond 2^53 on 64-bit signatures. */
   def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int)
       : DataFrame = {
-    require(maxHamming <= 3, "byte banding guarantees recall only for hamming <= 3")
-    val sigs = df.select(col(id).as("_id"), simhash32(col(text)).as("sig"))
-    val bytes = array((0 to 3).map(b =>
-      pmod(floor(col("sig") / math.pow(2, b * 8).toLong).cast("long"), lit(256))): _*)
+    require(maxHamming <= 7, "byte banding guarantees recall only for hamming <= 7")
+    val sigs = df.select(col(id).as("_id"), simhash64(col(text)).as("sig"))
+    val bytes = array((0 to 7).map(b =>
+      pmod(shiftrightunsigned(col("sig"), b * 8), lit(256))): _*)
     val banded = sigs.select(col("_id"), col("sig"),
       posexplode(bytes).as(Seq("band", "byte")))
     banded.as("a").join(banded.as("b"),

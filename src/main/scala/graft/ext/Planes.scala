@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Deterministic pseudo-random hyperplanes for cosine LSH, derived
   * from md5 so that BOTH engines (Spark and the DuckDB oracle) can
   * reproduce them bit-for-bit — the same engine-portability trick as
-  * SimHash ([[Dedup.simhash32]]).
+  * SimHash ([[Dedup.simhash64]]).
   *
   * Component contract (mirrored exactly by [[planesCteSql]]):
   * {{{

@@ -71,13 +71,16 @@ object Lake {
   private def ledgerDir(root: String, dataType: String) =
     s"$root/clean_dump/$dataType"
 
-  /** True when this ingestion date already has a clean dump — job-level
-    * idempotency (`bronze_funcs.py:167-184`). */
+  /** True when this ingestion date already has a clean dump FOR THIS
+    * DEAL — job-level idempotency (`bronze_funcs.py:167-184`). Scoped
+    * per ed_code (the ledger file is `{date}_{ed_code}.csv`): a
+    * date-global probe would make deal B skip its load the moment
+    * deal A finished, which breaks the 20-wide per-deal fan-out. */
   def cleanDumpExists(spark: SparkSession, root: String, dataType: String,
-                      ingestionDate: String): Boolean = {
-    val dir = new Path(ledgerDir(root, dataType))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.startsWith(ingestionDate))
+                      ingestionDate: String, edCode: String): Boolean = {
+    val f = new Path(ledgerDir(root, dataType), s"${ingestionDate}_$edCode.csv")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(f)
   }
 
   /** Write the per-deal ledger of cleanly loaded (ed_code, pcd) pairs

@@ -65,8 +65,8 @@ object Jobs {
                 dataType: String, edCode: String, fileKey: String,
                 ingestionDate: String, tries: Int = 5): Seq[(String, String)] = {
     val bronzeRoot = s"$lakeRoot/bronze/$dataType"
-    if (Lake.cleanDumpExists(spark, lakeRoot, dataType, ingestionDate)) {
-      return Seq.empty // job-level idempotency (#3)
+    if (Lake.cleanDumpExists(spark, lakeRoot, dataType, ingestionDate, edCode)) {
+      return Seq.empty // job-level idempotency (#3), scoped per deal
     }
     val files = discoverCsvFiles(spark, rawDir, fileKey, dataType)
     val clean = files.flatMap { f =>
@@ -155,6 +155,53 @@ object Jobs {
         } finally annotated.unpersist()
       }
     }
+  }
+
+  /** Per-deal DAG fan-out (#24; reference `dags/LES_dag_assets.py:
+    * 84-178`, `max_active_tasks=20`): every subdirectory of `rawRoot`
+    * is one deal (directory name = ed_code); all four bronze stages
+    * run per deal on a bounded thread pool — deals are independent,
+    * and concurrent jobs interleave on the shared Spark scheduler
+    * (same pattern as Verify's concurrent queries, so a slow tape
+    * never idles the cluster) — then the ledger-driven silver stages
+    * run once over all deals. Returns the deal codes processed.
+    *
+    * Thread-safety at scale: concurrent deals touch DISTINCT
+    * `part=` partitions (dynamic overwrite stages per-job) and
+    * DISTINCT ledger files (`{date}_{ed_code}.csv`), so no
+    * cross-deal write races exist by construction. */
+  def runAllDeals(spark: SparkSession, rawRoot: String, lakeRoot: String,
+                  ingestionDate: String, parallelism: Int = 20): Seq[String] = {
+    val p = new Path(rawRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val deals = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+    if (deals.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(math.max(parallelism, 1), deals.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = deals.map { ed =>
+      scala.concurrent.Future {
+        val rawDir = s"$rawRoot/$ed"
+        bronzeCsv(spark, rawDir, lakeRoot, "assets", ed, "Loan_Data", ingestionDate)
+        bronzeCsv(spark, rawDir, lakeRoot, "bond_info", ed, "Bond_Info", ingestionDate)
+        bronzeCsv(spark, rawDir, lakeRoot, "amortisation", ed, "Amortisation", ingestionDate)
+        bronzeDealDetails(spark, rawDir, lakeRoot, "Deal_Details")
+        ed
+      }
+    }
+    val done = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    // silver is ledger-driven across every deal loaded above
+    silverTopicSplit(spark, lakeRoot, "assets")
+    silverTopicSplit(spark, lakeRoot, "bond_info")
+    if (Lake.tableExists(spark, s"$lakeRoot/bronze/deal_details"))
+      silverDealDetails(spark, lakeRoot)
+    done
   }
 
   /** Deal-details silver (`generate_deal_details_silver.py:74-115`). */

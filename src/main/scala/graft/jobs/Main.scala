@@ -22,9 +22,13 @@ object Main {
   case object SilverAsset extends Stage { val name = "silver_asset" }
   case object SilverBondInfo extends Stage { val name = "silver_bond_info" }
   case object SilverDealDetails extends Stage { val name = "silver_deal_details" }
+  /** Whole-lake runner: bronze for every deal under --raw-root with
+    * bounded parallelism (default 20, the reference DAG's
+    * max_active_tasks), then the silver stages once. */
+  case object RunAll extends Stage { val name = "run_all" }
 
   val stages: Seq[Stage] = Seq(BronzeAsset, BronzeBondInfo, BronzeAmortisation,
-    BronzeDealDetails, SilverAsset, SilverBondInfo, SilverDealDetails)
+    BronzeDealDetails, SilverAsset, SilverBondInfo, SilverDealDetails, RunAll)
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -57,6 +61,10 @@ object Main {
       case BronzeDealDetails =>
         Jobs.bronzeDealDetails(spark, req("raw-dir"), lakeRoot,
           opts.getOrElse("file-key", "Deal_Details"))
+      case RunAll =>
+        Jobs.runAllDeals(spark, req("raw-root"), lakeRoot,
+          req("ingestion-date"),
+          opts.getOrElse("parallelism", "20").toInt)
       case SilverAsset => Jobs.silverTopicSplit(spark, lakeRoot, "assets")
       case SilverBondInfo => Jobs.silverTopicSplit(spark, lakeRoot, "bond_info")
       case SilverDealDetails => Jobs.silverDealDetails(spark, lakeRoot)

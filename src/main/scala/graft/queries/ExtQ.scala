@@ -94,11 +94,13 @@ object ExtQ {
     (s, d) => {
       import s.implicits._
       t(s, d, "documents")
-        .select($"doc_id", Dedup.simhash32($"text").as("simhash"))
+        .select($"doc_id", Dedup.simhash64($"text").as("simhash"))
         .orderBy($"doc_id")
     },
     """SELECT doc_id,
-      |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+      |  CAST(SUM(CASE WHEN vote <= 0 THEN 0
+      |            WHEN j = 63 THEN -9223372036854775807 - 1
+      |            ELSE CAST(pow(2, j) AS BIGINT) END)
       |       AS BIGINT) AS simhash
       |FROM (
       |  SELECT doc_id, j, SUM(2 * bit - 1) AS vote
@@ -111,7 +113,7 @@ object ExtQ {
       |          substr(md5(tok), CAST(floor(j / 4) AS INTEGER) + 1, 1)) - 1 AS nib
       |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |            FROM documents)
-      |      CROSS JOIN (SELECT unnest(range(0, 32)) AS j)))
+      |      CROSS JOIN (SELECT unnest(range(0, 64)) AS j)))
       |  GROUP BY doc_id, j)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 

@@ -38,7 +38,7 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("simhash: near-dups land close in hamming space") {
-    val sigs = docs.select($"doc_id", Dedup.simhash32($"text").as("s"))
+    val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(sigs(0L) == sigs(3L))                    // identical text

@@ -9,6 +9,7 @@ import graft.TestSpark
   * No Collateral, mixed case, accents, short rows). */
 class CleanCsvSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   private def writeFixture(dir: String): String = {
     val rows = Seq(
@@ -61,6 +62,44 @@ class CleanCsvSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       CleanCsv.read(spark, p.toString, "assets")
     }
+  }
+
+  test("rows with more fields than the physical header are dropped") {
+    val dir = Files.createTempDirectory("cleancsv4").toString
+    val p = Paths.get(dir, "D1_2023_01_01_Loan_Data.csv")
+    Files.write(p, Seq(
+      "a,AL2,AL3",
+      "units,u,u",
+      "1,2,3",
+      "1,2,3,4",          // over-length → dropped (reference skips it)
+      "\"x,y\",2,3",      // quoted comma is ONE field → kept
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val df = CleanCsv.read(spark, p.toString, "assets")
+    val rows = df.select("AL1").collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("1", "x,y"))
+  }
+
+  test("embedded newline in a quoted cell: read fails loudly, readMultiLine handles it") {
+    val dir = Files.createTempDirectory("cleancsv5").toString
+    val p = Paths.get(dir, "D1_2023_01_01_Loan_Data.csv")
+    Files.write(p, Seq(
+      "a,AL2,AL3",
+      "units,u,u",
+      "1,\"two\nlines\",3",
+      "4,five,6",
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val ex = intercept[Exception] {
+      CleanCsv.read(spark, p.toString, "assets").collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+    assert(causes(ex).exists(m => m != null && m.contains("readMultiLine")), ex.getMessage)
+
+    val df = CleanCsv.readMultiLine(spark, p.toString, "assets").cache()
+    assert(df.count() == 2)
+    val r = df.filter($"AL1" === "1").collect()(0)
+    assert(r.getAs[String]("AL2") == "two\nlines")
+    assert(df.filter($"AL1" === "4").collect()(0).getAs[String]("AL2") == "five")
   }
 
   test("amortisation tapes truncate to 121 columns") {

@@ -80,6 +80,52 @@ class JobsSpec extends AnyFunSuite {
     assert(feats.collect()(0).getAs[java.sql.Date]("AL50").toString == "2020-01-01")
   }
 
+  private def writeDealCsv(dir: String, deal: String, lease: String,
+                           price: String): Unit = {
+    val rows = Seq(
+      "AL1,AL2,AL5,AL6,AL7,AL18,AL30,AL50,AL51",
+      "Cut-off,Pool,Lease,Orig,Reg,Form,Price,Start,Maturity",
+      s"2023-07-31,P1,$lease,OrigCo,y,3,$price,2020-01-01,2026-06",
+    ).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, s"${deal}_2023_07_31_Loan_Data.csv"),
+      rows.getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("run-all fan-out: concurrent deals produce the same silver as sequential") {
+    val rawRoot = Files.createTempDirectory("rawall").toString
+    val lakePar = Files.createTempDirectory("lakepar").toString
+    val lakeSeq = Files.createTempDirectory("lakeseq").toString
+    val deals = Seq("DEALP1" -> "100.10", "DEALP2" -> "200.20", "DEALP3" -> "300.30")
+    deals.zipWithIndex.foreach { case ((d, price), i) =>
+      writeDealCsv(s"$rawRoot/$d", d, s"L$i", price)
+    }
+
+    val done = Jobs.runAllDeals(spark, rawRoot, lakePar, "2023-07-31",
+      parallelism = 3)
+    assert(done == deals.map(_._1))
+
+    // sequential reference run
+    deals.foreach { case (d, _) =>
+      Jobs.bronzeCsv(spark, s"$rawRoot/$d", lakeSeq, "assets", d,
+        "Loan_Data", "2023-07-31")
+    }
+    Jobs.silverTopicSplit(spark, lakeSeq, "assets")
+
+    def leaseRows(lake: String) =
+      spark.read.parquet(s"$lake/silver/assets/lease_info")
+        .select("ed_code", "AL5", "AL30").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(leaseRows(lakePar) == leaseRows(lakeSeq))
+    assert(leaseRows(lakePar).map(_._1) == deals.map(_._1).toSet)
+
+    // re-run is a no-op per deal (idempotency ledger is per ed_code)
+    val rerun = Jobs.runAllDeals(spark, rawRoot, lakePar, "2023-07-31",
+      parallelism = 3)
+    assert(rerun == deals.map(_._1))
+    assert(leaseRows(lakePar).size == 3)
+  }
+
   test("gold: principal outstanding per country over the mini lake") {
     val raw = Files.createTempDirectory("rawgold").toString
     val lake = Files.createTempDirectory("lakegold").toString
