@@ -52,6 +52,7 @@ object GraftSession {
     // pre-existed getOrCreate (extensions only apply to new sessions)
     graft.functions.VectorExpressions.register(spark)
     graft.functions.MinHashAgg.register(spark)
+    graft.functions.Transliterate.register(spark)
     spark
   }
 }

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass best-effort `unidecode` stand-in as a native Catalyst
+  * expression (reference cleans every tape cell through Python's
+  * `unidecode`, `bronze_funcs.py:22-33`; SURVEY §7.5).
+  *
+  * Coverage, generated once at class load:
+  *  - every BMP Latin character (U+00C0..U+024F, U+1E00..U+1EFF)
+  *    whose NFD decomposition is ASCII-letter + combining marks —
+  *    ~500 chars, derived via `java.text.Normalizer`, not hand-kept;
+  *  - non-decomposable Latin specials (Ø Đ Ł Ð ß Æ Œ Þ ĳ …);
+  *  - Greek and Cyrillic romanization (1:1 and multi-char: θ→th,
+  *    ш→sh, щ→shch, …);
+  *  - BOM (U+FEFF) and NUL dropped in the same pass.
+  *
+  * A chain of `regexp_replace`/`translate` would rescan the string
+  * once per rule; this walks it once, and the ASCII fast path returns
+  * the input buffer untouched (zero copy) — ingest-scan friendly at
+  * 100 TB. Codegen emits one static call, keeping the expression
+  * inside whole-stage codegen.
+  */
+case class Transliterate(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_translit expects string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    Transliterate.translit(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Transliterate.translit($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Transliterate {
+
+  /** Mapping table indexed by code point; null = identity. Multi-char
+    * expansions are plain Strings, "" means drop. */
+  private val table: Array[String] = {
+    val t = new Array[String](0x10000)
+    // Latin with diacritics: NFD-decompose, strip marks, keep if the
+    // base is a single ASCII letter
+    (((0xC0 to 0x24F) ++ (0x1E00 to 0x1EFF)).iterator).foreach { cp =>
+      val norm = java.text.Normalizer
+        .normalize(cp.toChar.toString, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", "")
+      if (norm.length == 1 && norm.head < 128 && norm.head.isLetter)
+        t(cp) = norm
+    }
+    def put(pairs: (Char, String)*): Unit =
+      pairs.foreach { case (c, s) => t(c.toInt) = s }
+    // non-decomposable Latin
+    put('Ø' -> "O", 'ø' -> "o", 'Đ' -> "D", 'đ' -> "d", 'Ł' -> "L", 'ł' -> "l",
+      'Ð' -> "D", 'ð' -> "d", 'ß' -> "ss", 'Æ' -> "AE", 'æ' -> "ae",
+      'Œ' -> "OE", 'œ' -> "oe", 'Þ' -> "Th", 'þ' -> "th", 'Ĳ' -> "IJ",
+      'ĳ' -> "ij", 'ſ' -> "s")
+    // Greek
+    put('Α' -> "A", 'α' -> "a", 'Β' -> "B", 'β' -> "b", 'Γ' -> "G", 'γ' -> "g",
+      'Δ' -> "D", 'δ' -> "d", 'Ε' -> "E", 'ε' -> "e", 'Ζ' -> "Z", 'ζ' -> "z",
+      'Η' -> "E", 'η' -> "e", 'Θ' -> "Th", 'θ' -> "th", 'Ι' -> "I", 'ι' -> "i",
+      'Κ' -> "K", 'κ' -> "k", 'Λ' -> "L", 'λ' -> "l", 'Μ' -> "M", 'μ' -> "m",
+      'Ν' -> "N", 'ν' -> "n", 'Ξ' -> "X", 'ξ' -> "x", 'Ο' -> "O", 'ο' -> "o",
+      'Π' -> "P", 'π' -> "p", 'Ρ' -> "R", 'ρ' -> "r", 'Σ' -> "S", 'σ' -> "s",
+      'ς' -> "s", 'Τ' -> "T", 'τ' -> "t", 'Υ' -> "U", 'υ' -> "u", 'Φ' -> "Ph",
+      'φ' -> "ph", 'Χ' -> "Kh", 'χ' -> "kh", 'Ψ' -> "Ps", 'ψ' -> "ps",
+      'Ω' -> "O", 'ω' -> "o")
+    // Cyrillic (Russian core)
+    put('А' -> "A", 'а' -> "a", 'Б' -> "B", 'б' -> "b", 'В' -> "V", 'в' -> "v",
+      'Г' -> "G", 'г' -> "g", 'Д' -> "D", 'д' -> "d", 'Е' -> "E", 'е' -> "e",
+      'Ё' -> "E", 'ё' -> "e", 'Ж' -> "Zh", 'ж' -> "zh", 'З' -> "Z", 'з' -> "z",
+      'И' -> "I", 'и' -> "i", 'Й' -> "I", 'й' -> "i", 'К' -> "K", 'к' -> "k",
+      'Л' -> "L", 'л' -> "l", 'М' -> "M", 'м' -> "m", 'Н' -> "N", 'н' -> "n",
+      'О' -> "O", 'о' -> "o", 'П' -> "P", 'п' -> "p", 'Р' -> "R", 'р' -> "r",
+      'С' -> "S", 'с' -> "s", 'Т' -> "T", 'т' -> "t", 'У' -> "U", 'у' -> "u",
+      'Ф' -> "F", 'ф' -> "f", 'Х' -> "Kh", 'х' -> "kh", 'Ц' -> "Ts",
+      'ц' -> "ts", 'Ч' -> "Ch", 'ч' -> "ch", 'Ш' -> "Sh", 'ш' -> "sh",
+      'Щ' -> "Shch", 'щ' -> "shch", 'Ъ' -> "", 'ъ' -> "", 'Ы' -> "Y",
+      'ы' -> "y", 'Ь' -> "", 'ь' -> "", 'Э' -> "E", 'э' -> "e", 'Ю' -> "Yu",
+      'ю' -> "yu", 'Я' -> "Ya", 'я' -> "ya")
+    // accented Greek/Cyrillic (tonos, breathing marks, stress accents):
+    // NFD-decompose to the base letter and inherit ITS mapping
+    ((0x370 to 0x4FF) ++ (0x1F00 to 0x1FFF)).foreach { cp =>
+      if (t(cp) == null) {
+        val norm = java.text.Normalizer
+          .normalize(cp.toChar.toString, java.text.Normalizer.Form.NFD)
+          .replaceAll("\\p{M}+", "")
+        if (norm.length == 1 && t(norm.head.toInt) != null)
+          t(cp) = t(norm.head.toInt)
+      }
+    }
+    // stripped control/markers
+    put('\uFEFF' -> "", '\u0000' -> "")
+    t
+  }
+
+  /** One-pass transliteration; ASCII-only inputs are returned as the
+    * SAME buffer (no copy). Called from generated code. */
+  def translit(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = 0
+    var dirty = false
+    while (i < str.length && !dirty) {
+      val c = str.charAt(i)
+      if ((c >= 0x80 || c == '\u0000') && table(c.toInt) != null) dirty = true
+      i += 1
+    }
+    if (!dirty) return s
+    val sb = new java.lang.StringBuilder(str.length + 8)
+    i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val m = if (c >= 0x80 || c == '\u0000') table(c.toInt) else null
+      if (m == null) sb.append(c) else sb.append(m)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Register as `graft_translit` (GraftSession calls this). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_translit", exprs => Transliterate(exprs(0)), "built-in")
+
+  def transliterate(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_translit", c)
+}

@@ -18,8 +18,9 @@ import graft.schema.Layout
   *
   * Cleaning semantics preserved exactly (`bronze_funcs.py:96-104`):
   *  - BOM (U+FEFF) and NUL bytes stripped anywhere in the line;
-  *  - ASCII transliteration of accented Latin chars (best-effort
-  *    stand-in for unidecode — flagged in SURVEY §7.5);
+  *  - ASCII transliteration via the native one-pass
+  *    [[graft.functions.Transliterate]] (all NFD-decomposable Latin,
+  *    Greek/Cyrillic romanization — unidecode stand-in, SURVEY §7.5);
   *  - cell → null when trim=="" , raw cell startsWith "ND", or cell
   *    == "No Collateral"; otherwise lower(trim(cell));
   *  - header cell 0 force-renamed to AL1/BL1 (`INITIAL_COL`);
@@ -39,12 +40,11 @@ import graft.schema.Layout
   */
 object CleanCsv {
 
-  /** unidecode stand-in: common Latin accents → ASCII. */
-  private val accented = "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÇçÑñÝýÿŠšŽž"
-  private val plain = "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOOooooooUUUUuuuuCcNnYyySsZz"
-
+  /** unidecode stand-in: one-pass native transliteration (all NFD-
+    * decomposable Latin + Greek/Cyrillic romanization + BOM/NUL strip)
+    * — [[graft.functions.Transliterate]]. */
   private def cleanChars(c: Column): Column =
-    translate(regexp_replace(c, "[\uFEFF\u0000]", ""), accented, plain)
+    graft.functions.Transliterate.transliterate(c)
 
   /** Per-cell cleaning rule (`bronze_funcs.py:96-104`). */
   def cleanCell(c: Column): Column =

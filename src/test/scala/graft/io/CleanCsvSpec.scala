@@ -102,6 +102,23 @@ class CleanCsvSpec extends AnyFunSuite {
     assert(df.filter($"AL1" === "4").collect()(0).getAs[String]("AL2") == "five")
   }
 
+  test("transliteration: Latin diacritics, Greek, Cyrillic, ligatures") {
+    import org.apache.spark.sql.functions.lit
+    val tr = graft.functions.Transliterate.transliterate _
+    val r = spark.range(1).select(
+      tr(lit("Škoda Fráiße")).as("a"),
+      tr(lit("αθήνα ψ")).as("b"),
+      tr(lit("Москва щи")).as("c"),
+      tr(lit("plain ascii")).as("d"),
+      tr(lit("Łódź Đặng")).as("e"))
+      .collect()(0)
+    assert(r.getString(0) == "Skoda Fraisse")
+    assert(r.getString(1) == "athena ps")
+    assert(r.getString(2) == "Moskva shchi")
+    assert(r.getString(3) == "plain ascii")
+    assert(r.getString(4) == "Lodz Dang")
+  }
+
   test("amortisation tapes truncate to 121 columns") {
     val dir = Files.createTempDirectory("cleancsv3").toString
     val header = (1 to 150).map(i => s"AS$i").mkString(",")
