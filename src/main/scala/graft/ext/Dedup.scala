@@ -52,6 +52,30 @@ object Dedup {
       .select(col("_id"), explode(shingles(col("_text"), n)).as("sh"))
   }
 
+  /** Per-doc distinct shingle set as a sorted array (one aggregation
+    * of the exploded rows; `sz` = set size). */
+  private def shingleSets(rows: DataFrame) =
+    rows.groupBy("_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"),
+        count(lit(1)).as("sz"))
+
+  /** Exact-Jaccard verification of candidate id pairs against the
+    * per-doc shingle sets: two hash joins + an in-row
+    * array_intersect — no second explode join, no per-pair groupBy.
+    * Candidate volume is LSH/prefix-bounded, so the array intersection
+    * runs on few rows. */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(sets.as("sa"), col("id_a") === col("sa._id"))
+      .join(sets.as("sb"), col("id_b") === col("sb._id"))
+      .withColumn("shared",
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   /** Exact n-gram Jaccard pairs at `threshold`, with PREFIX FILTERING
     * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07)
     * for candidate generation: shingles are globally ordered by
@@ -71,33 +95,21 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         n: Int, threshold: Double): DataFrame = {
     val rows = shingleRows(df, id, text, n).cache()
-    val sizes = rows.groupBy("_id").agg(count(lit(1)).as("sz"))
+    val sets = shingleSets(rows).cache()
     // global rarity order; ties broken by shingle text for determinism
     val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_id").orderBy(col("df"), col("sh"))
     val prefix = rows.join(dfreq, "sh")
+      .join(sets.select(col("_id"), col("sz")), "_id")
       .withColumn("rk", row_number().over(w))
-      .join(sizes, "_id")
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("_id", "sh")
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
-    // exact verify over FULL shingle sets (candidates only)
-    val shared = candidates
-      .join(rows.as("ra"), col("id_a") === col("ra._id"))
-      .join(rows.as("rb"), col("id_b") === col("rb._id") &&
-        col("ra.sh") === col("rb.sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("sa"), col("id_a") === col("sa._id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb._id"))
-      .select(col("id_a"), col("id_b"),
-        (col("shared").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(candidates, sets, threshold)
   }
 
   /** MinHash+LSH near-dup pairs: k-perm signatures via the native
@@ -127,19 +139,7 @@ object Dedup {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     // exact verify on candidates only
-    val sizes = rows.groupBy("_id").agg(count(lit(1)).as("sz"))
-    val shared = candidates
-      .join(rows.as("ra"), col("id_a") === col("ra._id"))
-      .join(rows.as("rb"), col("id_b") === col("rb._id") &&
-        col("ra.sh") === col("rb.sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("sa"), col("id_a") === col("sa._id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb._id"))
-      .select(col("id_a"), col("id_b"),
-        (col("shared").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(candidates, shingleSets(rows), threshold)
   }
 
   /** 64-bit SimHash from md5 nibbles of each token: bit j comes from

@@ -17,12 +17,17 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: word-piece regex splits on letter/digit
-    * boundaries and punctuation, approximating byte-pair tokenizer
-    * granularity without a vocab. */
-  def subwordCount(text: Column): Column =
-    size(filter(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
-      t => length(t) > 0))
+  /** BPE-ish subword count: word-piece granularity without a vocab —
+    * splits on punctuation/whitespace AND letter↔digit boundaries.
+    * Implemented lookaround-free (two transition-marking replaces +
+    * one split) so RE2-based engines (the DuckDB oracle, x16) compute
+    * the identical count. */
+  def subwordCount(text: Column): Column = {
+    val marked = regexp_replace(
+      regexp_replace(text, "(\\p{L})(\\p{N})", "$1 $2"),
+      "(\\p{N})(\\p{L})", "$1 $2")
+    size(filter(split(marked, "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
+  }
 
   /** Stopword ratio over a caller-supplied lexicon. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

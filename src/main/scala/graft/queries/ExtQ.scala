@@ -379,6 +379,29 @@ object ExtQ {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin)
 
+  /** Subword (BPE-ish) token counting + punctuation ratio — the
+    * tokenizer-granularity signals a training-data pipeline filters
+    * on; oracle mirrors the lookaround-free regex pipeline exactly. */
+  private val x16: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(
+          $"doc_id",
+          TextAnalysis.subwordCount($"text").as("n_subwords"),
+          (floor(TextAnalysis.punctRatio($"text") * 1e6 + 0.5) / 1e6)
+            .as("punct_ratio6"))
+        .orderBy($"doc_id")
+    },
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(
+      |    regexp_replace(regexp_replace(text, '(\p{L})(\p{N})', '\1 \2', 'g'),
+      |                   '(\p{N})(\p{L})', '\1 \2', 'g'),
+      |    '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS INTEGER) AS n_subwords,
+      |  floor((length(text) -
+      |      length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |    / length(text) * 1e6 + 0.5) / 1e6 AS punct_ratio6
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -404,5 +427,6 @@ object ExtQ {
         .orderBy(col("query_id"), col("rank"))
     }): Fn, None),
     "x15_ann_lsh_topk" -> (x15._1, Some(x15._2)),
+    "x16_subword_punct" -> (x16._1, Some(x16._2)),
   )
 }
