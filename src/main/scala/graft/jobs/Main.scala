@@ -34,6 +34,15 @@ object Main {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
     }.toMap
+    val spark = GraftSession.build(
+      appName = s"graft-${opts.getOrElse("stage-name", "cli")}")
+    try run(opts, spark) finally spark.stop()
+  }
+
+  /** Dispatcher body, session-injected for testability (the CLI main
+    * owns session lifecycle; specs pass the shared test session). */
+  def run(opts: Map[String, String],
+          spark: org.apache.spark.sql.SparkSession): Unit = {
     def req(k: String): String =
       opts.getOrElse(k, sys.error(s"missing required --$k"))
 
@@ -42,8 +51,7 @@ object Main {
       .getOrElse(sys.error(
         s"invalid stage $stageName; expected one of ${stages.map(_.name).mkString(", ")}"))
     val lakeRoot = req("lake-root")
-    val spark = GraftSession.build(appName = s"graft-$stageName")
-    try stage match {
+    stage match {
       case BronzeAsset =>
         Jobs.bronzeCsv(spark, req("raw-dir"), lakeRoot, "assets",
           req("ed-code"), opts.getOrElse("file-key", "Loan_Data"),
@@ -68,6 +76,6 @@ object Main {
       case SilverAsset => Jobs.silverTopicSplit(spark, lakeRoot, "assets")
       case SilverBondInfo => Jobs.silverTopicSplit(spark, lakeRoot, "bond_info")
       case SilverDealDetails => Jobs.silverDealDetails(spark, lakeRoot)
-    } finally spark.stop()
+    }
   }
 }

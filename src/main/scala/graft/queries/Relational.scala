@@ -556,6 +556,55 @@ object Relational {
       |FROM (SELECT *, CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
       |ORDER BY event_id""".stripMargin)
 
+  /** GROUPING SETS directly (rollup/cube are q13/q14): chosen subsets
+    * with grouping() flags to disambiguate the null rows. */
+  private val q29: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+            Seq($"o_orderstatus"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping($"o_orderstatus").cast("int").as("g_status"),
+          grouping($"o_orderpriority").cast("int").as("g_prio"),
+          count(lit(1)).as("n"),
+          dsum($"o_totalprice").as("total"))
+        .orderBy($"g_status", $"g_prio", $"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+
+  /** Distribution window functions: percent_rank / cume_dist over
+    * supplier account balances per nation. */
+  private val q30: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"s_nationkey")
+        .orderBy($"s_acctbal", $"s_suppkey")
+      t(s, d, "supplier").select(
+          $"s_suppkey", $"s_nationkey",
+          (floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6).as("pr6"),
+          (floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6).as("cd6"))
+        .orderBy($"s_suppkey")
+    },
+    """SELECT s_suppkey, s_nationkey,
+      |  floor(PERCENT_RANK() OVER (PARTITION BY s_nationkey
+      |    ORDER BY s_acctbal, s_suppkey) * 1e6 + 0.5) / 1e6 AS pr6,
+      |  floor(CUME_DIST() OVER (PARTITION BY s_nationkey
+      |    ORDER BY s_acctbal, s_suppkey) * 1e6 + 0.5) / 1e6 AS cd6
+      |FROM supplier ORDER BY s_suppkey""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -585,5 +634,7 @@ object Relational {
     "q26_percentiles" -> (q26._1, Some(q26._2)),
     "q27_string_agg" -> (q27._1, Some(q27._2)),
     "q28_window_frames" -> (q28._1, Some(q28._2)),
+    "q29_grouping_sets" -> (q29._1, Some(q29._2)),
+    "q30_window_distribution" -> (q30._1, Some(q30._2)),
   )
 }

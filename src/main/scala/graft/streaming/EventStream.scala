@@ -48,6 +48,63 @@ object EventStream {
       }
   }
 
+  case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, sum_value: Double, closed: Boolean)
+
+  /** Streaming gap-based sessionization via flatMapGroupsWithState +
+    * event-time timeout — the custom-state path for semantics
+    * `session_window` can't express (emit-on-close, provisional
+    * updates). Gap semantics match [[graft.ext.Temporal.sessionize]]:
+    * events ≤ `gapMinutes` apart share a session.
+    *
+    * Emission contract: a session is emitted `closed=true` when a
+    * later event breaks the gap in-batch, or when the event-time
+    * timeout fires (watermark passed last+gap); the currently-open
+    * session is emitted `closed=false` each batch it grows —
+    * downstream readers key on (user_id, session_start) and take the
+    * latest row, the standard provisional-append pattern. */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    def out(uid: Long, s: SessionState, closed: Boolean) =
+      SessionOut(uid, new java.sql.Timestamp(s.startMs), s.n,
+        math.round(s.sum * 100).toDouble / 100, closed)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(out(uid, done, closed = true))
+          } else {
+            // per-trigger group slices are unordered; sort in memory
+            // (bounded by the trigger's batch, not the stream)
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption.orNull
+            val closedOut = Seq.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              if (open == null) open = SessionState(t, t, 1L, e.value)
+              else if (t - open.lastMs <= gapMs)
+                open = open.copy(lastMs = t, n = open.n + 1,
+                  sum = open.sum + e.value)
+              else {
+                closedOut += out(uid, open, closed = true)
+                open = SessionState(t, t, 1L, e.value)
+              }
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            (closedOut.result() :+ out(uid, open, closed = false)).iterator
+          }
+      }
+  }
+
   /** Drive a parquet-backed stream of the events table through
     * `hourlyCounts` into an in-memory sink; returns the materialized
     * result. Used by specs and as executable documentation for the

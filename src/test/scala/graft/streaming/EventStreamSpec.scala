@@ -19,6 +19,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(s.exceptAll(batch).isEmpty && batch.exceptAll(s).isEmpty)
   }
 
+  test("flatMapGroupsWithState sessionization matches batch session_window") {
+    import EventStream._
+    val ev = graft.tables.t(spark, "/root/testdata/sf0.001", "events")
+      .filter($"user_id" < 10)
+    val typed = ev.select($"event_id", $"ts".cast("timestamp").as("ts"),
+      $"user_id", $"event_type", $"value").as[Event]
+    // batch-mode execution of the streaming operator: every event of a
+    // group arrives in one invocation, so closed + final-provisional
+    // sessions are exactly the gap-split
+    // multiset of (user, n_events, sum_value) — session starts are
+    // implied by the gap split, and timestamp-type round-trips differ
+    val streamed = sessionizeStream(typed, gapMinutes = 30).collect()
+      .map(s => (s.user_id, s.n_events, s.sum_value)).sorted.toSeq
+    val batch = graft.ext.Temporal.sessionize(ev,
+        key = "user_id", ts = "ts", value = "value", gap = "30 minutes")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")),
+        r.getLong(r.fieldIndex("n_events")),
+        r.getDouble(r.fieldIndex("sum_value")))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful user sessions accumulate per key") {
     import EventStream._
     val events = Seq(
