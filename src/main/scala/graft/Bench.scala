@@ -29,6 +29,12 @@ object Bench {
     }
     val results = qs.map { case (name, fn) =>
       var failed = false
+      // isolate queries from each other's leaked cache entries: 50+
+      // queries × per-call caches otherwise fill storage memory and
+      // LRU-evict the CURRENT query's cache mid-run (observed 3-5x
+      // inflation on cache-heavy queries) — every query is measured
+      // against a clean cache, warm JVM
+      spark.catalog.clearCache()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

@@ -53,6 +53,7 @@ object GraftSession {
     graft.functions.VectorExpressions.register(spark)
     graft.functions.MinHashAgg.register(spark)
     graft.functions.Transliterate.register(spark)
+    graft.functions.WordShingles.register(spark)
     spark
   }
 }

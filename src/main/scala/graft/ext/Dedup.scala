@@ -26,13 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram (shingle) set, distinct, as an array column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram (shingle) set, distinct, as an array column — the
+    * native one-pass [[graft.functions.WordShingles]] (bit-identical
+    * to the HOF form `array_distinct(transform(sequence, slice))`,
+    * but a single codegen'd call instead of interpreted lambdas per
+    * shingle — the map that dominates dedup scans at corpus scale). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.wordShingles(text, n)
 
   /** Exact-duplicate groups: digest → ids sharing it (size > 1). */
   def exactDupGroups(df: DataFrame, id: String, text: String): DataFrame =
@@ -41,23 +41,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col(id))).as("ids"))
       .filter(col("n_docs") > 1)
 
-  /** (id, shingle) exploded pairs — the dedup working set. The
-    * pre-explode repartition spreads the (cheap) input rows so the
-    * (expensive) explode + hash work runs on every core — the same
-    * shape that keeps 100 TB of documents from bottlenecking on the
-    * scan's split count. */
-  private def shingleRows(df: DataFrame, id: String, text: String, n: Int) = {
+  /** Per-doc distinct shingle set, computed directly from the text
+    * column (NO explode+groupBy round trip — the array never leaves
+    * the row). The pre-shingle repartition spreads the expensive
+    * shingling across all cores; exploded views derive from this
+    * cached frame as a pure map. */
+  private def docShingleSets(df: DataFrame, id: String, text: String, n: Int) = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     df.select(col(id).as("_id"), col(text).as("_text")).repartition(parts)
-      .select(col("_id"), explode(shingles(col("_text"), n)).as("sh"))
+      .select(col("_id"), shingles(col("_text"), n).as("shs"))
+      .withColumn("sz", size(col("shs")).cast("long"))
   }
-
-  /** Per-doc distinct shingle set as a sorted array (one aggregation
-    * of the exploded rows; `sz` = set size). */
-  private def shingleSets(rows: DataFrame) =
-    rows.groupBy("_id")
-      .agg(sort_array(collect_list(col("sh"))).as("shs"),
-        count(lit(1)).as("sz"))
 
   /** Exact-Jaccard verification of candidate id pairs against the
     * per-doc shingle sets: two hash joins + an in-row
@@ -94,14 +88,15 @@ object Dedup {
     * from candidate generation without any lossy cap. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         n: Int, threshold: Double): DataFrame = {
-    val rows = shingleRows(df, id, text, n).cache()
-    val sets = shingleSets(rows).cache()
+    val sets = docShingleSets(df, id, text, n).cache()
+    // exploded view is a pure map over the cached sets (carries sz for
+    // free — no extra sizes join)
+    val rows = sets.select(col("_id"), col("sz"), explode(col("shs")).as("sh"))
     // global rarity order; ties broken by shingle text for determinism
     val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_id").orderBy(col("df"), col("sh"))
     val prefix = rows.join(dfreq, "sh")
-      .join(sets.select(col("_id"), col("sz")), "_id")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("_id", "sh")
@@ -122,7 +117,8 @@ object Dedup {
                       threshold: Double, bands: Int = 64, rowsPerBand: Int = 2)
       : DataFrame = {
     val k = bands * rowsPerBand
-    val rows = shingleRows(df, id, text, n).cache()
+    val sets = docShingleSets(df, id, text, n).cache()
+    val rows = sets.select(col("_id"), explode(col("shs")).as("sh"))
     val sig = rows.groupBy("_id")
       .agg(graft.functions.MinHashAgg.minhash(col("sh"), k).as("sig"))
     // one row per (doc, band); bucket key hashes the band's slice of
@@ -139,7 +135,7 @@ object Dedup {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     // exact verify on candidates only
-    verifyJaccard(candidates, shingleSets(rows), threshold)
+    verifyJaccard(candidates, sets, threshold)
   }
 
   /** 64-bit SimHash from md5 nibbles of each token: bit j comes from
