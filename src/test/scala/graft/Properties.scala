@@ -70,4 +70,61 @@ object GraftProperties extends Properties("graft") {
         .select("count").as[Long].collect()
       counts.forall(_ == 1L)
     }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    words <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "x", "räksmörgås", ""))
+  } yield words.mkString(" ")
+
+  property("WordShingles == interpreted HOF form") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = texts.toDF("t")
+      val toks = split($"t", " ")
+      val hof = array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      df.select(
+          ext.Dedup.shingles($"t", 3).as("native"), hof.as("hof"))
+        .collect()
+        .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+
+  property("Transliterate: ASCII-identity, output always ASCII-or-unmapped, idempotent") =
+    forAll(Gen.listOfN(6, Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("Ärgerißt", "αβγ δε", "Жизнь Ёж", "mixed Łódź ascii")))) { gens =>
+      val texts = gens.map(_.toString)
+      val df = texts.toDF("t")
+      val tr = functions.Transliterate.transliterate _
+      val out = df.select($"t", tr($"t").as("o"), tr(tr($"t")).as("oo")).collect()
+      out.forall { r =>
+        val t = r.getString(0); val o = r.getString(1); val oo = r.getString(2)
+        val asciiIdentity = !t.forall(_ < 0x80) || o == t
+        asciiIdentity && o == oo
+      }
+    }
+
+  property("prefix-filtered Jaccard pairs == brute-force pair set") =
+    forAll(Gen.listOfN(6, textGen.suchThat(_.nonEmpty))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fast = ext.Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      // brute force: all pairs, exact jaccard over distinct 2-gram sets
+      def sh(t: String): Set[String] = {
+        val toks = t.split(" ", -1)
+        (0 to math.max(toks.length - 2, 0))
+          .map(i => toks.slice(i, math.min(i + 2, toks.length)).mkString(" "))
+          .toSet
+      }
+      val sets = texts.map(sh).zipWithIndex
+      val brute = (for {
+        (a, i) <- sets; (b, j) <- sets if i < j
+        inter = (a & b).size
+        jac = inter.toDouble / (a.size + b.size - inter)
+        if jac >= 0.3
+      } yield (i.toLong, j.toLong, math.round(jac * 1e9))).toSet
+      fast == brute
+    }
 }
