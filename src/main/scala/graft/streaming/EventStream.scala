@@ -82,6 +82,8 @@ object EventStream {
             state.remove()
             Iterator.single(out(uid, done, closed = true))
           } else {
+            val wm = scala.util.Try(state.getCurrentWatermarkMs())
+              .getOrElse(Long.MinValue)
             // per-trigger group slices are unordered; sort in memory
             // (bounded by the trigger's batch, not the stream)
             val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
@@ -90,16 +92,22 @@ object EventStream {
             evs.foreach { e =>
               val t = e.ts.getTime
               if (open == null) open = SessionState(t, t, 1L, e.value)
-              else if (t - open.lastMs <= gapMs)
-                open = open.copy(lastMs = t, n = open.n + 1,
-                  sum = open.sum + e.value)
-              else {
+              else if (math.abs(t - open.lastMs) <= gapMs)
+                // in-gap (possibly out-of-order within the window):
+                // fold in, extending either edge
+                open = SessionState(math.min(open.startMs, t),
+                  math.max(open.lastMs, t), open.n + 1, open.sum + e.value)
+              else if (t > open.lastMs + gapMs) {
                 closedOut += out(uid, open, closed = true)
                 open = SessionState(t, t, 1L, e.value)
               }
+              // else: late beyond the open session's window — dropped,
+              // standard watermark semantics
             }
             state.update(open)
-            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            // the timeout may never sit below the current watermark
+            // (late data can leave last+gap in the past)
+            state.setTimeoutTimestamp(math.max(open.lastMs + gapMs, wm + 1L))
             (closedOut.result() :+ out(uid, open, closed = false)).iterator
           }
       }

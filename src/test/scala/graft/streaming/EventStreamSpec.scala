@@ -42,6 +42,56 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionizeStream carries state across triggers (true streaming)") {
+    import EventStream._
+    // two files -> two triggers with maxFilesPerTrigger=1; user 1's
+    // session spans both files (state must carry), then a gap breaks it
+    val dir = java.nio.file.Files.createTempDirectory("sess_stream")
+    def ev(id: Long, ts: String, uid: Long, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(ts), uid, "click", v)
+    Seq(
+      ev(1, "2024-01-01 00:00:00", 1, 1.0),
+      ev(2, "2024-01-01 00:10:00", 1, 2.0),
+    ).toDS().repartition(1).write.parquet(s"$dir/f1")
+    Seq(
+      ev(3, "2024-01-01 00:20:00", 1, 3.0),   // within gap → same session
+      ev(4, "2024-01-01 02:00:00", 1, 5.0),   // 100-min gap → new session
+      ev(5, "2024-01-01 00:00:00", 2, 7.0),
+    ).toDS().repartition(1).write.parquet(s"$dir/f2")
+    // stage as a single directory with 2 files
+    val stage = java.nio.file.Files.createTempDirectory("sess_stage")
+    Seq("f1", "f2").zipWithIndex.foreach { case (f, i) =>
+      val src = new java.io.File(s"$dir/$f").listFiles()
+        .filter(_.getName.endsWith(".parquet"))(0)
+      val dst = stage.resolve(s"$f.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      // pin modification order so maxFilesPerTrigger picks f1 first
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(stage.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = sessionizeStream(stream.as[Event], gapMinutes = 30).writeStream
+      .outputMode("append").format("memory").queryName("graft_sessions")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // latest row per (user, session_start) is the session's final state
+    val rows = spark.table("graft_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val finalPerSession = rows.groupBy(t => (t._1, t._2))
+      .map { case (_, v) => v.maxBy(_._3) }.toSet
+      .map((t: (Long, String, Long, Double, Boolean)) => (t._1, t._3, t._4))
+    // user 1: session of events 1-3 (n=3, sum=6.0) + session of event 4;
+    // user 2: single event session
+    assert(finalPerSession == Set((1L, 3L, 6.0), (1L, 1L, 5.0), (2L, 1L, 7.0)))
+    // the 3-event session grew across triggers: a provisional n=2 row
+    // must have been emitted by the first trigger
+    assert(rows.exists(t => t._1 == 1L && t._3 == 2L && !t._5))
+  }
+
   test("stateful user sessions accumulate per key") {
     import EventStream._
     val events = Seq(
