@@ -27,21 +27,28 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-    val futures = selected.map { case (name, fn) =>
-      scala.concurrent.Future {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).repartition(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // batches of 8: queries inside a batch run concurrently; the cache
+    // clears at batch barriers so leaked per-query cache entries can't
+    // accumulate into storage-eviction storms (they inflate cache-heavy
+    // queries 3-5x once ~50 queries' caches pile up)
+    selected.grouped(8).foreach { batch =>
+      val futures = batch.map { case (name, fn) =>
+        scala.concurrent.Future {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).repartition(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
       }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+      spark.catalog.clearCache()
     }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

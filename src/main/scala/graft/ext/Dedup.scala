@@ -34,6 +34,21 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.WordShingles.wordShingles(text, n)
 
+  /** Hot-shingle discovery: the `topK` shingles by document frequency
+    * — the operational input for stop-shingle policies (a shingle in
+    * half the corpus carries no dedup signal but co-groups half the
+    * corpus in naive shingle joins; the prefix filter in
+    * [[ngramJaccardPairs]] sidesteps them automatically, but corpus
+    * curation wants the list). One explode + one aggregation +
+    * TakeOrderedAndProject. */
+  def stopShingles(df: DataFrame, id: String, text: String,
+                   n: Int, topK: Int): DataFrame =
+    docShingleSets(df, id, text, n)
+      .select(explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("sh"))
+      .limit(topK)
+
   /** Exact-duplicate groups: digest → ids sharing it (size > 1). */
   def exactDupGroups(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), md5(col(text).cast("binary")).as("digest"))

@@ -402,6 +402,23 @@ object ExtQ {
       |    / length(text) * 1e6 + 0.5) / 1e6 AS punct_ratio6
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Hot-shingle (stop-shingle) discovery: top-20 shingles by doc
+    * frequency, deterministic tie-break on the shingle text. */
+  private val x17: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.stopShingles(t(s, d, "documents"), "doc_id", "text",
+          n = 3, topK = 20)
+        .orderBy($"df".desc, $"sh")
+    },
+    """SELECT sh, COUNT(*) AS df
+      |FROM (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |      for i in range(1, len(s) - 1) ])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      |GROUP BY sh ORDER BY df DESC, sh LIMIT 20""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -428,5 +445,6 @@ object ExtQ {
     }): Fn, None),
     "x15_ann_lsh_topk" -> (x15._1, Some(x15._2)),
     "x16_subword_punct" -> (x16._1, Some(x16._2)),
+    "x17_stop_shingles" -> (x17._1, Some(x17._2)),
   )
 }
