@@ -120,7 +120,11 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid assignment (centroids broadcast). */
+  /** Nearest-centroid assignment. The condition-free
+    * `join(broadcast(centroids))` plans as a BroadcastNestedLoopJoin
+    * on purpose: it is the k-means assignment cross product of the
+    * corpus against nCentroids (≤ dozens) broadcast rows — linear in
+    * the corpus, NOT an all-pairs corpus join. */
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = v.join(broadcast(centroids))
       .withColumn("sim", cosine(col("v"), col("cv")))
