@@ -18,7 +18,10 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     val spark = GraftSession.build(appName = "graft-bench")
+    // optional subset filter (regex) for local bisection
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     // warmup: executes one full pass so JIT/codegen/file-listing caches
     // are hot before anything is timed; failures are named, not hidden
     qs.foreach { case (name, fn) =>
