@@ -249,6 +249,72 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Connected components over an undirected pair list (the output of
+    * any of the pair detectors above): iterative min-label propagation
+    * to a fixpoint — each node repeatedly adopts the smallest label
+    * among itself and its neighbours. Every iteration is one shuffle
+    * join + a map-side-combined min aggregation, and lineage is
+    * truncated per iteration (`localCheckpoint`) so the plan stays
+    * flat instead of growing a join tower.
+    *
+    * Iteration count is bounded by the component diameter. Near-dup
+    * clusters are star/clique-shaped (one source document and its
+    * variants — diameter ≤ 2–3), so this converges in a handful of
+    * rounds at any corpus size; for adversarial long-chain graphs the
+    * same join shape extends to large-star/small-star (O(log n)
+    * rounds, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14). Returns (id, cluster) with cluster = the
+    * smallest id reachable from the node.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b"): DataFrame = {
+    // cache the directed edges FIRST: the undirected view is a union
+    // of two projections of the same (possibly expensive) pair plan,
+    // and caching only the union would execute that plan twice
+    val e = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      iters += 1
+      require(iters <= 64,
+        "connectedComponents: no fixpoint after 64 rounds (cyclic labels?)")
+      // smallest neighbour label per node (partial agg before shuffle)
+      val nbrMin = und.join(labels, und("dst") === labels("id"))
+        .groupBy(und("src").as("id")).agg(min("label").as("nbr"))
+      val merged = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("nlabel"))
+        .localCheckpoint()
+      changed = merged.filter(col("nlabel") < col("label")).count()
+      labels = merged.select(col("id"), col("nlabel").as("label"))
+    }
+    e.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Duplicate-cluster resolution — the retention step a dedup
+    * pipeline runs after pair detection: groups the pair list into
+    * connected components and picks ONE canonical survivor per cluster
+    * (longest text, ties to the smallest id — the usual "keep the most
+    * complete variant" policy). One aggregation over the component
+    * labels; the survivor argmax rides the same shuffle via `max_by`.
+    * Returns one row per cluster: (cluster, n_docs, ids, keep_id). */
+  def resolveDuplicates(df: DataFrame, id: String, text: String,
+                        pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val docs = df.select(col(id).as("id"), length(col(text)).cast("long").as("len"))
+    comp.join(docs, "id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("ids"),
+        max_by(col("id"), struct(col("len"), -col("id"))).as("keep_id"))
+  }
+
   /** Exact all-pairs embedding cosine near-dups: O(n²) with the right
     * side broadcast — the small-corpus correctness baseline ONLY (at
     * 100 TB the broadcast alone OOMs; use [[embeddingNearDups]]). */

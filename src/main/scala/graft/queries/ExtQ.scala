@@ -419,6 +419,40 @@ object ExtQ {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
       |GROUP BY sh ORDER BY df DESC, sh LIMIT 20""".stripMargin)
 
+  /** Duplicate-cluster resolution: near-dup pairs → connected
+    * components → one canonical survivor per cluster (longest text,
+    * smallest-id tie-break). Oracle computes the components with a
+    * recursive transitive closure over the same exact-Jaccard pair
+    * set, so the iterative Spark label propagation must land on the
+    * identical fixpoint. */
+  private val x18: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.resolveDuplicates(docs, "doc_id", "text", pairs)
+        .orderBy($"cluster")
+    },
+    s"""WITH RECURSIVE $shingleCte,
+       |edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+       |und AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION SELECT id_b, id_a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM und
+       |  UNION
+       |  SELECT re.id, u.dst FROM reach re JOIN und u ON u.src = re.r),
+       |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |mem AS (SELECT c.cluster, c.id, CAST(length(d.text) AS BIGINT) AS len
+       |        FROM comp c JOIN documents d ON d.doc_id = c.id),
+       |keep AS (SELECT cluster, id AS keep_id, ROW_NUMBER() OVER
+       |  (PARTITION BY cluster ORDER BY len DESC, id) AS rk FROM mem)
+       |SELECT m.cluster, COUNT(*) AS n_docs,
+       |  array_to_string(list_sort(list(m.id)), ',') AS ids,
+       |  any_value(k.keep_id) AS keep_id
+       |FROM mem m JOIN keep k ON k.cluster = m.cluster AND k.rk = 1
+       |GROUP BY m.cluster ORDER BY m.cluster""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -446,5 +480,6 @@ object ExtQ {
     "x15_ann_lsh_topk" -> (x15._1, Some(x15._2)),
     "x16_subword_punct" -> (x16._1, Some(x16._2)),
     "x17_stop_shingles" -> (x17._1, Some(x17._2)),
+    "x18_dedup_clusters" -> (x18._1, Some(x18._2)),
   )
 }

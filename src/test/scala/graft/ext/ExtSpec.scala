@@ -140,6 +140,38 @@ class ExtSpec extends AnyFunSuite {
       Seq("media_id", "frame_no", "frame_digest"))
   }
 
+  test("connected components: multi-hop chains converge to min label") {
+    // path 1-2-3-4-5 (diameter 4 → several propagation rounds),
+    // separate pair 10-11, singleton edge 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (11L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+  }
+
+  test("resolveDuplicates keeps the longest variant, smallest id on ties") {
+    val corpus = Seq(
+      (0L, "short text"),
+      (1L, "short text padded with more words"), // longest in cluster {0,1,3}
+      (3L, "short text"),
+      (7L, "solo other")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.resolveDuplicates(corpus, "doc_id", "text", pairs).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("cluster") == 0L)
+    assert(r(0).getAs[Long]("n_docs") == 3L)
+    assert(r(0).getAs[String]("ids") == "0,1,3")
+    assert(r(0).getAs[Long]("keep_id") == 1L)
+    // tie on length → smallest id wins
+    val tied = Dedup.resolveDuplicates(
+      corpus.withColumn("text", lit("same length")), "doc_id", "text", pairs)
+      .collect()
+    assert(tied(0).getAs[Long]("keep_id") == 0L)
+  }
+
   test("text analysis shapes") {
     val r = docs.select(
       TextAnalysis.tokenCount($"text").as("n"),
