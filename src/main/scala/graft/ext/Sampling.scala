@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Everything here is hash-based, not RNG-based: a row's fate is a
+  * pure function of its key, so samples are (a) reproducible across
+  * runs, engines and task retries, (b) consistent across tables that
+  * share the key (sample a doc → its embedding row samples with it),
+  * and (c) computable as a narrow filter/map — no shuffle, no
+  * `sample()` RNG state, scan-speed at any corpus size.
+  *
+  * The hash coordinate is an 8-bit bucket from md5 hex nibbles (one
+  * byte of the digest per coordinate) — coarse on purpose: rates
+  * quantize to 1/256, which training-data sampling tolerates, and the
+  * nibble arithmetic is reproducible in ANY engine (the DuckDB oracle
+  * mirrors it with strpos on the hex string, x19).
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, 256): byte `offset` of
+    * md5(salt || key), read from the hex digest. Different offsets
+    * (0-7 on the first half of the digest) give independent
+    * coordinates for layered decisions (sample, then split). */
+  def hashBucket256(key: Column, salt: String, offset: Int = 0): Column = {
+    require(offset >= 0 && offset <= 7, "md5 supplies 8 independent bytes here")
+    conv(substring(md5(concat(lit(salt), key.cast("string")).cast("binary")),
+      1 + 2 * offset, 2), 16, 10).cast("int")
+  }
+
+  /** Stratified sample at per-stratum rates: a row survives iff its
+    * hash bucket < floor(rate·256) for its stratum (effective rate =
+    * floor(rate·256)/256; strata absent from `rates` are dropped).
+    * A pure narrow filter — the Parquet scan is the whole plan. */
+  def stratifiedSample(df: DataFrame, strata: String, key: String,
+                       rates: Map[String, Double], salt: String): DataFrame = {
+    val thresh = rates.foldLeft(lit(-1)) { case (acc, (s, r)) =>
+      when(col(strata) === s, lit(math.floor(r * 256).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket256(col(key), salt) < thresh)
+  }
+
+  /** Deterministic train/val/test split: labels each row by where its
+    * (independent, offset=1) hash bucket falls among the cumulative
+    * weight boundaries. Adds a `split` column; weights are normalized,
+    * boundaries quantize to 1/256. Rows never migrate between splits
+    * when the corpus grows — membership depends only on the key. */
+  def hashSplit(df: DataFrame, key: String,
+                splits: Seq[(String, Double)], salt: String): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive split weights")
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(b => math.floor(b * 256).toInt)
+    val b = hashBucket256(col(key), salt, offset = 1)
+    val labeled = splits.init.zip(bounds.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), hi)) =>
+        Some(acc.fold(when(b < hi, name))(_.when(b < hi, name)))
+      }
+    df.withColumn("split",
+      labeled.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1)))
+  }
+}

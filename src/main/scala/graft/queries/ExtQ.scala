@@ -453,6 +453,51 @@ object ExtQ {
        |FROM mem m JOIN keep k ON k.cluster = m.cluster AND k.rk = 1
        |GROUP BY m.cluster ORDER BY m.cluster""".stripMargin)
 
+  /** DuckDB value of md5-hex byte `off` of (salt || key) — mirrors
+    * Sampling.hashBucket256 exactly (nibble arithmetic on the digest). */
+  private def bucketSql(key: String, salt: String, off: Int): String = {
+    val h = s"md5('$salt' || CAST($key AS VARCHAR))"
+    s"""((strpos('0123456789abcdef', substr($h, ${1 + 2 * off}, 1)) - 1) * 16 +
+       |  strpos('0123456789abcdef', substr($h, ${2 + 2 * off}, 1)) - 1)""".stripMargin
+  }
+
+  /** Deterministic stratified sample + train/val/test hash split:
+    * per-language keep rates, then an independent hash coordinate
+    * labels survivors train/val/test (80/10/10). The whole decision is
+    * a pure function of doc_id, so the oracle reproduces membership
+    * row-for-row — checked here via per-(lang, split) counts and an
+    * id-sum content witness. */
+  private val x19: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val sampled = graft.ext.Sampling.stratifiedSample(
+        t(s, d, "documents"), strata = "lang", key = "doc_id",
+        rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "es" -> 1.0),
+        salt = "g19")
+      graft.ext.Sampling.hashSplit(sampled, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "g19")
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang", $"split")
+    },
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |    ${bucketSql("doc_id", "g19", 0)} AS b0,
+       |    ${bucketSql("doc_id", "g19", 1)} AS b1
+       |  FROM documents),
+       |samp AS (
+       |  SELECT * FROM h WHERE b0 < CASE lang
+       |    WHEN 'en' THEN 128 WHEN 'de' THEN 64
+       |    WHEN 'fr' THEN 32 WHEN 'es' THEN 256 ELSE -1 END),
+       |lab AS (
+       |  SELECT lang, doc_id,
+       |    CASE WHEN b1 < 204 THEN 'train'
+       |         WHEN b1 < 230 THEN 'val' ELSE 'test' END AS split
+       |  FROM samp)
+       |SELECT lang, split, COUNT(*) AS n,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       |FROM lab GROUP BY lang, split ORDER BY lang, split""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -481,5 +526,6 @@ object ExtQ {
     "x16_subword_punct" -> (x16._1, Some(x16._2)),
     "x17_stop_shingles" -> (x17._1, Some(x17._2)),
     "x18_dedup_clusters" -> (x18._1, Some(x18._2)),
+    "x19_stratified_sample" -> (x19._1, Some(x19._2)),
   )
 }

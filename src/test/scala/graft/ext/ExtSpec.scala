@@ -172,6 +172,39 @@ class ExtSpec extends AnyFunSuite {
     assert(tied(0).getAs[Long]("keep_id") == 0L)
   }
 
+  test("deterministic sampling: reproducible, stratified, split-stable") {
+    val corpus = spark.range(0, 1000)
+      .select($"id".as("doc_id"),
+        when($"id" % 2 === 0, "en").otherwise("de").as("lang"))
+    val rates = Map("en" -> 0.5, "de" -> 0.125)
+    val s1 = Sampling.stratifiedSample(corpus, "lang", "doc_id", rates, "t")
+    val s2 = Sampling.stratifiedSample(corpus, "lang", "doc_id", rates, "t")
+    // deterministic: identical sets across runs
+    assert(s1.collect().map(_.getLong(0)).toSet ==
+      s2.collect().map(_.getLong(0)).toSet)
+    // rates land near nominal per stratum (8-bit quantized hash)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") > 200 && byLang("en") < 300)   // ~250
+    assert(byLang("de") > 30 && byLang("de") < 95)     // ~62
+    // a different salt draws a different sample
+    val s3 = Sampling.stratifiedSample(corpus, "lang", "doc_id", rates, "u")
+    assert(s3.collect().map(_.getLong(0)).toSet !=
+      s1.collect().map(_.getLong(0)).toSet)
+    // split: partitions the input, stable under corpus growth
+    val split = Sampling.hashSplit(corpus, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "t")
+    assert(split.count() == 1000)
+    val nTrain = split.filter($"split" === "train").count()
+    assert(nTrain > 700 && nTrain < 880)
+    val small = Sampling.hashSplit(corpus.filter($"doc_id" < 100), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "t")
+    val fullMap = split.collect().map(r =>
+      r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(small.collect().forall(r =>
+      fullMap(r.getLong(0)) == r.getAs[String]("split")))
+  }
+
   test("text analysis shapes") {
     val r = docs.select(
       TextAnalysis.tokenCount($"text").as("n"),

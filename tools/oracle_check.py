@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's DuckDB-oracle gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [onlyRegex]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB with views over
@@ -33,6 +33,10 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # subset runs (SPARK_GRAFT_VERIFY_ONLY)
+        import re
+        pat = re.compile(sys.argv[3])
+        sqls = {n: q for n, q in sqls.items() if pat.search(n)}
     failed = []
     for name, sql in sorted(sqls.items()):
         try:
