@@ -498,6 +498,43 @@ object ExtQ {
        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
        |FROM lab GROUP BY lang, split ORDER BY lang, split""".stripMargin)
 
+  /** Context-window packing: per-language concat-and-chunk layout at a
+    * 512-token budget; one row per assembled context bin. The bin
+    * assignment is pure integer window arithmetic, mirrored exactly by
+    * the oracle. */
+  private val x20: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      graft.ext.Packing.packByBudget(
+          t(s, d, "documents").select($"lang", $"doc_id", $"text"),
+          groupCols = Seq("lang"), orderCol = "doc_id",
+          tokens = TextAnalysis.tokenCount($"text"), budget = 512L)
+        .groupBy($"lang", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("sum_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"lang", $"bin")
+    },
+    """WITH toks AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |laid AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS BIGINT) AS start
+      |  FROM toks),
+      |binned AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    CAST(floor(start / 512.0) AS BIGINT) AS bin
+      |  FROM laid)
+      |SELECT lang, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -527,5 +564,6 @@ object ExtQ {
     "x17_stop_shingles" -> (x17._1, Some(x17._2)),
     "x18_dedup_clusters" -> (x18._1, Some(x18._2)),
     "x19_stratified_sample" -> (x19._1, Some(x19._2)),
+    "x20_pack_contexts" -> (x20._1, Some(x20._2)),
   )
 }

@@ -205,6 +205,26 @@ class ExtSpec extends AnyFunSuite {
       fullMap(r.getLong(0)) == r.getAs[String]("split")))
   }
 
+  test("context packing: bins advance with the running token offset") {
+    val rows = Seq((1L, 60L), (2L, 60L), (3L, 60L), (4L, 10L), (5L, 200L))
+      .toDF("doc_id", "tok")
+    val packed = Packing.packByBudget(rows.withColumn("g", lit("a")),
+        Seq("g"), "doc_id", col("tok"), budget = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("bin"), r.getAs[Long]("bin_offset"))).toMap
+    // starts: 0, 60, 120, 180, 190 → bins 0,0,1,1,1
+    assert(packed(1L) == (0L, 0L))
+    assert(packed(2L) == (0L, 60L))
+    assert(packed(3L) == (1L, 20L))
+    assert(packed(4L) == (1L, 80L))
+    assert(packed(5L) == (1L, 90L))
+    // sharded grouping: same totals, bounded windows
+    val sharded = Packing.packByBudget(
+      rows.withColumn("g", pmod(xxhash64($"doc_id"), lit(2))),
+      Seq("g"), "doc_id", col("tok"), budget = 100L)
+    assert(sharded.agg(sum("n_tokens")).head.getLong(0) == 390L)
+  }
+
   test("text analysis shapes") {
     val r = docs.select(
       TextAnalysis.tokenCount($"text").as("n"),
