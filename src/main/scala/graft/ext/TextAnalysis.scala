@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -72,6 +72,40 @@ object TextAnalysis {
     }: _*)
     val langs = array(markers.map { case (lang, _) => lit(lang) }: _*)
     element_at(langs, array_position(scores, array_max(scores)).cast("int"))
+  }
+
+  /** Per-document top-k distinguishing terms, tf-idf family: score =
+    * tf · N / df with a RATIONAL idf (N/df) instead of log(N/df).
+    * With integer tf/N/df the score is a single correctly-rounded
+    * IEEE754 division, so ranking and values are bit-identical in any
+    * engine (the x21 oracle) — ln() is the one transcendental whose
+    * last bit is not guaranteed across engines, and for a fixed tf the
+    * two idfs order terms identically (log is monotone). Drop-in
+    * log-idf: replace the score expression with
+    * `tf * log((N + 1.0) / (df + 1.0))` where gate-exactness isn't
+    * needed.
+    *
+    * Plan shape at scale: one explode + two hash aggregations (doc-term
+    * tf, then term df — both map-side combined), a shuffle join on the
+    * term key, and a per-doc top-k window. The corpus size N rides a
+    * 1-row broadcast, keeping the whole computation lazy/composable
+    * (no driver-side count action). */
+  def topTermsByRarity(df: DataFrame, id: String, text: String, k: Int)
+      : DataFrame = {
+    val toks = df.select(col(id).as("doc_id"),
+      explode(tokens(col(text))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, term) → df = plain count
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("term_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("term_df"), col("score"))
   }
 
   /** Document fingerprint: minimum md5 over word 5-grams — a

@@ -535,6 +535,29 @@ object ExtQ {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
 
+  /** Rarity-weighted term relevance (tf-idf family, rational idf):
+    * top-3 distinguishing terms per document — exact integer/division
+    * arithmetic on both sides, so ranking and scores hash-match. */
+  private val x21: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.topTermsByRarity(t(s, d, "documents"), "doc_id", "text",
+          k = 3)
+        .orderBy($"doc_id", $"rank")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dfq AS (SELECT term, COUNT(*) AS term_df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, rank, term, tf, term_df, score FROM (
+      |  SELECT doc_id, term, tf, term_df,
+      |    CAST(tf * n_docs AS DOUBLE) / term_df AS score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+      |      CAST(tf * n_docs AS DOUBLE) / term_df DESC, term) AS INTEGER) AS rank
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -565,5 +588,6 @@ object ExtQ {
     "x18_dedup_clusters" -> (x18._1, Some(x18._2)),
     "x19_stratified_sample" -> (x19._1, Some(x19._2)),
     "x20_pack_contexts" -> (x20._1, Some(x20._2)),
+    "x21_term_relevance" -> (x21._1, Some(x21._2)),
   )
 }

@@ -237,4 +237,15 @@ class ExtSpec extends AnyFunSuite {
     assert(r(0).getAs[String]("lang") == "en")
     assert(r(2).getAs[String]("lang") == "en") // tie (0 = 0) → first wins
   }
+
+  test("term relevance: rare terms outrank corpus-wide ones") {
+    val top = TextAnalysis.topTermsByRarity(docs, "doc_id", "text", k = 2)
+      .filter($"doc_id" === 2L).orderBy($"rank").collect()
+    // doc 2's vocabulary is unique to it → its top terms have df = 1
+    assert(top.length == 2)
+    assert(top.forall(_.getAs[Long]("term_df") == 1L))
+    assert(top.forall(_.getAs[Double]("score") == 4.0)) // tf=1 · N=4 / df=1
+    // ties broken alphabetically
+    assert(top(0).getAs[String]("term") < top(1).getAs[String]("term"))
+  }
 }
