@@ -60,4 +60,60 @@ object Temporal {
         sum(col(value).cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col(key), col("w.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"), col("sum_value"))
+
+  /** Interval-producing variant of [[sessionize]]: one row per
+    * (key, session) with the INCLUSIVE event-time span
+    * [session_start, session_end] (first and last event ts — not the
+    * gap-extended window end) — the natural left side of a
+    * point-in-interval join. */
+  def sessionSpans(events: DataFrame, key: String, ts: String, gap: String)
+      : DataFrame =
+    events
+      .groupBy(col(key), session_window(col(ts), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), max(col(ts)).as("_last"))
+      .select(col(key),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("_last").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+
+  /** Point-in-interval (range) join, bucketed: pairs each point with
+    * every interval of the same key containing it (inclusive bounds).
+    *
+    * A raw `p.ts BETWEEN i.start AND i.end` theta-join gives Catalyst
+    * no equi-key, so it plans a BroadcastNestedLoopJoin —
+    * O(|points| · |intervals|) and an OOM broadcast at scale. Here
+    * intervals explode to the fixed-width time buckets they overlap
+    * and points map to their single bucket, making the match an
+    * equi-join on (key, bucket) + an exact BETWEEN residual — shuffled,
+    * AQE-planned, near-linear. Choose `bucketWidthSec` near the typical
+    * interval length: expansion is interval_len/width + 1 rows per
+    * interval, while a too-wide bucket co-groups unrelated time ranges.
+    *
+    * Intervals carry `iPayload` columns onto matching points as
+    * `ival_<name>`; points in no interval are dropped (inner join), and
+    * overlapping intervals yield one row per containing interval. */
+  def pointInIntervalJoin(points: DataFrame, pKey: String, pTs: String,
+                          intervals: DataFrame, iKey: String, iStart: String,
+                          iEnd: String, bucketWidthSec: Long,
+                          iPayload: Seq[String]): DataFrame = {
+    require(bucketWidthSec > 0, "bucket width must be positive")
+    // NTZ-safe epoch bucketing: TIMESTAMP_NTZ has no direct BIGINT
+    // cast; relabel through TIMESTAMP first (identity in the UTC
+    // session). Bucket ids only need consistency, not wall-clock truth.
+    def bucket(c: Column): Column =
+      floor(c.cast("timestamp").cast("long") / bucketWidthSec)
+    val p = points.withColumn("_pb", bucket(col(pTs)))
+    val i = intervals.select(
+        col(iKey).as("_ik"), col(iStart).as("_is"), col(iEnd).as("_ie"),
+        struct(iPayload.map(col): _*).as("_ip"))
+      .withColumn("_ib",
+        explode(sequence(bucket(col("_is")), bucket(col("_ie")))))
+    val joined = p.join(i,
+      col(pKey) === col("_ik") && col("_pb") === col("_ib") &&
+        col(pTs) >= col("_is") && col(pTs) <= col("_ie"))
+    iPayload.foldLeft(joined) { (df, c) =>
+        df.withColumn(s"ival_$c", col(s"_ip.$c"))
+      }
+      .drop("_pb", "_ik", "_is", "_ie", "_ip", "_ib")
+  }
 }

@@ -558,6 +558,52 @@ object ExtQ {
       |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
 
+  /** Point-in-interval range join: each purchase matched into the
+    * view-session (24-hour gap — the testdata spreads 150 users over a
+    * month, so day-scale gaps give substantive session spans) of the
+    * same user that contains it — bucketed equi-join on (user, time
+    * bucket) + exact BETWEEN, never a nested-loop theta join. Oracle:
+    * gaps-and-islands sessions (the x13 formulation) + a plain BETWEEN
+    * join. */
+  private val x22: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val sessions = graft.ext.Temporal.sessionSpans(
+        ev.filter($"event_type" === "view"), "user_id", "ts", "24 hours")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", graft.tables.ntz($"ts").as("ts"))
+      graft.ext.Temporal.pointInIntervalJoin(
+          purchases, "user_id", "ts",
+          sessions, "user_id", "session_start", "session_end",
+          bucketWidthSec = 86400L,
+          iPayload = Seq("session_start", "n_events"))
+        .select($"event_id", $"user_id", $"ts",
+          $"ival_session_start".as("session_start"),
+          $"ival_n_events".as("session_n_views"))
+        .orderBy($"event_id")
+    },
+    """WITH sess AS (
+      |  SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |    CAST(MAX(ts) AS TIMESTAMP) AS session_end, COUNT(*) AS n_events
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) <= INTERVAL 24 HOUR
+      |             THEN 0 ELSE 1 END AS new_session
+      |      FROM events WHERE event_type = 'view'))
+      |  GROUP BY user_id, sid)
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |  s.session_start, s.n_events AS session_n_views
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN sess s ON p.user_id = s.user_id
+      |  AND p.ts >= s.session_start AND CAST(p.ts AS TIMESTAMP) <= s.session_end
+      |ORDER BY p.event_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -589,5 +635,6 @@ object ExtQ {
     "x19_stratified_sample" -> (x19._1, Some(x19._2)),
     "x20_pack_contexts" -> (x20._1, Some(x20._2)),
     "x21_term_relevance" -> (x21._1, Some(x21._2)),
+    "x22_range_join_sessions" -> (x22._1, Some(x22._2)),
   )
 }

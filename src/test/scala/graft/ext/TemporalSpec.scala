@@ -43,4 +43,53 @@ class TemporalSpec extends AnyFunSuite {
         r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
     assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
+
+  test("sessionSpans: inclusive [first, last] event-time span") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:20:00"), 2.0),
+      (1L, ts("2024-01-01 11:30:00"), 4.0),
+    ).toDF("user_id", "ts", "value")
+    // timestamp_ntz surfaces as LocalDateTime
+    val spans = Temporal.sessionSpans(ev, "user_id", "ts", "30 minutes")
+      .collect().map(r =>
+        (r.getAs[java.time.LocalDateTime]("session_start").toString,
+          r.getAs[java.time.LocalDateTime]("session_end").toString,
+          r.getAs[Long]("n_events"))).toSet
+    assert(spans == Set(
+      ("2024-01-01T10:00", "2024-01-01T10:20", 2L),
+      ("2024-01-01T11:30", "2024-01-01T11:30", 1L)))
+  }
+
+  test("pointInIntervalJoin: bucketed equi-join == naive theta join, no BNLJ") {
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00"), "b"), // overlaps a
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), "c"),
+    ).toDF("user_id", "lo", "hi", "tag")
+    val points = Seq(
+      (100L, 1L, ts("2024-01-01 11:15:00")),  // in a AND b
+      (101L, 1L, ts("2024-01-01 10:00:00")),  // inclusive start of a
+      (102L, 1L, ts("2024-01-01 12:00:00")),  // inclusive end of a
+      (103L, 2L, ts("2024-01-01 10:30:00")),  // no interval → dropped
+      (104L, 2L, ts("2024-01-01 10:05:00")),  // in c (different key)
+    ).toDF("event_id", "user_id", "pts")
+    val got = Temporal.pointInIntervalJoin(points, "user_id", "pts",
+        intervals, "user_id", "lo", "hi", bucketWidthSec = 900L,
+        iPayload = Seq("tag"))
+    val expect = Set((100L, "a"), (100L, "b"), (101L, "a"), (102L, "a"),
+      (104L, "c"))
+    assert(got.collect().map(r =>
+      (r.getAs[Long]("event_id"), r.getAs[String]("ival_tag"))).toSet == expect)
+    // ...and matches the naive theta join row-for-row
+    val naive = points.join(intervals,
+      points("user_id") === intervals("user_id") &&
+        points("pts") >= intervals("lo") && points("pts") <= intervals("hi"))
+      .select(points("event_id"), intervals("tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(naive == expect)
+    // the bucketed plan is an equi-join, not a nested-loop
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
