@@ -293,6 +293,7 @@ object Dedup {
       labels = merged.select(col("id"), col("nlabel").as("label"))
     }
     e.unpersist()
+    System.err.println(s"[cc] converged after $iters rounds")
     labels.withColumnRenamed("label", "cluster")
   }
 

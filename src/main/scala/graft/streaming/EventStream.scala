@@ -113,6 +113,23 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drops re-occurrences of the same content
+    * digest within the watermark window — the streaming counterpart of
+    * [[graft.ext.Dedup.exactDupGroups]]'s md5 content identity, for
+    * dedup-at-ingest pipelines. `dropDuplicatesWithinWatermark` keys
+    * state on the digest only (not event time), yet evicts each key
+    * once the watermark passes its expiry — the property that keeps
+    * exact-dedup state BOUNDED on an unbounded stream (a plain
+    * streaming dropDuplicates accumulates keys forever). Duplicates
+    * separated by more than the watermark interval are re-admitted;
+    * choose the interval from the duplicate-arrival-lag distribution. */
+  def dedupByDigest(events: DataFrame, payload: String, ts: String,
+                    watermark: String): DataFrame =
+    events
+      .withColumn("digest", md5(col(payload).cast("binary")))
+      .withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Drive a parquet-backed stream of the events table through
     * `hourlyCounts` into an in-memory sink; returns the materialized
     * result. Used by specs and as executable documentation for the

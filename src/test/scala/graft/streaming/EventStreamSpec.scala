@@ -92,6 +92,42 @@ class EventStreamSpec extends AnyFunSuite {
     assert(rows.exists(t => t._1 == 1L && t._3 == 2L && !t._5))
   }
 
+  test("streaming digest dedup drops cross-trigger duplicates") {
+    def ev(id: Long, ts: String, payload: String) =
+      (id, java.sql.Timestamp.valueOf(ts), payload)
+    val stage = java.nio.file.Files.createTempDirectory("dedup_stream")
+    Seq(ev(1, "2024-01-01 00:00:00", "alpha"),
+        ev(2, "2024-01-01 00:01:00", "beta"))
+      .toDF("event_id", "ts", "payload").repartition(1)
+      .write.parquet(s"$stage/f1.dir")
+    Seq(ev(3, "2024-01-01 00:02:00", "alpha"),  // dup of 1, later trigger
+        ev(4, "2024-01-01 00:03:00", "gamma"))
+      .toDF("event_id", "ts", "payload").repartition(1)
+      .write.parquet(s"$stage/f2.dir")
+    val flat = java.nio.file.Files.createTempDirectory("dedup_flat")
+    Seq("f1.dir", "f2.dir").zipWithIndex.foreach { case (f, i) =>
+      val src = new java.io.File(s"$stage/$f").listFiles()
+        .filter(_.getName.endsWith(".parquet"))(0)
+      val dst = flat.resolve(s"$i.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(2000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = EventStream.dedupByDigest(stream, "payload", "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_dedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("graft_dedup").collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    // the duplicate payload arriving in a LATER trigger is dropped —
+    // digest state carried across triggers
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
   test("stateful user sessions accumulate per key") {
     import EventStream._
     val events = Seq(
