@@ -249,6 +249,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with any single
+    * benchmark document — the train/eval overlap check a training-data
+    * pipeline runs before shipping a corpus. The benchmark side (an
+    * eval suite) is tiny by nature, so its exploded shingle rows
+    * BROADCAST: the corpus-side plan is scan → shingle explode →
+    * broadcast hash join → map-side-combined count per (doc, bench)
+    * pair. The corpus never shuffles except for the candidate
+    * aggregation, which is bounded by actual overlap, not corpus size.
+    * Returns (doc_id, bench_id, shared). */
+  def contamination(corpus: DataFrame, cId: String, cText: String,
+                    bench: DataFrame, bId: String, bText: String,
+                    n: Int, minShared: Long): DataFrame = {
+    val c = docShingleSets(corpus, cId, cText, n)
+      .select(col("_id").as("doc_id"), explode(col("shs")).as("sh"))
+    val b = bench
+      .select(col(bId).as("bench_id"), shingles(col(bText), n).as("shs"))
+      .select(col("bench_id"), explode(col("shs")).as("sh"))
+    c.join(broadcast(b), "sh")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Connected components over an undirected pair list (the output of
     * any of the pair detectors above): iterative min-label propagation
     * to a fixpoint — each node repeatedly adopts the smallest label

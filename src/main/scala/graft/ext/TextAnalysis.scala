@@ -74,6 +74,31 @@ object TextAnalysis {
     element_at(langs, array_position(scores, array_max(scores)).cast("int"))
   }
 
+  /** Intra-document repetition ratio: 1 − distinct/total tokens — the
+    * boilerplate/template signal (generated and scraped text repeats
+    * tokens far more than prose). Exact rational arithmetic, so the
+    * value is engine-portable (x24). */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
+  /** Most-repeated token and its count, as a (token, count) struct —
+    * names the boilerplate [[repetitionRatio]] detects. Ties break
+    * toward the lexicographically smallest token (deterministic).
+    * In-row HOF scan, O(distinct × total) per document — both factors
+    * are single-document token counts, so this stays scan-speed
+    * regardless of corpus size. */
+  def topToken(text: Column): Column = {
+    val toks = tokens(text)
+    val dts = array_sort(array_distinct(toks))
+    val counts = transform(dts, t => size(filter(toks, x => x === t)))
+    val maxc = array_max(counts)
+    struct(
+      element_at(dts, array_position(counts, maxc).cast("int")).as("token"),
+      maxc.as("count"))
+  }
+
   /** Per-document top-k distinguishing terms, tf-idf family: score =
     * tf · N / df with a RATIONAL idf (N/df) instead of log(N/df).
     * With integer tf/N/df the score is a single correctly-rounded

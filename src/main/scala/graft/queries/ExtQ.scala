@@ -604,6 +604,58 @@ object ExtQ {
       |  AND p.ts >= s.session_start AND CAST(p.ts AS TIMESTAMP) <= s.session_end
       |ORDER BY p.event_id""".stripMargin)
 
+  /** Benchmark decontamination: every-50th document plays the eval
+    * suite; corpus docs sharing ≥2 distinct 3-gram shingles with a
+    * benchmark doc are flagged (the data gives a 40-pair tail: weak 2-3-shingle overlaps plus one true planted near-dup at 23 shared). The planted near-dups guarantee real
+    * contamination hits beyond self-matches. */
+  private val x23: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      Dedup.contamination(docs, "doc_id", "text",
+          docs.filter($"doc_id" % 50 === 0), "doc_id", "text",
+          n = 3, minShared = 2L)
+        .orderBy($"doc_id", $"bench_id")
+    },
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |      for i in range(1, len(s) - 1) ])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      |b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 50 = 0)
+      |SELECT c.doc_id, b.bench_id, COUNT(*) AS shared
+      |FROM sh c JOIN b ON c.sh = b.sh AND c.doc_id <> b.bench_id
+      |GROUP BY c.doc_id, b.bench_id HAVING COUNT(*) >= 2
+      |ORDER BY doc_id, bench_id""".stripMargin)
+
+  /** Intra-document repetition signals: repetition ratio + the
+    * most-repeated token (boilerplate naming), exact tie-breaks. */
+  private val x24: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val top = TextAnalysis.topToken($"text")
+      t(s, d, "documents").select(
+          $"doc_id",
+          (floor(TextAnalysis.repetitionRatio($"text") * 1e6 + 0.5) / 1e6)
+            .as("rep_ratio6"),
+          top.getField("token").as("top_token"),
+          top.getField("count").as("top_count"))
+        .orderBy($"doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |stats AS (SELECT doc_id, len(s) AS n, len(list_distinct(s)) AS nd
+      |          FROM toks),
+      |tok AS (SELECT doc_id, unnest(s) AS t FROM toks),
+      |cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+      |top AS (SELECT doc_id, t AS top_token, c AS top_count,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, t) AS rk
+      |        FROM cnt)
+      |SELECT s.doc_id,
+      |  floor((1.0 - CAST(nd AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS rep_ratio6,
+      |  top_token, CAST(top_count AS INTEGER) AS top_count
+      |FROM stats s JOIN top ON top.doc_id = s.doc_id AND rk = 1
+      |ORDER BY s.doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -636,5 +688,7 @@ object ExtQ {
     "x20_pack_contexts" -> (x20._1, Some(x20._2)),
     "x21_term_relevance" -> (x21._1, Some(x21._2)),
     "x22_range_join_sessions" -> (x22._1, Some(x22._2)),
+    "x23_decontamination" -> (x23._1, Some(x23._2)),
+    "x24_repetition_signals" -> (x24._1, Some(x24._2)),
   )
 }

@@ -238,6 +238,31 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2).getAs[String]("lang") == "en") // tie (0 = 0) → first wins
   }
 
+  test("decontamination flags benchmark overlap, excludes self-matches") {
+    val bench = docs.filter($"doc_id" === 0L)
+    val hits = Dedup.contamination(docs, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1 (near-dup) and 3 (exact dup) overlap doc 0; 0 itself excluded
+    assert(hits == Set((1L, 0L), (3L, 0L)))
+    // the benchmark side must broadcast (eval suites are tiny)
+    val plan = Dedup.contamination(docs, "doc_id", "text",
+      bench, "doc_id", "text", 3, 5L).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("repetition signals: ratio and top token") {
+    val r = Seq((1L, "a a a b"), (2L, "w x y z"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.repetitionRatio($"text").as("rr"),
+        TextAnalysis.topToken($"text").getField("token").as("tok"),
+        TextAnalysis.topToken($"text").getField("count").as("n"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getString(2), x.getInt(3))).toMap
+    assert(r(1L) == (0.5, "a", 3))
+    assert(r(2L) == (0.0, "w", 1))  // all distinct → tie → smallest token
+  }
+
   test("term relevance: rare terms outrank corpus-wide ones") {
     val top = TextAnalysis.topTermsByRarity(docs, "doc_id", "text", k = 2)
       .filter($"doc_id" === 2L).orderBy($"rank").collect()
