@@ -295,8 +295,12 @@ object Dedup {
                           idB: String = "id_b"): DataFrame = {
     // cache the directed edges FIRST: the undirected view is a union
     // of two projections of the same (possibly expensive) pair plan,
-    // and caching only the union would execute that plan twice
+    // and caching only the union would execute that plan twice. The
+    // count() is a materialization BARRIER for the same reason — the
+    // union's two branches otherwise race the cold cache within one
+    // job and can each compute the full pair plan
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
+    e.count()
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -69,4 +69,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join should not shuffle:\n$plan")
   }
+
+  test("deterministic sampling is a pure narrow plan (scan + filter only)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sampled = graft.ext.Sampling.stratifiedSample(
+      docs, "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.25), "s")
+    val split = graft.ext.Sampling.hashSplit(sampled, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1), "s")
+    val plan = planOf(split)
+    // no shuffle, no RNG: the whole sample+split is scan-speed
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("rand"), "hash-based, not RNG-based")
+  }
 }
