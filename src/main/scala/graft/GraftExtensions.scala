@@ -27,5 +27,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(v: Int, IntegerType) => v
           case other => sys.error(s"graft_minhash k must be an int literal, got $other")
         }).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_translit"),
+      new ExpressionInfo(classOf[functions.Transliterate].getName,
+        "graft_translit"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.Transliterate(exprs(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[functions.WordShingles].getName,
+        "graft_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.WordShingles(exprs(0), exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => sys.error(s"graft_shingles n must be an int literal, got $other")
+        })))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[functions.SimHash64].getName,
+        "graft_simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.SimHash64(exprs(0))))
   }
 }

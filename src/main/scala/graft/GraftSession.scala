@@ -54,6 +54,7 @@ object GraftSession {
     graft.functions.MinHashAgg.register(spark)
     graft.functions.Transliterate.register(spark)
     graft.functions.WordShingles.register(spark)
+    graft.functions.SimHash64.register(spark)
     spark
   }
 }

@@ -159,11 +159,20 @@ object Dedup {
     * construction (md5 + integer arithmetic only — the DuckDB oracle
     * reproduces it exactly). 64 bits keep the signature space
     * collision-sparse at billion-doc corpora (32 bits saturate).
-    * Bit 63's weight is Long.MinValue — the two's-complement value of
-    * the top bit — because +2^63 overflows signed 64-bit; adding it to
-    * the (non-negative, < 2^63) low-bit sum never overflows and both
-    * engines agree on the resulting signed value. */
-  def simhash64(text: Column): Column = {
+    * Backed by the native codegen'd [[graft.functions.SimHash64]] —
+    * one MD5 + bit loop per token instead of 64 interpreted lambdas
+    * per token; bit-identical to [[simhash64Hof]] (property-tested). */
+  def simhash64(text: Column): Column =
+    graft.functions.SimHash64.simhash64(text)
+
+  /** The interpreted higher-order-function formulation of
+    * [[simhash64]] — kept as the executable specification the native
+    * expression is property-tested against (and the direct mirror of
+    * the x04 oracle SQL). Bit 63's weight is Long.MinValue — the
+    * two's-complement value of the top bit — because +2^63 overflows
+    * signed 64-bit; adding it to the (non-negative, < 2^63) low-bit
+    * sum never overflows and both engines agree on the value. */
+  def simhash64Hof(text: Column): Column = {
     val toks = split(text, " ")
     val bitsPerTok = transform(toks, t => {
       val h = md5(t.cast("binary"))

@@ -89,6 +89,15 @@ object GraftProperties extends Properties("graft") {
         .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
     }
 
+  property("SimHash64 native == interpreted HOF form") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      texts.toDF("t")
+        .select(ext.Dedup.simhash64($"t").as("native"),
+          ext.Dedup.simhash64Hof($"t").as("hof"))
+        .collect()
+        .forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   property("Transliterate: ASCII-identity, output always ASCII-or-unmapped, idempotent") =
     forAll(Gen.listOfN(6, Gen.oneOf(
       Gen.asciiPrintableStr,
