@@ -291,14 +291,17 @@ object Dedup {
     * truncated per iteration (`localCheckpoint`) so the plan stays
     * flat instead of growing a join tower.
     *
-    * Iteration count is bounded by the component diameter. Near-dup
-    * clusters are star/clique-shaped (one source document and its
-    * variants — diameter ≤ 2–3), so this converges in a handful of
-    * rounds at any corpus size; for adversarial long-chain graphs the
-    * same join shape extends to large-star/small-star (O(log n)
-    * rounds, Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC'14). Returns (id, cluster) with cluster = the
-    * smallest id reachable from the node.
+    * Each round does BOTH neighbour-min adoption and pointer jumping
+    * (label ← label(label), one extra self-join on the label frame) —
+    * the jump halves the depth of any label chain per round, so
+    * convergence is O(log diameter) rounds rather than O(diameter):
+    * near-dup clusters (star/clique-shaped, diameter ≤ 2–3) converge
+    * in 2–3 rounds, and even a million-node path graph fits far inside
+    * the 64-round guard (the same bound large-star/small-star gives,
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14, with one fewer shuffle per round at dedup-shaped data).
+    * Returns (id, cluster) with cluster = the smallest id reachable
+    * from the node.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b"): DataFrame = {
@@ -323,9 +326,17 @@ object Dedup {
       // smallest neighbour label per node (partial agg before shuffle)
       val nbrMin = und.join(labels, und("dst") === labels("id"))
         .groupBy(und("src").as("id")).agg(min("label").as("nbr"))
-      val merged = labels.join(nbrMin, Seq("id"), "left")
+      val adopted = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("nlabel"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("mid"))
+      // pointer jumping: follow the adopted label one hop (labels are
+      // node ids, so label-of-label is a self-join) — chains compress
+      // geometrically instead of one step per round
+      val merged = adopted.as("a")
+        .join(adopted.select(col("id").as("jid"), col("mid").as("jmid")).as("j"),
+          col("a.mid") === col("jid"), "left")
+        .select(col("a.id").as("id"), col("a.label"),
+          least(col("a.mid"), coalesce(col("jmid"), col("a.mid"))).as("nlabel"))
         .localCheckpoint()
       changed = merged.filter(col("nlabel") < col("label")).count()
       labels = merged.select(col("id"), col("nlabel").as("label"))

@@ -150,6 +150,36 @@ class ExtSpec extends AnyFunSuite {
     assert((1L to 5L).forall(comp(_) == 1L))
     assert(comp(10L) == 10L && comp(11L) == 10L)
     assert(comp(20L) == 20L && comp(21L) == 20L)
+    // 60-node path: pointer jumping must converge in O(log d) rounds
+    // (plain propagation would need 59 — past sanity for a tiny graph)
+    val chain = (100L until 159L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainComp = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L to 159L).forall(chainComp(_) == 100L))
+  }
+
+  test("connected components == driver-side union-find on random graphs") {
+    // fixed-seed randomized graphs (a ScalaCheck property at default
+    // 100 cases costs minutes of driver loops — 10 seeded graphs give
+    // the same shape coverage at suite-friendly cost)
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { _ =>
+      val edges = Seq.fill(12)((rnd.nextLong(20), rnd.nextLong(20)))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(nodes.forall(n => got(n) == find(n)), s"edges=$edges")
+    }
   }
 
   test("resolveDuplicates keeps the longest variant, smallest id on ties") {
