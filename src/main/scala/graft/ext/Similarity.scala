@@ -41,6 +41,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-group embedding centroids in long form: one (group, pos,
+    * centroid) row per vector dimension — corpus statistics for
+    * cluster drift / quantizer seeding. One posexplode + one
+    * map-side-combined aggregation; the per-dimension sums are pinned
+    * to DECIMAL(27,10) so the result is identical under any
+    * partitioning (and engine — a double's decimal expansion can
+    * never land exactly on a half at a decimal rounding boundary, so
+    * rounding-mode differences cannot bite). */
+  def centroids(df: DataFrame, group: String, vec: String): DataFrame =
+    df.select(col(group), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy(col(group), col("pos"))
+      .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as("centroid"))
+
   /** Exact top-k neighbours for each query vector (brute force).
     * Queries are expected to be small → broadcast; corpus streams. */
   def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,

@@ -133,6 +133,18 @@ object TextAnalysis {
         col("term_df"), col("score"))
   }
 
+  /** Sliding-window token chunking: splits a document into chunks of
+    * `window` tokens every `stride` tokens (stride < window ⇒
+    * overlapping chunks; the tail chunk may be shorter) — the
+    * retrieval/pretraining segmentation step. Pure in-row array
+    * expression: chunk i covers tokens [i·stride, i·stride+window). */
+  def chunkTokens(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = tokens(text)
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    transform(starts, s => concat_ws(" ", slice(toks, s + 1, lit(window))))
+  }
+
   /** Document fingerprint: minimum md5 over word 5-grams — a
     * winnowing-style content signature that is stable under small
     * edits away from the minimal shingle. */

@@ -656,6 +656,61 @@ object ExtQ {
       |FROM stats s JOIN top ON top.doc_id = s.doc_id AND rk = 1
       |ORDER BY s.doc_id""".stripMargin)
 
+  /** Sliding-window token chunking (32-token window, 16-token stride):
+    * one row per chunk with an md5 content witness — overlap, tail
+    * handling and chunk text all verified. */
+  private val x25: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val n = size(split($"text", " "))
+      t(s, d, "documents")
+        .select($"doc_id", n.as("n"),
+          posexplode(TextAnalysis.chunkTokens($"text", window = 32, stride = 16))
+            .as(Seq("chunk_idx", "chunk")))
+        .select($"doc_id", $"chunk_idx",
+          least(lit(32), $"n" - $"chunk_idx" * 16).as("n_tokens"),
+          md5($"chunk".cast("binary")).as("digest"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    """SELECT doc_id, chunk_idx,
+      |  CAST(least(32, n - chunk_idx * 16) AS INTEGER) AS n_tokens,
+      |  md5(array_to_string(s[start + 1 : start + 32], ' ')) AS digest
+      |FROM (
+      |  SELECT doc_id, s, len(s) AS n,
+      |    unnest(range(0, greatest(len(s) - 1, 0) + 1, 16)) AS start,
+      |    CAST(unnest(range(0, greatest(len(s) - 1, 0) + 1, 16)) // 16
+      |      AS INTEGER) AS chunk_idx
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      |ORDER BY doc_id, chunk_idx""".stripMargin)
+
+  /** Per-language embedding centroids (64 dims × 4 langs), exact
+    * decimal-pinned means. Elements are floor-rounded to 6 dp BEFORE
+    * the decimal cast: raw float→decimal conversion differs at the
+    * last decimal digit across engines (Spark converts via the
+    * shortest decimal string, DuckDB by multiply-and-round), but a
+    * 6-dp-rounded double sits far from every 1e-10 grid boundary, so
+    * both conversions land on the identical decimal. */
+  private val x26: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val langs = t(s, d, "documents").select($"doc_id", $"lang")
+      val q6 = emb.select($"vec_id",
+        transform($"embedding",
+          v => floor(v.cast("double") * 1e6 + 0.5) / 1e6).as("embedding"))
+      Similarity.centroids(
+          q6.join(langs, $"vec_id" === $"doc_id").select($"lang", $"embedding"),
+          "lang", "embedding")
+        .orderBy($"lang", $"pos")
+    },
+    """SELECT lang, pos,
+      |  CAST(SUM(CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1e6 + 0.5)
+      |    / 1e6 AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS centroid
+      |FROM embeddings e
+      |JOIN documents d ON e.vec_id = d.doc_id
+      |CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS pos)
+      |GROUP BY lang, pos ORDER BY lang, pos""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -690,5 +745,7 @@ object ExtQ {
     "x22_range_join_sessions" -> (x22._1, Some(x22._2)),
     "x23_decontamination" -> (x23._1, Some(x23._2)),
     "x24_repetition_signals" -> (x24._1, Some(x24._2)),
+    "x25_chunk_tokens" -> (x25._1, Some(x25._2)),
+    "x26_embedding_centroids" -> (x26._1, Some(x26._2)),
   )
 }

@@ -293,6 +293,23 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2L) == (0.0, "w", 1))  // all distinct → tie → smallest token
   }
 
+  test("token chunking: overlap, stride, short tail") {
+    val chunks = Seq((1L, "t0 t1 t2 t3 t4")).toDF("doc_id", "text")
+      .select(posexplode(TextAnalysis.chunkTokens($"text", window = 3,
+        stride = 2)).as(Seq("i", "chunk")))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(chunks == Map(0 -> "t0 t1 t2", 1 -> "t2 t3 t4", 2 -> "t4"))
+  }
+
+  test("embedding centroids: exact per-dimension means") {
+    val df = Seq(("a", Seq(1.0, 3.0)), ("a", Seq(2.0, 5.0)),
+      ("b", Seq(10.0, 20.0))).toDF("g", "v")
+    val c = Similarity.centroids(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(c == Map(("a", 0) -> 1.5, ("a", 1) -> 4.0,
+      ("b", 0) -> 10.0, ("b", 1) -> 20.0))
+  }
+
   test("term relevance: rare terms outrank corpus-wide ones") {
     val top = TextAnalysis.topTermsByRarity(docs, "doc_id", "text", k = 2)
       .filter($"doc_id" === 2L).orderBy($"rank").collect()
