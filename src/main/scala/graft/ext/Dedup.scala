@@ -323,22 +323,35 @@ object Dedup {
       iters += 1
       require(iters <= 64,
         "connectedComponents: no fixpoint after 64 rounds (cyclic labels?)")
+      // pointer jumping (label ← label(label), a self-join on the
+      // CHECKPOINTED tiny label frame) engages only from round 3:
+      // dedup clusters are star/clique-shaped and converge in 2 rounds
+      // of plain adoption, so the common case pays nothing, while
+      // long-chain graphs still compress geometrically
+      val base =
+        if (iters <= 2) labels
+        else labels.as("a").join(
+            labels.select(col("id").as("jid"), col("label").as("jl")).as("j"),
+            col("a.label") === col("jid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.label"), coalesce(col("jl"), col("a.label")))
+              .as("label"))
+          .localCheckpoint()
       // smallest neighbour label per node (partial agg before shuffle)
-      val nbrMin = und.join(labels, und("dst") === labels("id"))
-        .groupBy(und("src").as("id")).agg(min("label").as("nbr"))
-      val adopted = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("mid"))
-      // pointer jumping: follow the adopted label one hop (labels are
-      // node ids, so label-of-label is a self-join) — chains compress
-      // geometrically instead of one step per round
-      val merged = adopted.as("a")
-        .join(adopted.select(col("id").as("jid"), col("mid").as("jmid")).as("j"),
-          col("a.mid") === col("jid"), "left")
-        .select(col("a.id").as("id"), col("a.label"),
-          least(col("a.mid"), coalesce(col("jmid"), col("a.mid"))).as("nlabel"))
+      val nbrMin = und.join(base, und("dst") === base("id"))
+        .groupBy(und("src").as("id2")).agg(min("label").as("nbr"))
+      // carry the round's STARTING label for the convergence check
+      // (the jump itself may be the only change of a round)
+      val withOld =
+        if (base eq labels)
+          base.select(col("id"), col("label"), col("label").as("old"))
+        else labels.select(col("id"), col("label").as("old")).join(base, Seq("id"))
+      val merged = withOld
+        .join(nbrMin, col("id") === col("id2"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("nlabel"))
         .localCheckpoint()
-      changed = merged.filter(col("nlabel") < col("label")).count()
+      changed = merged.filter(col("nlabel") < col("old")).count()
       labels = merged.select(col("id"), col("nlabel").as("label"))
     }
     e.unpersist()
