@@ -48,5 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.SimHash64(exprs(0))))
+    // opt-in bucketed rewrite of point-in-interval theta-joins
+    // (spark.graft.rangeJoin.bucketSeconds > 0 enables it)
+    ext.injectOptimizerRule(session => plans.RangeJoinRule(session))
   }
 }

@@ -55,6 +55,10 @@ object GraftSession {
     graft.functions.Transliterate.register(spark)
     graft.functions.WordShingles.register(spark)
     graft.functions.SimHash64.register(spark)
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RangeJoinRule(spark))
     spark
   }
 }

@@ -91,7 +91,12 @@ object Temporal {
     *
     * Intervals carry `iPayload` columns onto matching points as
     * `ival_<name>`; points in no interval are dropped (inner join), and
-    * overlapping intervals yield one row per containing interval. */
+    * overlapping intervals yield one row per containing interval.
+    *
+    * The same rewrite also exists as the transparent optimizer rule
+    * [[graft.plans.RangeJoinRule]] (enable with
+    * `spark.graft.rangeJoin.bucketSeconds`), which catches raw
+    * BETWEEN theta-joins written without this helper. */
   def pointInIntervalJoin(points: DataFrame, pKey: String, pTs: String,
                           intervals: DataFrame, iKey: String, iStart: String,
                           iEnd: String, bucketWidthSec: Long,

@@ -70,6 +70,44 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("RangeJoinRule rewrites pure interval theta-joins away from BNLJ") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq((1L, ts("2024-01-01 10:30:00")),
+        (2L, ts("2024-01-01 13:00:00")), (3L, ts("2024-01-02 09:00:00")))
+      .toDF("pid", "pts")
+    val intervals = Seq((10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+        (11L, ts("2024-01-02 08:00:00"), ts("2024-01-02 10:00:00")))
+      .toDF("iid", "lo", "hi")
+    def joined = points.join(intervals,
+      points("pts") >= intervals("lo") && points("pts") <= intervals("hi"))
+    def result = joined.collect().map(r =>
+      (r.getAs[Long]("pid"), r.getAs[Long]("iid"))).toSet
+    val key = "spark.graft.rangeJoin.bucketSeconds"
+    spark.conf.unset(key)
+    // without the rule: no equi-key → nested-loop join
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val expected = result
+    try {
+      spark.conf.set(key, "3600")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(result == expected)
+      assert(expected == Set((1L, 10L), (3L, 11L)))
+      // TIMESTAMP_NTZ columns rewrite too (relabel-through-TIMESTAMP path)
+      val pNtz = points.withColumn("pts", $"pts".cast("timestamp_ntz"))
+      val iNtz = intervals.withColumn("lo", $"lo".cast("timestamp_ntz"))
+        .withColumn("hi", $"hi".cast("timestamp_ntz"))
+      val jNtz = pNtz.join(iNtz,
+        pNtz("pts") >= iNtz("lo") && pNtz("pts") <= iNtz("hi"))
+      assert(!jNtz.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(jNtz.collect().map(r =>
+        (r.getAs[Long]("pid"), r.getAs[Long]("iid"))).toSet == expected)
+    } finally spark.conf.unset(key)
+  }
+
   test("deterministic sampling is a pure narrow plan (scan + filter only)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sampled = graft.ext.Sampling.stratifiedSample(
