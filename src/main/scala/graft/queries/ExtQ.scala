@@ -711,6 +711,37 @@ object ExtQ {
       |CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS pos)
       |GROUP BY lang, pos ORDER BY lang, pos""".stripMargin)
 
+  /** Per-stratum quality-quantile retention: keep each language's top
+    * quarter by quality score (percent_rank window filter) — the
+    * curation step after scoring. Deterministic ordering (score desc,
+    * doc_id) makes the kept set engine-exact. */
+  private val x27: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val q = TextAnalysis.qualityScore($"text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy(col("q").desc, $"doc_id")
+      t(s, d, "documents")
+        .withColumn("q", q)
+        .withColumn("pr", percent_rank().over(w))
+        .filter($"pr" <= 0.25)
+        .select($"lang", $"doc_id", $"q".as("quality"))
+        .orderBy($"lang", $"doc_id")
+    },
+    """SELECT lang, doc_id, quality FROM (
+      |  SELECT lang, doc_id, quality,
+      |    PERCENT_RANK() OVER (PARTITION BY lang
+      |      ORDER BY quality DESC, doc_id) AS pr
+      |  FROM (
+      |    SELECT lang, doc_id,
+      |      floor((least(length(text)::DOUBLE / 500.0, 1.0) * 0.6 +
+      |             (1.0 - least((length(text) -
+      |                length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |                / length(text) * 5.0, 1.0)) * 0.4) * 10000.0 + 0.5)
+      |        / 10000.0 AS quality
+      |    FROM documents))
+      |WHERE pr <= 0.25 ORDER BY lang, doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -747,5 +778,6 @@ object ExtQ {
     "x24_repetition_signals" -> (x24._1, Some(x24._2)),
     "x25_chunk_tokens" -> (x25._1, Some(x25._2)),
     "x26_embedding_centroids" -> (x26._1, Some(x26._2)),
+    "x27_quality_quantile" -> (x27._1, Some(x27._2)),
   )
 }

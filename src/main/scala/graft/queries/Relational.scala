@@ -605,6 +605,27 @@ object Relational {
       |    ORDER BY s_acctbal, s_suppkey) * 1e6 + 0.5) / 1e6 AS cd6
       |FROM supplier ORDER BY s_suppkey""".stripMargin)
 
+  /** Keep-latest-per-key windowed dedup — the "current record" pattern
+    * every ETL runs (row_number over (key, recency) = 1). */
+  private val q31: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".desc, $"event_id".desc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id",
+          graft.tables.ntz($"ts").as("ts"), $"value")
+        .orderBy($"user_id", $"event_type")
+    },
+    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -636,5 +657,6 @@ object Relational {
     "q28_window_frames" -> (q28._1, Some(q28._2)),
     "q29_grouping_sets" -> (q29._1, Some(q29._2)),
     "q30_window_distribution" -> (q30._1, Some(q30._2)),
+    "q31_keep_latest" -> (q31._1, Some(q31._2)),
   )
 }
