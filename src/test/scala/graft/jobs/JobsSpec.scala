@@ -147,6 +147,40 @@ class JobsSpec extends AnyFunSuite {
     assert(gold("fr") == (500.1, 1L))
   }
 
+  test("deal_details xml → bronze → silver → gold dealSummary") {
+    def dealXml(ed: String, country: String, balance: String, assets: String) =
+      s"""<?xml version="1.0"?>
+         |<ns:Envelope xmlns:ns="urn:edw">
+         |  <ns:Header><ns:Noise>x</ns:Noise></ns:Header>
+         |  <ns:Body><ns:Wrapper><ns:Meta>m</ns:Meta><ns:Deals><ns:Deal>
+         |    <ns:EDCode>$ed</ns:EDCode>
+         |    <ns:PoolCutOffDate>2023-07-31T00:00:00</ns:PoolCutOffDate>
+         |    <ns:CountryCodeOfSecuritisedAsset>$country</ns:CountryCodeOfSecuritisedAsset>
+         |    <ns:CurrentPoolBalance>$balance</ns:CurrentPoolBalance>
+         |    <ns:NumberOfActiveAssets>$assets</ns:NumberOfActiveAssets>
+         |    <ns:Submissions><ns:Submission>
+         |      <ns:RequestId>r-$ed</ns:RequestId>
+         |    </ns:Submission></ns:Submissions>
+         |  </ns:Deal></ns:Deals></ns:Wrapper></ns:Body>
+         |</ns:Envelope>""".stripMargin
+    val lake = Files.createTempDirectory("lakedeal").toString
+    Seq(("DEALD1", "de", "1000.50", "10"), ("DEALD2", "de", "2000.25", "20"),
+        ("DEALD3", "fr", "500.10", "5")).foreach {
+      case (ed, c, b, a) =>
+        val raw = Files.createTempDirectory(s"rawdeal$ed").toString
+        Files.write(Paths.get(raw, s"${ed}_Deal_Details.xml"),
+          dealXml(ed, c, b, a).getBytes(StandardCharsets.UTF_8))
+        assert(Jobs.bronzeDealDetails(spark, raw, lake, "Deal_Details") == 0)
+    }
+    Jobs.silverDealDetails(spark, lake)
+    val gold = Gold.dealSummary(spark, lake).collect()
+      .map(r => r.getAs[String]("country") ->
+        (r.getAs[Double]("pool_balance"), r.getAs[Long]("active_assets"),
+          r.getAs[Long]("n_deals"))).toMap
+    assert(gold("de") == (3000.75, 30L, 2L))
+    assert(gold("fr") == (500.1, 5L, 1L))
+  }
+
   test("bond_info bronze → silver end to end") {
     val raw = Files.createTempDirectory("rawbond").toString
     val lake = Files.createTempDirectory("lakebond").toString
