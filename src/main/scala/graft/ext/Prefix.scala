@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed global prefix sums (running totals over a TOTAL order).
+  *
+  * `sum(v).over(Window.orderBy(...))` with no partition key plans a
+  * single-partition WindowExec — every row moves to one task, the
+  * classic global-cumsum scale cliff. This operator computes the same
+  * running totals with the two-phase scheme a cluster wants:
+  *
+  *   1. range-repartition on the order key, sort within partitions;
+  *   2. pin that physical layout with an eager `localCheckpoint()` —
+  *      a range exchange RE-SAMPLES its boundaries on every plan
+  *      execution, so without pinning, a second job over the same
+  *      frame may see DIFFERENT partition boundaries and the offsets
+  *      below would be silently wrong;
+  *   3. one tiny driver job collects per-partition value sums
+  *      (#partitions rows — the `RDD.zipWithIndex` pattern) and turns
+  *      them into per-partition starting offsets;
+  *   4. the running total is then offset + an intra-partition window
+  *      sum, which parallelizes across all partitions.
+  *
+  * Requirements: `order` must be a total order (include a unique
+  * tiebreaker column) — rows that compare equal could otherwise land
+  * on either side of a partition boundary and take different offsets.
+  * Values are summed as `long`.
+  *
+  * The checkpoint materializes the input once and truncates lineage;
+  * blocks are dropped when the frame is garbage-collected. Trade-off
+  * vs a plain cache: re-executions can never drift, but executor loss
+  * loses blocks (acceptable for the batch jobs this serves; use
+  * reliable checkpointing on a cluster where that matters).
+  */
+object Prefix {
+
+  /** Adds one running-total column per `(value, name)` pair, computed
+    * over the global `order`. Returns rows range-partitioned and
+    * sorted by `order` (a useful layout for the downstream cut that
+    * usually follows a global cumsum). */
+  def globalRunningSums(df: DataFrame, order: Seq[Column],
+                        values: Seq[(Column, String)],
+                        partitions: Int = 0): DataFrame = {
+    require(values.nonEmpty, "need at least one (value, name) pair")
+    val valCols = values.zipWithIndex.map { case ((v, _), i) =>
+      v.cast("long").as(s"_gv$i")
+    }
+    val projected = df.select(col("*") +: valCols: _*)
+    // partitions = 0 → spark.sql.shuffle.partitions, and AQE is free to
+    // right-size the exchange; an explicit count pins the fan-out
+    val ranged0 =
+      if (partitions > 0) projected.repartitionByRange(partitions, order: _*)
+      else projected.repartitionByRange(order: _*)
+    val ranged = ranged0
+      .sortWithinPartitions(order: _*)
+      .withColumn("_gp", spark_partition_id())
+      .localCheckpoint()
+    // tiny job: per-partition sums → per-partition starting offsets
+    val aggCols = values.indices.map(i => sum(col(s"_gv$i")).as(s"_s$i"))
+    val sums = ranged.groupBy("_gp")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) ->
+        values.indices.map(i => if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+      .sortBy(_._1)
+    val acc = Array.fill(values.size)(0L)
+    val offsets: Map[Int, Seq[Long]] = sums.map { case (p, ss) =>
+      val off = acc.toSeq
+      ss.zipWithIndex.foreach { case (s, i) => acc(i) += s }
+      p -> off
+    }.toMap
+    val w = Window.partitionBy("_gp").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = values.zipWithIndex.foldLeft(ranged) {
+      case (acc0, ((_, name), i)) =>
+        val offMap = typedLit(offsets.map { case (p, os) => p -> os(i) })
+        acc0.withColumn(name,
+          element_at(offMap, col("_gp")) + sum(col(s"_gv$i")).over(w))
+    }
+    out.drop("_gp" +: values.indices.map(i => s"_gv$i"): _*)
+  }
+
+  /** Single-value convenience form. */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                       cumName: String, partitions: Int = 0): DataFrame =
+    globalRunningSums(df, order, Seq(value -> cumName), partitions)
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Dedup, Multimodal, Planes, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Planes, Prefix, Similarity, TextAnalysis}
 
 /** Training-data-pipeline extension queries (north-star surface):
   * dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding),
@@ -742,6 +742,83 @@ object ExtQ {
       |    FROM documents))
       |WHERE pr <= 0.25 ORDER BY lang, doc_id""".stripMargin)
 
+  /** Tokenizer-vocabulary construction with cumulative corpus
+    * coverage: unigram counts ranked by (count desc, token), kept
+    * while the PRECEDING tokens cover < 95% of the corpus — the
+    * vocab-cut step of tokenizer training. The global running total
+    * runs on [[Prefix.globalRunningSums]] (range-partitioned two-phase
+    * prefix sum), not a single-partition window; the 95% cut is an
+    * integer cross-multiplication, so the kept set is engine-exact. */
+  private val x28: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val counts = t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      val cum = Prefix.globalRunningSums(counts,
+        Seq($"cnt".desc, $"token"),
+        Seq(col("cnt") -> "cum", lit(1L) -> "rank"))
+      // corpus total = the final running total; reading it off the
+      // checkpointed cumsum frame avoids re-aggregating the corpus
+      val tot = cum.agg(max($"cum").as("total"))
+      cum.crossJoin(broadcast(tot))
+        .filter(($"cum" - $"cnt") * 100 < $"total" * 95)
+        .select($"rank", $"token", $"cnt", $"cum",
+          ($"cum".cast("double") / $"total").as("coverage"))
+        .orderBy($"rank")
+    },
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |            FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |r AS (SELECT token, cnt,
+      |        ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+      |        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS cum
+      |      FROM c),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+      |SELECT rank, token, cnt, cum, CAST(cum AS DOUBLE) / total AS coverage
+      |FROM r, t WHERE (cum - cnt) * 100 < total * 95
+      |ORDER BY rank""".stripMargin)
+
+  /** Token-budget curation: documents ranked by quality (desc, doc_id
+    * tiebreak) are admitted while the running token total starts under
+    * a fixed budget — the "best data that fits the training budget"
+    * selection. Same distributed prefix sum as x28; the admission test
+    * is integer arithmetic on the running total. */
+  private val x29: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val scored = t(s, d, "documents").select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore($"text").as("quality"))
+      Prefix.globalRunningSums(scored,
+          Seq($"quality".desc, $"doc_id"),
+          Seq(col("n_tokens") -> "cum_tokens", lit(1L) -> "sel_rank"))
+        .filter($"cum_tokens" - $"n_tokens" < 100000L)
+        .select($"sel_rank", $"doc_id", $"lang", $"quality",
+          $"n_tokens", $"cum_tokens")
+        .orderBy($"sel_rank")
+    },
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    floor((least(length(text)::DOUBLE / 500.0, 1.0) * 0.6 +
+      |           (1.0 - least((length(text) -
+      |              length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |              / length(text) * 5.0, 1.0)) * 0.4) * 10000.0 + 0.5)
+      |      / 10000.0 AS quality
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, quality, n_tokens,
+      |        ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS sel_rank,
+      |        CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS cum_tokens
+      |      FROM scored)
+      |SELECT sel_rank, doc_id, lang, quality, n_tokens, cum_tokens
+      |FROM r WHERE cum_tokens - n_tokens < 100000
+      |ORDER BY sel_rank""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -779,5 +856,7 @@ object ExtQ {
     "x25_chunk_tokens" -> (x25._1, Some(x25._2)),
     "x26_embedding_centroids" -> (x26._1, Some(x26._2)),
     "x27_quality_quantile" -> (x27._1, Some(x27._2)),
+    "x28_vocab_coverage" -> (x28._1, Some(x28._2)),
+    "x29_budget_curation" -> (x29._1, Some(x29._2)),
   )
 }
