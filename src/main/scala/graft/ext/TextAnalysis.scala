@@ -145,6 +145,36 @@ object TextAnalysis {
     transform(starts, s => concat_ws(" ", slice(toks, s + 1, lit(window))))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models", table A1 family), as a struct of boolean flags:
+    *   - `pass_len`:  token count within [minTokens, maxTokens];
+    *   - `pass_mean`: mean word length within [3, 10] characters;
+    *   - `pass_stop`: stopword fraction ≥ 5%;
+    *   - `pass_rep`:  repetition ratio ≤ 0.5 (distinct/total ≥ ½);
+    *   - `pass_all`:  conjunction of the above.
+    * Every threshold is evaluated by INTEGER cross-multiplication
+    * (e.g. stop·20 ≥ n rather than stop/n ≥ 0.05), so the flags are
+    * bit-exact in any engine — no FP division at all. Pure Column
+    * expressions: the whole rule battery runs at scan speed. */
+  def gopherFlags(text: Column, stopwords: Seq[String],
+                  minTokens: Long = 50L, maxTokens: Long = 100000L): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val chars = length(text).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    val stop = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+    // mean word length = (chars - (n-1) spaces) / n
+    val wordChars = chars - n + 1
+    val passLen = n >= minTokens && n <= maxTokens
+    val passMean = wordChars >= n * 3 && wordChars <= n * 10
+    val passStop = stop * 20 >= n
+    val passRep = nd * 2 >= n
+    struct(
+      passLen.as("pass_len"), passMean.as("pass_mean"),
+      passStop.as("pass_stop"), passRep.as("pass_rep"),
+      (passLen && passMean && passStop && passRep).as("pass_all"))
+  }
+
   /** Document fingerprint: minimum md5 over word 5-grams — a
     * winnowing-style content signature that is stable under small
     * edits away from the minimal shingle. */

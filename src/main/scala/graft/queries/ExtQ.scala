@@ -819,6 +819,78 @@ object ExtQ {
       |FROM r WHERE cum_tokens - n_tokens < 100000
       |ORDER BY sel_rank""".stripMargin)
 
+  /** Symmetric int8 embedding quantization: per-vector scale anchor
+    * (6-dp pinned for the compare) plus the full quantized vector as a
+    * comma-joined witness (the driver's compare can't hash array
+    * columns — the x01 lesson). In-row expression, scan speed. */
+  private val x30: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val qz = Similarity.int8Quantize($"embedding")
+      t(s, d, "embeddings").select(
+          $"vec_id",
+          (floor(qz.getField("maxabs") * 1e6 + 0.5) / 1e6).as("maxabs6"),
+          concat_ws(",", transform(qz.getField("q"), _.cast("string"))).as("q"))
+        .orderBy($"vec_id")
+    },
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  floor(maxabs * 1e6 + 0.5) / 1e6 AS maxabs6,
+      |  CASE WHEN maxabs = 0
+      |    THEN array_to_string(list_transform(embedding, x -> 0), ',')
+      |    ELSE array_to_string(list_transform(embedding,
+      |      x -> CAST(greatest(-127.0, least(127.0,
+      |        floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+      |        AS BIGINT)), ',')
+      |  END AS q
+      |FROM m ORDER BY vec_id""".stripMargin)
+
+  /** Gopher-style quality rule battery, aggregated pass counts per
+    * (lang, source) stratum — every threshold an integer
+    * cross-multiplication, so the counts are engine-exact. */
+  private val x31: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val f = TextAnalysis.gopherFlags($"text", Seq("the", "a"))
+      def cnt(flag: org.apache.spark.sql.Column) =
+        sum(when(flag, 1L).otherwise(0L))
+      t(s, d, "documents").select($"lang", $"source", f.as("f"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          cnt($"f.pass_len").as("pass_len"),
+          cnt($"f.pass_mean").as("pass_mean"),
+          cnt($"f.pass_stop").as("pass_stop"),
+          cnt($"f.pass_rep").as("pass_rep"),
+          cnt($"f.pass_all").as("pass_all"))
+        .orderBy($"lang", $"source")
+    },
+    """WITH f AS (
+      |  SELECT lang, source,
+      |    len(string_split(text, ' ')) AS n,
+      |    len(list_distinct(string_split(text, ' '))) AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t = 'the' OR t = 'a')) AS stop,
+      |    length(text) AS chars
+      |  FROM documents)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n BETWEEN 50 AND 100000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+      |  CAST(SUM(CASE WHEN chars - n + 1 >= 3 * n AND chars - n + 1 <= 10 * n
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean,
+      |  CAST(SUM(CASE WHEN stop * 20 >= n
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+      |  CAST(SUM(CASE WHEN nd * 2 >= n
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep,
+      |  CAST(SUM(CASE WHEN n BETWEEN 50 AND 100000
+      |    AND chars - n + 1 >= 3 * n AND chars - n + 1 <= 10 * n
+      |    AND stop * 20 >= n AND nd * 2 >= n
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+      |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -858,5 +930,7 @@ object ExtQ {
     "x27_quality_quantile" -> (x27._1, Some(x27._2)),
     "x28_vocab_coverage" -> (x28._1, Some(x28._2)),
     "x29_budget_curation" -> (x29._1, Some(x29._2)),
+    "x30_embedding_quantize" -> (x30._1, Some(x30._2)),
+    "x31_gopher_rules" -> (x31._1, Some(x31._2)),
   )
 }

@@ -320,4 +320,45 @@ class ExtSpec extends AnyFunSuite {
     // ties broken alphabetically
     assert(top(0).getAs[String]("term") < top(1).getAs[String]("term"))
   }
+
+  test("int8 quantization: range, round trip, zero vector") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.999f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector → zeros
+      (3L, Array(1e-8f, -1e-8f, 2e-8f, -2e-8f))
+    ).toDF("id", "v")
+    val qz = graft.ext.Similarity.int8Quantize($"v")
+    val rows = vecs.select($"id", qz.getField("maxabs").as("m"),
+      qz.getField("q").as("q")).collect().sortBy(_.getLong(0))
+    val q1 = rows(0).getSeq[Long](2)
+    assert(q1 == Seq(64L, -127L, 32L, 127L))
+    assert(rows(1).getSeq[Long](2) == Seq(0L, 0L, 0L, 0L))
+    // reconstruction error ≤ half a quantization step everywhere
+    rows.filter(_.getDouble(1) > 0).foreach { r =>
+      val m = r.getDouble(1)
+      val v = vecs.filter($"id" === r.getLong(0)).head.getSeq[Float](1)
+      r.getSeq[Long](2).zip(v).foreach { case (q, x) =>
+        assert(math.abs(q * m / 127.0 - x) <= m / 254.0 + 1e-12)
+      }
+    }
+  }
+
+  test("gopher flags: each rule fires independently") {
+    import spark.implicits._
+    val docs = Seq(
+      // 60 tokens incl. stopwords, healthy lengths → all pass
+      (1L, (Seq.fill(6)("the") ++ (1 to 54).map(i => s"tok$i")).mkString(" ")),
+      (2L, "too short"), // fails pass_len
+      (3L, (1 to 60).map(_ => "superlongtokenword").mkString(" ")), // mean>10, rep
+      (4L, (1 to 60).map(i => s"tok$i").mkString(" ")) // no stopwords
+    ).toDF("id", "text")
+    val f = graft.ext.TextAnalysis.gopherFlags($"text", Seq("the", "a"))
+    val m = docs.select($"id", f.as("f")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(m(1L).getBoolean(4)) // pass_all
+    assert(!m(2L).getBoolean(0)) // pass_len fails
+    assert(!m(3L).getBoolean(1) && !m(3L).getBoolean(3)) // mean + rep fail
+    assert(!m(4L).getBoolean(2) && m(4L).getBoolean(0)) // stop fails, len ok
+  }
 }
