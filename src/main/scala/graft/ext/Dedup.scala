@@ -378,6 +378,35 @@ object Dedup {
         max_by(col("id"), struct(col("len"), -col("id"))).as("keep_id"))
   }
 
+  /** Cross-document duplicated-span discovery (the CCNet/Dolma
+    * "remove duplicated paragraphs" primitive, at fixed token-window
+    * granularity since this corpus has no paragraph breaks): chunk
+    * every document with [[TextAnalysis.chunkTokens]], digest each
+    * chunk, and keep digests seen in ≥ `minDocs` distinct documents —
+    * with occurrence counts and the lexicographically first
+    * (doc, chunk_idx) occurrence as the representative.
+    *
+    * Scale shape: one in-row chunk explode + ONE map-side-combined
+    * aggregation keyed on the 16-byte digest — the shuffle carries
+    * (digest, partial counts), never chunk text. Boilerplate digests
+    * are the classic skew key at corpus scale; the partial aggregation
+    * absorbs them before the exchange. */
+  def duplicatedChunks(df: DataFrame, id: String, text: String,
+                       window: Int, stride: Int,
+                       minDocs: Long = 2L): DataFrame = {
+    val chunks = df.select(col(id).as("doc_id"),
+        posexplode(TextAnalysis.chunkTokens(col(text), window, stride))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("digest", md5(col("chunk").cast("binary")))
+    chunks.groupBy("digest")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("rep"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("digest"), col("n_docs"), col("n_occ"),
+        col("rep.doc_id").as("rep_doc"), col("rep.chunk_idx").as("rep_idx"))
+  }
+
   /** Exact all-pairs embedding cosine near-dups: O(n²) with the right
     * side broadcast — the small-corpus correctness baseline ONLY (at
     * 100 TB the broadcast alone OOMs; use [[embeddingNearDups]]). */

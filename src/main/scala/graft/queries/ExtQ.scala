@@ -891,6 +891,38 @@ object ExtQ {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
       |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin)
 
+  /** Cross-document duplicated 16-token spans — the planted near-dup
+    * pairs share long aligned runs, so fixed-window chunks collide
+    * across documents; output is each duplicated span's digest,
+    * document reach, occurrence count and first occurrence. */
+  private val x32: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.duplicatedChunks(t(s, d, "documents"), "doc_id", "text",
+          window = 16, stride = 16)
+        .orderBy($"digest")
+    },
+    """WITH ch AS (
+      |  SELECT doc_id,
+      |    CAST(start // 16 AS INTEGER) AS chunk_idx,
+      |    md5(array_to_string(s[start + 1 : start + 16], ' ')) AS digest
+      |  FROM (
+      |    SELECT doc_id, s,
+      |      unnest(range(0, greatest(len(s) - 1, 0) + 1, 16)) AS start
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS s
+      |          FROM documents))),
+      |agg AS (
+      |  SELECT digest, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+      |  FROM ch GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2),
+      |rep AS (
+      |  SELECT digest, doc_id AS rep_doc, chunk_idx AS rep_idx,
+      |    ROW_NUMBER() OVER (PARTITION BY digest
+      |      ORDER BY doc_id, chunk_idx) AS rk
+      |  FROM ch)
+      |SELECT a.digest, a.n_docs, a.n_occ, r.rep_doc, r.rep_idx
+      |FROM agg a JOIN rep r ON a.digest = r.digest AND r.rk = 1
+      |ORDER BY a.digest""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -932,5 +964,6 @@ object ExtQ {
     "x29_budget_curation" -> (x29._1, Some(x29._2)),
     "x30_embedding_quantize" -> (x30._1, Some(x30._2)),
     "x31_gopher_rules" -> (x31._1, Some(x31._2)),
+    "x32_duplicate_chunks" -> (x32._1, Some(x32._2)),
   )
 }
