@@ -407,6 +407,26 @@ object Dedup {
         col("rep.doc_id").as("rep_doc"), col("rep.chunk_idx").as("rep_idx"))
   }
 
+  /** Incremental ingest dedup: split an incoming batch into rows whose
+    * content digest already exists in the historical corpus (`dup` =
+    * true) and genuinely new rows — the steady-state form of exact
+    * dedup once a corpus is live (full re-dedup of 100 TB per ingest
+    * is not an option; a digest semi-probe of the delta is).
+    *
+    * Plan shape: digests on both sides at scan speed, then ONE
+    * left-semi-style shuffle keyed on digest — Spark's runtime bloom /
+    * DPP machinery and AQE size the exchange; the history side carries
+    * only its digest column (16 bytes/row) after pruning. */
+  def incrementalDupes(batch: DataFrame, history: DataFrame,
+                       id: String, text: String): DataFrame = {
+    val b = batch.select(col(id).as("doc_id"),
+      md5(col(text).cast("binary")).as("digest"))
+    val h = history.select(md5(col(text).cast("binary")).as("digest")).distinct()
+    b.join(h.withColumn("_seen", lit(true)), Seq("digest"), "left")
+      .select(col("doc_id"), col("digest"),
+        coalesce(col("_seen"), lit(false)).as("dup"))
+  }
+
   /** Exact all-pairs embedding cosine near-dups: O(n²) with the right
     * side broadcast — the small-corpus correctness baseline ONLY (at
     * 100 TB the broadcast alone OOMs; use [[embeddingNearDups]]). */

@@ -923,6 +923,34 @@ object ExtQ {
       |FROM agg a JOIN rep r ON a.digest = r.digest AND r.rk = 1
       |ORDER BY a.digest""".stripMargin)
 
+  /** Incremental ingest dedup: a synthetic delta batch (every 10th doc
+    * re-submitted verbatim under a new id + every (10k+4)th doc with
+    * edited text) probed against the full corpus as history — resubmits
+    * flag dup, edits don't. */
+  private val x33: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val batch = docs.filter($"doc_id" % 10 === 9)
+          .select(($"doc_id" + 50000).as("doc_id"), $"text")
+        .unionAll(docs.filter($"doc_id" % 10 === 4)
+          .select(($"doc_id" + 90000).as("doc_id"),
+            concat($"text", lit(" fresh")).as("text")))
+      Dedup.incrementalDupes(batch, docs, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    """WITH batch AS (
+      |  SELECT doc_id + 50000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 9
+      |  UNION ALL
+      |  SELECT doc_id + 90000 AS doc_id, text || ' fresh' AS text
+      |  FROM documents WHERE doc_id % 10 = 4),
+      |h AS (SELECT DISTINCT md5(text) AS digest FROM documents)
+      |SELECT b.doc_id, md5(b.text) AS digest,
+      |  (h.digest IS NOT NULL) AS dup
+      |FROM batch b LEFT JOIN h ON md5(b.text) = h.digest
+      |ORDER BY b.doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -965,5 +993,6 @@ object ExtQ {
     "x30_embedding_quantize" -> (x30._1, Some(x30._2)),
     "x31_gopher_rules" -> (x31._1, Some(x31._2)),
     "x32_duplicate_chunks" -> (x32._1, Some(x32._2)),
+    "x33_incremental_dedup" -> (x33._1, Some(x33._2)),
   )
 }
