@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy matching (entity resolution) over string keys.
+  *
+  * Scale shape, in order of importance at 100 TB:
+  *   1. DISTINCT the key first — fuzzy matching runs in vocabulary
+  *      space, not row space (a billion rows with a million distinct
+  *      names is a million-row problem);
+  *   2. candidates come only from an equality join on an explicit
+  *      blocking key — never a cross join, so the plan is a plain
+  *      shuffle-hash/sort-merge join on `bk`;
+  *   3. a cheap length-difference prune runs before the exact
+  *      Levenshtein verify, which touches candidates only.
+  *
+  * Blocking recall is a declared contract (pairs in different blocks
+  * are never compared) — the standard ER trade; pick the block key to
+  * fit the domain. The default blocks on the first whitespace token.
+  */
+object Fuzzy {
+
+  /** First whitespace token — default blocking key. */
+  def firstToken(c: Column): Column = element_at(split(c, " "), 1)
+
+  /** Distinct near-identical value pairs of `keyCol` within blocks:
+    * (k_a, k_b, dist) with k_a < k_b and dist = levenshtein ≤ maxDist. */
+  def fuzzyPairs(df: DataFrame, keyCol: String, maxDist: Int,
+                 blockKey: Column => Column = firstToken): DataFrame = {
+    val vals = df.select(col(keyCol).as("k")).distinct()
+      .withColumn("bk", blockKey(col("k")))
+    val a = vals.select(col("bk"), col("k").as("k_a"))
+    val b = vals.select(col("bk"), col("k").as("k_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("k_a") < col("k_b"))
+      // |len(a)-len(b)| > d ⇒ levenshtein > d: prune before the
+      // quadratic distance computation
+      .filter(abs(length(col("k_a")) - length(col("k_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("k_a", "k_b", "dist")
+  }
+
+  /** Canonical-form mapping: every distinct key → the representative
+    * of its fuzzy cluster (transitive closure of fuzzyPairs edges,
+    * canonical = lexicographic minimum). Composes the pair generator
+    * with [[Dedup.connectedComponents]]; singleton keys map to
+    * themselves. */
+  def resolve(df: DataFrame, keyCol: String, maxDist: Int,
+              blockKey: Column => Column = firstToken): DataFrame = {
+    val vals = df.select(col(keyCol).as("k")).distinct()
+    val pairs = fuzzyPairs(df, keyCol, maxDist, blockKey)
+      .select(col("k_a").as("id_a"), col("k_b").as("id_b"))
+    val comps = Dedup.connectedComponents(pairs) // (id, cluster)
+    vals.join(comps.withColumnRenamed("id", "k"), Seq("k"), "left")
+      .withColumn("canonical", coalesce(col("cluster"), col("k")))
+      .select(col("k"), col("canonical"))
+  }
+}

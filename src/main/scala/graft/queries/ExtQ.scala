@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Dedup, Multimodal, Planes, Prefix, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Fuzzy, Multimodal, Planes, Prefix, Redact, Similarity, TextAnalysis}
+import graft.io.Layout
 
 /** Training-data-pipeline extension queries (north-star surface):
   * dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding),
@@ -951,6 +952,70 @@ object ExtQ {
       |FROM batch b LEFT JOIN h ON md5(b.text) = h.digest
       |ORDER BY b.doc_id""".stripMargin)
 
+  /** PII redaction over a corpus with planted emails/IPs/phones: the
+    * same RE2-subset patterns run in both engines, counts audited on
+    * the pre-redaction text, replacement applied in rule order. */
+  private val x34: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val planted = t(s, d, "documents").select($"doc_id",
+        concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com via 10.0."),
+          ($"doc_id" % 250).cast("string"), lit(".7 tel +1-555-"),
+          lpad($"doc_id".cast("string"), 4, "0"), lit("-123")).as("text"))
+      Redact.redact(planted, "text").orderBy($"doc_id")
+    }, {
+      val Seq(e, ip, ph) = Redact.pii.map(_.pattern)
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR
+         |         || '@mail.example.com via 10.0.'
+         |         || (doc_id % 250)::VARCHAR || '.7 tel +1-555-'
+         |         || lpad(doc_id::VARCHAR, 4, '0') || '-123' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$ph', '<PHONE>', 'g') AS text,
+         |  len(regexp_extract_all(text, '$e')) AS n_email,
+         |  len(regexp_extract_all(text, '$ip')) AS n_ipv4,
+         |  len(regexp_extract_all(text, '$ph')) AS n_phone
+         |FROM planted ORDER BY doc_id""".stripMargin
+    })
+
+  /** Blocked fuzzy join over the part-name vocabulary: candidates
+    * share the first-token block, exact Levenshtein verify — the
+    * entity-resolution shape (distinct-first, equality-join blocking,
+    * never a cross join). */
+  private val x35: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Fuzzy.fuzzyPairs(t(s, d, "part"), "p_name", maxDist = 4)
+        .orderBy($"k_a", $"k_b")
+    },
+    """WITH v AS (SELECT DISTINCT p_name AS k FROM part),
+      |b AS (SELECT k, string_split(k, ' ')[1] AS bk FROM v)
+      |SELECT a.k AS k_a, c.k AS k_b, levenshtein(a.k, c.k) AS dist
+      |FROM b a JOIN b c ON a.bk = c.bk AND a.k < c.k
+      |WHERE abs(length(a.k) - length(c.k)) <= 4
+      |  AND levenshtein(a.k, c.k) <= 4
+      |ORDER BY k_a, k_b""".stripMargin)
+
+  /** Z-order (Morton) layout key over (o_custkey, o_orderkey) —
+    * the multi-dimensional clustering key behind io.Layout.zorderWrite,
+    * verified bit-for-bit against integer bit ops in the oracle. */
+  private val x36: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders").select($"o_orderkey",
+          Layout.zValue($"o_custkey", $"o_orderkey", 12).as("z"))
+        .orderBy($"o_orderkey")
+    },
+    s"""SELECT o_orderkey,
+       |  ${Layout.zValueSql("o_custkey", "o_orderkey", 12)} AS z
+       |FROM orders ORDER BY o_orderkey""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -994,5 +1059,8 @@ object ExtQ {
     "x31_gopher_rules" -> (x31._1, Some(x31._2)),
     "x32_duplicate_chunks" -> (x32._1, Some(x32._2)),
     "x33_incremental_dedup" -> (x33._1, Some(x33._2)),
+    "x34_pii_redaction" -> (x34._1, Some(x34._2)),
+    "x35_fuzzy_blocked_join" -> (x35._1, Some(x35._2)),
+    "x36_zorder_key" -> (x36._1, Some(x36._2)),
   )
 }

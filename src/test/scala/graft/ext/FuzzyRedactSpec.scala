@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class FuzzyRedactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("redact: masks emails, IPs and phones; counts the originals") {
+    val rows = Seq(
+      (1L, "mail a@b.io and c.d+x@e.org, ip 192.168.0.1, tel +44-123-4567-890"),
+      (2L, "nothing sensitive here"),
+      (3L, "two ips 10.0.0.1 10.0.0.2 and version 1.2 stays")).toDF("id", "text")
+    val out = Redact.redact(rows, "text").orderBy($"id").collect()
+    assert(out(0).getAs[String]("text") ==
+      "mail <EMAIL> and <EMAIL>, ip <IP>, tel <PHONE>")
+    assert(out(0).getAs[Int]("n_email") == 2)
+    assert(out(0).getAs[Int]("n_ipv4") == 1)
+    assert(out(0).getAs[Int]("n_phone") == 1)
+    assert(out(1).getAs[String]("text") == "nothing sensitive here")
+    assert(Seq("n_email", "n_ipv4", "n_phone").forall(out(1).getAs[Int](_) == 0))
+    // "version 1.2" is not an IPv4 — conservative patterns
+    assert(out(2).getAs[Int]("n_ipv4") == 2)
+    assert(out(2).getAs[String]("text").endsWith("version 1.2 stays"))
+  }
+
+  test("redact is idempotent: redacted text has no further matches") {
+    val rows = Seq((1L, "a@b.io at 10.0.0.1 tel +1-555-0000-123")).toDF("id", "text")
+    val once = Redact.redact(rows, "text").select("id", "text")
+    val twice = Redact.redact(once, "text").orderBy($"id").collect()(0)
+    assert(twice.getAs[String]("text") == "<EMAIL> at <IP> tel <PHONE>")
+    assert(Seq("n_email", "n_ipv4", "n_phone").forall(twice.getAs[Int](_) == 0))
+  }
+
+  private val names = Seq(
+    (1L, "acme corp"), (2L, "acme corpp"), (3L, "acme cor"),
+    (4L, "acme holdings"), (5L, "other inc"), (6L, "acme corp") // dup row
+  ).toDF("id", "name")
+
+  test("fuzzyPairs: within-block pairs under the distance bound only") {
+    val pairs = Fuzzy.fuzzyPairs(names, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs == Set(
+      ("acme cor", "acme corp", 1L),
+      ("acme cor", "acme corpp", 2L),
+      ("acme corp", "acme corpp", 1L)))
+    // "other inc" is in a different block: never compared
+    assert(!pairs.exists(p => p._1.startsWith("other") || p._2.startsWith("other")))
+  }
+
+  test("fuzzy resolve: variants map to the lexicographic-min canonical") {
+    val m = Fuzzy.resolve(names, "name", maxDist = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("acme corp") == "acme cor")
+    assert(m("acme corpp") == "acme cor")
+    assert(m("acme cor") == "acme cor")
+    // out-of-cluster keys are their own canonical
+    assert(m("acme holdings") == "acme holdings")
+    assert(m("other inc") == "other inc")
+  }
+}
