@@ -30,6 +30,12 @@ object GraftSession {
       // what flags bad values, not the cast
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // explicit scale intents (defaults drift across Spark versions):
+      // AQE splits skewed shuffle partitions at runtime; the optimizer
+      // may inject a bloom filter from a selective join side to prune
+      // the probe-side scan — both are load-bearing at 100 TB
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // local-scale split sizing: the synthetic tables are single

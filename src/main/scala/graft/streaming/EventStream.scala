@@ -130,6 +130,21 @@ object EventStream {
       .withWatermark(ts, watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Stream-static enrichment: join the streaming facts against a
+    * static (batch) dimension on `key`, then windowed counts per
+    * dimension attribute. The static side is re-planned per
+    * micro-batch (so a dimension refresh is picked up) and broadcast —
+    * the stream never shuffles for the join; only the windowed agg
+    * shuffles, on (window, attr). The standard shape for enriching an
+    * event firehose with reference data at scale. */
+  def enrichedHourly(events: DataFrame, dim: DataFrame,
+                     key: String, attr: String): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .join(broadcast(dim.select(col(key), col(attr))), Seq(key))
+      .groupBy(window(col("ts"), "1 hour"), col(attr))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_ts"), col(attr), col("n_events"))
+
   /** Drive a parquet-backed stream of the events table through
     * `hourlyCounts` into an in-memory sink; returns the materialized
     * result. Used by specs and as executable documentation for the

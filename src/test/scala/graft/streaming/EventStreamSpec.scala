@@ -128,6 +128,37 @@ class EventStreamSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("stream-static enrichment join equals the batch equivalent") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.tables.t(spark, dir, "events")
+    // static dimension: user → segment (derived, deterministic)
+    val dim = events.select($"user_id").distinct()
+      .withColumn("segment", concat(lit("seg"), $"user_id" % 4))
+    // stage the events file into a directory for the parquet source
+    val stage = java.nio.file.Files.createTempDirectory("enrich_stream")
+    java.nio.file.Files.copy(
+      new java.io.File(s"$dir/events.parquet").toPath,
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(stage.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(stage.toString)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = EventStream.enrichedHourly(stream, dim, "user_id", "segment")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_enriched").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_enriched")
+    val batch = events.join(dim, Seq("user_id"))
+      .groupBy(window($"ts", "1 hour"), $"segment")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".as("hour_ts"), $"segment", $"n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful user sessions accumulate per key") {
     import EventStream._
     val events = Seq(
