@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Dedup, Fuzzy, Multimodal, Planes, Prefix, Redact, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Dedup, Fuzzy, Multimodal, Planes, Prefix, Redact, Similarity, TextAnalysis}
 import graft.io.Layout
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -1016,6 +1016,28 @@ object ExtQ {
        |  ${Layout.zValueSql("o_custkey", "o_orderkey", 12)} AS z
        |FROM orders ORDER BY o_orderkey""".stripMargin)
 
+  /** BPE round-0 statistics: adjacent character-pair frequencies
+    * weighted by corpus word counts — the map-combined aggregation
+    * every merge round of Bpe.train re-runs in vocabulary space. */
+  private val x37: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Bpe.pairStats(Bpe.initVocab(t(s, d, "documents"), "text").toDF)
+        .orderBy($"freq".desc, $"a", $"b")
+    },
+    """WITH wc AS (
+      |  SELECT word, COUNT(*)::BIGINT AS wcount
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word),
+      |ix AS (SELECT word, wcount,
+      |         unnest(range(1, length(word))) AS i FROM wc)
+      |SELECT substr(word, i::INT, 1) AS a,
+      |       substr(word, i::INT + 1, 1) AS b,
+      |       SUM(wcount) AS freq
+      |FROM ix GROUP BY a, b
+      |ORDER BY freq DESC, a, b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1062,5 +1084,6 @@ object ExtQ {
     "x34_pii_redaction" -> (x34._1, Some(x34._2)),
     "x35_fuzzy_blocked_join" -> (x35._1, Some(x35._2)),
     "x36_zorder_key" -> (x36._1, Some(x36._2)),
+    "x37_bpe_pair_counts" -> (x37._1, Some(x37._2)),
   )
 }
