@@ -49,7 +49,7 @@ object Bpe {
       .agg(sum(col("wcount")).as("freq"))
 
   /** Merge every non-overlapping left-to-right occurrence of (a, b). */
-  private[ext] def mergeSegs(segs: Seq[String], a: String, b: String): Seq[String] = {
+  private[graft] def mergeSegs(segs: Seq[String], a: String, b: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
     while (i < segs.length) {

@@ -136,4 +136,40 @@ object GraftProperties extends Properties("graft") {
       } yield (i.toLong, j.toLong, math.round(jac * 1e9))).toSet
       fast == brute
     }
+
+  property("Bpe.mergeSegs: concatenation preserved, no (a,b) adjacency left") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "ab"))) { segs =>
+      val merged = ext.Bpe.mergeSegs(segs, "a", "b")
+      val sameText = merged.mkString == segs.mkString
+      // left-to-right non-overlap: no adjacent ("a","b") can survive
+      val noPair = !merged.sliding(2).exists(w =>
+        w.length == 2 && w(0) == "a" && w(1) == "b")
+      sameText && noPair && merged.length <= segs.length
+    }
+
+  property("Layout.zValue: bijective interleave (de-interleaves back)") =
+    forAll(Gen.choose(0L, 0xFFFFL), Gen.choose(0L, 0xFFFFL)) { (x, y) =>
+      val z = Seq((x, y)).toDF("x", "y")
+        .select(io.Layout.zValue($"x", $"y", 16).as("z"))
+        .head().getLong(0)
+      def bits(v: Long, offset: Int): Long =
+        (0 until 16).map(i => ((v >> (2 * i + offset)) & 1L) << i).reduce(_ | _)
+      bits(z, 0) == x && bits(z, 1) == y
+    }
+
+  property("Redact.scrub removes every planted PII occurrence") = {
+    val piiGen = Gen.oneOf(
+      Gen.alphaLowerStr.suchThat(_.nonEmpty).map(u => s"$u@example.org"),
+      Gen.choose(0, 255).map(n => s"10.$n.0.1"),
+      Gen.choose(100, 999).map(n => s"+1-555-$n-999"))
+    forAll(Gen.listOfN(3, piiGen), Gen.alphaLowerStr) { (pii, filler) =>
+      val text = (filler +: pii).mkString(" ")
+      val out = Seq(text).toDF("text")
+        .select(ext.Redact.scrub($"text").as("t")).head().getString(0)
+      val counts = Seq(out).toDF("t")
+        .select(ext.Redact.counts($"t"): _*).head()
+      (0 until 3).forall(counts.getInt(_) == 0) &&
+        !out.contains("@example.org")
+    }
+  }
 }
