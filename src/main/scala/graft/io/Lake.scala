@@ -111,6 +111,52 @@ object Lake {
       .map(r => (r.getString(0), r.getString(1))).toSeq
   }
 
+  /** One partition's compaction outcome. */
+  final case class CompactStat(part: String, filesBefore: Int, filesAfter: Int)
+
+  /** Small-file compaction (the OPTIMIZE of a plain-parquet lake).
+    *
+    * Streaming/incremental writers leave `part=` directories with many
+    * sub-target files; at 100 TB that means listing and opening
+    * millions of tiny footers per scan. For each partition whose file
+    * count exceeds `maxFiles`, rewrite it into
+    * ceil(bytes / targetBytes) files via write-to-temp + directory
+    * swap — the swap is FS-level, so the table never has a partially
+    * compacted partition visible, and readers of OTHER partitions are
+    * never touched. Partitions are processed independently (failure
+    * leaves earlier swaps intact — compaction is idempotent and
+    * re-runnable). */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              maxFiles: Int = 1): Seq[CompactStat] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+    val stats = parts.toSeq.flatMap { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length <= maxFiles) None
+      else {
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val tmp = new Path(rootPath, s".compact_tmp/${p.getPath.getName}")
+        fs.delete(tmp, true)
+        spark.read.parquet(p.getPath.toString)
+          .repartition(nOut)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // swap: the partition dir is replaced wholesale, never merged
+        fs.delete(p.getPath, true)
+        fs.rename(tmp, p.getPath)
+        // drop Spark's _SUCCESS marker inside the partition dir
+        fs.delete(new Path(p.getPath, "_SUCCESS"), false)
+        Some(CompactStat(p.getPath.getName, files.length, nOut))
+      }
+    }
+    fs.delete(new Path(rootPath, ".compact_tmp"), true)
+    stats
+  }
+
   /** Reference-shaped bounded retry (`generate_bronze_tables.py:76-90`).
     * Unlike the reference we rethrow after the budget instead of
     * swallowing deterministic failures (SURVEY §7.5.4). */

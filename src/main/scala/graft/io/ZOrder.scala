@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * value-preserving encoding; pre-scale monotonic columns into range
   * (e.g. days-since-epoch, bucketed ids) for best clustering.
   */
-object Layout {
+object ZOrder {
 
   /** Interleaved-bit Morton key of two non-negative integral columns
     * (x in even bits, y in odd bits; `bits` low bits of each). Pure

@@ -55,7 +55,9 @@ object Rules {
   /** The reference's 3-granularity date parser as a Column:
     * null when unparseable (including >2 hyphens). */
   def multiFormatDate(c: Column): Column = {
-    val hyphens = length(c) - length(regexp_replace(c, "-", ""))
+    // translate, not regexp_replace: this runs per value on every
+    // bronze row — a regex engine call here is pure overhead
+    val hyphens = length(c) - length(translate(c, "-", ""))
     when(hyphens === 2, to_date(c, "y-M-d"))
       .when(hyphens === 1, to_date(c, "y-M"))
       .when(hyphens === 0, to_date(c, "y"))

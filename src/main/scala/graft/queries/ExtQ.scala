@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
 import graft.ext.{Bpe, Dedup, Fuzzy, Multimodal, Planes, Prefix, Redact, Similarity, TextAnalysis}
-import graft.io.Layout
+import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
   * dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding),
@@ -1003,17 +1003,17 @@ object ExtQ {
       |ORDER BY k_a, k_b""".stripMargin)
 
   /** Z-order (Morton) layout key over (o_custkey, o_orderkey) —
-    * the multi-dimensional clustering key behind io.Layout.zorderWrite,
+    * the multi-dimensional clustering key behind io.ZOrder.zorderWrite,
     * verified bit-for-bit against integer bit ops in the oracle. */
   private val x36: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       t(s, d, "orders").select($"o_orderkey",
-          Layout.zValue($"o_custkey", $"o_orderkey", 12).as("z"))
+          ZOrder.zValue($"o_custkey", $"o_orderkey", 12).as("z"))
         .orderBy($"o_orderkey")
     },
     s"""SELECT o_orderkey,
-       |  ${Layout.zValueSql("o_custkey", "o_orderkey", 12)} AS z
+       |  ${ZOrder.zValueSql("o_custkey", "o_orderkey", 12)} AS z
        |FROM orders ORDER BY o_orderkey""".stripMargin)
 
   /** BPE round-0 statistics: adjacent character-pair frequencies

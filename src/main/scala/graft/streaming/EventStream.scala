@@ -130,6 +130,28 @@ object EventStream {
       .withWatermark(ts, watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Stream-stream interval join (e.g. click attribution): rows of
+    * `left` match rows of `right` with the same `key` whose event time
+    * falls in [leftTs, leftTs + within]. Both sides carry a watermark
+    * equal to the join window, which is what lets Spark BOUND the join
+    * state: a buffered left row is dropped once the right watermark
+    * passes leftTs + within, so state never grows with the stream.
+    * Output columns are prefixed l_/r_ to keep the join self-merge
+    * unambiguous. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   within: String = "10 minutes"): DataFrame = {
+    val l = left.select(
+      left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+      .withWatermark(s"l_ts", within)
+    val r = right.select(
+      right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+      .withWatermark(s"r_ts", within)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Stream-static enrichment: join the streaming facts against a
     * static (batch) dimension on `key`, then windowed counts per
     * dimension attribute. The static side is re-planned per

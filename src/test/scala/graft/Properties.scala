@@ -147,10 +147,10 @@ object GraftProperties extends Properties("graft") {
       sameText && noPair && merged.length <= segs.length
     }
 
-  property("Layout.zValue: bijective interleave (de-interleaves back)") =
+  property("ZOrder.zValue: bijective interleave (de-interleaves back)") =
     forAll(Gen.choose(0L, 0xFFFFL), Gen.choose(0L, 0xFFFFL)) { (x, y) =>
       val z = Seq((x, y)).toDF("x", "y")
-        .select(io.Layout.zValue($"x", $"y", 16).as("z"))
+        .select(io.ZOrder.zValue($"x", $"y", 16).as("z"))
         .head().getLong(0)
       def bits(v: Long, offset: Int): Long =
         (0 until 16).map(i => ((v >> (2 * i + offset)) & 1L) << i).reduce(_ | _)

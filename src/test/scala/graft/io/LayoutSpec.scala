@@ -11,11 +11,11 @@ class LayoutSpec extends AnyFunSuite {
   test("zValue interleaves bits (x even, y odd)") {
     // x=0b101, y=0b011 → z bits: x0=1@0, y0=1@1, x1=0@2, y1=1@3, x2=1@4, y2=0@5
     val z = Seq((5L, 3L)).toDF("x", "y")
-      .select(Layout.zValue($"x", $"y", 3).as("z")).head().getLong(0)
+      .select(ZOrder.zValue($"x", $"y", 3).as("z")).head().getLong(0)
     assert(z == (1 + 2 + 8 + 16))
     // key is monotone in each coordinate within the same other-coord
     val zs = Seq((0L, 7L), (1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
-      .select(Layout.zValue($"x", $"y", 8).as("z"))
+      .select(ZOrder.zValue($"x", $"y", 8).as("z"))
       .collect().map(_.getLong(0)).toSeq
     assert(zs == zs.sorted && zs.distinct.length == 4)
   }
@@ -23,7 +23,7 @@ class LayoutSpec extends AnyFunSuite {
   test("zorderWrite clusters both dimensions: per-file bounding boxes are small") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    Layout.zorderWrite(orders, "o_custkey", "o_orderkey", dir, nFiles = 8, bits = 12)
+    ZOrder.zorderWrite(orders, "o_custkey", "o_orderkey", dir, nFiles = 8, bits = 12)
 
     val back = spark.read.parquet(dir)
     assert(back.count() == orders.count())

@@ -159,6 +159,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join attributes within the window only") {
+    def row(id: Long, ts: String, uid: Long) =
+      (id, java.sql.Timestamp.valueOf(ts), uid)
+    val imps = java.nio.file.Files.createTempDirectory("ij_imp")
+    val clicks = java.nio.file.Files.createTempDirectory("ij_clk")
+    Seq(row(1, "2024-01-01 00:00:00", 7),   // clicked at :05 → match
+        row(2, "2024-01-01 00:00:00", 8),   // clicked at :20 → outside 10m
+        row(3, "2024-01-01 01:00:00", 9))   // never clicked
+      .toDF("imp_id", "ts", "user_id").repartition(1)
+      .write.parquet(s"$imps/f")
+    Seq(row(11, "2024-01-01 00:05:00", 7),
+        row(12, "2024-01-01 00:20:00", 8),
+        row(13, "2023-12-31 23:55:00", 7))  // click BEFORE impression
+      .toDF("click_id", "ts", "user_id").repartition(1)
+      .write.parquet(s"$clicks/f")
+    val lSchema = spark.read.parquet(s"$imps/f").schema
+    val rSchema = spark.read.parquet(s"$clicks/f").schema
+    val joined = EventStream.intervalJoin(
+      spark.readStream.schema(lSchema).parquet(s"$imps/f"),
+      spark.readStream.schema(rSchema).parquet(s"$clicks/f"),
+      key = "user_id", within = "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("graft_attrib").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_attrib").collect()
+      .map(r => (r.getAs[Long]("l_imp_id"), r.getAs[Long]("r_click_id"))).toSet
+    assert(got == Set((1L, 11L)))
+  }
+
   test("stateful user sessions accumulate per key") {
     import EventStream._
     val events = Seq(
