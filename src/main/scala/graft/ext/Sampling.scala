@@ -42,6 +42,29 @@ object Sampling {
     df.filter(hashBucket256(col(key), salt) < thresh)
   }
 
+  /** Data mixing: compose a training corpus from sources at target
+    * proportions. Source `s` contributes its floor(budget·weight(s))
+    * hash-smallest rows (md5 order — engine-portable, deterministic,
+    * growth-stable: a source gaining rows never evicts an admitted row
+    * unless it hashes earlier). Sources without a weight are dropped.
+    * One shuffle: the per-source admission window partitions on the
+    * source column; under-populated sources contribute everything they
+    * have (mixture degrades gracefully, never errors). */
+  def mixture(df: DataFrame, source: String, key: String,
+              weights: Map[String, Double], budget: Long,
+              salt: String): DataFrame = {
+    require(weights.values.forall(_ >= 0), "non-negative mixture weights")
+    val quota = weights.foldLeft(lit(-1L)) { case (acc, (s, w)) =>
+      when(col(source) === s, lit(math.floor(budget * w).toLong)).otherwise(acc)
+    }
+    val h = md5(concat(lit(salt), col(key).cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(source)).orderBy(h, col(key))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= quota)
+      .drop("_rn")
+  }
+
   /** Deterministic train/val/test split: labels each row by where its
     * (independent, offset=1) hash bucket falls among the cumulative
     * weight boundaries. Adds a `split` column; weights are normalized,

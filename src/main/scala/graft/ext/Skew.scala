@@ -32,6 +32,27 @@ object Skew {
       .groupBy(col("_k"))
       .agg(finalAgg.head, finalAgg.tail: _*)
 
+  /** Key-distribution profile for a prospective join/agg key: the
+    * top-k heaviest keys with exact counts, each key's corpus share in
+    * parts-per-million, and the salt fan-out that would level it
+    * (ceil(count·parts/total): how many reducers this key needs so its
+    * share of one equals the average partition). All integer
+    * arithmetic — reproducible anywhere. Run this BEFORE shipping a
+    * 100 TB join; feed the result into [[saltedJoin]]/[[saltedAgg]]
+    * or trust AQE when the profile is flat. One map-combined agg plus
+    * a single-row broadcast of the total. */
+  def keyProfile(df: DataFrame, key: String, topK: Int,
+                 parts: Int): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.join(broadcast(total))
+      .select(col(key), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr(s"(cnt * $parts + total - 1) div total").as("salts"))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(topK)
+  }
+
   /** Skew-safe equi-join of a big (skewed) frame against a small-ish
     * frame: the big side gets a deterministic salt from its OTHER
     * columns; the small side is replicated once per salt value. The

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Bpe, Dedup, Fuzzy, Multimodal, Planes, Prefix, Redact, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Dedup, Fuzzy, Multimodal, Planes, Prefix, Redact, Sampling, Similarity, Skew, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -1038,6 +1038,44 @@ object ExtQ {
       |FROM ix GROUP BY a, b
       |ORDER BY freq DESC, a, b""".stripMargin)
 
+  /** Data mixing: a 40-row corpus at 50/30/20 source proportions —
+    * each source admits its hash-smallest quota (binding: every source
+    * holds more rows than its quota). */
+  private val x38: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Sampling.mixture(t(s, d, "documents").select($"doc_id", $"source"),
+          source = "source", key = "doc_id",
+          weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          budget = 40, salt = "mix")
+        .orderBy($"doc_id")
+    },
+    """WITH h AS (SELECT doc_id, source,
+      |  md5('mix' || doc_id::VARCHAR) AS _h FROM documents),
+      |r AS (SELECT doc_id, source, ROW_NUMBER() OVER (
+      |  PARTITION BY source ORDER BY _h, doc_id) AS rn FROM h)
+      |SELECT doc_id, source FROM r
+      |WHERE (source = 'src0' AND rn <= 20)
+      |   OR (source = 'src1' AND rn <= 12)
+      |   OR (source = 'src2' AND rn <= 8)
+      |ORDER BY doc_id""".stripMargin)
+
+  /** Join-key skew profile of orders.o_custkey: exact top-20 heavy
+    * keys, ppm share, and the integer salt fan-out a 32-reducer
+    * cluster would need per key. */
+  private val x39: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Skew.keyProfile(t(s, d, "orders"), "o_custkey", topK = 20, parts = 32)
+    },
+    """WITH c AS (SELECT o_custkey, COUNT(*)::BIGINT AS cnt
+      |           FROM orders GROUP BY o_custkey),
+      |t AS (SELECT SUM(cnt)::BIGINT AS total FROM c)
+      |SELECT o_custkey, cnt,
+      |  cnt * 1000000 // total AS share_ppm,
+      |  (cnt * 32 + total - 1) // total AS salts
+      |FROM c, t ORDER BY cnt DESC, o_custkey LIMIT 20""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1085,5 +1123,7 @@ object ExtQ {
     "x35_fuzzy_blocked_join" -> (x35._1, Some(x35._2)),
     "x36_zorder_key" -> (x36._1, Some(x36._2)),
     "x37_bpe_pair_counts" -> (x37._1, Some(x37._2)),
+    "x38_mixture_sampling" -> (x38._1, Some(x38._2)),
+    "x39_skew_key_profile" -> (x39._1, Some(x39._2)),
   )
 }

@@ -361,4 +361,33 @@ class ExtSpec extends AnyFunSuite {
     assert(!m(3L).getBoolean(1) && !m(3L).getBoolean(3)) // mean + rep fail
     assert(!m(4L).getBoolean(2) && m(4L).getBoolean(0)) // stop fails, len ok
   }
+
+  test("mixture: quotas bind per source, admission is hash-stable") {
+    import spark.implicits._
+    val rows = (1L to 30L).map(i => (i, if (i <= 10) "a" else "b")).toDF("id", "src")
+    val out = Sampling.mixture(rows, "src", "id",
+      Map("a" -> 0.6, "b" -> 0.2), budget = 10, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "a") == 6 && out.count(_._2 == "b") == 2)
+    // growth stability: adding rows to src b never evicts an admitted
+    // row unless it hashes earlier — re-run with extra rows, admitted
+    // set can only change by hash order, and src a is untouched
+    val more = rows.unionAll(Seq((100L, "b"), (101L, "b")).toDF("id", "src"))
+    val out2 = Sampling.mixture(more, "src", "id",
+      Map("a" -> 0.6, "b" -> 0.2), budget = 10, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out2.filter(_._2 == "a").toSet == out.filter(_._2 == "a").toSet)
+  }
+
+  test("keyProfile flags the planted hot key with a salt fan-out") {
+    import spark.implicits._
+    val rows = ((1 to 900).map(_ => 7L) ++ (1001 to 1100).map(_.toLong))
+      .toDF("k")
+    val prof = Skew.keyProfile(rows, "k", topK = 3, parts = 10).collect()
+    assert(prof(0).getLong(0) == 7L)
+    assert(prof(0).getLong(1) == 900L)
+    assert(prof(0).getLong(2) == 900000L)  // 90% in ppm
+    assert(prof(0).getLong(3) == 9L)       // needs 9 of 10 reducers
+    assert(prof(1).getLong(3) == 1L)       // uniform keys need no salt
+  }
 }
