@@ -626,6 +626,27 @@ object Relational {
       |  FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
 
+  /** Textual-SQL surface: the SAME SQL string runs through
+    * spark.sql(...) and the DuckDB oracle (TPC-H Q6 shape, decimal-
+    * pinned). Demonstrates the engine answers ANSI SQL text, not just
+    * the DataFrame API. */
+  private val q32Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  private val q32: (Fn, String) = (
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(q32Sql)
+    },
+    q32Sql)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -658,5 +679,6 @@ object Relational {
     "q29_grouping_sets" -> (q29._1, Some(q29._2)),
     "q30_window_distribution" -> (q30._1, Some(q30._2)),
     "q31_keep_latest" -> (q31._1, Some(q31._2)),
+    "q32_sql_text" -> (q32._1, Some(q32._2)),
   )
 }

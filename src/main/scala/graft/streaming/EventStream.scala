@@ -167,6 +167,28 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour_ts"), col(attr), col("n_events"))
 
+  /** Idempotent micro-batch write into a lake directory: each batch
+    * lands wholesale under `batch=<id>/`, so a replayed batch (the
+    * at-least-once delivery Structured Streaming gives foreachBatch
+    * after a failure) OVERWRITES its own directory instead of
+    * appending duplicates — exactly-once by construction, no
+    * transaction log needed. Consumers read `root` and get the
+    * batch id as a partition column for free. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, root: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+
+  /** Continuous lake sink wiring `writeBatchIdempotent` through
+    * foreachBatch; checkpointed, so batch ids are stable across
+    * restarts (the pair that makes the idempotency hold end-to-end). */
+  def sinkToLake(stream: DataFrame, root: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        writeBatchIdempotent(b, id, root)
+      }
+      .start()
+
   /** Drive a parquet-backed stream of the events table through
     * `hourlyCounts` into an in-memory sink; returns the materialized
     * result. Used by specs and as executable documentation for the
