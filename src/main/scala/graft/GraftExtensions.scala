@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => sys.error(s"graft_shingles n must be an int literal, got $other")
         })))
     ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[functions.TopKAgg].getName, "graft_topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.TopKAgg(exprs(0), exprs(1), exprs(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => sys.error(s"graft_topk k must be an int literal, got $other")
+        }).toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[functions.SimHash64].getName,
         "graft_simhash64"),

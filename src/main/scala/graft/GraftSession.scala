@@ -61,6 +61,7 @@ object GraftSession {
     graft.functions.Transliterate.register(spark)
     graft.functions.WordShingles.register(spark)
     graft.functions.SimHash64.register(spark)
+    graft.functions.TopKAgg.register(spark)
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
       spark.experimental.extraOptimizations ++=

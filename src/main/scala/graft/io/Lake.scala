@@ -157,6 +157,22 @@ object Lake {
     stats
   }
 
+  /** Retention: delete every `part=` partition whose VALUE fails
+    * `keep`. FS-level and partition-scoped (readers of kept partitions
+    * never see a half-deleted table); returns the deleted partition
+    * values. Pairs with [[compact]] as the lake's maintenance pair. */
+  def vacuum(spark: SparkSession, root: String,
+             keep: String => Boolean): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+      .map(_.getPath)
+      .filter(p => !keep(p.getName.stripPrefix("part=")))
+      .map { p => fs.delete(p, true); p.getName.stripPrefix("part=") }
+      .toSeq
+  }
+
   /** Reference-shaped bounded retry (`generate_bronze_tables.py:76-90`).
     * Unlike the reference we rethrow after the budget instead of
     * swallowing deterministic failures (SURVEY §7.5.4). */

@@ -1076,6 +1076,73 @@ object ExtQ {
       |  (cnt * 32 + total - 1) // total AS salts
       |FROM c, t ORDER BY cnt DESC, o_custkey LIMIT 20""".stripMargin)
 
+  /** CDC snapshot diff: a synthetic new snapshot (every 11th key
+    * deleted, every 7th repriced, every 13th re-inserted under a new
+    * key) diffed against the original — inserted/deleted/changed
+    * labels per key, unchanged keys absent. */
+  private val x40: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders")
+      val n = o.filter($"o_orderkey" % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1)
+            .otherwise($"o_totalprice"))
+        .unionByName(o.filter($"o_orderkey" % 13 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 1000000))
+      graft.scd2.Scd2.snapshotDiff(o, n, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+    """WITH n AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+      |       WHEN n.o_orderkey IS NULL THEN 'deleted'
+      |       WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+      |         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+      |         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |         OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+      |         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+      |       THEN 'changed' END AS change
+      |FROM orders o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+      |WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+      |       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |       OR o.o_custkey IS DISTINCT FROM n.o_custkey
+      |       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+      |       OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+      |       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+      |ORDER BY o_orderkey""".stripMargin)
+
+  /** Bounded-buffer native top-k per group (graft_topk): top-3 orders
+    * per customer WITHOUT a window sort — map-side partial aggregation
+    * reduces each partition to ≤ k pairs per group. Oracle is the
+    * window formulation. */
+  private val x41: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders").groupBy($"o_custkey")
+        .agg(graft.functions.TopKAgg.topk(
+          $"o_totalprice", $"o_orderkey", 3).as("top"))
+        .select($"o_custkey", posexplode($"top"))
+        .select($"o_custkey", ($"pos" + 1).cast("long").as("rank"),
+          $"col.v".as("o_totalprice"), $"col.id".as("o_orderkey"))
+        .orderBy($"o_custkey", $"rank")
+    },
+    """SELECT o_custkey, rn AS rank, o_totalprice, o_orderkey FROM (
+      |  SELECT o_custkey, o_totalprice, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rank""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1125,5 +1192,7 @@ object ExtQ {
     "x37_bpe_pair_counts" -> (x37._1, Some(x37._2)),
     "x38_mixture_sampling" -> (x38._1, Some(x38._2)),
     "x39_skew_key_profile" -> (x39._1, Some(x39._2)),
+    "x40_snapshot_diff" -> (x40._1, Some(x40._2)),
+    "x41_native_topk" -> (x41._1, Some(x41._2)),
   )
 }

@@ -26,6 +26,35 @@ import graft.schema.Layout
   */
 object Scd2 {
 
+  /** CDC-style diff of two snapshots of the same table: one row per
+    * changed key, labeled `inserted` (key only in new), `deleted`
+    * (key only in old), or `changed` (present in both, any non-key
+    * column differs). Unchanged keys are absent from the output.
+    * Change detection hashes the full non-key payload — unlike the
+    * reference's keys-only checksum quirk, a diff must see payloads.
+    * Fields are \u0001-separated and nulls \u0000-tagged in the hash
+    * input, so ("ab","c") never collides with ("a","bc") and null
+    * never collides with a value. One full-outer shuffle join on the
+    * key; payload hashing is map-side. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, pks: Seq[String])
+      : DataFrame = {
+    def digest(df: DataFrame): org.apache.spark.sql.Column = {
+      val payload = df.columns.filterNot(pks.contains).sorted
+      md5(concat_ws("\u0001",
+        payload.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    }
+    val o = oldDf.select(pks.map(col) :+ digest(oldDf).as("_od") :+
+      lit(true).as("_o"): _*)
+    val n = newDf.select(pks.map(col) :+ digest(newDf).as("_nd") :+
+      lit(true).as("_n"): _*)
+    o.join(n, pks, "full_outer")
+      .withColumn("change", when(col("_o").isNull, lit("inserted"))
+        .when(col("_n").isNull, lit("deleted"))
+        .when(col("_od") =!= col("_nd"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(pks.map(col) :+ col("change"): _*)
+  }
+
   /** Precondition: each input snapshot carries at most one CURRENT row
     * per PK (the reference's tapes guarantee this; a duplicate-PK
     * snapshot would cross-match in the full-outer join and yield

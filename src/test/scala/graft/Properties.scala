@@ -157,6 +157,25 @@ object GraftProperties extends Properties("graft") {
       bits(z, 0) == x && bits(z, 1) == y
     }
 
+  property("native graft_topk == sort-and-take brute force") =
+    forAll(Gen.listOfN(24,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(-50, 50), Gen.choose(0L, 999L)))) { rows =>
+      val df = rows.map { case (g, v, id) => (g, v.toDouble, id) }
+        .toDF("g", "v", "id").repartition(4) // force the merge path
+      val native = df.groupBy($"g")
+        .agg(functions.TopKAgg.topk($"v", $"id", 3).as("top"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getDouble(0), p.getLong(1))).toList).toMap
+      // identical (v,id) duplicates tie completely, so the rank lists
+      // match element-for-element
+      val brute = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2.toDouble, r._3))
+          .sortBy(p => (-p._1, p._2)).take(3).toList
+      }
+      native == brute
+    }
+
   property("Redact.scrub removes every planted PII occurrence") = {
     val piiGen = Gen.oneOf(
       Gen.alphaLowerStr.suchThat(_.nonEmpty).map(u => s"$u@example.org"),
