@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extraction runs partition-wise so a real
   * codec drops in without touching the plan shape.
   *
-  * The decode step is STUBBED (this container has no image/audio
-  * libs): `decodeStub` derives deterministic fake metadata and
-  * features from the payload bytes. Everything around it — schema,
-  * partition-wise batching via mapPartitions, feature vector shape —
-  * is real and tested, which is the graded surface here.
+  * Decode is REAL for PPM (P6) images — an uncompressed format whose
+  * header+raw-RGB layout needs no codec library: exact width/height
+  * and channel-mean features come from the actual pixels. Codec
+  * formats (JPEG/PNG/WAV/MP4 — no libs in this container) fall back
+  * to a deterministic STUB deriving fake metadata/features from the
+  * payload digest. The batching, schema, and feature shape are
+  * identical on both paths, so a real codec drops into the same slot.
   */
 object Multimodal {
 
@@ -39,12 +41,44 @@ object Multimodal {
         .when(col(id) % 3 === 1, "audio/wav")
         .otherwise("video/mp4").as("media_type"))
 
-  /** STUB decode: partition-wise "codec" pass. A real implementation
-    * replaces the body of the per-row function with an actual decoder;
-    * the mapPartitions batching, output schema, and feature shape stay
-    * identical. Deterministic: metadata/features derive from md5 of
-    * the payload. */
-  def decodeStub(df: DataFrame, featureDim: Int = 8): DataFrame = {
+  /** Parse a binary PPM (P6): `P6 <w> <h> <maxval=255>` header
+    * (whitespace-separated, `#` comments allowed) followed by one
+    * whitespace byte and w·h·3 raw RGB bytes. Returns
+    * (width, height, pixel bytes); None when the payload isn't P6. */
+  private[ext] def parsePpm(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    val vals = new Array[Int](3)
+    var v = 0
+    while (v < 3) {
+      while (i < b.length &&
+             (Character.isWhitespace(b(i).toChar) || b(i) == '#')) {
+        if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+        else i += 1
+      }
+      var x = 0
+      var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        x = x * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      if (!any) return None
+      vals(v) = x; v += 1
+    }
+    if (i >= b.length || !Character.isWhitespace(b(i).toChar)) return None
+    i += 1
+    val (w, h, maxv) = (vals(0), vals(1), vals(2))
+    if (maxv != 255 || w <= 0 || h <= 0 ||
+        b.length - i < w * h * 3) return None
+    Some((w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3)))
+  }
+
+  /** Partition-wise decode. PPM payloads decode for real (exact dims;
+    * features = per-channel means then a luminance histogram over the
+    * remaining slots). Anything else takes the deterministic stub path
+    * (fake dims/features from the payload digest) — swap a codec in
+    * for those without touching schema or plan shape. */
+  def decode(df: DataFrame, featureDim: Int = 8): DataFrame = {
+    require(featureDim >= 3, "featureDim must fit the 3 channel means")
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("meta", mediaSchema("meta").dataType, nullable = true),
       StructField("features", ArrayType(FloatType), nullable = true)))
@@ -58,17 +92,43 @@ object Multimodal {
           md.reset()
           val digest = md.digest(payload)
           val hex = digest.map("%02x".format(_)).mkString
-          // ??? real codec goes here — fake dims/features from digest
-          val width = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64)
-          val height = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64)
-          val feats = (0 until featureDim).map(i =>
-            (java.lang.Byte.toUnsignedInt(digest(i % 16)) / 255.0f)).toArray
-          Row.fromSeq(r.toSeq ++ Seq(
-            Row(payload.length, hex, width, height), feats))
+          parsePpm(payload) match {
+            case Some((w, h, px)) => // REAL decode path
+              val n = w * h
+              val sums = new Array[Long](3)
+              val bins = math.max(featureDim - 3, 0)
+              val hist = new Array[Long](math.max(bins, 1))
+              var p = 0
+              while (p < n) {
+                val rr = java.lang.Byte.toUnsignedInt(px(3 * p))
+                val gg = java.lang.Byte.toUnsignedInt(px(3 * p + 1))
+                val bb = java.lang.Byte.toUnsignedInt(px(3 * p + 2))
+                sums(0) += rr; sums(1) += gg; sums(2) += bb
+                if (bins > 0) {
+                  val luma = (rr * 299 + gg * 587 + bb * 114) / 1000
+                  hist(math.min(luma * bins / 256, bins - 1)) += 1
+                }
+                p += 1
+              }
+              val feats = (sums.map(s => s.toFloat / n / 255.0f) ++
+                (0 until bins).map(i => hist(i).toFloat / n)).toArray
+              Row.fromSeq(r.toSeq ++ Seq(Row(payload.length, hex, w, h), feats))
+            case None => // stub path: no codec in this container
+              val width = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64)
+              val height = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64)
+              val feats = (0 until featureDim).map(i =>
+                (java.lang.Byte.toUnsignedInt(digest(i % 16)) / 255.0f)).toArray
+              Row.fromSeq(r.toSeq ++ Seq(
+                Row(payload.length, hex, width, height), feats))
+          }
         }
       }
     }(enc)
   }
+
+  /** Former name of [[decode]] (everything non-PPM still stubs). */
+  def decodeStub(df: DataFrame, featureDim: Int = 8): DataFrame =
+    decode(df, featureDim)
 
   /** Frame-sample stub: every `stride`-byte window of the payload
     * becomes one "frame" row — the explode shape a video frame-sampler

@@ -50,6 +50,28 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1.startsWith("other") || p._2.startsWith("other")))
   }
 
+  test("decode parses real PPM payloads: exact dims and channel means") {
+    // 2x2 P6: pixels (255,0,0) (0,255,0) (0,0,255) (255,255,255)
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+    val px: Array[Byte] = Array(
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ppm = header ++ px
+    val rows = Seq((1L, ppm, "image/x-portable-pixmap"),
+        (2L, "not an image".getBytes("US-ASCII"), "image/png"))
+      .toDF("media_id", "payload", "media_type")
+    val out = Multimodal.decode(rows, featureDim = 8).orderBy($"media_id").collect()
+    val meta = out(0).getStruct(out(0).fieldIndex("meta"))
+    assert(meta.getInt(meta.fieldIndex("width")) == 2)
+    assert(meta.getInt(meta.fieldIndex("height")) == 2)
+    val f = out(0).getSeq[Float](out(0).fieldIndex("features"))
+    // channel means: each channel = (255+255)/4/255 = 0.5
+    assert(f.take(3).forall(m => math.abs(m - 0.5f) < 1e-6))
+    assert(math.abs(f.drop(3).sum - 1.0f) < 1e-6) // histogram sums to 1
+    // the non-PPM payload takes the stub path (fake dims from digest)
+    val meta2 = out(1).getStruct(out(1).fieldIndex("meta"))
+    assert(meta2.getInt(meta2.fieldIndex("width")) >= 16)
+  }
+
   test("fuzzy resolve: variants map to the lexicographic-min canonical") {
     val m = Fuzzy.resolve(names, "name", maxDist = 2)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
