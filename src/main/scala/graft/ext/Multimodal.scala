@@ -27,7 +27,12 @@ object Multimodal {
       StructField("n_bytes", IntegerType, nullable = false),
       StructField("digest", StringType, nullable = false),
       StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false))), nullable = true),
+      StructField("height", IntegerType, nullable = false),
+      // audio-only fields, null for images/stubs
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", IntegerType, nullable = true))),
+      nullable = true),
     StructField("features", ArrayType(FloatType), nullable = true),
   ))
 
@@ -72,6 +77,40 @@ object Multimodal {
     Some((w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3)))
   }
 
+  /** Parse a PCM WAV (RIFF/WAVE): walks the chunk list for `fmt ` and
+    * `data`. Returns (channels, sampleRate, bitsPerSample, samples);
+    * None unless format tag 1 (uncompressed PCM, the only WAV flavor
+    * that needs no codec). */
+  private[ext] def parseWav(b: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    def ascii(off: Int, s: String): Boolean =
+      off + s.length <= b.length &&
+        s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    def le16(off: Int): Int =
+      java.lang.Byte.toUnsignedInt(b(off)) |
+        (java.lang.Byte.toUnsignedInt(b(off + 1)) << 8)
+    def le32(off: Int): Int =
+      le16(off) | (le16(off + 2) << 16)
+    if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Array[Byte]] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(i + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (ascii(i, "fmt ") && size >= 16) {
+        if (le16(i + 8) != 1) return None // not plain PCM
+        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+      } else if (ascii(i, "data")) {
+        data = Some(java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size))
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for ((ch, rate, bits) <- fmt; d <- data
+         if ch > 0 && rate > 0 && bits == 16)
+      yield (ch, rate, bits, d)
+  }
+
   /** Partition-wise decode. PPM payloads decode for real (exact dims;
     * features = per-channel means then a luminance histogram over the
     * remaining slots). Anything else takes the deterministic stub path
@@ -93,7 +132,7 @@ object Multimodal {
           val digest = md.digest(payload)
           val hex = digest.map("%02x".format(_)).mkString
           parsePpm(payload) match {
-            case Some((w, h, px)) => // REAL decode path
+            case Some((w, h, px)) => // REAL image path
               val n = w * h
               val sums = new Array[Long](3)
               val bins = math.max(featureDim - 3, 0)
@@ -112,14 +151,41 @@ object Multimodal {
               }
               val feats = (sums.map(s => s.toFloat / n / 255.0f) ++
                 (0 until bins).map(i => hist(i).toFloat / n)).toArray
-              Row.fromSeq(r.toSeq ++ Seq(Row(payload.length, hex, w, h), feats))
-            case None => // stub path: no codec in this container
-              val width = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64)
-              val height = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64)
-              val feats = (0 until featureDim).map(i =>
-                (java.lang.Byte.toUnsignedInt(digest(i % 16)) / 255.0f)).toArray
               Row.fromSeq(r.toSeq ++ Seq(
-                Row(payload.length, hex, width, height), feats))
+                Row(payload.length, hex, w, h, null, null, null), feats))
+            case None => parseWav(payload) match {
+              case Some((ch, rate, _, d)) => // REAL audio path (16-bit PCM)
+                val nSamples = d.length / 2 / ch
+                val durMs = (nSamples.toLong * 1000 / rate).toInt
+                // per-channel RMS in the leading feature slots
+                val sq = new Array[Double](ch)
+                var s = 0
+                while (s < nSamples) {
+                  var c = 0
+                  while (c < ch) {
+                    val off = 2 * (s * ch + c)
+                    val v = ((d(off) & 0xff) | (d(off + 1) << 8)).toShort / 32768.0
+                    sq(c) += v * v
+                    c += 1
+                  }
+                  s += 1
+                }
+                val feats = (0 until featureDim).map { i =>
+                  if (i < ch && nSamples > 0)
+                    math.sqrt(sq(i) / nSamples).toFloat
+                  else 0.0f
+                }.toArray
+                Row.fromSeq(r.toSeq ++ Seq(
+                  Row(payload.length, hex, 0, 0, ch, rate, durMs), feats))
+              case None => // stub path: no codec in this container
+                val width = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64)
+                val height = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64)
+                val feats = (0 until featureDim).map(i =>
+                  (java.lang.Byte.toUnsignedInt(digest(i % 16)) / 255.0f)).toArray
+                Row.fromSeq(r.toSeq ++ Seq(
+                  Row(payload.length, hex, width, height, null, null, null),
+                  feats))
+            }
           }
         }
       }

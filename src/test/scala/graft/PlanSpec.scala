@@ -108,6 +108,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("native top-k aggregates without a window sort") {
+    val plan = planOf(SparkEntry.queries("x41_native_topk")(
+      spark, "/root/testdata/sf0.001"))
+    // the whole point: partial ObjectHashAggregate map-side, no
+    // WindowExec and no per-partition Sort before the aggregate
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), s"top-k must not use a window:\n$plan")
+    val firstAgg = plan.indexOf("ObjectHashAggregate")
+    val sortIdx = plan.indexOf("Sort ")
+    assert(sortIdx == -1 || sortIdx < firstAgg,
+      "any Sort must be the final presentation orderBy, not an input sort")
+  }
+
+  test("blocked fuzzy join is an equality join, never a cartesian") {
+    val plan = planOf(SparkEntry.queries("x35_fuzzy_blocked_join")(
+      spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy candidates must come from the block-key equi-join:\n$plan")
+  }
+
   test("deterministic sampling is a pure narrow plan (scan + filter only)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sampled = graft.ext.Sampling.stratifiedSample(

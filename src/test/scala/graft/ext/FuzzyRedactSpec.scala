@@ -72,6 +72,32 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(meta2.getInt(meta2.fieldIndex("width")) >= 16)
   }
 
+  test("decode parses real PCM WAV payloads: rate, duration, RMS") {
+    // mono 8000 Hz, 16-bit, 4000 samples of a ±8192 square wave (0.5s)
+    val rate = 8000
+    val n = 4000
+    val amp = 8192
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until n).foreach(i => bb.putShort((if (i % 2 == 0) amp else -amp).toShort))
+    val rows = Seq((1L, bb.array(), "audio/wav")).toDF("media_id", "payload", "media_type")
+    val out = Multimodal.decode(rows, featureDim = 4).collect()(0)
+    val meta = out.getStruct(out.fieldIndex("meta"))
+    assert(meta.getInt(meta.fieldIndex("channels")) == 1)
+    assert(meta.getInt(meta.fieldIndex("sample_rate")) == rate)
+    assert(meta.getInt(meta.fieldIndex("duration_ms")) == 500)
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    assert(math.abs(f(0) - amp / 32768.0f) < 1e-6) // square-wave RMS
+    assert(f(1) == 0.0f) // no second channel
+  }
+
   test("fuzzy resolve: variants map to the lexicographic-min canonical") {
     val m = Fuzzy.resolve(names, "name", maxDist = 2)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
