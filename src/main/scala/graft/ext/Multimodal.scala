@@ -36,6 +36,29 @@ object Multimodal {
     StructField("features", ArrayType(FloatType), nullable = true),
   ))
 
+  /** Ingest a directory of real media files via Spark's binaryFile
+    * source: one row per file with the payload as a binary column,
+    * media type sniffed from the extension, and a stable media_id
+    * hashed from the path. Feeds [[decode]] directly — the actual
+    * files → binary column → partition-wise decode pipeline. The
+    * source is split-proof (each file is one row) and predicate
+    * pushdown on path/length/modificationTime prunes at the listing. */
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content").as("payload"),
+        when(lower(col("path")).endsWith(".ppm"), "image/x-portable-pixmap")
+          .when(lower(col("path")).endsWith(".wav"), "audio/wav")
+          .when(lower(col("path")).endsWith(".png"), "image/png")
+          .when(lower(col("path")).endsWith(".jpg") ||
+                lower(col("path")).endsWith(".jpeg"), "image/jpeg")
+          .otherwise("application/octet-stream").as("media_type"),
+        col("path"), col("length"))
+
   /** Attach a binary payload column synthesized from a text column —
     * the stand-in for reading real media files; keeps the pipeline
     * runnable on the synthetic corpus. */

@@ -647,6 +647,39 @@ object Relational {
     },
     q32Sql)
 
+  /** Three-valued-logic corner coverage: null-safe equality (<=> vs
+    * IS NOT DISTINCT FROM), null-propagating comparison, COALESCE,
+    * NULLIF, and a nullable boolean OR — over planted-null columns. */
+  private val q33: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val b = t(s, d, "customer").select($"c_custkey",
+        when($"c_custkey" % 3 === 0, $"c_name").as("s"),
+        when($"c_custkey" % 5 === 0, lit(null).cast("double"))
+          .otherwise($"c_acctbal").as("v"))
+      val b2 = b.withColumn("v2", when($"c_custkey" % 2 === 0, $"v"))
+      b2.select($"c_custkey",
+          ($"v" <=> $"v2").as("nullsafe_eq"),
+          ($"v" === $"v2").isNull.as("plain_eq_is_null"),
+          coalesce($"v", lit(-1)).as("v_coal"),
+          nullif(($"c_custkey" % 3).cast("int"), lit(0)).as("nz"),
+          ($"v" > 100 || $"s".isNull).as("tri"))
+        .orderBy($"c_custkey")
+    },
+    """WITH b AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_name END AS s,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS v
+      |  FROM customer),
+      |b2 AS (SELECT *, CASE WHEN c_custkey % 2 = 0 THEN v END AS v2 FROM b)
+      |SELECT c_custkey,
+      |  (v IS NOT DISTINCT FROM v2) AS nullsafe_eq,
+      |  ((v = v2) IS NULL) AS plain_eq_is_null,
+      |  COALESCE(v, -1) AS v_coal,
+      |  NULLIF(CAST(c_custkey % 3 AS INT), 0) AS nz,
+      |  (v > 100 OR s IS NULL) AS tri
+      |FROM b2 ORDER BY c_custkey""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -680,5 +713,6 @@ object Relational {
     "q30_window_distribution" -> (q30._1, Some(q30._2)),
     "q31_keep_latest" -> (q31._1, Some(q31._2)),
     "q32_sql_text" -> (q32._1, Some(q32._2)),
+    "q33_null_semantics" -> (q33._1, Some(q33._2)),
   )
 }

@@ -98,6 +98,25 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(f(1) == 0.0f) // no second channel
   }
 
+  test("readMediaDir ingests real files end-to-end into decode") {
+    val dir = java.nio.file.Files.createTempDirectory("media")
+    // one real 1x1 red PPM file + one junk file
+    val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0)
+    java.nio.file.Files.write(dir.resolve("red.ppm"), ppm)
+    java.nio.file.Files.write(dir.resolve("junk.bin"), "junk".getBytes)
+    val media = Multimodal.readMediaDir(spark, dir.toString)
+    assert(media.count() == 2)
+    val decoded = Multimodal.decode(
+      media.select("media_id", "payload", "media_type"), featureDim = 4)
+      .collect().map(r => r.getAs[String]("media_type") ->
+        r.getStruct(r.fieldIndex("meta"))).toMap
+    val img = decoded("image/x-portable-pixmap")
+    assert(img.getInt(img.fieldIndex("width")) == 1)
+    assert(img.getInt(img.fieldIndex("height")) == 1)
+    assert(decoded.contains("application/octet-stream")) // stub path
+  }
+
   test("fuzzy resolve: variants map to the lexicographic-min canonical") {
     val m = Fuzzy.resolve(names, "name", maxDist = 2)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
