@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Bpe, Dedup, Fuzzy, Multimodal, Planes, Prefix, Redact, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ext.{Bpe, Dedup, Fuzzy, Graph, Multimodal, Planes, Prefix, Redact, Sampling, Similarity, Skew, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -1143,6 +1143,22 @@ object ExtQ {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rank""".stripMargin)
 
+  /** Fixed-point PageRank over an interaction graph derived from
+    * orders (custkey→orderkey buckets): 3 damped power iterations,
+    * every operation scaled-integer, oracle unrolls the identical
+    * arithmetic — bit-exact across engines by construction. */
+  private val x42: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "orders").select(
+        ($"o_custkey" % 100).as("src"), ($"o_orderkey" % 100).as("dst"))
+      Graph.pageRankInt(edges, "src", "dst", iters = 3)
+        .orderBy($"id")
+    },
+    Graph.pageRankSql(
+      "SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst FROM orders",
+      iters = 3))
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1194,5 +1210,6 @@ object ExtQ {
     "x39_skew_key_profile" -> (x39._1, Some(x39._2)),
     "x40_snapshot_diff" -> (x40._1, Some(x40._2)),
     "x41_native_topk" -> (x41._1, Some(x41._2)),
+    "x42_pagerank" -> (x42._1, Some(x42._2)),
   )
 }

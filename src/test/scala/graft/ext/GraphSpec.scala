@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRankInt matches a hand-rolled fixed-point reference") {
+    // 1→2, 1→3, 2→3, 3→1 (the classic 3-node example)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = Graph.pageRankInt(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // driver-side reference with identical integer ops
+    val S = Graph.Scale
+    val n = 3L
+    val deg = Map(1L -> 2L, 2L -> 1L, 3L -> 1L)
+    val in = Map(1L -> Seq(3L), 2L -> Seq(1L), 3L -> Seq(1L, 2L))
+    val base = (S - S * 85 / 100) / n
+    var pr = Map(1L -> S / n, 2L -> S / n, 3L -> S / n)
+    (1 to 3).foreach { _ =>
+      pr = pr.keys.map { id =>
+        val s = in(id).map(src => pr(src) / deg(src)).sum
+        id -> (base + s * 85 / 100)
+      }.toMap
+    }
+    assert(got == pr)
+    // ranks order: 3 (two in-edges) > 1 > 2
+    assert(got(3L) > got(1L) && got(1L) > got(2L))
+  }
+
+  test("pageRankInt is reproducible across partitioning") {
+    val edges = (1L to 200L).map(i => (i % 17, (i * 7) % 13)).toDF("s", "d")
+    val a = Graph.pageRankInt(edges.repartition(1), "s", "d", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.pageRankInt(edges.repartition(7), "s", "d", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+}
