@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Bpe, Dedup, Fuzzy, Graph, Multimodal, Planes, Prefix, Redact, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ext.{Bpe, Dedup, Drift, Fuzzy, Graph, Multimodal, Planes, Prefix, Redact, Sampling, Similarity, Skew, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -1159,6 +1159,41 @@ object ExtQ {
       "SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst FROM orders",
       iters = 3))
 
+  /** Corpus drift: per-term chi-square between the even- and odd-id
+    * halves of the corpus — top 50 shifted terms. Contributions are a
+    * fixed dag of double ops (no accumulation) rounded at 9 dp, so
+    * both engines agree bit-for-bit. */
+  private val x43: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      Drift.termDrift(
+          docs.filter($"doc_id" % 2 === 0),
+          docs.filter($"doc_id" % 2 === 1), "text")
+        .orderBy($"chi2".desc, $"term").limit(50)
+    },
+    """WITH ca AS (
+      |  SELECT term, COUNT(*)::BIGINT AS cnt_a FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term
+      |    FROM documents WHERE doc_id % 2 = 0)
+      |  WHERE length(term) > 0 GROUP BY term),
+      |cb AS (
+      |  SELECT term, COUNT(*)::BIGINT AS cnt_b FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term
+      |    FROM documents WHERE doc_id % 2 = 1)
+      |  WHERE length(term) > 0 GROUP BY term),
+      |j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+      |        COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      |      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+      |t AS (SELECT SUM(cnt_a)::BIGINT AS tot_a,
+      |             SUM(cnt_b)::BIGINT AS tot_b FROM j)
+      |SELECT term, cnt_a, cnt_b,
+      |  floor(((cnt_a / tot_a - cnt_b / tot_b)
+      |         * (cnt_a / tot_a - cnt_b / tot_b)
+      |         / ((cnt_a + cnt_b) / (tot_a + tot_b))) * 1e9 + 0.5) / 1e9
+      |    AS chi2
+      |FROM j, t ORDER BY chi2 DESC, term LIMIT 50""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1211,5 +1246,6 @@ object ExtQ {
     "x40_snapshot_diff" -> (x40._1, Some(x40._2)),
     "x41_native_topk" -> (x41._1, Some(x41._2)),
     "x42_pagerank" -> (x42._1, Some(x42._2)),
+    "x43_corpus_drift" -> (x43._1, Some(x43._2)),
   )
 }

@@ -31,6 +31,20 @@ class GraphSpec extends AnyFunSuite {
     assert(got(3L) > got(1L) && got(1L) > got(2L))
   }
 
+  test("termDrift: disjoint-vocabulary corpora flag their unique terms") {
+    val a = Seq((1L, "alpha alpha shared"), (2L, "alpha shared")).toDF("id", "text")
+    val b = Seq((3L, "beta shared shared")).toDF("id", "text")
+    val got = Drift.termDrift(a, b, "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("alpha")._1 == 3 && got("alpha")._2 == 0)
+    assert(got("beta")._1 == 0 && got("beta")._2 == 1)
+    assert(got("alpha")._3 > 0 && got("beta")._3 > 0)
+    // 'shared' appears at IDENTICAL relative frequency (2/5 in A — no:
+    // A has 5 tokens, 2 shared; B has 3 tokens, 2 shared) → nonzero;
+    // but 'alpha' (exclusive, high freq) must dominate it
+    assert(got("alpha")._3 > got("shared")._3)
+  }
+
   test("pageRankInt is reproducible across partitioning") {
     val edges = (1L to 200L).map(i => (i % 17, (i * 7) % 13)).toDF("s", "d")
     val a = Graph.pageRankInt(edges.repartition(1), "s", "d", 2)
