@@ -680,6 +680,29 @@ object Relational {
       |  (v > 100 OR s IS NULL) AS tri
       |FROM b2 ORDER BY c_custkey""".stripMargin)
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    * multiplicity must survive — counts per key prove it. */
+  private val q34: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      def yr(y: Int) = li.filter(year($"l_shipdate") === y).select($"l_partkey")
+      yr(1995).intersectAll(yr(1996)).withColumn("op", lit("both"))
+        .unionAll(yr(1995).exceptAll(yr(1996)).withColumn("op", lit("only95")))
+        .groupBy($"l_partkey", $"op").agg(count(lit(1)).as("n"))
+        .orderBy($"l_partkey", $"op")
+    },
+    """WITH y95 AS (SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995),
+      |y96 AS (SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996),
+      |bag AS (
+      |  SELECT l_partkey, 'both' AS op FROM
+      |    (SELECT * FROM y95 INTERSECT ALL SELECT * FROM y96)
+      |  UNION ALL
+      |  SELECT l_partkey, 'only95' AS op FROM
+      |    (SELECT * FROM y95 EXCEPT ALL SELECT * FROM y96))
+      |SELECT l_partkey, op, COUNT(*)::BIGINT AS n FROM bag
+      |GROUP BY l_partkey, op ORDER BY l_partkey, op""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "q01_agg_pricing_summary" -> (q01._1, Some(q01._2)),
     "q02_filter_pushdown" -> (q02._1, Some(q02._2)),
@@ -714,5 +737,6 @@ object Relational {
     "q31_keep_latest" -> (q31._1, Some(q31._2)),
     "q32_sql_text" -> (q32._1, Some(q32._2)),
     "q33_null_semantics" -> (q33._1, Some(q33._2)),
+    "q34_setops_bag" -> (q34._1, Some(q34._2)),
   )
 }
