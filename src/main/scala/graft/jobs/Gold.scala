@@ -31,6 +31,43 @@ object Gold {
       .orderBy(col("country").asc_nulls_first)
   }
 
+  /** Incremental maintenance of the principal-by-country metric:
+    * a PARTIAL rollup table partitioned by `part` holds per-(part,
+    * country) sums; re-ingesting a deal partition refreshes only that
+    * partition's slice (partition-pruned silver read + dynamic
+    * partition overwrite), and the serving read is a cheap combine of
+    * partials (sum of sums — associative, DECIMAL-exact). At 100 TB
+    * this turns a full-corpus re-aggregation into work proportional
+    * to the changed partitions. */
+  def refreshPrincipalRollup(spark: SparkSession, lakeRoot: String,
+                             rollupRoot: String,
+                             parts: Seq[String]): Unit = {
+    val leaseInfo = spark.read.parquet(s"$lakeRoot/silver/assets/lease_info")
+      .filter(col("part").isin(parts: _*))
+    val feats = spark.read.parquet(s"$lakeRoot/silver/assets/lease_features")
+      .filter(col("part").isin(parts: _*))
+    val keys = Seq("ed_code", "part", "AL1", "AL2", "AL3", "AL4", "AL5")
+      .filter(c => leaseInfo.columns.contains(c) && feats.columns.contains(c))
+    leaseInfo.select((keys.map(col) :+ col("AL15")): _*)
+      .join(feats.select((keys.map(col) :+ col("AL56")): _*), keys)
+      .groupBy(col("part"), col("AL15").as("country"))
+      .agg(sum(col("AL56").cast("decimal(18,2)")).cast("decimal(28,2)")
+          .as("principal_partial"),
+        count(lit(1)).as("n_leases"))
+      .write.partitionBy("part").mode("overwrite").parquet(rollupRoot)
+  }
+
+  /** Serving read over the partial rollup: combine is exact because
+    * the partials are DECIMAL and sum is associative. */
+  def principalByCountryFromRollup(spark: SparkSession,
+                                   rollupRoot: String): DataFrame =
+    spark.read.parquet(rollupRoot)
+      .groupBy(col("country"))
+      .agg(sum(col("principal_partial")).cast("double")
+          .as("principal_outstanding"),
+        sum(col("n_leases")).as("n_leases"))
+      .orderBy(col("country").asc_nulls_first)
+
   /** Deal-level portfolio summary from deal_info_table. */
   def dealSummary(spark: SparkSession, lakeRoot: String): DataFrame =
     spark.read.parquet(s"$lakeRoot/silver/deal_details/deal_info_table")
