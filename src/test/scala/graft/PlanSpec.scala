@@ -129,6 +129,26 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy candidates must come from the block-key equi-join:\n$plan")
   }
 
+  test("no query plans an accidental cartesian / nested-loop join") {
+    // BNLJ is legitimate ONLY where one side is definitionally tiny:
+    val whitelist = Set(
+      "x06_ann_bruteforce_topk", // exact baseline: queries broadcast the corpus scan
+      "x14_ann_ivf_topk",        // k-means assignment: ≤nCentroids rows broadcast
+      "x21_term_relevance",      // 1-row corpus-total broadcast
+      "x28_vocab_coverage",      // 1-row total broadcast
+      "x39_skew_key_profile",    // 1-row total broadcast
+      "x43_corpus_drift")        // 1-row totals broadcast
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
+        if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
+        else if (plan.contains("BroadcastNestedLoopJoin") &&
+                 !whitelist.contains(name)) Some(s"$name: BNLJ")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("deterministic sampling is a pure narrow plan (scan + filter only)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sampled = graft.ext.Sampling.stratifiedSample(
