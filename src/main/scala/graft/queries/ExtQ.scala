@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Bpe, Dedup, Drift, Fuzzy, Graph, Multimodal, Planes, Prefix, Redact, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ext.{Bpe, Dedup, Drift, Fuzzy, Graph, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -1194,6 +1194,17 @@ object ExtQ {
       |    AS chi2
       |FROM j, t ORDER BY chi2 DESC, term LIMIT 50""".stripMargin)
 
+  /** Equi-width histogram profile of l_extendedprice (16 bins):
+    * bin assignment is an accumulation-free double dag, engine-exact. */
+  private val x44: (Fn, String) = (
+    (s, d) => Profile.histogram(t(s, d, "lineitem"), "l_extendedprice", 16),
+    """WITH b AS (SELECT MIN(l_extendedprice) AS lo,
+      |                  MAX(l_extendedprice) AS hi FROM lineitem),
+      |h AS (SELECT LEAST(CAST(floor((l_extendedprice - lo) * 16 / (hi - lo))
+      |                        AS BIGINT), 15) AS bin
+      |      FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+      |SELECT bin, COUNT(*)::BIGINT AS n FROM h GROUP BY bin ORDER BY bin""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1247,5 +1258,6 @@ object ExtQ {
     "x41_native_topk" -> (x41._1, Some(x41._2)),
     "x42_pagerank" -> (x42._1, Some(x42._2)),
     "x43_corpus_drift" -> (x43._1, Some(x43._2)),
+    "x44_histogram_profile" -> (x44._1, Some(x44._2)),
   )
 }

@@ -45,6 +45,17 @@ class GraphSpec extends AnyFunSuite {
     assert(got("alpha")._3 > got("shared")._3)
   }
 
+  test("histogram: equi-width bins, max in last bin, degenerate column") {
+    val xs = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 4.0, 4.0).toDF("v")
+    val h = Profile.histogram(xs, "v", 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // width 1: [0,1) [1,2) [2,3) [3,4]; the three 4.0s clamp to bin 3
+    assert(h == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 4L))
+    val flat = Seq(7.0, 7.0).toDF("v")
+    val hf = Profile.histogram(flat, "v", 4).collect()
+    assert(hf.length == 1 && hf(0).getLong(0) == 0 && hf(0).getLong(1) == 2)
+  }
+
   test("pageRankInt is reproducible across partitioning") {
     val edges = (1L to 200L).map(i => (i % 17, (i * 7) % 13)).toDF("s", "d")
     val a = Graph.pageRankInt(edges.repartition(1), "s", "d", 2)
