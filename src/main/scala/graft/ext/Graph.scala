@@ -72,15 +72,15 @@ object Graph {
       val prev = if (i == 1) "pr0" else s"pr${i - 1}"
       s"""pr$i AS (
          |  SELECT nodes.id,
-         |    (SELECT ($s - $s * $dampNum // $dampDen) // n FROM params)
-         |      + COALESCE(agg.s, 0) * $dampNum // $dampDen AS pr
+         |    ((SELECT ($s - $s * $dampNum // $dampDen) // n FROM params)
+         |      + COALESCE(agg.s, 0) * $dampNum // $dampDen)::BIGINT AS pr
          |  FROM nodes LEFT JOIN (
-         |    SELECT e.dst AS id, SUM($prev.pr // deg.deg) AS s
+         |    SELECT e.dst AS id, SUM($prev.pr // deg.deg)::BIGINT AS s
          |    FROM e JOIN deg ON e.src = deg.src
          |    JOIN $prev ON $prev.id = e.src
          |    GROUP BY e.dst) agg ON agg.id = nodes.id)""".stripMargin
     }
     (Seq(header) ++ steps).mkString(",\n") +
-      s"\nSELECT id, pr FROM pr$iters ORDER BY id"
+      s"\nSELECT id::BIGINT AS id, pr::BIGINT AS pr FROM pr$iters ORDER BY id"
   }
 }

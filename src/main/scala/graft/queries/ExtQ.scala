@@ -978,9 +978,9 @@ object ExtQ {
          |  regexp_replace(regexp_replace(regexp_replace(text,
          |    '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
          |    '$ph', '<PHONE>', 'g') AS text,
-         |  len(regexp_extract_all(text, '$e')) AS n_email,
-         |  len(regexp_extract_all(text, '$ip')) AS n_ipv4,
-         |  len(regexp_extract_all(text, '$ph')) AS n_phone
+         |  len(regexp_extract_all(text, '$e'))::INT AS n_email,
+         |  len(regexp_extract_all(text, '$ip'))::INT AS n_ipv4,
+         |  len(regexp_extract_all(text, '$ph'))::INT AS n_phone
          |FROM planted ORDER BY doc_id""".stripMargin
     })
 
@@ -1034,7 +1034,7 @@ object ExtQ {
       |         unnest(range(1, length(word))) AS i FROM wc)
       |SELECT substr(word, i::INT, 1) AS a,
       |       substr(word, i::INT + 1, 1) AS b,
-      |       SUM(wcount) AS freq
+      |       SUM(wcount)::BIGINT AS freq
       |FROM ix GROUP BY a, b
       |ORDER BY freq DESC, a, b""".stripMargin)
 

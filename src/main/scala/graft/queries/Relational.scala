@@ -450,7 +450,7 @@ object Relational {
     """SELECT c_custkey,
       |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_norm,
       |  greatest(c_acctbal, 0.0) AS bal_floor,
-      |  least(c_nationkey, 10) AS nation_cap,
+      |  least(c_nationkey, 10)::INT AS nation_cap,
       |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
       |       WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_band
       |FROM customer ORDER BY c_custkey""".stripMargin)

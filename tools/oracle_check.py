@@ -5,9 +5,17 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [onlyRegex]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB with views over
-<sfDir>/*.parquet, and compares row count, column names, and exact
-values (rows sorted, columns sorted by name — mirroring the driver's
-described compare). Exits non-zero on any mismatch.
+<sfDir>/*.parquet, and compares row count, column names, dtypes, and
+exact values (rows sorted, columns sorted by name — mirroring the
+driver's described compare). Exits non-zero on any mismatch.
+
+Both sides are materialized through pandas (`.df()`), NOT `fetchall`,
+because the driver hashes pandas-rendered values: DuckDB HUGEINT (the
+result type of SUM(BIGINT)) has no pandas integer dtype and silently
+becomes float64, so an uncast aggregate renders `4568.0` against the
+engine's `4568` and fails the driver's hash even though the numbers
+are identical. Comparing through pandas makes that divergence fail
+HERE, in the local pre-flight (round-2 verdict item 2).
 """
 import json
 import math
@@ -24,6 +32,8 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)  # full precision
+    if v is None or v != v:  # pandas NaT/None
+        return "NaN"
     return str(v)
 
 
@@ -40,25 +50,35 @@ def main():
     failed = []
     for name, sql in sorted(sqls.items()):
         try:
-            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = got_rel.columns
-            got = got_rel.fetchall()
-            exp_rel = con.sql(sql)
-            exp_cols = exp_rel.columns
-            exp = exp_rel.fetchall()
+            # .df() (pandas), not fetchall(): mirrors the driver's hash
+            # path where HUGEINT/UINT64 degrade to float64.
+            got_df = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            exp_df = con.sql(sql).df()
         except Exception as e:
             failed.append(name)
             print(f"FAIL {name}: error {e}")
             continue
+        got_cols = list(got_df.columns)
+        exp_cols = list(exp_df.columns)
         if sorted(map(str.lower, got_cols)) != sorted(map(str.lower, exp_cols)):
             failed.append(name)
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             continue
         # reorder columns by sorted name, then sort rows
-        gi = [got_cols.index(c) for c in sorted(got_cols, key=str.lower)]
-        ei = [exp_cols.index(c) for c in sorted(exp_cols, key=str.lower)]
-        g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
-        e = sorted(tuple(norm(r[i]) for i in ei) for r in exp)
+        gs = got_df[sorted(got_cols, key=str.lower)]
+        es = exp_df[sorted(exp_cols, key=str.lower)]
+        gdt, edt = list(map(str, gs.dtypes)), list(map(str, es.dtypes))
+        if gdt != edt:
+            # Diagnostic only: the driver hashes rendered values, so
+            # int32-vs-int64 passes it, but float64-vs-int64 renders
+            # "4568.0" vs "4568" and fails below.
+            bad = [(c, a, b) for c, a, b in zip(gs.columns, gdt, edt) if a != b]
+            print(f"WARN {name}: dtype drift {bad} "
+                  "(if one side is float64: uncast DuckDB aggregate? "
+                  "SUM(BIGINT) is HUGEINT -> float64 in pandas; add ::BIGINT)")
+        g = sorted(tuple(norm(v) for v in r) for r in gs.itertuples(index=False))
+        e = sorted(tuple(norm(v) for v in r) for r in es.itertuples(index=False))
         if len(g) != len(e):
             failed.append(name)
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
