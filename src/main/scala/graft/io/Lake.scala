@@ -9,9 +9,10 @@ import graft.schema.Layout
   *
   * The reference's tables are Delta directories on GCS partitioned by
   * the single string column `part={ed_code}_{yyyyMMdd}`; this env has
-  * no Delta jar (SURVEY §7.4), so bronze+silver are plain parquet with
-  * `partitionOverwriteMode=dynamic` providing the partition-scoped
-  * overwrite the reference got from Delta.
+  * no Delta jar (SURVEY §7.4), so bronze+silver are plain parquet and
+  * [[writePartitioned]] provides the partition-scoped ATOMIC overwrite
+  * the reference got from Delta's txn log (stage → rename-aside →
+  * swap, crash-recoverable via [[recover]]).
   *
   * The reference probes partition existence by listing GCS blobs
   * before reading (`bronze_funcs.py:36-59`); with a file-source table
@@ -47,10 +48,88 @@ object Lake {
     else None
   }
 
-  /** Dynamic partition overwrite: replaces only the partitions present
-    * in `df` (reference write shape, `generate_bronze_tables.py:81-86`). */
+  private val PublishTmp = ".publish_tmp"
+  private val PublishTrash = ".publish_trash"
+  private val CompactTmp = ".compact_tmp"
+  private val CompactTrash = ".compact_trash"
+
+  /** Partition-scoped overwrite with ATOMIC per-partition publish:
+    * replaces only the partitions present in `df` (reference write
+    * shape, `generate_bronze_tables.py:81-86` — Delta gave it a txn
+    * log; this env has no Delta jar, SURVEY §7.4).
+    *
+    * Protocol: the whole frame is first written to a private staging
+    * dir (`.publish_tmp/<uuid>` — uuid so the 20-wide deal fan-out
+    * can publish distinct partitions of one table concurrently), then
+    * each staged `part=` dir is swapped in: current dir renamed aside
+    * to `.publish_trash/part=X`, staged dir renamed into place, trash
+    * dropped. Every window is recoverable — a crash can leave a
+    * partition either fully old (trash restore) or fully new, never
+    * half-replaced; see [[recover]]. Dot-prefixed staging/trash dirs
+    * are invisible to parquet readers of the table. */
   def writePartitioned(df: DataFrame, root: String): Unit =
-    df.write.partitionBy("part").mode("overwrite").parquet(root)
+    writePartitioned(df, root, _ => ())
+
+  /** [[writePartitioned]] with a step hook between FS operations —
+    * the crash-injection seam for LakePublishSpec. Steps: `staged`,
+    * then per partition `aside:part=X` (old renamed to trash, new not
+    * yet in place) and `swapped:part=X` (new in place, trash not yet
+    * dropped). */
+  private[io] def writePartitioned(df: DataFrame, root: String,
+                                   onStep: String => Unit): Unit = {
+    val spark = df.sparkSession
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(rootPath)
+    val staging =
+      new Path(rootPath, s"$PublishTmp/${java.util.UUID.randomUUID()}")
+    df.write.partitionBy("part").mode("overwrite").parquet(staging.toString)
+    onStep("staged")
+    val trashRoot = new Path(rootPath, PublishTrash)
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+      .foreach { s =>
+        val name = s.getPath.getName
+        val dst = new Path(rootPath, name)
+        val tr = new Path(trashRoot, name)
+        if (fs.exists(dst)) {
+          fs.mkdirs(trashRoot)
+          fs.delete(tr, true) // stale trash for this partition is superseded
+          fs.rename(dst, tr)
+          onStep(s"aside:$name")
+        }
+        fs.rename(s.getPath, dst)
+        onStep(s"swapped:$name")
+        fs.delete(tr, true)
+      }
+    fs.delete(staging, true)
+  }
+
+  /** Heal a table after a crashed [[writePartitioned]]/[[compact]]:
+    * any `part=` dir sitting in a trash dir with no live counterpart
+    * is the partition's only copy (crash between rename-aside and
+    * rename-in) — rename it back; trash entries whose live dir exists
+    * are completed swaps — drop them; then drop all staging dirs
+    * (staged data is never the only copy). Returns the restored
+    * partition names. Run at startup / before maintenance, NOT
+    * concurrently with writers (it sweeps the shared staging root). */
+  def recover(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val restored = Seq(PublishTrash, CompactTrash).flatMap { tn =>
+      val trashRoot = new Path(rootPath, tn)
+      if (!fs.exists(trashRoot)) Seq.empty
+      else fs.listStatus(trashRoot).filter(_.isDirectory).toSeq.flatMap { t =>
+        val dst = new Path(rootPath, t.getPath.getName)
+        if (fs.exists(dst)) { fs.delete(t.getPath, true); None }
+        else { fs.rename(t.getPath, dst); Some(t.getPath.getName) }
+      }
+    }
+    Seq(PublishTmp, CompactTmp, PublishTrash, CompactTrash)
+      .foreach(d => fs.delete(new Path(rootPath, d), true))
+    restored
+  }
 
   /** Current-version scan (`generate_asset_silver.py:77-83`): one
     * partition, iscurrent==1, bookkeeping columns dropped. */
@@ -120,17 +199,21 @@ object Lake {
     * sub-target files; at 100 TB that means listing and opening
     * millions of tiny footers per scan. For each partition whose file
     * count exceeds `maxFiles`, rewrite it into
-    * ceil(bytes / targetBytes) files via write-to-temp + directory
-    * swap — the swap is FS-level, so the table never has a partially
-    * compacted partition visible, and readers of OTHER partitions are
-    * never touched. Partitions are processed independently (failure
-    * leaves earlier swaps intact — compaction is idempotent and
-    * re-runnable). */
+    * ceil(bytes / targetBytes) files via write-to-temp + rename-aside
+    * swap — the old dir is parked in `.compact_trash` until the new
+    * one is in place, so a crash at ANY point leaves the partition
+    * recoverable ([[recover]] runs on entry): either the old copy is
+    * still live, or it is whole in trash. Readers of OTHER partitions
+    * are never touched. Partitions are processed independently
+    * (failure leaves earlier swaps intact — compaction is idempotent
+    * and re-runnable). Maintenance op: don't run concurrently with
+    * writers of the same table. */
   def compact(spark: SparkSession, root: String,
               targetBytes: Long = 128L * 1024 * 1024,
               maxFiles: Int = 1): Seq[CompactStat] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, root) // heal any prior crashed swap before listing
     val parts = fs.listStatus(rootPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
     val stats = parts.toSeq.flatMap { p =>
@@ -140,20 +223,27 @@ object Lake {
       else {
         val bytes = files.map(_.getLen).sum
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        val tmp = new Path(rootPath, s".compact_tmp/${p.getPath.getName}")
+        val name = p.getPath.getName
+        val tmp = new Path(rootPath, s"$CompactTmp/$name")
         fs.delete(tmp, true)
         spark.read.parquet(p.getPath.toString)
           .repartition(nOut)
           .write.mode("overwrite").parquet(tmp.toString)
-        // swap: the partition dir is replaced wholesale, never merged
-        fs.delete(p.getPath, true)
+        // drop Spark's _SUCCESS marker before the dir becomes live
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        // swap: old dir parked in trash (never deleted before the new
+        // dir is live), new dir renamed in, trash dropped last
+        val tr = new Path(rootPath, s"$CompactTrash/$name")
+        fs.mkdirs(new Path(rootPath, CompactTrash))
+        fs.delete(tr, true)
+        fs.rename(p.getPath, tr)
         fs.rename(tmp, p.getPath)
-        // drop Spark's _SUCCESS marker inside the partition dir
-        fs.delete(new Path(p.getPath, "_SUCCESS"), false)
-        Some(CompactStat(p.getPath.getName, files.length, nOut))
+        fs.delete(tr, true)
+        Some(CompactStat(name, files.length, nOut))
       }
     }
-    fs.delete(new Path(rootPath, ".compact_tmp"), true)
+    Seq(CompactTmp, CompactTrash)
+      .foreach(d => fs.delete(new Path(rootPath, d), true))
     stats
   }
 
