@@ -197,28 +197,52 @@ object Dedup {
       lit(0L), (a, b) => a + b)
   }
 
-  /** SimHash near-dup pairs within a hamming ball. Quadratic pair join
-    * guarded by banding on signature bytes for scale: docs must share
-    * at least one of the eight signature bytes to pair (pigeonhole:
-    * ≤7 bit flips cannot change all eight bytes; we require ≤7).
-    * Bytes are extracted with unsigned shifts — float division would
+  /** SimHash near-dup pairs within a hamming ball, banded on
+    * `maxHamming + 1` DISJOINT signature chunks (pigeonhole: k bit
+    * flips cannot touch all k+1 chunks, so every true pair shares at
+    * least one chunk verbatim — the banding is lossless). The chunk
+    * width adapts to the ball: hamming≤3 → 4 bands × 16 bits (65,536
+    * buckets per band), hamming≤7 → 8 bands × 8 bits (256 buckets).
+    * Wider chunks matter at scale — with B buckets per band, random
+    * (non-dup) signatures generate ~bands × N²/B candidate pairs, so
+    * 16-bit bands cut the candidate volume ~500× vs byte bands at the
+    * same recall; candidates are then exactly hamming-verified. True
+    * duplicate clusters still pair quadratically within their cluster
+    * — that lower bound is the output size itself, not banding waste.
+    * Chunks are extracted with unsigned shifts — float division would
     * lose bits beyond 2^53 on 64-bit signatures. */
   def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int)
+      : DataFrame =
+    simhashCandidates(
+      df.select(col(id).as("_id"), simhash64(col(text)).as("sig")), maxHamming)
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+
+  /** The banded candidate join of [[simhashPairs]] before hamming
+    * verification, over a precomputed `(_id, sig)` frame — exposed so
+    * specs can assert the candidate-volume bound directly. */
+  private[ext] def simhashCandidates(sigs: DataFrame, maxHamming: Int)
       : DataFrame = {
-    require(maxHamming <= 7, "byte banding guarantees recall only for hamming <= 7")
-    val sigs = df.select(col(id).as("_id"), simhash64(col(text)).as("sig"))
-    val bytes = array((0 to 7).map(b =>
-      pmod(shiftrightunsigned(col("sig"), b * 8), lit(256))): _*)
+    require(0 <= maxHamming && maxHamming <= 7,
+      "disjoint-chunk banding supports hamming <= 7 (8 chunks minimum 8 bits)")
+    val nBands = maxHamming + 1
+    // distribute 64 bits over the bands as evenly as possible
+    val widths = (0 until nBands).map(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunks = array((0 until nBands).map { b =>
+      // width 64 (maxHamming=0, one band) is the whole signature; a
+      // 1L << 64 modulus would wrap to 1 in Java shift semantics
+      if (widths(b) == 64) col("sig")
+      else pmod(shiftrightunsigned(col("sig"), offsets(b)), lit(1L << widths(b)))
+    }: _*)
     val banded = sigs.select(col("_id"), col("sig"),
-      posexplode(bytes).as(Seq("band", "byte")))
+      posexplode(chunks).as(Seq("band", "chunk")))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding cosine near-dup pairs, LSH-bucketed — the 100 TB path.

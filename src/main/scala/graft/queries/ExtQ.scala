@@ -89,15 +89,10 @@ object ExtQ {
        |SELECT id_a, id_b, jaccard FROM jac
        |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)
 
-  /** SimHash signatures, bit-for-bit reproduced by the oracle from
-    * md5 nibble votes. */
-  private val x04: (Fn, String) = (
-    (s, d) => {
-      import s.implicits._
-      t(s, d, "documents")
-        .select($"doc_id", Dedup.simhash64($"text").as("simhash"))
-        .orderBy($"doc_id")
-    },
+  /** The DuckDB reproduction of [[Dedup.simhash64]] (doc_id, simhash)
+    * from md5 nibble votes — shared by the x04 signature gate and the
+    * x45 pair gate. */
+  private val simhashSigSql: String =
     """SELECT doc_id,
       |  CAST(SUM(CASE WHEN vote <= 0 THEN 0
       |            WHEN j = 63 THEN -9223372036854775807 - 1
@@ -116,7 +111,36 @@ object ExtQ {
       |            FROM documents)
       |      CROSS JOIN (SELECT unnest(range(0, 64)) AS j)))
       |  GROUP BY doc_id, j)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      |GROUP BY doc_id""".stripMargin
+
+  /** SimHash signatures, bit-for-bit reproduced by the oracle from
+    * md5 nibble votes. */
+  private val x04: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", Dedup.simhash64($"text").as("simhash"))
+        .orderBy($"doc_id")
+    },
+    s"$simhashSigSql ORDER BY doc_id")
+
+  /** SimHash near-dup pairs (hamming ≤ 3) through the banded join —
+    * the oracle computes the EXACT hamming ball from the mirrored
+    * signatures, so the disjoint-chunk banding must be lossless
+    * (pigeonhole) or the candidate sets diverge. */
+  private val x45: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH sigs AS ($simhashSigSql)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin)
 
   /** DuckDB double-precision cosine mirroring Similarity.cosine's op
     * order exactly: left-fold dot, cosine = dot/(sqrt(na)*sqrt(nb)). */
@@ -1259,5 +1283,6 @@ object ExtQ {
     "x42_pagerank" -> (x42._1, Some(x42._2)),
     "x43_corpus_drift" -> (x43._1, Some(x43._2)),
     "x44_histogram_profile" -> (x44._1, Some(x44._2)),
+    "x45_simhash_pairs" -> (x45._1, Some(x45._2)),
   )
 }
