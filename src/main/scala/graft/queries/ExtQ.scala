@@ -1245,12 +1245,26 @@ object ExtQ {
     "x13_sessionize" -> (x13._1, Some(x13._2)),
     // IVF ANN: k-means quantizer has no SQL-expressible oracle →
     // rows-only check here; ExtSpec asserts recall vs brute force and
-    // run-to-run determinism
+    // run-to-run determinism. So the driver still RECORDS the quality
+    // number every round, recall vs the exact brute-force top-k is
+    // computed distributively (1-row broadcast) and stamped on every
+    // output row as recall_vs_bruteforce (round-2 verdict item 5).
     "x14_ann_ivf_topk" -> (((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
-      Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+      val q = emb.filter(col("vec_id") < 5)
+      // quantizer granularity is a per-corpus knob: the synthetic
+      // embeddings are near-uniform (recall ~ scan fraction), so the
+      // gate config probes 24/64 buckets (~3/8 scan) for recall 0.90
+      val ivf = Similarity.ivfTopK(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10, nCentroids = 64, nProbe = 24)
+      val bf = Similarity.bruteForceTopK(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbour_id"))
+      val recall = ivf.join(bf, Seq("query_id", "neighbour_id"), "leftsemi")
+        .agg(count(lit(1)).cast("double").as("hits"))
+        .crossJoin(bf.agg(count(lit(1)).cast("double").as("tot")))
+        .select((col("hits") / col("tot")).as("recall_vs_bruteforce"))
+      ivf.crossJoin(broadcast(recall))
         .orderBy(col("query_id"), col("rank"))
     }): Fn, None),
     "x15_ann_lsh_topk" -> (x15._1, Some(x15._2)),
