@@ -61,29 +61,104 @@ object Bpe {
   }
 
   /** Learn `merges` BPE merge rules from the corpus. Deterministic:
-    * ties on frequency break lexicographically on (a, b). */
-  def train(df: DataFrame, text: String, merges: Int): Seq[(String, String)] = {
+    * ties on frequency break lexicographically on (a, b).
+    *
+    * `batch` > 1 merges several rules per Spark round (one pair-stats
+    * job + one 1-slice collect instead of one job per rule — a 32k
+    * vocabulary stops costing 32k sequential jobs) while staying
+    * EXACTLY equal to the sequential algorithm: per round we take the
+    * longest prefix of the frequency-sorted pair list whose pairs are
+    * symbol-disjoint, then keep only pairs strictly more frequent than
+    * the first conflict ([[selectBatch]] proves why that equals
+    * recomputing stats between merges). A round that can't batch
+    * safely degrades to the single textbook merge, which is exact by
+    * construction. */
+  def train(df: DataFrame, text: String, merges: Int,
+            batch: Int = 16): Seq[(String, String)] = {
+    require(batch >= 1, "batch >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     var vocab = initVocab(df, text).localCheckpoint()
     val learned = Seq.newBuilder[(String, String)]
-    var round = 0
+    // all multi-char symbols in the vocab are products of prior merges
+    // (the initial alphabet is single code units) — tracked driver-side
+    // for the product-collision guard, no extra distributed pass
+    var products = Set.empty[String]
+    var count = 0
     var exhausted = false
-    while (round < merges && !exhausted) {
+    while (count < merges && !exhausted) {
+      val want = math.min(batch, merges - count)
+      val slice = math.max(3 * want, 16)
       val top = pairStats(vocab.toDF)
-        .orderBy(col("freq").desc, col("a"), col("b")).limit(1).collect()
+        .orderBy(col("freq").desc, col("a"), col("b")).limit(slice + 1)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        learned += ((a, b))
+        val selected = selectBatch(top, want, sawAll = top.length <= slice,
+          priorProducts = products)
+        learned ++= selected
+        products ++= selected.map { case (a, b) => a + b }
         val prev = vocab
-        vocab = vocab.map(w => w.copy(segs = mergeSegs(w.segs, a, b)))
+        vocab = vocab.map(w => w.copy(segs =
+          selected.foldLeft(w.segs) { case (s, (a, b)) => mergeSegs(s, a, b) }))
           .localCheckpoint()
         prev.unpersist()
-        round += 1
+        count += selected.length
       }
     }
     learned.result()
+  }
+
+  /** Pick the merge batch for one round of [[train]] from the
+    * `(a, b, freq)` slice sorted by (freq desc, a, b).
+    *
+    * Selection: the longest CONTIGUOUS prefix of pairwise
+    * symbol-disjoint pairs (a pair conflicts when it shares a symbol
+    * with an already-selected pair, when its concatenated product
+    * collides with a selected product, or when the product equals an
+    * existing vocab symbol — a prior round's product), truncated to
+    * pairs strictly more frequent than the first conflict (or the
+    * slice boundary when the slice may hide conflicts below).
+    *
+    * Why this equals sequential BPE: merging (a, b) only changes the
+    * frequency of pairs that share a or b (they can only lose
+    * occurrences), creates pairs involving the product ab whose
+    * frequency is bounded by an old overlapping pair's, and — only if
+    * ab already existed as a symbol — inflates pairs touching that
+    * symbol. All three classes conflict with the selection, so they
+    * rank at or below the first conflict and their post-merge
+    * frequency stays ≤ the cut; every kept pair is strictly above the
+    * cut and mutually invariant, so recomputing stats between merges
+    * would return the kept pairs in exactly this order (ties included:
+    * the scan follows the same total order sequential argmax uses).
+    * When truncation empties the batch, the single top pair is exact
+    * because stats are recomputed next round anyway. */
+  private[graft] def selectBatch(top: IndexedSeq[(String, String, Long)],
+                                 want: Int, sawAll: Boolean,
+                                 priorProducts: Set[String])
+      : Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    var sel = Vector.empty[(String, String, Long)]
+    var cut = if (sawAll) Long.MinValue else top.last._3
+    var i = 0
+    var stopped = false
+    while (i < top.length && !stopped && sel.length < want) {
+      val (a, b, f) = top(i)
+      val prod = a + b
+      if (used(a) || used(b) || used(prod) || priorProducts(prod)) {
+        cut = math.max(cut, f); stopped = true
+      } else {
+        sel :+= ((a, b, f)); used ++= Seq(a, b, prod)
+      }
+      i += 1
+    }
+    // voluntary stop at `want`: the first unexamined pair may conflict
+    // at its own frequency — treat its freq as the cut
+    if (!stopped && i < top.length) cut = math.max(cut, top(i)._3)
+    val kept = sel.filter(_._3 > cut).map(t => (t._1, t._2))
+    if (kept.nonEmpty) kept
+    else Seq((top.head._1, top.head._2)) // exact single textbook merge
   }
 
   /** Segment `text` with learned merge rules: tokens column appended.
