@@ -95,8 +95,11 @@ object Multimodal {
     if (i >= b.length || !Character.isWhitespace(b(i).toChar)) return None
     i += 1
     val (w, h, maxv) = (vals(0), vals(1), vals(2))
-    if (maxv != 255 || w <= 0 || h <= 0 ||
-        b.length - i < w * h * 3) return None
+    // size math in Long with sane dim bounds: a crafted header like
+    // w=h=100000 overflows Int (w*h*3), which would bypass the length
+    // guard and blow up copyOfRange inside the task
+    if (maxv != 255 || w <= 0 || h <= 0 || w > 32768 || h > 32768 ||
+        b.length.toLong - i < w.toLong * h * 3) return None
     Some((w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3)))
   }
 
@@ -154,7 +157,9 @@ object Multimodal {
           md.reset()
           val digest = md.digest(payload)
           val hex = digest.map("%02x".format(_)).mkString
-          parsePpm(payload) match {
+          // a crafted/corrupt payload that slips past the parsers must
+          // degrade to the stub row, not fail the whole task
+          val real = scala.util.Try(parsePpm(payload) match {
             case Some((w, h, px)) => // REAL image path
               val n = w * h
               val sums = new Array[Long](3)
@@ -174,10 +179,10 @@ object Multimodal {
               }
               val feats = (sums.map(s => s.toFloat / n / 255.0f) ++
                 (0 until bins).map(i => hist(i).toFloat / n)).toArray
-              Row.fromSeq(r.toSeq ++ Seq(
-                Row(payload.length, hex, w, h, null, null, null), feats))
-            case None => parseWav(payload) match {
-              case Some((ch, rate, _, d)) => // REAL audio path (16-bit PCM)
+              Some(Row.fromSeq(r.toSeq ++ Seq(
+                Row(payload.length, hex, w, h, null, null, null), feats)))
+            case None => parseWav(payload).map {
+              case (ch, rate, _, d) => // REAL audio path (16-bit PCM)
                 val nSamples = d.length / 2 / ch
                 val durMs = (nSamples.toLong * 1000 / rate).toInt
                 // per-channel RMS in the leading feature slots
@@ -200,15 +205,16 @@ object Multimodal {
                 }.toArray
                 Row.fromSeq(r.toSeq ++ Seq(
                   Row(payload.length, hex, 0, 0, ch, rate, durMs), feats))
-              case None => // stub path: no codec in this container
-                val width = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64)
-                val height = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64)
-                val feats = (0 until featureDim).map(i =>
-                  (java.lang.Byte.toUnsignedInt(digest(i % 16)) / 255.0f)).toArray
-                Row.fromSeq(r.toSeq ++ Seq(
-                  Row(payload.length, hex, width, height, null, null, null),
-                  feats))
             }
+          }).toOption.flatten
+          real.getOrElse { // stub path: no codec in this container
+            val width = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64)
+            val height = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64)
+            val feats = (0 until featureDim).map(i =>
+              (java.lang.Byte.toUnsignedInt(digest(i % 16)) / 255.0f)).toArray
+            Row.fromSeq(r.toSeq ++ Seq(
+              Row(payload.length, hex, width, height, null, null, null),
+              feats))
           }
         }
       }

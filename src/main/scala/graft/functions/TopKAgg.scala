@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -29,11 +29,17 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKAgg.Buf] {
+  extends TypedImperativeAggregate[TopKAgg.Buf] with ImplicitCastInputTypes {
+
+  require(k >= 1, s"graft_topk needs k >= 1, got $k")
 
   import TopKAgg.Buf
 
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
+  // analysis-time typing (with implicit casts): SQL calls like
+  // graft_topk(decimal_col, int_col, 3) get casts inserted instead of
+  // a runtime ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -34,9 +34,12 @@ object Gold {
   /** Incremental maintenance of the principal-by-country metric:
     * a PARTIAL rollup table partitioned by `part` holds per-(part,
     * country) sums; re-ingesting a deal partition refreshes only that
-    * partition's slice (partition-pruned silver read + dynamic
-    * partition overwrite), and the serving read is a cheap combine of
-    * partials (sum of sums — associative, DECIMAL-exact). At 100 TB
+    * partition's slice (partition-pruned silver read + atomic
+    * partition publish via [[graft.io.Lake.writePartitioned]] —
+    * partition-scoped regardless of session confs), and the serving
+    * read is a cheap combine of partials (sum of sums — associative,
+    * DECIMAL-exact). A requested partition that refreshes to ZERO rows
+    * has its rollup slice deleted rather than left stale. At 100 TB
     * this turns a full-corpus re-aggregation into work proportional
     * to the changed partitions. */
   def refreshPrincipalRollup(spark: SparkSession, lakeRoot: String,
@@ -48,13 +51,20 @@ object Gold {
       .filter(col("part").isin(parts: _*))
     val keys = Seq("ed_code", "part", "AL1", "AL2", "AL3", "AL4", "AL5")
       .filter(c => leaseInfo.columns.contains(c) && feats.columns.contains(c))
-    leaseInfo.select((keys.map(col) :+ col("AL15")): _*)
+    val partials = leaseInfo.select((keys.map(col) :+ col("AL15")): _*)
       .join(feats.select((keys.map(col) :+ col("AL56")): _*), keys)
       .groupBy(col("part"), col("AL15").as("country"))
       .agg(sum(col("AL56").cast("decimal(18,2)")).cast("decimal(28,2)")
           .as("principal_partial"),
         count(lit(1)).as("n_leases"))
-      .write.partitionBy("part").mode("overwrite").parquet(rollupRoot)
+    val refreshed = partials.localCheckpoint()
+    graft.io.Lake.writePartitioned(refreshed, rollupRoot)
+    // a requested part that yields no rows means "this slice is now
+    // empty" — drop it, don't leave the pre-refresh partial serving
+    val nonEmpty = refreshed.select("part").distinct()
+      .collect().map(_.getString(0)).toSet
+    graft.io.Lake.vacuum(spark, rollupRoot,
+      keep = p => nonEmpty.contains(p) || !parts.contains(p))
   }
 
   /** Serving read over the partial rollup: combine is exact because

@@ -33,15 +33,22 @@ object Scd2 {
     * Change detection hashes the full non-key payload — unlike the
     * reference's keys-only checksum quirk, a diff must see payloads.
     * Fields are \u0001-separated and nulls \u0000-tagged in the hash
-    * input, so ("ab","c") never collides with ("a","bc") and null
-    * never collides with a value. One full-outer shuffle join on the
-    * key; payload hashing is map-side. */
+    * input, with the sentinel characters escaped inside values
+    * (\u0002 as the escape: \u0002 -> \u0002\u0002, \u0000 -> \u0002"0",
+    * \u0001 -> \u0002"1") - the encoding is injective, so ("ab","c")
+    * never collides with ("a","bc"), a field containing the separator
+    * cannot shift boundaries, and a literal "\u0000" string never
+    * collides with NULL. One full-outer shuffle join on the key;
+    * payload hashing is map-side. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, pks: Seq[String])
       : DataFrame = {
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
+        "\u0002", "\u0002\u0002"), "\u0000", "\u00020"), "\u0001", "\u00021")
     def digest(df: DataFrame): org.apache.spark.sql.Column = {
       val payload = df.columns.filterNot(pks.contains).sorted
       md5(concat_ws("\u0001",
-        payload.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        payload.map(c => coalesce(esc(col(c)), lit("\u0000"))): _*))
     }
     val o = oldDf.select(pks.map(col) :+ digest(oldDf).as("_od") :+
       lit(true).as("_o"): _*)

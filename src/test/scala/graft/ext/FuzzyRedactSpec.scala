@@ -72,6 +72,21 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(meta2.getInt(meta2.fieldIndex("width")) >= 16)
   }
 
+  test("decode: crafted overflow header degrades to the stub path, not a crash") {
+    // w=h=100000 overflows Int in w*h*3; the Long-math guard must
+    // reject it and the row must fall through to the stub features
+    val evil = "P6\n100000 100000\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(7)
+    val rows = Seq((1L, evil, "image/x-portable-pixmap"))
+      .toDF("media_id", "payload", "media_type")
+    val out = Multimodal.decode(rows, featureDim = 4).collect()(0)
+    val meta = out.getStruct(out.fieldIndex("meta"))
+    // stub dims are digest-derived (16..79), never the crafted 100000
+    val w = meta.getInt(meta.fieldIndex("width"))
+    assert(w >= 16 && w < 80)
+    assert(out.getSeq[Float](out.fieldIndex("features")).length == 4)
+  }
+
   test("decode parses real PCM WAV payloads: rate, duration, RMS") {
     // mono 8000 Hz, 16-bit, 4000 samples of a ±8192 square wave (0.5s)
     val rate = 8000

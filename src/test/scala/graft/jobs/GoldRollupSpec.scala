@@ -52,4 +52,31 @@ class GoldRollupSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(after == direct)
   }
+
+  test("refresh works regardless of session overwrite mode; zero-row part drops its slice") {
+    val root = java.nio.file.Files.createTempDirectory("gold0").toString
+    val rollup = s"$root/gold/principal_rollup"
+    writeSilver(root, Seq(
+      ("D1_20230731", "l1", "p1", "it", "100.00"),
+      ("D2_20230731", "l3", "p2", "de", "25.00")))
+    // a caller session with STATIC overwrite must not truncate other
+    // partitions (the write path is conf-independent by construction)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      Gold.refreshPrincipalRollup(spark, root, rollup,
+        Seq("D1_20230731", "D2_20230731"))
+      Gold.refreshPrincipalRollup(spark, root, rollup, Seq("D1_20230731"))
+      val served = Gold.principalByCountryFromRollup(spark, rollup).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(served == Set(("it", 100.0), ("de", 25.0))) // D2 intact
+      // D1's silver slice now refreshes to zero rows -> its rollup
+      // slice must disappear, not serve the stale partial
+      writeSilver(root, Seq(("D2_20230731", "l3", "p2", "de", "25.00")))
+      Gold.refreshPrincipalRollup(spark, root, rollup, Seq("D1_20230731"))
+      val drained = Gold.principalByCountryFromRollup(spark, rollup).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(drained == Set(("de", 25.0)))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
 }
