@@ -15,7 +15,9 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // 5 runs: the median absorbs driver-side optimizer-time variance
+    // (p05's 166-rule constant fold swings ~10% run to run at 3)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     val spark = GraftSession.build(appName = "graft-bench")
     // optional subset filter (regex) for local bisection

@@ -17,6 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - non-decomposable Latin specials (Ø Đ Ł Ð ß Æ Œ Þ ĳ …);
   *  - Greek and Cyrillic romanization (1:1 and multi-char: θ→th,
   *    ш→sh, щ→shch, …);
+  *  - typographic punctuation/space fold (smart quotes, en/em dashes,
+  *    ellipsis, NBSP/zero-width spaces, guillemets, ×÷±, vulgar
+  *    fractions, superscripts) and currency signs (€→EUR, …);
   *  - BOM (U+FEFF) and NUL dropped in the same pass.
   *
   * A chain of `regexp_replace`/`translate` would rescan the string
@@ -105,6 +108,24 @@ object Transliterate {
     }
     // stripped control/markers
     put('\uFEFF' -> "", '\u0000' -> "")
+    // typographic punctuation/space fold (best-effort ASCII, like the
+    // reference's unidecode): EDW tapes copy-pasted from documents
+    // carry NBSP, smart quotes, en/em dashes, ellipses
+    (0x2000 to 0x200A).foreach(cp => t(cp) = " ") // en/em/thin spaces
+    (0x200B to 0x200F).foreach(cp => t(cp) = "")  // zero-width + dir marks
+    (0x2010 to 0x2015).foreach(cp => t(cp) = "-") // hyphens to horizontal bar
+    put('\u00A0' -> " ", '\u2212' -> "-",          // NBSP, minus sign
+      '\u2018' -> "'", '\u2019' -> "'", '\u201A' -> "'", '\u201B' -> "'",
+      '\u201C' -> "\"", '\u201D' -> "\"", '\u201E' -> "\"", '\u201F' -> "\"",
+      '\u2026' -> "...", '\u2022' -> "*", '\u2032' -> "'", '\u2033' -> "''",
+      '\u2039' -> "'", '\u203A' -> "'", '\u2044' -> "/",
+      '\u00AB' -> "\"", '\u00BB' -> "\"", '\u00A1' -> "!", '\u00BF' -> "?",
+      '\u00D7' -> "x", '\u00F7' -> "/", '\u00B1' -> "+-", '\u00B7' -> "-",
+      '\u00B9' -> "1", '\u00B2' -> "2", '\u00B3' -> "3",
+      '\u00BD' -> "1/2", '\u00BC' -> "1/4", '\u00BE' -> "3/4",
+      // currency: the euro sign is the one that actually appears on
+      // European securitisation tapes
+      '\u20AC' -> "EUR", '\u00A2' -> "c", '\u00A3' -> "PS", '\u00A5' -> "Y")
     t
   }
 

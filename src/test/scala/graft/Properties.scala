@@ -101,7 +101,9 @@ object GraftProperties extends Properties("graft") {
   property("Transliterate: ASCII-identity, output always ASCII-or-unmapped, idempotent") =
     forAll(Gen.listOfN(6, Gen.oneOf(
       Gen.asciiPrintableStr,
-      Gen.oneOf("Ärgerißt", "αβγ δε", "Жизнь Ёж", "mixed Łódź ascii")))) { gens =>
+      Gen.oneOf("Ärgerißt", "αβγ δε", "Жизнь Ёж", "mixed Łódź ascii",
+        "“quoted” – dash … €100 ½",
+        "non\u00A0breaking\u200B spaces \u00AB\u00BB")))) { gens =>
       val texts = gens.map(_.toString)
       val df = texts.toDF("t")
       val tr = functions.Transliterate.transliterate _
@@ -109,7 +111,8 @@ object GraftProperties extends Properties("graft") {
       out.forall { r =>
         val t = r.getString(0); val o = r.getString(1); val oo = r.getString(2)
         val asciiIdentity = !t.forall(_ < 0x80) || o == t
-        asciiIdentity && o == oo
+        // every fixture sample is fully table-covered → pure-ASCII out
+        asciiIdentity && o.forall(_ < 0x80) && o == oo
       }
     }
 
