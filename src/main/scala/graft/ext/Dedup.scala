@@ -402,6 +402,31 @@ object Dedup {
         max_by(col("id"), struct(col("len"), -col("id"))).as("keep_id"))
   }
 
+  /** Apply near-dup resolution to the corpus — the step after
+    * [[resolveDuplicates]]' report: drop every clustered document
+    * except its cluster's canonical survivor, pass unclustered
+    * documents through untouched. The keeper is argmax of `quality`
+    * (any Column over the input row — doc length, distinct-token
+    * richness, a model score), ties to the smallest id.
+    *
+    * Scale shape: the pair list and component labels are sized by the
+    * DUPLICATE subset, not the corpus — the drop list (cluster members
+    * minus keepers) joins back to the corpus as one anti equi-join on
+    * the id (broadcast when small, shuffle otherwise). The corpus
+    * itself is never shuffled on anything but its own id. */
+  def dedupCorpus(df: DataFrame, id: String, pairs: DataFrame,
+                  quality: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = df.select(col(id).as("_cid"), quality.as("_q"))
+    val keepers = comp.join(scored, comp("id") === scored("_cid"))
+      .groupBy("cluster")
+      .agg(max_by(col("id"), struct(col("_q"), -col("id"))).as("keep_id"))
+    val drops = comp.join(keepers, "cluster")
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id"))
+    df.join(drops, df(id) === drops("id"), "left_anti")
+  }
+
   /** Cross-document duplicated-span discovery (the CCNet/Dolma
     * "remove duplicated paragraphs" primitive, at fixed token-window
     * granularity since this corpus has no paragraph breaks): chunk

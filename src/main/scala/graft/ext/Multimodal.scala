@@ -225,6 +225,49 @@ object Multimodal {
   def decodeStub(df: DataFrame, featureDim: Int = 8): DataFrame =
     decode(df, featureDim)
 
+  /** Partition-wise nearest-neighbour image resize: PPM (P6) payloads
+    * are resampled for real into a new `resized` P6 payload of
+    * `outW`×`outH` (floor source mapping sx = x·w/outW — the standard
+    * NN kernel, deterministic); payloads no parser claims resize to
+    * null (a codec library drops into the same slot, like [[decode]]).
+    * Same mapPartitions batch shape as decode: no shuffle, no UDF
+    * registry, schema appended not rewritten — at 100 TB this is a
+    * pure scan-transform whose cost is the pixel loop. */
+  def resize(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0 && outW <= 32768 && outH <= 32768,
+      "resize dims must be in 1..32768")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val resized: Array[Byte] =
+          if (payload == null) null
+          else scala.util.Try(parsePpm(payload).map { case (w, h, px) =>
+            val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+            val out = new Array[Byte](header.length + outW * outH * 3)
+            System.arraycopy(header, 0, out, 0, header.length)
+            var y = 0
+            while (y < outH) {
+              val sy = (y.toLong * h / outH).toInt
+              var x = 0
+              while (x < outW) {
+                val sx = (x.toLong * w / outW).toInt
+                val si = 3 * (sy * w + sx)
+                val di = header.length + 3 * (y * outW + x)
+                out(di) = px(si); out(di + 1) = px(si + 1); out(di + 2) = px(si + 2)
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }.orNull).getOrElse(null)
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
   /** Frame-sample stub: every `stride`-byte window of the payload
     * becomes one "frame" row — the explode shape a video frame-sampler
     * produces, with per-frame digests. */

@@ -142,6 +142,46 @@ object ExtQ {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** End-to-end dedup APPLICATION: near-dup pairs → components →
+    * quality-aware keeper (distinct-token richness, ties to smallest
+    * id) → the SURVIVING corpus via one anti-join. The oracle replays
+    * the whole pipeline (recursive transitive closure + window argmax
+    * + NOT IN) so pair recall, clustering, keeper policy, and the
+    * anti-join must all agree row-for-row. */
+  private val x46: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      val richness = size(filter(array_distinct(split($"text", " ")),
+        x => x =!= lit(""))).cast("long")
+      Dedup.dedupCorpus(docs, "doc_id", pairs, richness)
+        .select($"doc_id", richness.as("richness"))
+        .orderBy($"doc_id")
+    },
+    s"""WITH RECURSIVE $shingleCte,
+       |edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+       |und AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION SELECT id_b, id_a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM und
+       |  UNION
+       |  SELECT re.id, u.dst FROM reach re JOIN und u ON u.src = re.r),
+       |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |rich AS (SELECT doc_id, len(list_distinct(
+       |    [t for t in string_split(text, ' ') if len(t) > 0]))::BIGINT
+       |    AS richness FROM documents),
+       |mem AS (SELECT c.cluster, c.id, rich.richness
+       |        FROM comp c JOIN rich ON rich.doc_id = c.id),
+       |ranked AS (SELECT cluster, id, ROW_NUMBER() OVER
+       |  (PARTITION BY cluster ORDER BY richness DESC, id) AS rk FROM mem),
+       |todrop AS (SELECT id FROM ranked WHERE rk > 1)
+       |SELECT d.doc_id, rich.richness
+       |FROM documents d JOIN rich ON rich.doc_id = d.doc_id
+       |WHERE d.doc_id NOT IN (SELECT id FROM todrop)
+       |ORDER BY d.doc_id""".stripMargin)
+
   /** DuckDB double-precision cosine mirroring Similarity.cosine's op
     * order exactly: left-fold dot, cosine = dot/(sqrt(na)*sqrt(nb)). */
   private def cosineSql(a: String, b: String): String =
@@ -1298,5 +1338,6 @@ object ExtQ {
     "x43_corpus_drift" -> (x43._1, Some(x43._2)),
     "x44_histogram_profile" -> (x44._1, Some(x44._2)),
     "x45_simhash_pairs" -> (x45._1, Some(x45._2)),
+    "x46_dedup_corpus" -> (x46._1, Some(x46._2)),
   )
 }

@@ -29,6 +29,20 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("dedupCorpus keeps the quality argmax per cluster, passes singletons") {
+    // cluster {0,1,3}; quality picks doc 1 (highest score); doc 2
+    // untouched (never paired)
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
+    val quality = when($"doc_id" === 1, 100L).otherwise($"doc_id")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", pairs, quality)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+    // ties on quality fall to the smallest id
+    val flat = Dedup.dedupCorpus(docs, "doc_id", pairs, lit(7L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(flat == Seq(0L, 2L))
+  }
+
   test("minhash LSH agrees with exact jaccard at high margin") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

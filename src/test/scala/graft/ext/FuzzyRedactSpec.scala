@@ -113,6 +113,34 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(f(1) == 0.0f) // no second channel
   }
 
+  test("resize resamples real PPM payloads nearest-neighbour, stubs pass null") {
+    // 2x2 quadrant image: TL red, TR green, BL blue, BR white
+    val px: Array[Byte] = Array(
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val rows = Seq((1L, ppm, "image/x-portable-pixmap"),
+        (2L, "not an image".getBytes("US-ASCII"), "image/png"))
+      .toDF("media_id", "payload", "media_type")
+    // downsample to 1x1: floor mapping picks the top-left (red) pixel
+    val down = Multimodal.resize(rows, 1, 1).orderBy($"media_id").collect()
+    val small = down(0).getAs[Array[Byte]]("resized")
+    val (w1, h1, px1) = Multimodal.parsePpm(small).get
+    assert(w1 == 1 && h1 == 1)
+    assert(px1.toSeq == Seq(255.toByte, 0.toByte, 0.toByte))
+    assert(down(1).getAs[Array[Byte]]("resized") == null) // no codec
+    // upsample to 4x4: each source pixel replicates into a 2x2 block
+    val up = Multimodal.resize(rows, 4, 4).orderBy($"media_id").collect()
+    val (w4, h4, px4) = Multimodal.parsePpm(up(0).getAs[Array[Byte]]("resized")).get
+    assert(w4 == 4 && h4 == 4)
+    def pix(x: Int, y: Int) =
+      (px4(3 * (y * 4 + x)), px4(3 * (y * 4 + x) + 1), px4(3 * (y * 4 + x) + 2))
+    assert(pix(0, 0) == pix(1, 1)) // TL block uniform (red)
+    assert(pix(0, 0) == ((255.toByte, 0.toByte, 0.toByte)))
+    assert(pix(3, 3) == ((255.toByte, 255.toByte, 255.toByte))) // BR white
+    assert(pix(3, 0) == ((0.toByte, 255.toByte, 0.toByte)))     // TR green
+    assert(pix(0, 3) == ((0.toByte, 0.toByte, 255.toByte)))     // BL blue
+  }
+
   test("readMediaDir ingests real files end-to-end into decode") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     // one real 1x1 red PPM file + one junk file
