@@ -307,6 +307,53 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Benchmark-span REMOVAL (the rewrite counterpart of
+    * [[contamination]], the Dolma/"decontaminate by deletion" shape):
+    * every corpus token window that exactly matches a benchmark
+    * n-gram is dropped from the text; the rest of the document
+    * survives re-joined on single spaces. Returns the corpus with
+    * `text_clean` and `n_removed` (tokens dropped) appended.
+    *
+    * Scale shape: benchmark shingles are DISTINCT + broadcast (a
+    * benchmark is small by definition); the corpus explodes to
+    * (doc, window-start) rows only for the equi-join probe, and the
+    * matched starts fold back to one array per contaminated doc —
+    * uncontaminated docs never leave the scan (left join, null
+    * starts). The rewrite itself is in-row HOF arithmetic (no UDF):
+    * a token survives unless some matched start covers its index. */
+  def removeContaminatedSpans(corpus: DataFrame, cId: String, cText: String,
+                              bench: DataFrame, bText: String,
+                              n: Int): DataFrame = {
+    val toks = filter(split(col(cText), " "), t => t =!= "")
+    val withToks = corpus.withColumn("_toks", toks)
+    // 0-based window starts; docs shorter than n have no windows
+    val windows = when(size(col("_toks")) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("_toks")) - n),
+        i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n)))))
+    val probes = withToks.select(col(cId).as("_pid"),
+      posexplode(windows).as(Seq("_start", "_sh")))
+    val bsh = bench
+      .select(explode(when(size(filter(split(col(bText), " "), t => t =!= "")) < n,
+          array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(filter(split(col(bText), " "), t => t =!= "")) - n),
+          i => concat_ws(" ", slice(filter(split(col(bText), " "), t => t =!= ""),
+            i + 1, lit(n)))))).as("_sh"))
+      .distinct()
+    val hits = probes.join(broadcast(bsh), "_sh")
+      .groupBy(col("_pid")).agg(collect_set(col("_start")).as("_starts"))
+    val joined = withToks.join(hits, withToks(cId) === hits("_pid"), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+    val tokIdx = transform(col("_toks"), (t, i) => struct(t.as("t"), i.as("i")))
+    val kept = filter(tokIdx, p =>
+      !exists(col("_starts"), s => s <= p("i") && p("i") < s + n))
+    joined
+      .withColumn("text_clean", concat_ws(" ", transform(kept, p => p("t"))))
+      .withColumn("n_removed", (size(col("_toks")) - size(kept)).cast("long"))
+      .drop("_toks", "_starts", "_pid")
+  }
+
   /** Connected components over an undirected pair list (the output of
     * any of the pair detectors above): iterative min-label propagation
     * to a fixpoint — each node repeatedly adopts the smallest label

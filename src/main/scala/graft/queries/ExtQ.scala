@@ -182,6 +182,48 @@ object ExtQ {
        |WHERE d.doc_id NOT IN (SELECT id FROM todrop)
        |ORDER BY d.doc_id""".stripMargin)
 
+  /** Decontamination by DELETION (the rewrite counterpart of x23's
+    * membership flag): every corpus 3-gram window matching a benchmark
+    * shingle is dropped from the text. Benchmark = every 50th doc;
+    * corpus = the rest. The oracle replays the token surgery with
+    * nested list comprehensions, so window indexing, benchmark
+    * matching, and the re-join must agree byte-for-byte. */
+  private val x47: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      Dedup.removeContaminatedSpans(
+          docs.filter($"doc_id" % 50 =!= 0), "doc_id", "text",
+          docs.filter($"doc_id" % 50 === 0), "text", n = 3)
+        .select($"doc_id", $"text_clean", $"n_removed")
+        .orderBy($"doc_id")
+    },
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+      |tk AS (SELECT doc_id,
+      |         [t for t in string_split(text, ' ') if len(t) > 0] AS toks
+      |       FROM corpus),
+      |bt AS (SELECT [t for t in string_split(text, ' ') if len(t) > 0] AS toks
+      |       FROM documents WHERE doc_id % 50 = 0),
+      |bsh AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS sh
+      |        FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+      |              FROM bt WHERE len(toks) >= 3)),
+      |probes AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS sh
+      |           FROM (SELECT doc_id, toks,
+      |                   unnest(range(1, len(toks) - 1)) AS i
+      |                 FROM tk WHERE len(toks) >= 3)),
+      |hits AS (SELECT probes.doc_id, list(DISTINCT i - 1) AS starts
+      |         FROM probes JOIN bsh USING (sh) GROUP BY probes.doc_id),
+      |final AS (
+      |  SELECT t.doc_id,
+      |    [t.toks[i] for i in range(1, len(t.toks) + 1)
+      |     if len([s for s in COALESCE(h.starts, CAST([] AS BIGINT[]))
+      |             if s <= i - 1 and i - 1 < s + 3]) = 0] AS kept,
+      |    len(t.toks) AS ntok
+      |  FROM tk t LEFT JOIN hits h ON h.doc_id = t.doc_id)
+      |SELECT doc_id, array_to_string(kept, ' ') AS text_clean,
+      |  (ntok - len(kept))::BIGINT AS n_removed
+      |FROM final ORDER BY doc_id""".stripMargin)
+
   /** DuckDB double-precision cosine mirroring Similarity.cosine's op
     * order exactly: left-fold dot, cosine = dot/(sqrt(na)*sqrt(nb)). */
   private def cosineSql(a: String, b: String): String =
@@ -1339,5 +1381,6 @@ object ExtQ {
     "x44_histogram_profile" -> (x44._1, Some(x44._2)),
     "x45_simhash_pairs" -> (x45._1, Some(x45._2)),
     "x46_dedup_corpus" -> (x46._1, Some(x46._2)),
+    "x47_decontaminate_spans" -> (x47._1, Some(x47._2)),
   )
 }

@@ -29,6 +29,25 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("removeContaminatedSpans drops exactly the matching windows") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff"),   // "bb cc dd" contaminated → drop toks 1-3
+      (2L, "xx yy zz"),            // clean
+      (3L, "bb cc dd bb cc dd"),   // two overlapping hits → all dropped
+      (4L, "aa bb")                // shorter than n → untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "bb cc dd qq")).toDF("bench_id", "text")
+    val out = Dedup.removeContaminatedSpans(
+        corpus, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id", "text_clean", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // bench shingles: "bb cc dd", "cc dd qq"
+    assert(out(1L) == (("aa ee ff", 3L)))
+    assert(out(2L) == (("xx yy zz", 0L)))
+    assert(out(3L) == (("", 6L)))
+    assert(out(4L) == (("aa bb", 0L)))
+  }
+
   test("dedupCorpus keeps the quality argmax per cluster, passes singletons") {
     // cluster {0,1,3}; quality picks doc 1 (highest score); doc 2
     // untouched (never paired)
