@@ -178,6 +178,10 @@ object Jobs {
     val deals = fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.getName).sorted.toSeq
     if (deals.isEmpty) return Seq.empty
+    // heal any table a crashed previous run left mid-swap — this is
+    // the single-threaded moment before writers exist (Lake.recover
+    // must not run concurrently with publishes)
+    recoverLake(spark, lakeRoot)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(math.max(parallelism, 1), deals.size))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -202,6 +206,30 @@ object Jobs {
     if (Lake.tableExists(spark, s"$lakeRoot/bronze/deal_details"))
       silverDealDetails(spark, lakeRoot)
     done
+  }
+
+  /** Startup recovery sweep over every bronze/silver/dirty table root:
+    * restores partitions parked mid-swap by a crashed publish or
+    * compaction (see [[Lake.recover]]). Called from [[runAllDeals]]
+    * before any writer starts; also safe to invoke standalone. */
+  def recoverLake(spark: SparkSession, lakeRoot: String): Map[String, Seq[String]] = {
+    val root = new Path(lakeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    val tableRoots =
+      Seq("assets", "bond_info", "amortisation", "deal_details")
+        .map(dt => s"$lakeRoot/bronze/$dt") ++
+      Seq("assets", "bond_info", "deal_details").flatMap { dt =>
+        val d = new Path(s"$lakeRoot/silver/$dt")
+        if (!fs.exists(d)) Seq.empty
+        else fs.listStatus(d).filter(_.isDirectory).map(_.getPath.toString).toSeq
+      } ++
+      Seq("assets", "bond_info", "amortisation")
+        .map(dt => s"$lakeRoot/dirty_dumps/$dt")
+    tableRoots.flatMap { t =>
+      val restored = Lake.recover(spark, t)
+      if (restored.isEmpty) None else Some(t -> restored)
+    }.toMap
   }
 
   /** Deal-details silver (`generate_deal_details_silver.py:74-115`). */

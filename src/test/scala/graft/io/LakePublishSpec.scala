@@ -80,6 +80,21 @@ class LakePublishSpec extends AnyFunSuite {
     assert(rows(root) == Set(9L -> "A"))
   }
 
+  test("recoverLake sweeps every table root under a lake") {
+    val lake = java.nio.file.Files.createTempDirectory("lake").toString
+    val table = s"$lake/bronze/assets"
+    Lake.writePartitioned(df(1L -> "A", 2L -> "B"), table)
+    // park A mid-swap as a crash would
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table, ".publish_trash"))
+    fs.rename(new org.apache.hadoop.fs.Path(table, "part=A"),
+      new org.apache.hadoop.fs.Path(table, ".publish_trash/part=A"))
+    val restored = graft.jobs.Jobs.recoverLake(spark, lake)
+    assert(restored == Map(table -> Seq("part=A")))
+    assert(rows(table) == Set(1L -> "A", 2L -> "B"))
+  }
+
   test("compact crash window: old partition parked in trash, recover restores") {
     val root = freshRoot("cmp")
     val d = (1L to 40L).map(i => (i, s"D${i % 2}")).toDF("id", "part")
