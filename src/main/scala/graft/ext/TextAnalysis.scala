@@ -133,6 +133,34 @@ object TextAnalysis {
         col("term_df"), col("score"))
   }
 
+  /** Per-document unigram surprisal — the distributable analogue of
+    * CCNet's LM-perplexity quality signal: rare-token-heavy documents
+    * (gibberish, boilerplate IDs, OCR noise) score high, documents of
+    * common language score low. Token surprisal is quantized to its
+    * ZIPF BUCKET, `floor(log2(total / cnt))` computed EXACTLY in
+    * integer arithmetic (binary digit count of the integer quotient —
+    * never a float log, so any engine reproduces it bit-for-bit), and
+    * a document reports the token count, the bucket sum, and their
+    * ratio in ppm.
+    *
+    * Plan shape at scale: one map-combined token count (the corpus
+    * vocabulary), a 1-row total broadcast, one shuffle join of the
+    * token stream against the vocabulary, one map-combined per-doc
+    * aggregation. The token explode is recomputed rather than cached —
+    * at corpus scale a rescan beats materializing the token stream. */
+  def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id).as("doc_id"),
+      explode(filter(tokens(col(text)), t => t =!= "")).as("t"))
+    val wc = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = wc.agg(sum(col("cnt")).as("total"))
+    toks.join(wc, "t").crossJoin(broadcast(total))
+      .withColumn("bits",
+        (length(bin(expr("total div cnt"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("bits_sum"))
+      .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_toks"))
+  }
+
   /** Sliding-window token chunking: splits a document into chunks of
     * `window` tokens every `stride` tokens (stride < window ⇒
     * overlapping chunks; the tail chunk may be shorter) — the

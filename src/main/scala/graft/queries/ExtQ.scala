@@ -224,6 +224,29 @@ object ExtQ {
       |  (ntok - len(kept))::BIGINT AS n_removed
       |FROM final ORDER BY doc_id""".stripMargin)
 
+  /** Unigram surprisal quality scoring (CCNet's perplexity signal in
+    * integer-exact Zipf buckets): floor(log2(total/cnt)) per token via
+    * binary digit counts — no float log crosses the engines. */
+  private val x48: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.unigramSurprisal(t(s, d, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    """WITH tok AS (
+      |  SELECT doc_id, unnest([t for t in string_split(text, ' ')
+      |                         if len(t) > 0]) AS t
+      |  FROM documents),
+      |wc AS (SELECT t, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY t),
+      |tot AS (SELECT SUM(cnt)::BIGINT AS total FROM wc),
+      |per AS (SELECT doc_id,
+      |          (length(bin(total // cnt)) - 1)::BIGINT AS bits
+      |        FROM tok JOIN wc USING (t), tot)
+      |SELECT doc_id, COUNT(*)::BIGINT AS n_toks,
+      |  SUM(bits)::BIGINT AS bits_sum,
+      |  (SUM(bits) * 1000000 // COUNT(*))::BIGINT AS surprisal_ppm
+      |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   /** DuckDB double-precision cosine mirroring Similarity.cosine's op
     * order exactly: left-fold dot, cosine = dot/(sqrt(na)*sqrt(nb)). */
   private def cosineSql(a: String, b: String): String =
@@ -1382,5 +1405,6 @@ object ExtQ {
     "x45_simhash_pairs" -> (x45._1, Some(x45._2)),
     "x46_dedup_corpus" -> (x46._1, Some(x46._2)),
     "x47_decontaminate_spans" -> (x47._1, Some(x47._2)),
+    "x48_unigram_surprisal" -> (x48._1, Some(x48._2)),
   )
 }

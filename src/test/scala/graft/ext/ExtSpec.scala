@@ -29,6 +29,18 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("unigramSurprisal: integer Zipf buckets, hand-computed") {
+    // corpus counts: a=5, b=1, total=6
+    val corpus = Seq((1L, "a a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: every 'a' has 6 div 5 = 1 -> 0 bits
+    assert(out(1L) == ((4L, 0L, 0L)))
+    // doc 2: 'b' has 6 div 1 = 6 -> floor(log2 6) = 2 bits; ppm = 1e6
+    assert(out(2L) == ((2L, 2L, 1000000L)))
+  }
+
   test("removeContaminatedSpans drops exactly the matching windows") {
     val corpus = Seq(
       (1L, "aa bb cc dd ee ff"),   // "bb cc dd" contaminated → drop toks 1-3
