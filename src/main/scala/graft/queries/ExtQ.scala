@@ -247,6 +247,27 @@ object ExtQ {
       |  (SUM(bits) * 1000000 // COUNT(*))::BIGINT AS surprisal_ppm
       |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** Whole-table column profile over orders (long/string/date columns
+    * — types whose string rendering is engine-identical): row/null/
+    * exact-distinct counts + min/max per column, one Expand pass. */
+  private val x49: (Fn, String) = {
+    val profCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderdate", "o_orderpriority")
+    def colSql(c: String) =
+      s"""SELECT '$c' AS "column", COUNT(*)::BIGINT AS n_rows,
+         |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  COUNT(DISTINCT $c)::BIGINT AS n_distinct,
+         |  MIN(CAST($c AS VARCHAR)) AS min_s,
+         |  MAX(CAST($c AS VARCHAR)) AS max_s
+         |FROM orders""".stripMargin
+    ((s, d) => {
+      import s.implicits._
+      Profile.columnStats(t(s, d, "orders"), profCols)
+        .orderBy($"column")
+    },
+    profCols.map(colSql).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))
+  }
+
   /** DuckDB double-precision cosine mirroring Similarity.cosine's op
     * order exactly: left-fold dot, cosine = dot/(sqrt(na)*sqrt(nb)). */
   private def cosineSql(a: String, b: String): String =
@@ -1406,5 +1427,6 @@ object ExtQ {
     "x46_dedup_corpus" -> (x46._1, Some(x46._2)),
     "x47_decontaminate_spans" -> (x47._1, Some(x47._2)),
     "x48_unigram_surprisal" -> (x48._1, Some(x48._2)),
+    "x49_column_profile" -> (x49._1, Some(x49._2)),
   )
 }

@@ -29,6 +29,20 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("columnStats profiles nulls, exact distincts, min/max per column") {
+    val df = Seq((1L, Some("a")), (2L, None), (2L, Some("b")))
+      .toDF("k", "v")
+    val out = Profile.columnStats(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(out("k") == ((3L, 0L, 2L, "1", "2")))
+    assert(out("v") == ((3L, 1L, 2L, "a", "b")))
+    intercept[IllegalArgumentException] {
+      Profile.columnStats(df, Seq("missing"))
+    }
+  }
+
   test("unigramSurprisal: integer Zipf buckets, hand-computed") {
     // corpus counts: a=5, b=1, total=6
     val corpus = Seq((1L, "a a a a"), (2L, "a b")).toDF("doc_id", "text")
