@@ -268,6 +268,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Partition-wise PCM WAV resample (nearest-sample / zero-order
+    * hold): 16-bit PCM payloads are re-emitted as a valid RIFF/WAVE
+    * at `targetRate` — output sample i copies input sample
+    * floor(i·inRate/targetRate), all channels interleaved. Payloads no
+    * parser claims resample to null, like [[resize]]. Duration is
+    * preserved (±1 sample); a real resampler (windowed sinc) drops
+    * into the same slot. Pure scan-transform, no shuffle. */
+  def resampleAudio(df: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate > 0 && targetRate <= 384000,
+      "targetRate must be in 1..384000")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resampled", BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val out: Array[Byte] =
+          if (payload == null) null
+          else scala.util.Try(parseWav(payload).map { case (ch, rate, _, d) =>
+            val nIn = d.length / 2 / ch
+            val nOut = (nIn.toLong * targetRate / rate).toInt
+            val dataLen = nOut * ch * 2
+            val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+              .put("WAVE".getBytes("US-ASCII"))
+              .put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1).putShort(ch.toShort).putInt(targetRate)
+              .putInt(targetRate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+              .put("data".getBytes("US-ASCII")).putInt(dataLen)
+            var i = 0
+            while (i < nOut) {
+              val si = (i.toLong * rate / targetRate).toInt
+              var c = 0
+              while (c < ch) {
+                val off = 2 * (si * ch + c)
+                bb.put(d(off)).put(d(off + 1))
+                c += 1
+              }
+              i += 1
+            }
+            bb.array()
+          }.orNull).getOrElse(null)
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Frame-sample stub: every `stride`-byte window of the payload
     * becomes one "frame" row — the explode shape a video frame-sampler
     * produces, with per-frame digests. */

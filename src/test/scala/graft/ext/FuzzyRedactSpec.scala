@@ -141,6 +141,35 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(pix(0, 3) == ((0.toByte, 0.toByte, 255.toByte)))     // BL blue
   }
 
+  test("resampleAudio halves the rate, preserves duration and waveform") {
+    // reuse the WAV builder shape: mono 8000 Hz, 16-bit, 4000 samples
+    val rate = 8000
+    val n = 4000
+    val amp = 8192
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until n).foreach(i => bb.putShort((if (i % 2 == 0) amp else -amp).toShort))
+    val rows = Seq((1L, bb.array(), "audio/wav"),
+        (2L, "junk".getBytes("US-ASCII"), "audio/mpeg"))
+      .toDF("media_id", "payload", "media_type")
+    val out = Multimodal.resampleAudio(rows, 4000).orderBy($"media_id").collect()
+    val res = out(0).getAs[Array[Byte]]("resampled")
+    val (ch, newRate, bits, d) = Multimodal.parseWav(res).get
+    assert(ch == 1 && newRate == 4000 && bits == 16)
+    assert(d.length / 2 == 2000) // half the samples -> same 0.5s duration
+    // nearest-sample keeps every other sample: all +amp here
+    val s0 = ((d(0) & 0xff) | (d(1) << 8)).toShort
+    assert(s0 == amp)
+    assert(out(1).getAs[Array[Byte]]("resampled") == null) // no codec
+  }
+
   test("readMediaDir ingests real files end-to-end into decode") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     // one real 1x1 red PPM file + one junk file
