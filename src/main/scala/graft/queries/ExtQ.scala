@@ -220,7 +220,10 @@ object ExtQ {
       |             if s <= i - 1 and i - 1 < s + 3]) = 0] AS kept,
       |    len(t.toks) AS ntok
       |  FROM tk t LEFT JOIN hits h ON h.doc_id = t.doc_id)
-      |SELECT doc_id, array_to_string(kept, ' ') AS text_clean,
+      |SELECT doc_id,
+      |  -- Spark concat_ws gives '' on an empty token list; DuckDB
+      |  -- array_to_string is string_agg-like and yields NULL
+      |  COALESCE(array_to_string(kept, ' '), '') AS text_clean,
       |  (ntok - len(kept))::BIGINT AS n_removed
       |FROM final ORDER BY doc_id""".stripMargin)
 

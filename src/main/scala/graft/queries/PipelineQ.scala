@@ -195,7 +195,13 @@ object PipelineQ {
         when($"event_type" === "click", lit("y"))
           .when($"event_type" === "view", lit("n"))
           .otherwise(lit(null).cast("string")).as("b_s"),
-        ($"value" * 1.337).cast("decimal(18,3)").cast("string").as("d_s"),
+        // decimal-domain multiply + explicit HALF_UP round: a double
+        // product like 68.5*1.337 = 91.5845 sits exactly on the 3-dp
+        // boundary, where Spark's double→decimal cast (exact binary,
+        // 91.58449…) and DuckDB's (shortest string, "91.5845") round
+        // apart; value itself is ≤2 dp so ITS cast is boundary-free
+        round($"value".cast("decimal(18,3)") * lit(1.337).cast("decimal(4,3)"), 3)
+          .cast("decimal(18,3)").cast("string").as("d_s"),
         substring($"props", 8, 2).as("i_s"),
         date_format($"ts", "yyyy-MM-dd").as("dt_s"))
       base.select(
@@ -214,7 +220,9 @@ object PipelineQ {
       |FROM (SELECT event_id,
       |        CASE WHEN event_type = 'click' THEN 'y'
       |             WHEN event_type = 'view' THEN 'n' END AS b_s,
-      |        CAST(CAST(value * 1.337 AS DECIMAL(18,3)) AS VARCHAR) AS d_s,
+      |        CAST(CAST(ROUND(CAST(value AS DECIMAL(18,3))
+      |               * CAST(1.337 AS DECIMAL(4,3)), 3) AS DECIMAL(18,3))
+      |             AS VARCHAR) AS d_s,
       |        substr(props, 8, 2) AS i_s,
       |        strftime(ts, '%Y-%m-%d') AS dt_s
       |      FROM events)

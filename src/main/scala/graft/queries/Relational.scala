@@ -170,8 +170,12 @@ object Relational {
   private val q08: (Fn, String) = (
     (s, d) => {
       import s.implicits._
+      // the synthetic data contains duplicate (orderkey, linenumber)
+      // rows, so the summed column itself joins the window order: rows
+      // tied on EVERY order key then have equal addends, making the
+      // running-sum multiset engine-independent
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "lineitem")
         .withColumn("running_rev",
@@ -182,7 +186,7 @@ object Relational {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    AS running_rev
       |FROM lineitem
@@ -553,7 +557,9 @@ object Relational {
       |    AS INTEGER) AS quartile,
       |  FIRST_VALUE(event_type) OVER (PARTITION BY user_id
       |    ORDER BY epoch_s, event_id) AS first_type
-      |FROM (SELECT *, CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+      |-- floor, not cast: Spark's unix_timestamp truncates sub-second
+      |-- parts while DuckDB's BIGINT cast rounds them
+      |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
       |ORDER BY event_id""".stripMargin)
 
   /** GROUPING SETS directly (rollup/cube are q13/q14): chosen subsets
