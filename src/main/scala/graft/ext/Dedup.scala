@@ -131,19 +131,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
                       threshold: Double, bands: Int = 64, rowsPerBand: Int = 2)
       : DataFrame = {
-    val k = bands * rowsPerBand
     val sets = docShingleSets(df, id, text, n).cache()
-    val rows = sets.select(col("_id"), explode(col("shs")).as("sh"))
-    val sig = rows.groupBy("_id")
-      .agg(graft.functions.MinHashAgg.minhash(col("sh"), k).as("sig"))
-    // one row per (doc, band); bucket key hashes the band's slice of
-    // the signature (slot order is positional → stable)
-    val buckets = sig.select(col("_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws(",", transform(
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string"))), b)))
-        .as(Seq("band", "bucket")))
+    val buckets = minhashBuckets(sets, bands, rowsPerBand)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a._id") < col("b._id"))
@@ -151,6 +140,56 @@ object Dedup {
       .distinct()
     // exact verify on candidates only
     verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** One row per (doc, band): bucket key hashes the band's slice of
+    * the k-perm MinHash signature (slot order is positional → stable).
+    * The signature aggregation is map-side partial — the shuffle
+    * carries one k-long signature per doc, not k rows per shingle. */
+  private def minhashBuckets(sets: DataFrame, bands: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val k = bands * rowsPerBand
+    val rows = sets.select(col("_id"), explode(col("shs")).as("sh"))
+    val sig = rows.groupBy("_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("sh"), k).as("sig"))
+    sig.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(concat_ws(",", transform(
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string"))), b)))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Cross-corpus MinHash near-dup pairs — the INCREMENTAL crawl-dedup
+    * shape [[incrementalDedup]] covers only for exact duplicates: a
+    * new batch is checked against the accumulated history for
+    * NEAR-duplicates, pairing only across the two frames (the batch's
+    * internal dups are [[minhashLshPairs]]' job). Both sides reduce to
+    * banded signature buckets before any join, so the history side can
+    * be a precomputed signature store at 100 TB — the shuffle carries
+    * (id, band, bucket) keys, never text. Candidates verify with exact
+    * Jaccard; returns (id_a from `newDf`, id_b from `histDf`,
+    * jaccard). */
+  def minhashLshPairsAcross(newDf: DataFrame, histDf: DataFrame,
+                            id: String, text: String, n: Int,
+                            threshold: Double, bands: Int = 64,
+                            rowsPerBand: Int = 2): DataFrame = {
+    val setsA = docShingleSets(newDf, id, text, n).cache()
+    val setsB = docShingleSets(histDf, id, text, n).cache()
+    val candidates = minhashBuckets(setsA, bands, rowsPerBand).as("a")
+      .join(minhashBuckets(setsB, bands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    candidates
+      .join(setsA.as("sa"), col("id_a") === col("sa._id"))
+      .join(setsB.as("sb"), col("id_b") === col("sb._id"))
+      .withColumn("shared",
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash from md5 nibbles of each token: bit j comes from

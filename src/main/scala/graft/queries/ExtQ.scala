@@ -271,6 +271,29 @@ object ExtQ {
     profCols.map(colSql).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))
   }
 
+  /** Incremental NEAR-dup dedup: odd-id docs are the arriving batch,
+    * even-id docs the accumulated history — banded MinHash buckets
+    * join only ACROSS the frames, exact-Jaccard verified. The oracle
+    * is the cross-parity slice of the exact all-pairs Jaccard, so LSH
+    * recall at this margin must be total (x03's guarantee, applied
+    * across corpora). */
+  private val x50: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      Dedup.minhashLshPairsAcross(
+          docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+          "doc_id", "text", n = 3, threshold = 0.6)
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH $shingleCte
+       |SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_a,
+       |       CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_b,
+       |       jaccard
+       |FROM jac
+       |WHERE jaccard >= 0.6 AND (id_a % 2) <> (id_b % 2)
+       |ORDER BY id_a, id_b""".stripMargin)
+
   /** DuckDB double-precision cosine mirroring Similarity.cosine's op
     * order exactly: left-fold dot, cosine = dot/(sqrt(na)*sqrt(nb)). */
   private def cosineSql(a: String, b: String): String =
@@ -1431,5 +1454,6 @@ object ExtQ {
     "x47_decontaminate_spans" -> (x47._1, Some(x47._2)),
     "x48_unigram_surprisal" -> (x48._1, Some(x48._2)),
     "x49_column_profile" -> (x49._1, Some(x49._2)),
+    "x50_incremental_neardup" -> (x50._1, Some(x50._2)),
   )
 }
