@@ -150,6 +150,20 @@ object GraftProperties extends Properties("graft") {
       sameText && noPair && merged.length <= segs.length
     }
 
+  property("Bpe.train: batched merge selection == sequential on random corpora") = {
+    // adversarial alphabet: few letters → heavy pair-frequency ties,
+    // products colliding with later candidates — the cases the
+    // selectBatch cut/collision guards exist for
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, wordGen))
+    forAll(corpusGen) { words =>
+      val df = Seq(words.mkString(" ")).toDF("text")
+      ext.Bpe.train(df, "text", merges = 5, batch = 4) ==
+        ext.Bpe.train(df, "text", merges = 5, batch = 1)
+    }
+  }
+
   property("ZOrder.zValue: bijective interleave (de-interleaves back)") =
     forAll(Gen.choose(0L, 0xFFFFL), Gen.choose(0L, 0xFFFFL)) { (x, y) =>
       val z = Seq((x, y)).toDF("x", "y")
