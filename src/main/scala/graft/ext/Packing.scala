@@ -23,7 +23,9 @@ object Packing {
 
   /** Adds `n_tokens` (the evaluated `tokens` expression), `bin` (the
     * context index within the group) and `bin_offset` (the document's
-    * token start offset inside its bin). */
+    * token start offset inside its bin). `orderCol` must be a TOTAL
+    * order within each group (unique per row) — ties would make the
+    * running offsets, and thus bin assignment, engine-arbitrary. */
   def packByBudget(df: DataFrame, groupCols: Seq[String], orderCol: String,
                    tokens: Column, budget: Long): DataFrame = {
     require(budget > 0, "token budget must be positive")

@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Deterministic salt in [0, n) from stable columns. */
-  def salt(n: Int, cols: Column*): Column =
+  def salt(n: Int, cols: Column*): Column = {
+    require(n >= 1, s"salt fan-out must be >= 1, got $n")
     pmod(xxhash64(cols: _*), lit(n.toLong)).cast("int")
+  }
 
   /** Two-phase aggregation of a skewed group key: partial aggregate on
     * (key, salt), final on key. For algebraic aggregates only — caller
@@ -61,6 +63,9 @@ object Skew {
     * join. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, bigSaltCols: Seq[String]): DataFrame = {
+    // salts < 1 would make sequence(0, salts-1) count DOWNWARD and
+    // silently replicate with negative salts — fail loudly instead
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val saltedBig = big.withColumn("_salt",
       salt(salts, bigSaltCols.map(col): _*))
     val replicated = small.withColumn("_salt",

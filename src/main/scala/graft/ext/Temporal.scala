@@ -111,6 +111,10 @@ object Temporal {
     val i = intervals.select(
         col(iKey).as("_ik"), col(iStart).as("_is"), col(iEnd).as("_ie"),
         struct(iPayload.map(col): _*).as("_ip"))
+      // an inverted interval (end < start) contains no point, but
+      // sequence() would COUNT DOWN through every bucket between the
+      // reversed bounds — drop such rows before the explode
+      .filter(col("_ie") >= col("_is"))
       .withColumn("_ib",
         explode(sequence(bucket(col("_is")), bucket(col("_ie")))))
     val joined = p.join(i,
