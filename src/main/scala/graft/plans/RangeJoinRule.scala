@@ -72,9 +72,18 @@ case class RangeJoinRule(spark: org.apache.spark.sql.SparkSession)
         // points side: one bucket column
         val pb = Alias(bucket(p, w), "_graft_pb")()
         val points2 = Project(points.output :+ pb, points)
-        // intervals side: explode the covered bucket range
-        val seq = Sequence(
-          bucket(lo, w), bucket(hi, w), Some(Literal(1L)), tz)
+        // intervals side: explode the covered bucket range. An
+        // inverted interval (hi < lo) matches nothing under the
+        // original BNLJ, but Sequence with step +1 THROWS on reversed
+        // bounds — emit an empty bucket array for those rows so the
+        // rewrite preserves no-match semantics instead of failing the
+        // query
+        val bLo = bucket(lo, w)
+        val bHi = bucket(hi, w)
+        val seq = If(GreaterThanOrEqual(bHi, bLo),
+          Sequence(bLo, bHi, Some(Literal(1L)), tz),
+          Literal.create(Seq.empty[Long],
+            org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
         val ib = AttributeReference("_graft_ib", LongType, nullable = false)()
         val intervals2 = Generate(Explode(seq), unrequiredChildIndex = Nil,
           outer = false, qualifier = None, generatorOutput = Seq(ib),

@@ -77,7 +77,10 @@ class PlanSpec extends AnyFunSuite {
         (2L, ts("2024-01-01 13:00:00")), (3L, ts("2024-01-02 09:00:00")))
       .toDF("pid", "pts")
     val intervals = Seq((10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
-        (11L, ts("2024-01-02 08:00:00"), ts("2024-01-02 10:00:00")))
+        (11L, ts("2024-01-02 08:00:00"), ts("2024-01-02 10:00:00")),
+        // inverted interval: matches nothing under BNLJ; the rewrite
+        // must emit zero buckets for it, not throw from sequence()
+        (12L, ts("2024-01-03 10:00:00"), ts("2024-01-03 08:00:00")))
       .toDF("iid", "lo", "hi")
     def joined = points.join(intervals,
       points("pts") >= intervals("lo") && points("pts") <= intervals("hi"))
