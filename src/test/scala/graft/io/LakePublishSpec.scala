@@ -80,6 +80,33 @@ class LakePublishSpec extends AnyFunSuite {
     assert(rows(root) == Set(9L -> "A"))
   }
 
+  test("concurrent writers on distinct partitions never interfere") {
+    // the 20-wide fan-out contract: deals publish DISTINCT partitions
+    // of one table concurrently; uuid staging + per-partition trash
+    // must keep them fully independent
+    val root = freshRoot("conc")
+    val parts = ('A' to 'H').map(_.toString)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val rounds = 3
+    (1 to rounds).foreach { r =>
+      val fs = parts.map { p =>
+        scala.concurrent.Future {
+          Lake.writePartitioned(df((r * 100L + p.head.toLong) -> p), root)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+    }
+    pool.shutdown()
+    // every partition holds exactly its LAST round's row
+    assert(rows(root) ==
+      parts.map(p => (rounds * 100L + p.head.toLong) -> p).toSet)
+    assert(Lake.recover(spark, root).isEmpty) // nothing left mid-swap
+  }
+
   test("recoverLake sweeps every table root under a lake") {
     val lake = java.nio.file.Files.createTempDirectory("lake").toString
     val table = s"$lake/bronze/assets"
