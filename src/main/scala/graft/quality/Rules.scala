@@ -100,6 +100,39 @@ object Rules {
     * missing keys as valid when not `required`). */
   def compile(schema: Map[String, ColumnRule], presentCols: Seq[String])
       : (Column, Column) = {
+    val (flag, qcErrors, _) = compileParts(schema, presentCols)
+    (flag, qcErrors)
+  }
+
+  /** One-pass good/bad split (reference `profile_data`,
+    * `silver_funcs.py:37-78`) — stays inside Catalyst; callers should
+    * cache the annotated frame before fanning out.
+    *
+    * Both outputs derive from ONE materialized error-map column in a
+    * staged projection: flag = map is empty, qc_errors = its JSON.
+    * CollapseProject declines to inline a non-cheap expression
+    * referenced twice, so the ~166-rule tree appears ONCE in the
+    * annotated plan instead of once per derived column — halving both
+    * the driver-side analysis work and the generated code size on the
+    * silver validation path. */
+  def profile(df: org.apache.spark.sql.DataFrame,
+              schema: Map[String, ColumnRule])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (_, _, errMap) = compileParts(schema, df.columns.toSeq)
+    val annotated = df.withColumn("_qc_map", errMap)
+      .withColumn("flag", size(col("_qc_map")) === 0)
+      .withColumn("qc_errors",
+        when(col("flag"), lit(null).cast("string"))
+          .otherwise(to_json(col("_qc_map"))))
+      .drop("_qc_map")
+    (annotated.filter(col("flag")), annotated.filter(!col("flag")))
+  }
+
+  /** [[compile]]'s pieces, exposing the single error-map expression
+    * both outputs derive from. */
+  private def compileParts(schema: Map[String, ColumnRule],
+                           presentCols: Seq[String])
+      : (Column, Column, Column) = {
     val applicable = schema.toSeq.sortBy(_._1)
       .filter { case (name, _) => presentCols.contains(name) }
     val errs = applicable.map { case (name, r) => name -> errorFor(name, r) }
@@ -107,18 +140,6 @@ object Rules {
     val errMap = map_filter(
       map(errs.flatMap { case (n, e) => Seq(lit(n), e) }: _*),
       (_, v) => v.isNotNull)
-    val qcErrors = when(flag, lit(null).cast("string")).otherwise(to_json(errMap))
-    (flag, qcErrors)
-  }
-
-  /** One-pass good/bad split (reference `profile_data`,
-    * `silver_funcs.py:37-78`) — stays inside Catalyst; callers should
-    * cache the annotated frame before fanning out. */
-  def profile(df: org.apache.spark.sql.DataFrame,
-              schema: Map[String, ColumnRule])
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val (flag, errs) = compile(schema, df.columns.toSeq)
-    val annotated = df.withColumn("flag", flag).withColumn("qc_errors", errs)
-    (annotated.filter(col("flag")), annotated.filter(!col("flag")))
+    (flag, when(flag, lit(null).cast("string")).otherwise(to_json(errMap)), errMap)
   }
 }
