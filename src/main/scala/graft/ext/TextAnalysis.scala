@@ -161,6 +161,41 @@ object TextAnalysis {
       .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_toks"))
   }
 
+  /** Per-document BIGRAM (conditional) surprisal — one step closer to
+    * CCNet's LM signal than [[unigramSurprisal]]: each token is scored
+    * against its predecessor, `floor(log2(cnt(prev) / cnt(prev,tok)))`
+    * in Zipf buckets (binary digit count of the integer quotient —
+    * cnt(prev) ≥ cnt(prev,tok) always, so the quotient is ≥ 1 and the
+    * arithmetic is engine-exact). Documents whose token transitions
+    * are corpus-typical score low; shuffled/templated text scores
+    * high. Docs need ≥ 2 tokens to emit a row.
+    *
+    * Plan shape: one map-combined bigram count (shuffle on the pair),
+    * one map-combined unigram count (shuffle on the token), the
+    * per-doc bigram stream joins both (the unigram side via its own
+    * key), then one map-combined per-doc aggregation. Linear; no
+    * broadcast of the vocabulary (it doesn't fit at corpus scale). */
+  def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = filter(tokens(col(text)), t => t =!= "")
+    val bigrams = df.select(col(id).as("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_t) - 1)," +
+          " i -> struct(_t[i-1] AS prev, _t[i] AS tok))")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.tok").as("tok"))
+    val bcnt = bigrams.groupBy("prev", "tok").agg(count(lit(1)).as("bcnt"))
+    // context counts = occurrences of `prev` AS A BIGRAM LEFT SIDE
+    // (not raw unigram frequency), so cnt(prev) = sum of its bigram
+    // counts and the quotient is a true conditional probability
+    val ccnt = bcnt.groupBy("prev").agg(sum(col("bcnt")).as("ccnt"))
+    bigrams.join(bcnt, Seq("prev", "tok")).join(ccnt, Seq("prev"))
+      .withColumn("bits",
+        (length(bin(expr("ccnt div bcnt"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("bits_sum"))
+      .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_bigrams"))
+  }
+
   /** Sliding-window token chunking: splits a document into chunks of
     * `window` tokens every `stride` tokens (stride < window ⇒
     * overlapping chunks; the tail chunk may be shorter) — the

@@ -294,6 +294,34 @@ object ExtQ {
        |WHERE jaccard >= 0.6 AND (id_a % 2) <> (id_b % 2)
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** Bigram (conditional) surprisal quality scoring — the LM-flavoured
+    * companion of x48, same integer-exact Zipf-bucket arithmetic over
+    * cnt(prev)/cnt(prev,tok). */
+  private val x51: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.bigramSurprisal(t(s, d, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    """WITH tk AS (
+      |  SELECT doc_id, [t for t in string_split(text, ' ')
+      |                  if len(t) > 0] AS toks
+      |  FROM documents),
+      |bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS tok
+      |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |             FROM tk WHERE len(toks) >= 2)),
+      |bcnt AS (SELECT prev, tok, COUNT(*)::BIGINT AS bcnt
+      |         FROM bg GROUP BY prev, tok),
+      |ccnt AS (SELECT prev, SUM(bcnt)::BIGINT AS ccnt
+      |         FROM bcnt GROUP BY prev),
+      |per AS (SELECT doc_id,
+      |          (length(bin(ccnt // bcnt)) - 1)::BIGINT AS bits
+      |        FROM bg JOIN bcnt USING (prev, tok) JOIN ccnt USING (prev))
+      |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+      |  SUM(bits)::BIGINT AS bits_sum,
+      |  (SUM(bits) * 1000000 // COUNT(*))::BIGINT AS surprisal_ppm
+      |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   /** DuckDB double-precision cosine mirroring Similarity.cosine's op
     * order exactly: left-fold dot, cosine = dot/(sqrt(na)*sqrt(nb)). */
   private def cosineSql(a: String, b: String): String =
@@ -1455,5 +1483,6 @@ object ExtQ {
     "x48_unigram_surprisal" -> (x48._1, Some(x48._2)),
     "x49_column_profile" -> (x49._1, Some(x49._2)),
     "x50_incremental_neardup" -> (x50._1, Some(x50._2)),
+    "x51_bigram_surprisal" -> (x51._1, Some(x51._2)),
   )
 }

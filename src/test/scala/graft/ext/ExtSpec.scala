@@ -55,6 +55,21 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 2L, 1000000L)))
   }
 
+  test("bigramSurprisal: conditional Zipf buckets, hand-computed") {
+    // bigram counts: (a,b)=2 from docs 1+2; (b,a)=1; (a,c)=1
+    // context counts: a=3, b=1
+    val corpus = Seq((1L, "a b a"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: (a,b): 3 div 2 = 1 -> 0 bits; (b,a): 1 div 1 = 1 -> 0 bits
+    assert(out(1L) == ((2L, 0L, 0L)))
+    // doc 3: (a,c): 3 div 1 = 3 -> 1 bit; ppm = 1e6
+    assert(out(3L) == ((1L, 1L, 1000000L)))
+    assert(!out.contains(4L)) // single-token doc emits no row
+  }
+
   test("removeContaminatedSpans drops exactly the matching windows") {
     val corpus = Seq(
       (1L, "aa bb cc dd ee ff"),   // "bb cc dd" contaminated → drop toks 1-3
