@@ -83,4 +83,66 @@ object Graph {
     (Seq(header) ++ steps).mkString(",\n") +
       s"\nSELECT id::BIGINT AS id, pr::BIGINT AS pr FROM pr$iters ORDER BY id"
   }
+
+  /** Per-node triangle counts by degree-ordered edge orientation (the
+    * "forward"/compact-forward algorithm, Latapy 2008): each
+    * undirected edge is directed from its lower-ranked endpoint to the
+    * higher-ranked one under the total order (degree, id), so a
+    * triangle {a,b,c} with a ≺ b ≺ c is enumerated exactly once — as
+    * the wedge a→b, a→c closed by the edge b→c. Triangle density is
+    * the standard cohesion signal over co-occurrence graphs (entity
+    * mentions, domain links, co-purchases) when weighting training
+    * corpora by community structure.
+    *
+    * Why orientation matters at 100 TB: naive wedge counting fans out
+    * Σ deg² pairs — a single hub node with 10⁶ neighbours generates
+    * 10¹² wedges. Orienting by degree caps every node's OUT-degree at
+    * O(√m), so wedge volume is O(m^{3/2}) worst-case and far less on
+    * power-law graphs; hubs sit on the receiving end and never
+    * enumerate their neighbour pairs.
+    *
+    * Plan shape: degree aggregation (map-combined, shuffle on node
+    * id), two equi-joins attaching endpoint ranks, one self-join of
+    * the oriented edges on the source node (the wedge build), one
+    * equi-join probing the closing edge on the (v, w) pair, one
+    * map-combined count per node. Every shuffle carries long pairs
+    * only; AQE absorbs residual wedge-key skew.
+    *
+    * Returns (id, n_triangles) for nodes participating in ≥ 1
+    * triangle. Self-loops are dropped; parallel edges collapse.
+    */
+  def triangleCounts(edges: DataFrame, a: String, b: String): DataFrame = {
+    val e = edges.select(
+        least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // rank = (deg, id); orient src→dst with rank(src) < rank(dst)
+    val ranked = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = ranked.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+    // wedges from the LOW end: (src→x, src→y) with rank(x) < rank(y)
+    val o1 = oriented.select(col("src"), col("dst").as("x"),
+      col("ddeg").as("dx"))
+    val o2 = oriented.select(col("src"), col("dst").as("y"),
+      col("ddeg").as("dy"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    // close: the oriented edge x→y must exist (ranks align with the
+    // wedge filter by construction)
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val tris = wedges.join(closing, Seq("x", "y"))
+      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    tris.select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -45,6 +45,51 @@ object Profile {
       .select("s.*")
   }
 
+  /** Per-group robust outlier profile: median and MAD (median absolute
+    * deviation) of a 2-dp currency column, and the count of rows more
+    * than `madK` MADs from the median — the outlier detector that,
+    * unlike z-scores, is not itself corrupted by the outliers it
+    * hunts. Cross-engine exact: values are scaled to integer cents
+    * (floor(x·100 + 0.5) — one rounding dag, no accumulated FP), the
+    * exact interpolated median of integers is an exact multiple of
+    * 0.5 in IEEE double (and of 0.25 for the MAD over 0.5-step
+    * deviations), so the median is reported ×2 and the MAD ×4 as
+    * BIGINT — each scale clearing its own interpolation denominator,
+    * because Spark's double→long cast truncates while SQL engines
+    * round — and the `dev > madK·mad` comparison is bit-deterministic
+    * in any engine.
+    *
+    * Plan shape: exact `percentile` per group (one shuffle of (group,
+    * cents) pairs, per-group sort — the honest exact-median cost),
+    * a broadcast-sized medians frame joined back over the scan, a
+    * second exact percentile over deviations, and one map-combined
+    * final aggregation. At 100 TB swap the two `percentile` calls for
+    * `approx_percentile` (t-digest; same plan shape, no per-group
+    * sort) when sketch error is acceptable — the gate pins the exact
+    * variant.
+    */
+  def robustOutliers(df: DataFrame, group: String, value: String,
+                     madK: Int = 3): DataFrame = {
+    require(madK >= 1, "madK must be positive")
+    val base = df.select(col(group).as("grp"),
+        floor(col(value) * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("cents").isNotNull)
+    val med = base.groupBy("grp")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = base.join(med, "grp")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy("grp")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, "grp")
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (first(col("med")) * 2).cast("long").as("med_cents_x2"),
+        (first(col("mad")) * 4).cast("long").as("mad_cents_x4"),
+        sum(when(col("dev") > col("mad") * madK, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** (bin, n) for `bins` equal-width buckets of column `c` between
     * its min and max; the max value lands in the last bin. Degenerate
     * single-value columns collapse to bin 0. */

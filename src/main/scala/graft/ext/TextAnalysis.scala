@@ -133,6 +133,54 @@ object TextAnalysis {
         col("term_df"), col("score"))
   }
 
+  /** Per-document top-k terms under BM25 (Robertson–Walker, the
+    * retrieval-era successor of [[topTermsByRarity]]'s raw tf-idf):
+    * adds the saturating tf normalization and document-length
+    * correction that make long documents and repeated terms stop
+    * dominating. Engine-exact by the same two devices the rest of the
+    * text stack uses:
+    *   - idf quantized to its ZIPF BUCKET, `floor(log2(N / df))`,
+    *     computed as the binary digit count of an integer quotient
+    *     (never a float log — see [[unigramSurprisal]]);
+    *   - the k1=1.2, b=0.75 tf normalization cleared of fractions:
+    *     with k1 = 6/5 and b = 3/4 over avgdl = T/N,
+    *       tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *     = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)
+    *     — one integer quotient, scaled to ppm before the division.
+    *   score_ppm = idf_bits · (10⁶·44·T·tf div (20·T·tf + 6·T + 18·dl·N)).
+    * At gate scales every intermediate fits comfortably in BIGINT;
+    * past T·tf ≈ 10¹² move the ppm multiply into DECIMAL(38,0) (same
+    * integer semantics, wider lanes).
+    *
+    * Plan shape: one explode, three map-combined aggregations (doc-term
+    * tf, per-doc length, term df), a 1-row (N, T) broadcast, one
+    * shuffle join on the term key, one per-doc top-k window. The
+    * vocabulary is never broadcast. */
+  def bm25TopTerms(df: DataFrame, id: String, text: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = df.select(col(id).as("doc_id"),
+      explode(filter(tokens(col(text)), t => t =!= "")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // tf has one row per (doc, term) → df = plain count
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    val scored = tf.join(dl, "doc_id").join(dfreq, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_bits",
+        (length(bin(expr("n_docs div term_df"))) - 1).cast("long"))
+      .withColumn("score_ppm", expr(
+        """idf_bits * ((1000000 * 44 * t_toks * tf)
+          |  div (20 * t_toks * tf + 6 * t_toks + 18 * dl * n_docs))""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("term_df"), col("score_ppm"))
+  }
+
   /** Per-document unigram surprisal — the distributable analogue of
     * CCNet's LM-perplexity quality signal: rare-token-heavy documents
     * (gibberish, boilerplate IDs, OCR noise) score high, documents of

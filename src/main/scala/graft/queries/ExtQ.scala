@@ -1409,6 +1409,93 @@ object ExtQ {
       |      FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
       |SELECT bin, COUNT(*)::BIGINT AS n FROM h GROUP BY bin ORDER BY bin""".stripMargin)
 
+  /** Per-node triangle counts over the supplier co-occurrence graph
+    * (suppliers linked when they ship high-quantity lines of the same
+    * order — the qty > 45 filter keeps the graph sparse, which is both
+    * realistic for co-occurrence graphs and what the degree-oriented
+    * algorithm exploits). The oracle enumerates triangles the naive
+    * way (a < b < c three-way self-join) — same triangle set, so the
+    * per-node counts must agree; the engine's degree orientation is
+    * pure physical-plan discipline. */
+  private val x52: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter($"l_quantity" > 45)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      Graph.triangleCounts(edges, "sa", "sb").orderBy($"id")
+    },
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem WHERE l_quantity > 45),
+      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+      |      FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.sk < b.sk),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |nodes AS (SELECT unnest([a, b, c]) AS id FROM tri)
+      |SELECT id::BIGINT AS id, COUNT(*)::BIGINT AS n_triangles
+      |FROM nodes GROUP BY id ORDER BY id""".stripMargin)
+
+  /** BM25 top-3 distinguishing terms per document — x21's tf-idf with
+    * the saturating tf and doc-length normalization, integer-exact
+    * (Zipf-bucket idf, fraction-cleared k1/b rational arithmetic). */
+  private val x53: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.bm25TopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy($"doc_id", $"rank")
+    },
+    """WITH tok AS (
+      |  SELECT doc_id, unnest([t for t in string_split(text, ' ')
+      |                         if len(t) > 0]) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      |       FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+      |dfq AS (SELECT term, COUNT(*)::BIGINT AS term_df FROM tf GROUP BY term),
+      |tot AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS t_toks
+      |        FROM dl),
+      |sc AS (SELECT doc_id, term, tf, term_df,
+      |         ((length(bin(n_docs // term_df)) - 1)
+      |          * ((1000000 * 44 * t_toks * tf)
+      |             // (20 * t_toks * tf + 6 * t_toks + 18 * dl * n_docs))
+      |         )::BIGINT AS score_ppm
+      |       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term), tot),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |         ORDER BY score_ppm DESC, term)::BIGINT AS rank FROM sc)
+      |SELECT doc_id, rank, term, tf, term_df, score_ppm
+      |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+
+  /** Robust outlier profile (median / MAD, ×2 / ×4 integer scaling)
+    * of part retail prices per brand. */
+  private val x54: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Profile.robustOutliers(t(s, d, "part"), "p_brand", "p_retailprice",
+          madK = 3)
+        .orderBy($"grp")
+    },
+    """WITH base AS (
+      |  SELECT p_brand AS grp,
+      |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM part WHERE p_retailprice IS NOT NULL),
+      |med AS (SELECT grp, quantile_cont(cents, 0.5) AS med
+      |        FROM base GROUP BY grp),
+      |dev AS (SELECT base.grp, cents, med, abs(cents - med) AS dev
+      |        FROM base JOIN med USING (grp)),
+      |mad AS (SELECT grp, quantile_cont(dev, 0.5) AS mad
+      |        FROM dev GROUP BY grp)
+      |SELECT d.grp AS grp, COUNT(*)::BIGINT AS n_rows,
+      |  CAST(MIN(d.med) * 2 AS BIGINT) AS med_cents_x2,
+      |  CAST(MIN(m.mad) * 4 AS BIGINT) AS mad_cents_x4,
+      |  SUM(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_outliers
+      |FROM dev d JOIN mad m USING (grp)
+      |GROUP BY d.grp ORDER BY d.grp""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1484,5 +1571,8 @@ object ExtQ {
     "x49_column_profile" -> (x49._1, Some(x49._2)),
     "x50_incremental_neardup" -> (x50._1, Some(x50._2)),
     "x51_bigram_surprisal" -> (x51._1, Some(x51._2)),
+    "x52_triangle_counts" -> (x52._1, Some(x52._2)),
+    "x53_bm25_top_terms" -> (x53._1, Some(x53._2)),
+    "x54_robust_outliers" -> (x54._1, Some(x54._2)),
   )
 }

@@ -29,6 +29,42 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("bm25TopTerms: hand-computed scores, saturation and rank order") {
+    val corpus = Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry cherry durian")).toDF("doc_id", "text")
+    // N=3, T=9; df: apple 1, banana 2, cherry 2, durian 1
+    // idf_bits: apple/durian = floor(log2(3)) = 1; banana/cherry = 0
+    // doc0 apple (tf=2, dl=3): 1e6*44*9*2 // (20*9*2 + 6*9 + 18*3*3)
+    //   = 792e6 // 576 = 1_375_000
+    // doc2 durian (tf=1, dl=4): 396e6 // (180 + 54 + 216) = 880_000
+    val rows = TextAnalysis.bm25TopTerms(corpus, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(5)))
+      .toMap
+    assert(rows((0L, 1L)) == ("apple", 1375000L))
+    assert(rows((2L, 1L)) == ("durian", 880000L))
+    // zero-idf terms score 0 and tie-break lexicographically
+    assert(rows((1L, 1L)) == ("banana", 0L))
+    assert(rows((1L, 2L)) == ("cherry", 0L))
+  }
+
+  test("robustOutliers: exact median/MAD scaling, odd and even groups") {
+    val df = (Seq(1, 2, 3, 4, 5, 6, 7, 8, 100).map(v => ("a", v.toDouble)) ++
+      Seq(1, 2, 3, 4).map(v => ("b", v.toDouble))).toDF("g", "price")
+    val out = Profile.robustOutliers(df, "g", "price", madK = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: cents median 500 (x2=1000); devs sorted 0,100,100,200,200,
+    //    300,300,400,9500 → MAD 200 (x4=800); only 9500 > 3·200
+    assert(out("a") == ((9L, 1000L, 800L, 1L)))
+    // b: even group — median 250 (x2=500); devs 50,50,150,150 →
+    //    MAD interpolates to 100 (x4=400); no dev > 300
+    assert(out("b") == ((4L, 500L, 400L, 0L)))
+  }
+
   test("columnStats profiles nulls, exact distincts, min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (2L, Some("b")))
       .toDF("k", "v")

@@ -56,6 +56,43 @@ class GraphSpec extends AnyFunSuite {
     assert(hf.length == 1 && hf(0).getLong(0) == 0 && hf(0).getLong(1) == 2)
   }
 
+  test("triangleCounts: hand-built graph, dirty edge list") {
+    // triangle {1,2,3} + pendant edge 3-4; duplicates, reversals and a
+    // self-loop must not change the count
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 4L),
+      (4L, 3L), (2L, 2L)).toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // node 4: no row
+  }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val edges = (for (a <- nodes; b <- nodes if a < b) yield (a, b))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == nodes.map(_ -> 3L).toMap)
+  }
+
+  test("triangleCounts matches brute force on a random graph") {
+    // deterministic pseudo-random sparse graph on 30 nodes
+    val edges = (1 to 200).map { i =>
+      (((i * 7919) % 30).toLong, ((i * 104729) % 30).toLong)
+    }.filter(e => e._1 != e._2)
+    val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toSet
+    val ns = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      a <- ns; b <- ns if a < b && canon((a, b))
+      c <- ns if b < c && canon((b, c)) && canon((a, c))
+    } Seq(a, b, c).foreach(n => brute(n) = brute.getOrElse(n, 0L) + 1L)
+    val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute.toMap)
+  }
+
   test("pageRankInt is reproducible across partitioning") {
     val edges = (1L to 200L).map(i => (i % 17, (i * 7) % 13)).toDF("s", "d")
     val a = Graph.pageRankInt(edges.repartition(1), "s", "d", 2)
