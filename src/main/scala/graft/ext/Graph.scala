@@ -111,6 +111,76 @@ object Graph {
     * Returns (id, n_triangles) for nodes participating in ≥ 1
     * triangle. Self-loops are dropped; parallel edges collapse.
     */
+  /** k-core peeling, `rounds` synchronous rounds: each round drops
+    * every node whose degree in the CURRENT surviving subgraph is
+    * < k, then drops edges touching dropped nodes. After enough
+    * rounds this is exactly the k-core (the maximal subgraph of
+    * minimum degree ≥ k) — the standard spam-farm / community-core
+    * filter over link graphs when weighting web corpora. The round
+    * count is part of the operator contract (like [[pageRankInt]]'s
+    * iteration count) so the computation is finite and identical on
+    * any engine; callers verify convergence by checking rounds and
+    * rounds+1 agree (GraphSpec does, and peeling converges in
+    * O(diameter)-ish rounds on real graphs).
+    *
+    * Returns (id, deg) for surviving nodes with their degree inside
+    * the surviving subgraph. Scale shape per round: one map-combined
+    * degree aggregation + two semi-joins keyed on node ids; lineage
+    * truncated per round with localCheckpoint — the same iteration
+    * discipline as [[Dedup.connectedComponents]].
+    */
+  def kCoreMembers(edges: DataFrame, a: String, b: String,
+                   k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var e = edges.select(
+        least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def degrees(ed: DataFrame) =
+      ed.select(col("u").as("id")).union(ed.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(e).filter(col("deg") >= k).select("id")
+      val prev = e
+      e = e.join(keep.withColumnRenamed("id", "u"), Seq("u"), "leftsemi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "leftsemi")
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    degrees(e).filter(col("deg") >= k)
+  }
+
+  /** [[kCoreMembers]] as unrolled DuckDB SQL (round CTEs), sharing
+    * the edge-CTE parameterization with [[pageRankSql]] — the oracle
+    * generator. Every round CTE is MATERIALIZED: each round references
+    * its predecessor several times, and DuckDB's default CTE inlining
+    * would re-expand the whole chain exponentially (≈5^rounds base
+    * scans). */
+  def kCoreSql(edgeCte: String, k: Int, rounds: Int): String = {
+    val header =
+      s"""WITH raw AS ($edgeCte),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM raw WHERE src <> dst)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT id, COUNT(*)::BIGINT AS deg FROM
+         |  (SELECT u AS id FROM $prev UNION ALL SELECT v FROM $prev)
+         |  GROUP BY id),
+         |n$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT id FROM n$i) AND v IN (SELECT id FROM n$i))""".stripMargin
+    }
+    val last = s"e$rounds"
+    (Seq(header) ++ steps).mkString(",\n") +
+      s"""
+         |SELECT id::BIGINT AS id, deg FROM (
+         |  SELECT id, COUNT(*)::BIGINT AS deg FROM
+         |    (SELECT u AS id FROM $last UNION ALL SELECT v FROM $last)
+         |  GROUP BY id)
+         |WHERE deg >= $k ORDER BY id""".stripMargin
+  }
+
   def triangleCounts(edges: DataFrame, a: String, b: String): DataFrame = {
     val e = edges.select(
         least(col(a), col(b)).cast("long").as("u"),

@@ -244,6 +244,52 @@ object TextAnalysis {
       .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_bigrams"))
   }
 
+  /** Corpus-wide collocation discovery by PMI (pointwise mutual
+    * information) over adjacent token pairs — the classic phrase-mining
+    * signal ("New York" scores high because its parts co-occur far
+    * beyond chance; "of the" scores low because both parts are
+    * everywhere). PMI = log2(c_ab·N / (c_a·c_b)) is quantized to its
+    * integer log2 bucket computed toward zero — binary digit count of
+    * the integer quotient, negated when the ratio is < 1 — so no float
+    * log crosses engines (the same device as [[unigramSurprisal]];
+    * negative PMI just flips numerator and denominator). `minCount`
+    * suppresses the low-frequency pairs whose PMI is unstable noise
+    * (the standard mitigation for PMI's rare-pair bias).
+    *
+    * Plan shape: one map-combined pair count, two map-combined
+    * marginal counts (left role, right role), a 1-row total broadcast,
+    * two key joins, and a global top-k (rows after `minCount`
+    * filtering are few; the final orderBy+limit is a TakeOrdered, no
+    * full sort). Counts multiply as c_ab·N ≤ N² and c_a·c_b ≤ N² —
+    * BIGINT-safe to N ≈ 3·10⁹ bigrams; shard to DECIMAL beyond. */
+  def collocations(df: DataFrame, id: String, text: String,
+                   minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val toks = filter(tokens(col(text)), t => t =!= "")
+    val pairs = df.select(toks.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_t) - 1)," +
+          " i -> struct(_t[i-1] AS prev, _t[i] AS tok))")).as("b"))
+      .select(col("b.prev").as("prev"), col("b.tok").as("tok"))
+    val cab = pairs.groupBy("prev", "tok").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("prev").agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy("tok").agg(sum(col("c_ab")).as("c_b"))
+    val n = cab.agg(sum(col("c_ab")).as("n_pairs"))
+    cab.filter(col("c_ab") >= minCount)
+      .join(ca, "prev").join(cb, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_bits", expr(
+        """CASE WHEN c_ab * n_pairs >= c_a * c_b
+          |  THEN CAST(length(bin((c_ab * n_pairs) div (c_a * c_b))) - 1 AS BIGINT)
+          |  ELSE CAST(-(length(bin((c_a * c_b) div (c_ab * n_pairs))) - 1) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("prev"), col("tok"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("c_ab").desc, col("prev"), col("tok"))
+      .limit(k)
+  }
+
   /** Sliding-window token chunking: splits a document into chunks of
     * `window` tokens every `stride` tokens (stride < window ⇒
     * overlapping chunks; the tail chunk may be shorter) — the

@@ -1496,6 +1496,65 @@ object ExtQ {
       |FROM dev d JOIN mad m USING (grp)
       |GROUP BY d.grp ORDER BY d.grp""".stripMargin)
 
+  /** PMI collocation discovery over document bigrams: top-50 adjacent
+    * token pairs by integer-log2 PMI bucket (minCount 5 suppresses
+    * rare-pair noise). Both engines quantize PMI identically — binary
+    * digit count of an integer quotient, negated below ratio 1. */
+  private val x55: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.collocations(t(s, d, "documents"), "doc_id", "text",
+        minCount = 5L, k = 50)
+    },
+    """WITH tk AS (
+      |  SELECT [t for t in string_split(text, ' ')
+      |          if len(t) > 0] AS toks
+      |  FROM documents),
+      |bg AS (SELECT toks[i] AS prev, toks[i+1] AS tok
+      |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+      |             FROM tk WHERE len(toks) >= 2)),
+      |cab AS (SELECT prev, tok, COUNT(*)::BIGINT AS c_ab
+      |        FROM bg GROUP BY prev, tok),
+      |ca AS (SELECT prev, SUM(c_ab)::BIGINT AS c_a FROM cab GROUP BY prev),
+      |cb AS (SELECT tok, SUM(c_ab)::BIGINT AS c_b FROM cab GROUP BY tok),
+      |n AS (SELECT SUM(c_ab)::BIGINT AS n_pairs FROM cab)
+      |SELECT prev, tok, c_ab, c_a, c_b,
+      |  CASE WHEN c_ab * n_pairs >= c_a * c_b
+      |    THEN (length(bin((c_ab * n_pairs) // (c_a * c_b))) - 1)::BIGINT
+      |    ELSE (-(length(bin((c_a * c_b) // (c_ab * n_pairs))) - 1))::BIGINT
+      |  END AS pmi_bits
+      |FROM cab JOIN ca USING (prev) JOIN cb USING (tok), n
+      |WHERE c_ab >= 5
+      |ORDER BY pmi_bits DESC, c_ab DESC, prev, tok LIMIT 50""".stripMargin)
+
+  /** Shared SQL body for the supplier co-occurrence edge list (the
+    * x52/x56 graph): suppliers linked when they ship lines of the same
+    * order above the quantity threshold. */
+  private def supplierEdgeSql(minQty: Int) =
+    s"""SELECT a.sk AS src, b.sk AS dst
+       |FROM (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |      FROM lineitem WHERE l_quantity > $minQty) a
+       |JOIN (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |      FROM lineitem WHERE l_quantity > $minQty) b
+       |  ON a.ok = b.ok AND a.sk < b.sk""".stripMargin
+
+  /** k-core of the supplier co-occurrence graph (k=5, 6 synchronous
+    * peel rounds — fixpoint is reached in ≤5 rounds at every gate
+    * scale, and the round count is part of the operator contract so
+    * both engines run the identical finite computation). */
+  private val x56: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter($"l_quantity" > 47)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      Graph.kCoreMembers(edges, "sa", "sb", k = 5, rounds = 6)
+        .orderBy($"id")
+    },
+    Graph.kCoreSql(supplierEdgeSql(47), k = 5, rounds = 6))
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1574,5 +1633,7 @@ object ExtQ {
     "x52_triangle_counts" -> (x52._1, Some(x52._2)),
     "x53_bm25_top_terms" -> (x53._1, Some(x53._2)),
     "x54_robust_outliers" -> (x54._1, Some(x54._2)),
+    "x55_pmi_collocations" -> (x55._1, Some(x55._2)),
+    "x56_kcore_members" -> (x56._1, Some(x56._2)),
   )
 }

@@ -143,7 +143,8 @@ class PlanSpec extends AnyFunSuite {
       "x43_corpus_drift",        // 1-row totals broadcast
       "x44_histogram_profile",   // 1-row (min,max) bounds broadcast
       "x48_unigram_surprisal",   // 1-row corpus-total broadcast
-      "x53_bm25_top_terms")      // 1-row (n_docs, t_toks) broadcast
+      "x53_bm25_top_terms",      // 1-row (n_docs, t_toks) broadcast
+      "x55_pmi_collocations")    // 1-row pair-total broadcast
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

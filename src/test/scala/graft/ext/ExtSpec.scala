@@ -50,6 +50,36 @@ class ExtSpec extends AnyFunSuite {
     assert(rows((1L, 2L)) == ("cherry", 0L))
   }
 
+  test("collocations: PMI buckets match a driver-side reference, sign included") {
+    // doc1/doc2 pump a's prev-count and b's tok-count; doc3 holds the
+    // single (a,b) pair → (a,b) occurs well below chance (negative PMI)
+    val corpus = Seq(
+      (1L, "a x a x a x a x a x a x a x a y"),
+      (2L, "x b y b x b y b x b y b x b y b"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(corpus, "doc_id", "text",
+        minCount = 1L, k = 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    // reference: exact integer PMI buckets over the same bigram stream
+    val pairs = Seq("a x a x a x a x a x a x a x a y",
+        "x b y b x b y b x b y b x b y b", "a b")
+      .flatMap(t => t.split(" ").toSeq.sliding(2).map(s => (s(0), s(1))))
+    val cab = pairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val cb = cab.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val n = cab.values.sum
+    def bits(num: Long, den: Long): Long =
+      if (num >= den) 63 - java.lang.Long.numberOfLeadingZeros(num / den)
+      else -(63 - java.lang.Long.numberOfLeadingZeros(den / num))
+    val expect = cab.map { case ((p, t), c) =>
+      (p, t) -> ((c, bits(c * n, ca(p) * cb(t))))
+    }
+    assert(got == expect)
+    assert(got(("a", "b"))._2 < 0) // the planted below-chance pair
+  }
+
   test("robustOutliers: exact median/MAD scaling, odd and even groups") {
     val df = (Seq(1, 2, 3, 4, 5, 6, 7, 8, 100).map(v => ("a", v.toDouble)) ++
       Seq(1, 2, 3, 4).map(v => ("b", v.toDouble))).toDF("g", "price")

@@ -93,6 +93,49 @@ class GraphSpec extends AnyFunSuite {
     assert(got == brute.toMap)
   }
 
+  test("kCoreMembers: core survives, pendants cascade off") {
+    // K4 core {1,2,3,4}; node 5 hangs off 1,2 (deg 2); 6 hangs off 5.
+    // k=3: 6 drops (deg 1), then 5 (deg 2) — the cascade needs >1 round
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val k4 = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((1L, 5L), (2L, 5L), (5L, 6L))).toDF("a", "b")
+    val got = Graph.kCoreMembers(edges, "a", "b", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCoreMembers matches driver-side peeling to fixpoint") {
+    val raw = (1 to 150).map { i =>
+      (((i * 7919) % 25).toLong, ((i * 104729) % 25).toLong)
+    }.filter(e => e._1 != e._2)
+    var es = raw.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toSet
+    val k = 4
+    var changed = true
+    var fixRounds = 0
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next != es
+      es = next
+      fixRounds += 1
+    }
+    val expect = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      .filter(_._2 >= k)
+    val got = Graph.kCoreMembers(raw.toDF("a", "b"), "a", "b", k,
+        rounds = fixRounds + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // and one extra round changes nothing (converged)
+    val again = Graph.kCoreMembers(raw.toDF("a", "b"), "a", "b", k,
+        rounds = fixRounds + 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("pageRankInt is reproducible across partitioning") {
     val edges = (1L to 200L).map(i => (i % 17, (i * 7) % 13)).toDF("s", "d")
     val a = Graph.pageRankInt(edges.repartition(1), "s", "d", 2)
