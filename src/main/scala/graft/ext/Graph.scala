@@ -106,7 +106,11 @@ object Graph {
     * the oriented edges on the source node (the wedge build), one
     * equi-join probing the closing edge on the (v, w) pair, one
     * map-combined count per node. Every shuffle carries long pairs
-    * only; AQE absorbs residual wedge-key skew.
+    * only; AQE absorbs residual wedge-key skew. The canonical and
+    * oriented edge lists are each referenced three times downstream,
+    * so both are materialized once (localCheckpoint — the
+    * [[pageRankInt]] discipline); without it Catalyst re-derives the
+    * whole edge build per reference.
     *
     * Returns (id, n_triangles) for nodes participating in ≥ 1
     * triangle. Self-loops are dropped; parallel edges collapse.
@@ -185,7 +189,7 @@ object Graph {
     val e = edges.select(
         least(col(a), col(b)).cast("long").as("u"),
         greatest(col(a), col(b)).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     val deg = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -199,6 +203,7 @@ object Graph {
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
       when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint()
     // wedges from the LOW end: (src→x, src→y) with rank(x) < rank(y)
     val o1 = oriented.select(col("src"), col("dst").as("x"),
       col("ddeg").as("dx"))
