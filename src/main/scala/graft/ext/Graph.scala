@@ -185,6 +185,91 @@ object Graph {
          |WHERE deg >= $k ORDER BY id""".stripMargin
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), made fully
+    * deterministic: every node starts labelled with its own id; each
+    * round every node adopts the label that is most frequent among its
+    * neighbours, ties broken toward the SMALLEST label (the classic
+    * algorithm breaks ties randomly — useless for a reproducible
+    * pipeline); isolated nodes keep their label. `rounds` is part of
+    * the operator contract (synchronous LPA can oscillate on bipartite
+    * structures, so a fixpoint loop would not terminate in general —
+    * fixed rounds sidestep that while staying engine-exact).
+    * Communities over co-occurrence graphs drive corpus balancing the
+    * same way [[kCoreMembers]] drives spam filtering.
+    *
+    * Scale shape per round: one equi-join of the directed edge list
+    * against the label frame (shuffle on src), one map-combined
+    * (node, label) count, one argmax agg via min(struct) — no window,
+    * no sort — then a left join back to the node set; lineage
+    * truncated per round. Shuffles carry (long, long, count) only.
+    */
+  def labelPropagate(edges: DataFrame, a: String, b: String, rounds: Int)
+      : DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val und = edges.select(
+        least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // directed both ways: each edge delivers its source's label to dst
+    val dir = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val nodes = dir.select(col("dst").as("id")).distinct().localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val counts = dir
+        .join(labels.select(col("id").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val picked = counts
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("newlab"))
+      val prev = labels
+      labels = labels.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    labels
+  }
+
+  /** [[labelPropagate]] as unrolled DuckDB SQL (MATERIALIZED round
+    * CTEs — same exponential-inlining hazard as [[kCoreSql]]); the
+    * argmax is a ROW_NUMBER over (count DESC, label ASC), the same
+    * total order as the engine's min(struct(−c, lab)). */
+  def labelPropSql(edgeCte: String, rounds: Int): String = {
+    val header =
+      s"""WITH raw AS ($edgeCte),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM raw WHERE src <> dst),
+         |dir AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |nodes AS MATERIALIZED (SELECT DISTINCT dst AS id FROM dir),
+         |lab0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val prev = s"lab${i - 1}"
+      s"""cnt$i AS MATERIALIZED (
+         |  SELECT dir.dst AS id, l.lab, COUNT(*)::BIGINT AS c
+         |  FROM dir JOIN $prev l ON l.id = dir.src
+         |  GROUP BY dir.dst, l.lab),
+         |pick$i AS MATERIALIZED (
+         |  SELECT id, lab FROM (
+         |    SELECT id, lab,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+         |    FROM cnt$i) WHERE rn = 1),
+         |lab$i AS MATERIALIZED (
+         |  SELECT n.id, COALESCE(p.lab, o.lab) AS lab
+         |  FROM nodes n JOIN $prev o ON o.id = n.id
+         |  LEFT JOIN pick$i p ON p.id = n.id)""".stripMargin
+    }
+    (Seq(header) ++ steps).mkString(",\n") +
+      s"\nSELECT id::BIGINT AS id, lab::BIGINT AS lab FROM lab$rounds ORDER BY id"
+  }
+
   def triangleCounts(edges: DataFrame, a: String, b: String): DataFrame = {
     val e = edges.select(
         least(col(a), col(b)).cast("long").as("u"),

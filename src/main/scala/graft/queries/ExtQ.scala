@@ -1555,6 +1555,23 @@ object ExtQ {
     },
     Graph.kCoreSql(supplierEdgeSql(47), k = 5, rounds = 6))
 
+  /** Deterministic label-propagation communities over the supplier
+    * co-occurrence graph (4 synchronous rounds, smallest-label tie
+    * break — the engine's min(struct) argmax and the oracle's
+    * ROW_NUMBER pick share one total order). */
+  private val x57: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter($"l_quantity" > 47)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      Graph.labelPropagate(edges, "sa", "sb", rounds = 4)
+        .orderBy($"id")
+    },
+    Graph.labelPropSql(supplierEdgeSql(47), rounds = 4))
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1635,5 +1652,6 @@ object ExtQ {
     "x54_robust_outliers" -> (x54._1, Some(x54._2)),
     "x55_pmi_collocations" -> (x55._1, Some(x55._2)),
     "x56_kcore_members" -> (x56._1, Some(x56._2)),
+    "x57_label_propagation" -> (x57._1, Some(x57._2)),
   )
 }

@@ -136,6 +136,31 @@ class GraphSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("labelPropagate: two cliques with a bridge split into two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10: min-label argmax
+    // converges each clique onto its smallest member's label
+    val c1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val c2 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = (c1 ++ c2 :+ ((3L, 10L))).toDF("a", "b")
+    val got = Graph.labelPropagate(edges, "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)     // one community
+    assert(Set(got(10L), got(11L), got(12L)).size == 1)  // the other
+    assert(got(1L) != got(10L))
+  }
+
+  test("labelPropagate: deterministic across partitioning and reruns") {
+    val edges = (1 to 300).map { i =>
+      (((i * 7919) % 40).toLong, ((i * 104729) % 40).toLong)
+    }.filter(e => e._1 != e._2).toDF("a", "b")
+    val a = Graph.labelPropagate(edges.repartition(1), "a", "b", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.labelPropagate(edges.repartition(7), "a", "b", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("pageRankInt is reproducible across partitioning") {
     val edges = (1L to 200L).map(i => (i % 17, (i * 7) % 13)).toDF("s", "d")
     val a = Graph.pageRankInt(edges.repartition(1), "s", "d", 2)
