@@ -51,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => sys.error(s"graft_topk k must be an int literal, got $other")
         }).toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_heavyhitters"),
+      new ExpressionInfo(classOf[functions.HeavyHittersAgg].getName,
+        "graft_heavyhitters"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.HeavyHittersAgg(exprs(0), exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            sys.error(s"graft_heavyhitters cap must be an int literal, got $other")
+        }).toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[functions.SimHash64].getName,
         "graft_simhash64"),

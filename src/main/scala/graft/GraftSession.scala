@@ -62,6 +62,7 @@ object GraftSession {
     graft.functions.WordShingles.register(spark)
     graft.functions.SimHash64.register(spark)
     graft.functions.TopKAgg.register(spark)
+    graft.functions.HeavyHittersAgg.register(spark)
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
       spark.experimental.extraOptimizations ++=

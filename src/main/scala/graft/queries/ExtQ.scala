@@ -1572,6 +1572,24 @@ object ExtQ {
     },
     Graph.labelPropSql(supplierEdgeSql(47), rounds = 4))
 
+  /** SpaceSaving heavy-hitters summary of event types, pinned in the
+    * EXACT regime (cap 64 ≫ the handful of distinct types): the
+    * sketch must degenerate to exact GROUP BY counts with zero error
+    * under any partitioning — that determinism is the gate; the
+    * overflow-regime bounds live in HeavyHittersSpec. */
+  private val x58: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .agg(graft.functions.HeavyHittersAgg
+          .heavyHitters($"event_type", 64).as("hh"))
+        .select(explode($"hh").as("h"))
+        .select($"h.item".as("item"), $"h.est".as("est"), $"h.err".as("err"))
+        .orderBy($"est".desc, $"item")
+    },
+    """SELECT event_type AS item, COUNT(*)::BIGINT AS est, 0::BIGINT AS err
+      |FROM events GROUP BY event_type ORDER BY est DESC, item""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1653,5 +1671,6 @@ object ExtQ {
     "x55_pmi_collocations" -> (x55._1, Some(x55._2)),
     "x56_kcore_members" -> (x56._1, Some(x56._2)),
     "x57_label_propagation" -> (x57._1, Some(x57._2)),
+    "x58_heavy_hitters" -> (x58._1, Some(x58._2)),
   )
 }
