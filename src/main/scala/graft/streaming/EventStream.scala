@@ -113,6 +113,25 @@ object EventStream {
       }
   }
 
+  /** Per-hour heavy-hitter event types: the
+    * [[graft.functions.HeavyHittersAgg]] SpaceSaving sketch under a
+    * streaming event-time window. Streaming state per window is ONE
+    * cap-slot summary — never the item stream — so hot-key discovery
+    * over an unbounded firehose of unbounded key cardinality runs in
+    * bounded memory, where a windowed `GROUP BY key` grows state with
+    * the number of distinct keys. Applied to a batch frame it is the
+    * same plan minus the watermark (the spec pins stream == batch in
+    * the sketch's exact regime). */
+  def hourlyHotTypes(events: DataFrame, cap: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.HeavyHittersAgg
+        .heavyHitters(col("event_type"), cap).as("hh"))
+      .select(col("w.start").as("hour_ts"), explode(col("hh")).as("h"))
+      .select(col("hour_ts"), col("h.item").as("event_type"),
+        col("h.est").as("est"), col("h.err").as("err"))
+
   /** Streaming exact dedup: drops re-occurrences of the same content
     * digest within the watermark window — the streaming counterpart of
     * [[graft.ext.Dedup.exactDupGroups]]'s md5 content identity, for

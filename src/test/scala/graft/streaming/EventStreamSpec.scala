@@ -214,6 +214,25 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(root).collect().toSet == first)
   }
 
+  test("streamed windowed heavy hitters equal the batch sketch (exact regime)") {
+    val ev = graft.tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select($"ts".cast("timestamp").as("ts"), $"event_type")
+    val dir = java.nio.file.Files.createTempDirectory("hot").toString + "/ev"
+    ev.write.parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.hourlyHotTypes(stream, cap = 64).writeStream
+      .outputMode("complete").format("memory").queryName("graft_hot").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_hot")
+    val batch = EventStream.hourlyHotTypes(ev, cap = 64)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // exact regime: the five event types all fit the summary → err 0
+    assert(streamed.agg(max($"err")).head().getLong(0) == 0L)
+  }
+
   test("stateful user sessions accumulate per key") {
     import EventStream._
     val events = Seq(
