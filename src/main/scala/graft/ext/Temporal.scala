@@ -125,4 +125,46 @@ object Temporal {
       }
       .drop("_pb", "_ik", "_is", "_ie", "_ip", "_ib")
   }
+
+  /** Ordered multi-stage funnel: for each user, the earliest time of
+    * stage 1, then the earliest stage-2 event STRICTLY after it, then
+    * the earliest stage-3 event strictly after that, … — the product
+    * analytics primitive (view → click → purchase conversion), and a
+    * deterministic MATCH_RECOGNIZE-lite. The iterated-min formulation
+    * is what makes it exact: a user who clicks before ever viewing
+    * does not convert, and re-orderings inside a stage cannot change
+    * the chain (min is duplicate- and order-insensitive).
+    *
+    * Output: one row per user that reached stage 1 — (user_id, depth,
+    * t1..tn), depth = number of stages reached, unreached stage times
+    * null.
+    *
+    * Plan shape at scale: one filtered map-combined min-aggregation
+    * per stage plus one equi-join per stage on the user key — stage
+    * frames shrink monotonically (funnel property), so each successive
+    * join is smaller; nothing is ever sorted and no per-user event
+    * list is materialized (the collect_list-then-scan formulation
+    * breaks on power users; this one cannot). */
+  def funnel(events: DataFrame, user: String, ts: String, typ: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val ev = events.select(col(user).as("user_id"), col(ts).as("ts"),
+      col(typ).as("typ"))
+    var reached = ev.filter(col("typ") === stages.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val next = ev.filter(col("typ") === st)
+        .join(reached.select(col("user_id"), col(s"t$i")), "user_id")
+        .filter(col("ts") > col(s"t$i"))
+        .groupBy("user_id").agg(min(col("ts")).as(s"t${i + 1}"))
+      reached = reached.join(next, Seq("user_id"), "left")
+    }
+    val depth = (2 to stages.size).foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col(s"t$i").isNotNull, 1L).otherwise(0L)
+    }
+    reached.select(
+      col("user_id") +: depth.as("depth") +:
+        (1 to stages.size).map(i => col(s"t$i").cast("timestamp_ntz")
+          .as(s"t$i")): _*)
+  }
 }

@@ -1590,6 +1590,36 @@ object ExtQ {
     """SELECT event_type AS item, COUNT(*)::BIGINT AS est, 0::BIGINT AS err
       |FROM events GROUP BY event_type ORDER BY est DESC, item""".stripMargin)
 
+  /** Three-stage conversion funnel (view → click → purchase, strict
+    * event-time ordering) over the events table — iterated-min chain,
+    * so duplicate event rows and arrival order cannot change it. */
+  private val x59: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      graft.ext.Temporal.funnel(t(s, d, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy($"user_id")
+    },
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |       GROUP BY e.user_id)
+      |SELECT s1.user_id AS user_id,
+      |  (1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS depth,
+      |  CAST(s1.t1 AS TIMESTAMP) AS t1,
+      |  CAST(s2.t2 AS TIMESTAMP) AS t2,
+      |  CAST(s3.t3 AS TIMESTAMP) AS t3
+      |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+      |LEFT JOIN s3 ON s3.user_id = s1.user_id
+      |ORDER BY s1.user_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1672,5 +1702,6 @@ object ExtQ {
     "x56_kcore_members" -> (x56._1, Some(x56._2)),
     "x57_label_propagation" -> (x57._1, Some(x57._2)),
     "x58_heavy_hitters" -> (x58._1, Some(x58._2)),
+    "x59_funnel_stages" -> (x59._1, Some(x59._2)),
   )
 }

@@ -31,6 +31,37 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(3L).isEmpty)          // nothing at or before → null
   }
 
+  test("funnel: strict ordering, equal-ts exclusion, partial depths") {
+    val ev = Seq(
+      // A: clean view→click→purchase chain
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      // B: click BEFORE the first view and one AT the view instant —
+      // neither counts (strict >); the later click does; no purchase
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      (2L, ts("2024-01-01 09:30:00"), "click"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),
+      // C: purchase only — never enters the funnel
+      (3L, ts("2024-01-01 08:00:00"), "purchase"),
+      // D: duplicate views — min wins, depth 1
+      (4L, ts("2024-01-01 07:00:00"), "view"),
+      (4L, ts("2024-01-01 06:00:00"), "view"),
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.get(2), r.get(3), r.get(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L)._1 == 3L)
+    assert(got(2L)._1 == 2L &&
+      got(2L)._3.toString.startsWith("2024-01-01T11:00"))
+    assert(got(4L)._1 == 1L &&
+      got(4L)._2.toString.startsWith("2024-01-01T06:00"))
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
