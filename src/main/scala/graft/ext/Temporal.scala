@@ -167,4 +167,28 @@ object Temporal {
         (1 to stages.size).map(i => col(s"t$i").cast("timestamp_ntz")
           .as(s"t$i")): _*)
   }
+
+  /** Day-N retention cohorts: users are grouped by their first active
+    * date (the cohort); each (cohort, day-offset) cell counts the
+    * cohort's users active that many days later — the standard
+    * engagement/retention matrix, and for training-data pipelines the
+    * freshness profile of a source (how long after first crawl a
+    * domain keeps producing documents).
+    *
+    * Plan shape: one distinct over (user, date) — the only shuffle
+    * proportional to activity volume, and it is map-combined — then a
+    * min-agg per user, one user-key equi-join, and a map-combined
+    * count per (cohort, offset) cell. Counting plain rows, not
+    * DISTINCT users, is safe because (user, date) is already unique
+    * upstream — the join cannot re-duplicate it. */
+  def retention(events: DataFrame, user: String, ts: String): DataFrame = {
+    val act = events.select(col(user).as("u"), to_date(col(ts)).as("d"))
+      .distinct()
+    val cohort = act.groupBy("u").agg(min(col("d")).as("c"))
+    act.join(cohort, "u")
+      .select(col("c").as("cohort_date"),
+        datediff(col("d"), col("c")).cast("long").as("day_offset"))
+      .groupBy("cohort_date", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1620,6 +1620,23 @@ object ExtQ {
       |LEFT JOIN s3 ON s3.user_id = s1.user_id
       |ORDER BY s1.user_id""".stripMargin)
 
+  /** Day-N retention matrix over the events table: cohort by first
+    * active date, count users per (cohort, day offset). */
+  private val x60: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      graft.ext.Temporal.retention(t(s, d, "events"), "user_id", "ts")
+        .orderBy($"cohort_date", $"day_offset")
+    },
+    """WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      |             FROM events),
+      |coh AS (SELECT u, MIN(d) AS c FROM act GROUP BY u)
+      |SELECT coh.c AS cohort_date,
+      |  date_diff('day', coh.c, act.d)::BIGINT AS day_offset,
+      |  COUNT(*)::BIGINT AS n_users
+      |FROM act JOIN coh ON coh.u = act.u
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1703,5 +1720,6 @@ object ExtQ {
     "x57_label_propagation" -> (x57._1, Some(x57._2)),
     "x58_heavy_hitters" -> (x58._1, Some(x58._2)),
     "x59_funnel_stages" -> (x59._1, Some(x59._2)),
+    "x60_retention_cohorts" -> (x60._1, Some(x60._2)),
   )
 }

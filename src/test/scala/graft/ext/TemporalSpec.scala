@@ -62,6 +62,26 @@ class TemporalSpec extends AnyFunSuite {
       got(4L)._2.toString.startsWith("2024-01-01T06:00"))
   }
 
+  test("retention: cohorts by first date, offsets count distinct users") {
+    val ev = Seq(
+      // user 1: first on Jan 1, active again Jan 2 (twice) and Jan 3
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 20:00:00")), (1L, ts("2024-01-03 01:00:00")),
+      // user 2: same cohort, returns only on Jan 3
+      (2L, ts("2024-01-01 23:00:00")), (2L, ts("2024-01-03 08:00:00")),
+      // user 3: Jan 2 cohort, never returns
+      (3L, ts("2024-01-02 12:00:00")),
+    ).toDF("user_id", "ts")
+    val got = Temporal.retention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, // users 1 and 2 on day 0
+      ("2024-01-01", 1L) -> 1L, // only user 1 on day 1 (dup day collapsed)
+      ("2024-01-01", 2L) -> 2L, // both return on day 2
+      ("2024-01-02", 0L) -> 1L))
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
