@@ -90,6 +90,38 @@ object Profile {
           .as("n_outliers"))
   }
 
+  /** Approximate-schema discovery: for each candidate functional
+    * dependency a → b, count the left-hand values that VIOLATE it
+    * (distinct b per a > 1) and the total distinct left-hand values —
+    * zero violations means the dependency holds exactly (nation →
+    * region hierarchies, id → attribute keys). The profiling step that
+    * decides normalization, join keys, and partition hierarchies for
+    * an unfamiliar ingested table.
+    *
+    * Plan shape: per candidate pair one map-combined (a, b) distinct
+    * + one map-combined count per a — both shuffles carry key pairs
+    * only; pairs are evaluated independently (a union of small
+    * aggregates, cheap to run in one job). Exact counts by design:
+    * violation counting is the point, an estimate cannot certify a
+    * key. */
+  def fdViolations(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate dependency")
+    pairs.map { case (a, b) =>
+      require(df.columns.contains(a) && df.columns.contains(b),
+        s"columns must exist: $a, $b")
+      df.select(col(a).cast("string").as("lhs"),
+          col(b).cast("string").as("rhs"))
+        .filter(col("lhs").isNotNull)
+        .distinct()
+        .groupBy("lhs").agg(count(lit(1)).as("n_rhs"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(a).as("lhs_col"), lit(b).as("rhs_col"),
+          col("n_lhs"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** (bin, n) for `bins` equal-width buckets of column `c` between
     * its min and max; the max value lands in the last bin. Degenerate
     * single-value columns collapse to bin 0. */

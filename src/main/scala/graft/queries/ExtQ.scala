@@ -1637,6 +1637,33 @@ object ExtQ {
       |FROM act JOIN coh ON coh.u = act.u
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Functional-dependency discovery over orders: the key candidate
+    * (o_orderkey → o_custkey) must hold; the two attribute pairs must
+    * report their exact violation counts. */
+  private val x61: (Fn, String) = {
+    val fdPairs = Seq(
+      ("o_orderkey", "o_custkey"),
+      ("o_custkey", "o_orderpriority"),
+      ("o_orderstatus", "o_orderpriority"))
+    def pairSql(a: String, b: String) =
+      s"""SELECT '$a' AS lhs_col, '$b' AS rhs_col,
+         |  COUNT(*)::BIGINT AS n_lhs,
+         |  SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+         |  SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT lhs, COUNT(*) AS n_rhs FROM
+         |      (SELECT DISTINCT CAST($a AS VARCHAR) AS lhs,
+         |              CAST($b AS VARCHAR) AS rhs
+         |       FROM orders WHERE $a IS NOT NULL)
+         |      GROUP BY lhs)""".stripMargin
+    ((s, d) => {
+      import s.implicits._
+      Profile.fdViolations(t(s, d, "orders"), fdPairs)
+        .orderBy($"lhs_col", $"rhs_col")
+    },
+    fdPairs.map { case (a, b) => pairSql(a, b) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY lhs_col, rhs_col"))
+  }
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1721,5 +1748,6 @@ object ExtQ {
     "x58_heavy_hitters" -> (x58._1, Some(x58._2)),
     "x59_funnel_stages" -> (x59._1, Some(x59._2)),
     "x60_retention_cohorts" -> (x60._1, Some(x60._2)),
+    "x61_fd_discovery" -> (x61._1, Some(x61._2)),
   )
 }

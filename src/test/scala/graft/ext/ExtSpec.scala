@@ -95,6 +95,21 @@ class ExtSpec extends AnyFunSuite {
     assert(out("b") == ((4L, 500L, 400L, 0L)))
   }
 
+  test("fdViolations: holding key, violated attribute, null lhs skipped") {
+    val df = Seq(
+      (Some(1), "a", "x"), (Some(1), "a", "x"),  // dup rows collapse
+      (Some(2), "b", "x"), (Some(2), "c", "x"),  // 2 → {b,c}: violation
+      (None, "d", "x")                            // null lhs ignored
+    ).toDF("k", "v", "w")
+    val got = Profile.fdViolations(df, Seq(("k", "v"), ("k", "w"), ("v", "w")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("k", "v")) == ((2L, 1L, false))) // k=2 maps to two vs
+    assert(got(("k", "w")) == ((2L, 0L, true)))
+    assert(got(("v", "w")) == ((4L, 0L, true)))  // d→x counts: null k row kept
+  }
+
   test("columnStats profiles nulls, exact distincts, min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (2L, Some("b")))
       .toDF("k", "v")
