@@ -321,6 +321,58 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-dup pairs scored in the QUANTIZED
+    * domain: candidates come from the same deterministic plane-LSH
+    * banding as [[embeddingNearDups]], but the pair decision is made
+    * on int8-quantized vectors ([[Similarity.int8Quantize]]) with an
+    * integer cross-multiplied cosine² test —
+    * `cos²(qa,qb) ≥ num/den  ⇔  den·dotq² ≥ num·‖qa‖²·‖qb‖²` (and
+    * `dotq > 0` to exclude anti-parallel pairs whose square would
+    * pass). Every quantity is a 64-bit integer, so the dedup decision
+    * is bit-identical on any engine, hardware, or partitioning — the
+    * property that matters when dedup runs incrementally across
+    * heterogeneous clusters and a float-threshold flip would
+    * resurrect a previously-deleted near-duplicate.
+    *
+    * Scale shape: the banded shuffle carries (id, band, bucket) only;
+    * quantized vectors (4× smaller than float32) join back on
+    * candidates; scoring is a codegen'd integer loop. Overflow bound:
+    * `den·dotq² ≤ den·(127²·dim)²` — safe in Long for dim·√den up to
+    * ~6×10⁵ (dim 64 × den ≤ 4 used here is 10⁴× inside the bound).
+    * Returns (id_a, id_b, dotq, na, nb) for passing pairs. */
+  def semanticDupPairsInt8(df: DataFrame, id: String, vec: String,
+                           cos2Num: Long = 1, cos2Den: Long = 4,
+                           bands: Int = 8, bitsPerBand: Int = 4,
+                           dim: Int = 64): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val planes = Planes.components(bands * bitsPerBand, dim)
+    val q = df.select(col(id).as("_id"), col(vec).as("fv"))
+      .repartition(parts)
+      .select(col("_id"), col("fv"),
+        Similarity.int8Quantize(col("fv")).getField("q").as("qv"))
+      .cache()
+    val banded = q.select(col("_id"),
+      posexplode(Planes.bandBuckets(col("fv"), planes, bands, bitsPerBand))
+        .as(Seq("band", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val qv = q.select(col("_id"), col("qv"))
+    def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
+    cand
+      .join(qv.as("qa"), col("id_a") === col("qa._id"))
+      .join(qv.as("qb"), col("id_b") === col("qb._id"))
+      .select(col("id_a"), col("id_b"),
+        isum(zip_with(col("qa.qv"), col("qb.qv"), (x, y) => x * y)).as("dotq"),
+        isum(transform(col("qa.qv"), x => x * x)).as("na"),
+        isum(transform(col("qb.qv"), x => x * x)).as("nb"))
+      .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
+        col("dotq") * col("dotq") * lit(cos2Den) >=
+          lit(cos2Num) * col("na") * col("nb"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-gram shingles with any single
     * benchmark document — the train/eval overlap check a training-data

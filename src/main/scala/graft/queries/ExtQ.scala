@@ -1664,6 +1664,61 @@ object ExtQ {
       .mkString("", "\nUNION ALL\n", "\nORDER BY lhs_col, rhs_col"))
   }
 
+  /** SemDeDup-style semantic dedup scored in the int8-quantized
+    * domain: plane-LSH banded candidates (mirrored bit-for-bit like
+    * x05), then an all-integer cross-multiplied cosine² decision —
+    * cos² ≥ 4/25 and dotq > 0. Output columns are all BIGINT, so the
+    * pair set hash-matches by exact arithmetic, not rounding luck. */
+  private val x62: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.semanticDupPairsInt8(t(s, d, "embeddings"), "vec_id", "embedding",
+          cos2Num = 4, cos2Den = 25, bands = 8, bitsPerBand = 4, dim = 64)
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH ${Planes.planesCteSql(32, 64)},
+       |${Planes.dotsCteSql("embeddings", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sk a JOIN sk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs = 0
+       |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(greatest(-127.0, least(127.0,
+       |          floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+       |          AS BIGINT))
+       |    END AS qv
+       |  FROM m),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_reduce([ qa.qv[i] * qb.qv[i]
+       |      for i in range(1, len(qa.qv) + 1) ], (x, y) -> x + y) AS dotq,
+       |    list_reduce([ qa.qv[i] * qa.qv[i]
+       |      for i in range(1, len(qa.qv) + 1) ], (x, y) -> x + y) AS na,
+       |    list_reduce([ qb.qv[i] * qb.qv[i]
+       |      for i in range(1, len(qb.qv) + 1) ], (x, y) -> x + y) AS nb
+       |  FROM cand
+       |  JOIN qz qa ON qa.vec_id = cand.id_a
+       |  JOIN qz qb ON qb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, dotq::BIGINT AS dotq, na::BIGINT AS na, nb::BIGINT AS nb
+       |FROM scored
+       |WHERE dotq > 0 AND na > 0 AND nb > 0
+       |  AND 25 * dotq * dotq >= 4 * na * nb
+       |ORDER BY id_a, id_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1749,5 +1804,6 @@ object ExtQ {
     "x59_funnel_stages" -> (x59._1, Some(x59._2)),
     "x60_retention_cohorts" -> (x60._1, Some(x60._2)),
     "x61_fd_discovery" -> (x61._1, Some(x61._2)),
+    "x62_semantic_dedup_int8" -> (x62._1, Some(x62._2)),
   )
 }

@@ -256,6 +256,45 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("semanticDupPairsInt8: integer scores match driver recomputation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // scale-invariance of the quantizer: v and 3v share the sketch AND
+    // the quantized vector, so a scaled clone is always a perfect pair
+    val clone = emb.filter($"vec_id" === 1)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => x * 3.0f).as("embedding"))
+    val zero = emb.sparkSession.sql(
+      "SELECT CAST(200000 AS BIGINT) AS vec_id, " +
+        "CAST(array_repeat(CAST(0.0 AS FLOAT), 64) AS ARRAY<FLOAT>) AS embedding")
+    val in = emb.select($"vec_id", $"embedding").unionByName(clone).unionByName(zero)
+    val got = Dedup.semanticDupPairsInt8(in, "vec_id", "embedding",
+        cos2Num = 1, cos2Den = 4).collect()
+    assert(got.nonEmpty)
+    def quant(v: Seq[Float]): Array[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      if (m == 0.0) Array.fill(v.size)(0L)
+      else {
+        val scale = 127.0 / m
+        v.map(x => math.max(-127L, math.min(127L,
+          math.floor(x.toDouble * scale + 0.5).toLong))).toArray
+      }
+    }
+    val vecs = in.collect()
+      .map(r => r.getLong(0) -> quant(r.getSeq[Float](1))).toMap
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (qa, qb) = (vecs(a), vecs(b))
+      val dotq = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val na = qa.map(x => x * x).sum
+      val nb = qb.map(x => x * x).sum
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((dotq, na, nb)))
+      assert(dotq > 0 && 4 * dotq * dotq >= na * nb)
+    }
+    // the scaled clone pairs with its original; the zero vector never pairs
+    assert(got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 100001L))
+    assert(!got.exists(r => r.getLong(0) == 200000L || r.getLong(1) == 200000L))
+  }
+
   test("dot product: codegen'd native == HOF form; null on length mismatch") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(2.0, 0.5, -1.0)),
