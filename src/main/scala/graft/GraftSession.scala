@@ -63,6 +63,7 @@ object GraftSession {
     graft.functions.SimHash64.register(spark)
     graft.functions.TopKAgg.register(spark)
     graft.functions.HeavyHittersAgg.register(spark)
+    graft.functions.QuantileSketchAgg.register(spark)
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
       spark.experimental.extraOptimizations ++=

@@ -1719,6 +1719,49 @@ object ExtQ {
        |  AND 25 * dotq * dotq >= 4 * na * nb
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** Mergeable quantile sketch in its exact regime: cap (65536) above
+    * every group's value cardinality (~30k at sf0.1), so the lossy
+    * compactor never fires and the summary is the exact weighted
+    * histogram. The rank formula — smallest value whose cumulative
+    * weight reaches ceil(q·W) — is spelled out in the oracle SQL
+    * instead of trusting DuckDB's quantile_disc to share rank
+    * semantics; the ceil arithmetic is the same IEEE multiply in both
+    * engines. */
+  private val x63: (Fn, String) = {
+    import graft.functions.QuantileSketchAgg.{quantileAt, sketch}
+    ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(sketch($"o_totalprice", 65536).as("sm"))
+        .select($"o_orderpriority",
+          aggregate($"sm", lit(0L), (a, e) => a + e.getField("w")).as("n"),
+          quantileAt($"sm", 0.25).as("p25"),
+          quantileAt($"sm", 0.5).as("p50"),
+          quantileAt($"sm", 0.75).as("p75"),
+          quantileAt($"sm", 0.9).as("p90"))
+        .orderBy($"o_orderpriority")
+    },
+    """WITH s AS (
+      |  SELECT o_orderpriority AS pri, CAST(o_totalprice AS DOUBLE) AS v
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |tot AS (SELECT pri, COUNT(*)::BIGINT AS w FROM s GROUP BY pri),
+      |r AS (SELECT pri, v,
+      |        ROW_NUMBER() OVER (PARTITION BY pri ORDER BY v) AS rn FROM s)
+      |SELECT r.pri AS o_orderpriority,
+      |  MAX(tot.w)::BIGINT AS n,
+      |  MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * tot.w) AS BIGINT))
+      |      THEN v END) AS p25,
+      |  MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * tot.w) AS BIGINT))
+      |      THEN v END) AS p50,
+      |  MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * tot.w) AS BIGINT))
+      |      THEN v END) AS p75,
+      |  MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * tot.w) AS BIGINT))
+      |      THEN v END) AS p90
+      |FROM r JOIN tot ON tot.pri = r.pri
+      |GROUP BY r.pri ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1805,5 +1848,6 @@ object ExtQ {
     "x60_retention_cohorts" -> (x60._1, Some(x60._2)),
     "x61_fd_discovery" -> (x61._1, Some(x61._2)),
     "x62_semantic_dedup_int8" -> (x62._1, Some(x62._2)),
+    "x63_quantile_sketch" -> (x63._1, Some(x63._2)),
   )
 }
