@@ -65,6 +65,39 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Weighted sampling without replacement via min-of-w hash
+    * priorities (the "lottery ticket" scheme): an item of integer
+    * weight w draws tickets md5(salt‖key‖':'‖j) for j < w and keeps
+    * the lexicographically smallest; the sample is the n items with
+    * the smallest priorities (ties by key). More tickets → a
+    * stochastically smaller minimum, so inclusion odds grow with
+    * weight — and because tickets j < w are a PREFIX of tickets
+    * j < w', raising an item's weight can only lower its priority:
+    * samples are monotone under weight growth, reproducible across
+    * runs/engines/retries, and need no RNG state.
+    *
+    * Scale shape: the ticket fold is an in-row expression (≤
+    * `maxWeight` digests per row, clamped so a pathological weight
+    * can't make one row explode); the global top-n is a
+    * per-partition heap + single tiny gather (TakeOrdered), never a
+    * full sort. Weights clamp to [1, maxWeight] — integer tickets
+    * are the price of engine-exact determinism (a float-weighted
+    * exponential draw would need ln(), whose last bit differs by
+    * engine). */
+  def weightedSample(df: DataFrame, key: String, weight: Column, n: Int,
+                     salt: String, maxWeight: Int = 64): DataFrame = {
+    require(n >= 1 && maxWeight >= 1, "need n >= 1 and maxWeight >= 1")
+    val wc = greatest(lit(1), least(lit(maxWeight), weight.cast("int")))
+    val priority = array_min(transform(
+      sequence(lit(0), wc - 1),
+      j => md5(concat(lit(salt), col(key).cast("string"), lit(":"),
+        j.cast("string")).cast("binary"))))
+    df.withColumn("sample_weight", wc.cast("long"))
+      .withColumn("priority", priority)
+      .orderBy(col("priority"), col(key))
+      .limit(n)
+  }
+
   /** Deterministic train/val/test split: labels each row by where its
     * (independent, offset=1) hash bucket falls among the cumulative
     * weight boundaries. Adds a `split` column; weights are normalized,

@@ -1762,6 +1762,30 @@ object ExtQ {
       |GROUP BY r.pri ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Weighted sample of documents, inclusion odds scaling with
+    * length: weight = n_chars div 50 clamped to [1, 16], n = 40. The
+    * oracle replays the ticket fold digest-for-digest (md5 hex
+    * strings order identically in both engines). */
+  private val x64: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Sampling.weightedSample(t(s, d, "documents"), "doc_id",
+          expr("n_chars div 50"), n = 40, salt = "ws1", maxWeight = 16)
+        .select($"doc_id", $"source", $"sample_weight", $"priority")
+    },
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    greatest(1, least(16, CAST(n_chars // 50 AS INT))) AS wc
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, CAST(wc AS BIGINT) AS sample_weight,
+      |    list_min([ md5('ws1' || CAST(doc_id AS VARCHAR) || ':' ||
+      |                   CAST(j AS VARCHAR))
+      |               for j in range(0, wc) ]) AS priority
+      |  FROM s)
+      |SELECT doc_id, source, sample_weight, priority
+      |FROM p ORDER BY priority, doc_id LIMIT 40""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1849,5 +1873,6 @@ object ExtQ {
     "x61_fd_discovery" -> (x61._1, Some(x61._2)),
     "x62_semantic_dedup_int8" -> (x62._1, Some(x62._2)),
     "x63_quantile_sketch" -> (x63._1, Some(x63._2)),
+    "x64_weighted_sample" -> (x64._1, Some(x64._2)),
   )
 }

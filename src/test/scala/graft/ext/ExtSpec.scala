@@ -429,6 +429,40 @@ class ExtSpec extends AnyFunSuite {
       fullMap(r.getLong(0)) == r.getAs[String]("split")))
   }
 
+  test("weightedSample: ticket-prefix monotonicity, exact driver replay") {
+    val rows = (1 to 200).map(i => (i.toLong, (i % 23) + 1))
+    val df = rows.toDF("k", "w")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def prio(k: Long, w: Int): String =
+      (0 until math.max(1, math.min(16, w))).map(j => md5hex(s"s:$k:$j")).min
+    // exact replay: top-25 by (min ticket, key) matches the driver
+    val expect = rows.map { case (k, w) => (k, prio(k, w)) }
+      .sortBy { case (k, p) => (p, k) }.take(25)
+    Seq(1, 13).foreach { parts =>
+      val got = Sampling.weightedSample(df.repartition(parts), "k",
+          col("w"), n = 25, salt = "s:", maxWeight = 16)
+        .select($"k", $"priority").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == expect, s"parts=$parts")
+    }
+    // prefix property: raising every weight can only lower priorities
+    val p1 = Sampling.weightedSample(df, "k", lit(1), n = 200, salt = "s:")
+      .select($"k", $"priority").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val p9 = Sampling.weightedSample(df, "k", lit(9), n = 200, salt = "s:")
+      .select($"k", $"priority").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    p9.foreach { case (k, p) => assert(p <= p1(k)) }
+    // clamping: weight 0 / negative behave as 1; huge weights as maxWeight
+    val pc = Sampling.weightedSample(df, "k", lit(-5), n = 200, salt = "s:")
+      .select($"k", $"sample_weight", $"priority").collect()
+    pc.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getString(2) == p1(r.getLong(0)))
+    }
+    val pm = Sampling.weightedSample(df, "k", lit(10000), n = 5, salt = "s:",
+        maxWeight = 4).select($"sample_weight").collect()
+    pm.foreach(r => assert(r.getLong(0) == 4L))
+  }
+
   test("context packing: bins advance with the running token offset") {
     val rows = Seq((1L, 60L), (2L, 60L), (3L, 60L), (4L, 10L), (5L, 200L))
       .toDF("doc_id", "tok")
