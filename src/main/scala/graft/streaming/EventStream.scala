@@ -113,6 +113,31 @@ object EventStream {
       }
   }
 
+  /** Gap-based streaming sessionization via the BUILT-IN
+    * `session_window` aggregate — the path to prefer over
+    * [[sessionizeStream]]'s hand-rolled flatMapGroupsWithState when
+    * emit-on-close-only semantics suffice: Catalyst plans native
+    * merging-session state (SessionWindowStateStore*Exec) with
+    * watermark-driven eviction, so there is no user state shape to
+    * version, and partial sessions from different triggers MERGE in
+    * the store (an f1-trigger session extends when f2's events land
+    * in its gap — spec-proven). Output contract matches
+    * [[graft.ext.Temporal.sessionize]] exactly (same DECIMAL sum
+    * pinning), so stream == batch on the same events; in append mode
+    * a session emits once, when the watermark passes its close.
+    * State per open session is one (key, window, partials) row —
+    * bounded by live sessions, not events. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Per-hour heavy-hitter event types: the
     * [[graft.functions.HeavyHittersAgg]] SpaceSaving sketch under a
     * streaming event-time window. Streaming state per window is ONE

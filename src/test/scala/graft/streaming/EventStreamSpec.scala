@@ -92,6 +92,56 @@ class EventStreamSpec extends AnyFunSuite {
     assert(rows.exists(t => t._1 == 1L && t._3 == 2L && !t._5))
   }
 
+  test("native session_window stream merges partial sessions across triggers") {
+    import EventStream._
+    def ev(id: Long, ts: String, uid: Long, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(ts), uid, "click", v)
+    val f1 = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, 1.0),
+      ev(2, "2024-01-01 00:10:00", 1, 2.0))
+    val f2 = Seq(
+      ev(3, "2024-01-01 00:20:00", 1, 3.0),   // lands in f1's gap → must MERGE
+      ev(4, "2024-01-01 02:00:00", 1, 5.0),   // 100-min gap → new session
+      ev(5, "2024-01-01 00:00:00", 2, 7.0),
+      ev(99, "2024-01-02 10:00:00", 99, 0.0)) // watermark sentinel
+    val stage = java.nio.file.Files.createTempDirectory("swin_stream")
+    Seq(f1, f2).zipWithIndex.foreach { case (evs, i) =>
+      val dir = java.nio.file.Files.createTempDirectory("swin_part")
+      evs.toDS().repartition(1).write.parquet(s"$dir/w")
+      val src = new java.io.File(s"$dir/w").listFiles()
+        .filter(_.getName.endsWith(".parquet"))(0)
+      val dst = stage.resolve(s"$i.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(3000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(stage.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = sessionWindowStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("graft_swin").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_swin").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    // append mode emits each closed session exactly once after the
+    // sentinel advances the watermark; the sentinel's own session
+    // stays open and must NOT appear
+    assert(got == Set(
+      (1L, "2024-01-01T00:00", 3L, 6.0),
+      (1L, "2024-01-01T02:00", 1L, 5.0),
+      (2L, "2024-01-01T00:00", 1L, 7.0)))
+    // contract parity: batch sessionize over the same closed events
+    val batch = graft.ext.Temporal.sessionize(
+        (f1 ++ f2).filter(_.user_id != 99).toDS().toDF(),
+        key = "user_id", ts = "ts", value = "value", gap = "30 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(batch == got)
+  }
+
   test("streaming digest dedup drops cross-trigger duplicates") {
     def ev(id: Long, ts: String, payload: String) =
       (id, java.sql.Timestamp.valueOf(ts), payload)
