@@ -64,6 +64,7 @@ object GraftSession {
     graft.functions.TopKAgg.register(spark)
     graft.functions.HeavyHittersAgg.register(spark)
     graft.functions.QuantileSketchAgg.register(spark)
+    graft.functions.KMinAgg.register(spark)
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
       spark.experimental.extraOptimizations ++=
