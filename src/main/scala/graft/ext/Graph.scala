@@ -84,37 +84,6 @@ object Graph {
       s"\nSELECT id::BIGINT AS id, pr::BIGINT AS pr FROM pr$iters ORDER BY id"
   }
 
-  /** Per-node triangle counts by degree-ordered edge orientation (the
-    * "forward"/compact-forward algorithm, Latapy 2008): each
-    * undirected edge is directed from its lower-ranked endpoint to the
-    * higher-ranked one under the total order (degree, id), so a
-    * triangle {a,b,c} with a ≺ b ≺ c is enumerated exactly once — as
-    * the wedge a→b, a→c closed by the edge b→c. Triangle density is
-    * the standard cohesion signal over co-occurrence graphs (entity
-    * mentions, domain links, co-purchases) when weighting training
-    * corpora by community structure.
-    *
-    * Why orientation matters at 100 TB: naive wedge counting fans out
-    * Σ deg² pairs — a single hub node with 10⁶ neighbours generates
-    * 10¹² wedges. Orienting by degree caps every node's OUT-degree at
-    * O(√m), so wedge volume is O(m^{3/2}) worst-case and far less on
-    * power-law graphs; hubs sit on the receiving end and never
-    * enumerate their neighbour pairs.
-    *
-    * Plan shape: degree aggregation (map-combined, shuffle on node
-    * id), two equi-joins attaching endpoint ranks, one self-join of
-    * the oriented edges on the source node (the wedge build), one
-    * equi-join probing the closing edge on the (v, w) pair, one
-    * map-combined count per node. Every shuffle carries long pairs
-    * only; AQE absorbs residual wedge-key skew. The canonical and
-    * oriented edge lists are each referenced three times downstream,
-    * so both are materialized once (localCheckpoint — the
-    * [[pageRankInt]] discipline); without it Catalyst re-derives the
-    * whole edge build per reference.
-    *
-    * Returns (id, n_triangles) for nodes participating in ≥ 1
-    * triangle. Self-loops are dropped; parallel edges collapse.
-    */
   /** k-core peeling, `rounds` synchronous rounds: each round drops
     * every node whose degree in the CURRENT surviving subgraph is
     * < k, then drops edges touching dropped nodes. After enough
@@ -270,6 +239,37 @@ object Graph {
       s"\nSELECT id::BIGINT AS id, lab::BIGINT AS lab FROM lab$rounds ORDER BY id"
   }
 
+  /** Per-node triangle counts by degree-ordered edge orientation (the
+    * "forward"/compact-forward algorithm, Latapy 2008): each
+    * undirected edge is directed from its lower-ranked endpoint to the
+    * higher-ranked one under the total order (degree, id), so a
+    * triangle {a,b,c} with a ≺ b ≺ c is enumerated exactly once — as
+    * the wedge a→b, a→c closed by the edge b→c. Triangle density is
+    * the standard cohesion signal over co-occurrence graphs (entity
+    * mentions, domain links, co-purchases) when weighting training
+    * corpora by community structure.
+    *
+    * Why orientation matters at 100 TB: naive wedge counting fans out
+    * Σ deg² pairs — a single hub node with 10⁶ neighbours generates
+    * 10¹² wedges. Orienting by degree caps every node's OUT-degree at
+    * O(√m), so wedge volume is O(m^{3/2}) worst-case and far less on
+    * power-law graphs; hubs sit on the receiving end and never
+    * enumerate their neighbour pairs.
+    *
+    * Plan shape: degree aggregation (map-combined, shuffle on node
+    * id), two equi-joins attaching endpoint ranks, one self-join of
+    * the oriented edges on the source node (the wedge build), one
+    * equi-join probing the closing edge on the (v, w) pair, one
+    * map-combined count per node. Every shuffle carries long pairs
+    * only; AQE absorbs residual wedge-key skew. The canonical and
+    * oriented edge lists are each referenced three times downstream,
+    * so both are materialized once (localCheckpoint — the
+    * [[pageRankInt]] discipline); without it Catalyst re-derives the
+    * whole edge build per reference.
+    *
+    * Returns (id, n_triangles) for nodes participating in ≥ 1
+    * triangle. Self-loops are dropped; parallel edges collapse.
+    */
   def triangleCounts(edges: DataFrame, a: String, b: String): DataFrame = {
     val e = edges.select(
         least(col(a), col(b)).cast("long").as("u"),

@@ -66,8 +66,15 @@ object BloomSkip {
       pmod(xxhash64(col(primary)), lit(shards.toLong)).cast("int"))
     sharded.repartition(shards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    // distributive bitset build: bit positions → (word, mask) → bit_or
-    val sec = sharded.select(col("shard"),
+    // distributive bitset build: bit positions → (word, mask) → bit_or.
+    // Source the build from the FILES JUST WRITTEN, not the `sharded`
+    // lineage — re-evaluating a non-deterministic input plan (sample,
+    // shuffle-order ids) a second time could produce sidecars that
+    // disagree with the data on disk, silently voiding the
+    // no-false-negative guarantee scanSecondary relies on
+    val spark = df.sparkSession
+    val written = spark.read.option("basePath", path).parquet(path)
+    val sec = written.select(col("shard"),
         col(secondary).cast("string").as("v"))
       .filter(col("v").isNotNull)
     val words = sec
@@ -78,7 +85,6 @@ object BloomSkip {
         expr("shiftleft(CAST(1 AS BIGINT), pos % 64)").as("mask"))
       .groupBy("shard", "word").agg(expr("bit_or(mask)").as("bits"))
       .collect()
-    val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val byShard = words.groupBy(_.getInt(0))
     (0 until shards).foreach { s =>

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import graft.schema.Layout
 
 /** Partitioned-parquet lake layer (SURVEY.md §2 #3/#4/#8/#10/#11/#12).
@@ -95,15 +95,26 @@ object Lake {
         if (fs.exists(dst)) {
           fs.mkdirs(trashRoot)
           fs.delete(tr, true) // stale trash for this partition is superseded
-          fs.rename(dst, tr)
+          renameStrict(fs, dst, tr)
           onStep(s"aside:$name")
         }
-        fs.rename(s.getPath, dst)
+        renameStrict(fs, s.getPath, dst)
         onStep(s"swapped:$name")
         fs.delete(tr, true)
       }
     fs.delete(staging, true)
   }
+
+  /** Hadoop `FileSystem.rename` reports failure by RETURNING FALSE,
+    * not throwing. Inside the publish/compact swap a silently failed
+    * rename would let the subsequent trash delete destroy the only
+    * surviving copy of a partition — so every swap rename goes
+    * through this guard, which aborts (trash intact, [[recover]]able)
+    * instead. */
+  private def renameStrict(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"rename failed: $src -> $dst (aborting swap; trash left intact for recover)")
 
   /** Heal a table after a crashed [[writePartitioned]]/[[compact]]:
     * any `part=` dir sitting in a trash dir with no live counterpart
@@ -236,8 +247,8 @@ object Lake {
         val tr = new Path(rootPath, s"$CompactTrash/$name")
         fs.mkdirs(new Path(rootPath, CompactTrash))
         fs.delete(tr, true)
-        fs.rename(p.getPath, tr)
-        fs.rename(tmp, p.getPath)
+        renameStrict(fs, p.getPath, tr)
+        renameStrict(fs, tmp, p.getPath)
         fs.delete(tr, true)
         Some(CompactStat(name, files.length, nOut))
       }
