@@ -1805,7 +1805,10 @@ object ExtQ {
     // run-to-run determinism. So the driver still RECORDS the quality
     // number every round, recall vs the exact brute-force top-k is
     // computed distributively (1-row broadcast) and stamped on every
-    // output row as recall_vs_bruteforce (round-2 verdict item 5).
+    // output row as recall_vs_bruteforce (round-2 verdict item 5),
+    // and the final filter is a HARD floor: a recall collapse empties
+    // the result, so the driver's rows-only check turns red instead
+    // of silently passing (round-3 verdict item 3).
     "x14_ann_ivf_topk" -> (((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
@@ -1822,6 +1825,7 @@ object ExtQ {
         .crossJoin(bf.agg(count(lit(1)).cast("double").as("tot")))
         .select((col("hits") / col("tot")).as("recall_vs_bruteforce"))
       ivf.crossJoin(broadcast(recall))
+        .filter(col("recall_vs_bruteforce") >= 0.9)
         .orderBy(col("query_id"), col("rank"))
     }): Fn, None),
     "x15_ann_lsh_topk" -> (x15._1, Some(x15._2)),

@@ -389,17 +389,35 @@ object Relational {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
-  /** HyperLogLog approximate distinct — algorithm-specific, so no
-    * cross-engine oracle (driver records the rows-only check); the
-    * spec asserts its error envelope against the exact count. */
-  private val q20: Fn =
+  /** HyperLogLog approximate distinct, gated SELF-VERIFYINGLY: the
+    * estimate itself is engine-specific (no cross-engine oracle), so
+    * the query emits the EXACT distinct counts plus within-5% booleans
+    * comparing the HLL estimate against them, and the oracle asserts
+    * the same exact counts with the booleans as literal TRUE — an
+    * estimate drifting outside 5% flips a boolean and hash-fails the
+    * row (round-3 verdict item 2). The sketch runs at rsd 1% so the
+    * 5% gate is far outside its deterministic error envelope; the
+    * exact counts double as the verification baseline (at scale the
+    * sketch is the product, the exact side is the gate's cost). */
+  private val q20: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       t(s, d, "lineitem")
         .agg(
-          approx_count_distinct($"l_partkey").as("approx_parts"),
-          approx_count_distinct($"l_orderkey").as("approx_orders"))
-    }
+          countDistinct($"l_partkey").as("n_parts_exact"),
+          countDistinct($"l_orderkey").as("n_orders_exact"),
+          approx_count_distinct($"l_partkey", rsd = 0.01).as("ap"),
+          approx_count_distinct($"l_orderkey", rsd = 0.01).as("ao"))
+        .select($"n_parts_exact", $"n_orders_exact",
+          (abs($"ap" - $"n_parts_exact") * 20 <= $"n_parts_exact")
+            .as("parts_within_5pct"),
+          (abs($"ao" - $"n_orders_exact") * 20 <= $"n_orders_exact")
+            .as("orders_within_5pct"))
+    },
+    """SELECT COUNT(DISTINCT l_partkey)::BIGINT AS n_parts_exact,
+      |  COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders_exact,
+      |  TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+      |FROM lineitem""".stripMargin)
 
   /** JSON extraction from the events props column. */
   private val q21: (Fn, String) = (
@@ -729,7 +747,7 @@ object Relational {
     "q17_events_hourly_window" -> (q17._1, Some(q17._2)),
     "q18_array_token_counts" -> (q18._1, Some(q18._2)),
     "q19_agg_distinct_minmax" -> (q19._1, Some(q19._2)),
-    "q20_approx_count_distinct" -> (q20, None),
+    "q20_approx_count_distinct" -> (q20._1, Some(q20._2)),
     "q21_json_extract" -> (q21._1, Some(q21._2)),
     "q22_like_regexp" -> (q22._1, Some(q22._2)),
     "q23_conditional_funcs" -> (q23._1, Some(q23._2)),
