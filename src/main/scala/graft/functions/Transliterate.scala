@@ -20,7 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - typographic punctuation/space fold (smart quotes, en/em dashes,
   *    ellipsis, NBSP/zero-width spaces, guillemets, ×÷±, vulgar
   *    fractions, superscripts) and currency signs (€→EUR, …);
-  *  - BOM (U+FEFF) and NUL dropped in the same pass.
+  *  - BOM (U+FEFF) and NUL dropped in the same pass;
+  *  - a generic NFKD compatibility fallback for every remaining BMP
+  *    char whose decomposition is short pure ASCII — ligatures
+  *    (ﬁ→fi), fullwidth forms (Ａ→A), digraphs (Ǆ→DZ), №→No, Roman
+  *    numerals, letterlike symbols (™→TM, ℕ→N).
   *
   * A chain of `regexp_replace`/`translate` would rescan the string
   * once per rule; this walks it once, and the ASCII fast path returns
@@ -67,11 +71,27 @@ object Transliterate {
     }
     def put(pairs: (Char, String)*): Unit =
       pairs.foreach { case (c, s) => t(c.toInt) = s }
-    // non-decomposable Latin
+    // non-decomposable Latin (incl. the Latin Extended-B/Additional
+    // stragglers NFD can't reach: stroked/hooked letters, eng, schwa,
+    // capital sharp s)
     put('Ø' -> "O", 'ø' -> "o", 'Đ' -> "D", 'đ' -> "d", 'Ł' -> "L", 'ł' -> "l",
       'Ð' -> "D", 'ð' -> "d", 'ß' -> "ss", 'Æ' -> "AE", 'æ' -> "ae",
       'Œ' -> "OE", 'œ' -> "oe", 'Þ' -> "Th", 'þ' -> "th", 'Ĳ' -> "IJ",
-      'ĳ' -> "ij", 'ſ' -> "s")
+      'ĳ' -> "ij", 'ſ' -> "s",
+      'ẞ' -> "SS", 'ẟ' -> "d",             // ẞ ẟ
+      'Ħ' -> "H", 'ħ' -> "h", 'Ŋ' -> "Ng", 'ŋ' -> "ng",
+      'Ŧ' -> "T", 'ŧ' -> "t", 'ƀ' -> "b",        // ƀ
+      'Ɓ' -> "B", 'ɓ' -> "b",               // Ɓ ɓ
+      'Ɗ' -> "D", 'ɗ' -> "d",               // Ɗ ɗ
+      'Ƒ' -> "F", 'ƒ' -> "f",               // Ƒ ƒ
+      'Ɠ' -> "G", 'ɠ' -> "g",               // Ɠ ɠ
+      'Ə' -> "E", 'ə' -> "e",               // Ə ə (schwa)
+      'Ɨ' -> "I", 'ɨ' -> "i",               // Ɨ ɨ
+      'Ɲ' -> "N", 'ɲ' -> "n",               // Ɲ ɲ
+      'Ƥ' -> "P", 'ƥ' -> "p",               // Ƥ ƥ
+      'Ƭ' -> "T", 'ƭ' -> "t",               // Ƭ ƭ
+      'Ƴ' -> "Y", 'ƴ' -> "y",               // Ƴ ƴ
+      'Ƶ' -> "Z", 'ƶ' -> "z")               // Ƶ ƶ
     // Greek
     put('Α' -> "A", 'α' -> "a", 'Β' -> "B", 'β' -> "b", 'Γ' -> "G", 'γ' -> "g",
       'Δ' -> "D", 'δ' -> "d", 'Ε' -> "E", 'ε' -> "e", 'Ζ' -> "Z", 'ζ' -> "z",
@@ -126,6 +146,23 @@ object Transliterate {
       // currency: the euro sign is the one that actually appears on
       // European securitisation tapes
       '\u20AC' -> "EUR", '\u00A2' -> "c", '\u00A3' -> "PS", '\u00A5' -> "Y")
+    // generic NFKD fallback for everything still unmapped:
+    // compatibility decompositions reach what NFD can't \u2014 ligatures
+    // (\uFB01\u2192fi), fullwidth forms (\uFF21\u2192A, \uFF15\u21925), digraphs (\u01C4\u2192DZ), \u2116\u2192No,
+    // Roman numerals (\u2167\u2192VIII), \u2115\u2192N, \u2122\u2192TM. Keep a result only when it
+    // is short, printable, pure ASCII after stripping combining marks
+    (0x80 until 0x10000).iterator
+      .filterNot(cp => cp >= 0xD800 && cp <= 0xDFFF) // lone surrogates
+      .foreach { cp =>
+      if (t(cp) == null) {
+        val norm = java.text.Normalizer
+          .normalize(cp.toChar.toString, java.text.Normalizer.Form.NFKD)
+          .replaceAll("\\p{M}+", "")
+        if (norm.nonEmpty && norm.length <= 8 && norm != cp.toChar.toString
+            && norm.forall(ch => ch >= 0x20 && ch < 0x7F))
+          t(cp) = norm
+      }
+    }
     t
   }
 

@@ -119,6 +119,23 @@ class CleanCsvSpec extends AnyFunSuite {
     assert(r.getString(4) == "Lodz Dang")
   }
 
+  test("transliteration: NFKD compatibility tier and Latin stragglers") {
+    import org.apache.spark.sql.functions.lit
+    val tr = graft.functions.Transliterate.transliterate _
+    val r = spark.range(1).select(
+      tr(lit("ﬁle ﬂow")).as("a"),          // ligatures
+      tr(lit("Ｆｕｌｌ　Ｗｉｄｔｈ５")).as("b"), // fullwidth + ideographic space
+      tr(lit("№ Ⅻ ™")).as("c"),            // numero, Roman numeral, TM
+      tr(lit("GROẞE STRAẞE")).as("d"),     // capital sharp s
+      tr(lit("Ŋaŋ Ħaħ Əə")).as("e"))       // eng, H-bar, schwa
+      .collect()(0)
+    assert(r.getString(0) == "file flow")
+    assert(r.getString(1) == "Full Width5")
+    assert(r.getString(2) == "No XII TM")
+    assert(r.getString(3) == "GROSSE STRASSE")
+    assert(r.getString(4) == "Ngang Hah Ee")
+  }
+
   test("amortisation tapes truncate to 121 columns") {
     val dir = Files.createTempDirectory("cleancsv3").toString
     val header = (1 to 150).map(i => s"AS$i").mkString(",")
