@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair encoding) tokenizer training.
@@ -162,20 +162,35 @@ object Bpe {
   }
 
   /** Segment `text` with learned merge rules: tokens column appended.
-    * Runs in row space but the merge loop is per-word and the rule
-    * list is a broadcast-sized closure constant. */
+    *
+    * Pure Catalyst expression — the rule list becomes a literal
+    * array<struct<a,b>> and the whole segmentation is two nested
+    * `aggregate` higher-order functions (fold rules over each word's
+    * fold-merged segments), so the column stays visible to the
+    * optimizer and serializes no closure. The inner fold reproduces
+    * [[mergeSegs]]' left-to-right scan exactly: a merge depends only
+    * on (previous segment == a, current == b), and a merged product
+    * `a+b` is strictly longer than `a` so it can never re-match as
+    * the left element against the next original segment — fold and
+    * scan agree on every input (GraftProperties pins this against
+    * the Scala reference). */
   def encode(df: DataFrame, text: String, merges: Seq[(String, String)],
              out: String = "tokens"): DataFrame = {
-    val spark = df.sparkSession
-    val rules = spark.sparkContext.broadcast(merges)
-    val segUdf = udf { s: String =>
-      if (s == null) null
-      else s.split(" ").filter(_.nonEmpty).flatMap { w =>
-        var segs: Seq[String] = w.split("").toSeq
-        rules.value.foreach { case (a, b) => segs = mergeSegs(segs, a, b) }
-        segs
-      }.toSeq
-    }
-    df.withColumn(out, segUdf(col(text)))
+    val rules = array(merges.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val emptySegs = array().cast("array<string>")
+    val words = filter(split(col(text), " "), w => w =!= "")
+    val segment = (w: Column) => aggregate(
+      rules,
+      filter(split(w, ""), c => c =!= ""), // drop split's trailing ""
+      (segs, r) => aggregate(
+        segs, emptySegs,
+        (acc, s) => when(
+          size(acc) > 0 && element_at(acc, -1) === r("a") && s === r("b"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(r("a"), r("b")))))
+          .otherwise(concat(acc, array(s)))))
+    df.withColumn(out, flatten(transform(words, segment)))
   }
 }

@@ -150,6 +150,28 @@ object GraftProperties extends Properties("graft") {
       sameText && noPair && merged.length <= segs.length
     }
 
+  property("Bpe.encode expression == sequential mergeSegs reference") = {
+    // same adversarial alphabet as the train property: heavy overlaps
+    // (aa/ab/bb products, repeated letters) stress the fold-vs-scan
+    // equivalence the expression form relies on
+    val wordGen = Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val textGen = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val rulesGen = Gen.listOfN(3, Gen.zip(
+      Gen.oneOf("a", "b", "c", "ab", "bc"), Gen.oneOf("a", "b", "c")))
+    forAll(textGen, rulesGen) { (text, rules) =>
+      val got = ext.Bpe.encode(Seq(text).toDF("text"), "text", rules)
+        .select("tokens").as[Seq[String]].collect()(0)
+      val want = text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var segs: Seq[String] = w.split("").toSeq
+        rules.foreach { case (a, b) => segs = ext.Bpe.mergeSegs(segs, a, b) }
+        segs
+      }
+      got == want
+    }
+  }
+
   property("Bpe.train: batched merge selection == sequential on random corpora") = {
     // adversarial alphabet: few letters → heavy pair-frequency ties,
     // products colliding with later candidates — the cases the
