@@ -26,6 +26,43 @@ object Drift {
 
   private def round9(c: Column): Column = floor(c * 1e9 + 0.5) / 1e9
 
+  /** Pairwise shingle-set overlap between corpus slices — the
+    * inter-source duplication audit a mixture designer runs before
+    * setting sampling weights (two sources that are 60% the same
+    * content should not both get full weight).
+    *
+    * Exact Jaccard between each pair of groups' distinct word-n-gram
+    * sets: one map-combined distinct over (group, shingle), a
+    * shingle-keyed self-join producing only co-occurring group pairs,
+    * one pair-keyed count. Scale shape: the join fans out at most
+    * |groups present on the shingle|² rows per shingle — group
+    * cardinality (sources, snapshots, languages) is small by nature,
+    * and the shingle posting row is distinct-collapsed BEFORE the
+    * join, so corpus volume only enters through the one distinct
+    * shuffle. Jaccard is emitted 6-dp-rounded (fixed op dag, engine
+    * identical) alongside the exact integer counts.
+    *
+    * Returns (group_a, group_b, inter, sz_a, sz_b, jaccard) for every
+    * unordered group pair sharing at least one shingle. */
+  def groupOverlap(df: DataFrame, group: String, text: String,
+                   n: Int): DataFrame = {
+    val round6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val gs = df
+      .select(col(group).as("g"), explode(Dedup.shingles(col(text), n)).as("sh"))
+      .distinct()
+    val sizes = gs.groupBy("g").agg(count(lit(1)).as("sz"))
+    gs.as("a").join(gs.as("b"),
+        col("a.sh") === col("b.sh") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("g").as("group_a"), col("sz").as("sz_a")), "group_a")
+      .join(sizes.select(col("g").as("group_b"), col("sz").as("sz_b")), "group_b")
+      .select(col("group_a"), col("group_b"), col("inter"),
+        col("sz_a"), col("sz_b"),
+        round6(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+  }
+
   /** (term, cnt_a, cnt_b, chi2) for every term in either corpus. */
   def termDrift(a: DataFrame, b: DataFrame, text: String): DataFrame = {
     val joined = counts(a, text, "cnt_a")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Bpe, Dedup, Drift, Fuzzy, Graph, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ext.{Bpe, Dedup, Drift, Fuzzy, Graph, Index, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -1786,6 +1786,55 @@ object ExtQ {
       |SELECT doc_id, source, sample_weight, priority
       |FROM p ORDER BY priority, doc_id LIMIT 40""".stripMargin)
 
+  /** Champion-list inverted index: bounded top-tf postings per term
+    * via the native TopKAgg — the full posting list of a stop-grade
+    * term never exists anywhere. */
+  private val x65: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Index.championIndex(t(s, d, "documents"), "doc_id", "text", k = 10)
+        .orderBy($"term")
+    },
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |pd AS (SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM tk GROUP BY 1, 2)
+      |SELECT term, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS cf,
+      |  array_to_string(
+      |    (list(doc_id || ':' || tf ORDER BY tf DESC, doc_id))[1:10],
+      |    ';') AS champions
+      |FROM pd GROUP BY term ORDER BY term""".stripMargin)
+
+  /** Inter-source shingle-overlap matrix: the duplication audit run
+    * before choosing mixture weights. Exact Jaccard, integer counts
+    * alongside. */
+  private val x66: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Drift.groupOverlap(t(s, d, "documents"), "source", "text", n = 3)
+        .orderBy($"group_a", $"group_b")
+    },
+    """WITH gs AS (
+      |  SELECT DISTINCT source AS g, sh FROM (
+      |    SELECT source, unnest(list_distinct(
+      |      [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |        for i in range(1, len(s) - 1) ])) AS sh
+      |    FROM (SELECT source, string_split(text, ' ') AS s FROM documents))),
+      |sizes AS (SELECT g, COUNT(*)::BIGINT AS sz FROM gs GROUP BY g),
+      |pairs AS (
+      |  SELECT a.g AS group_a, b.g AS group_b, COUNT(*)::BIGINT AS inter
+      |  FROM gs a JOIN gs b ON a.sh = b.sh AND a.g < b.g
+      |  GROUP BY 1, 2)
+      |SELECT p.group_a, p.group_b, p.inter,
+      |  sa.sz AS sz_a, sb.sz AS sz_b,
+      |  floor(p.inter::DOUBLE / (sa.sz + sb.sz - p.inter) * 1e6 + 0.5) / 1e6
+      |    AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON sa.g = p.group_a
+      |JOIN sizes sb ON sb.g = p.group_b
+      |ORDER BY group_a, group_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1878,5 +1927,7 @@ object ExtQ {
     "x62_semantic_dedup_int8" -> (x62._1, Some(x62._2)),
     "x63_quantile_sketch" -> (x63._1, Some(x63._2)),
     "x64_weighted_sample" -> (x64._1, Some(x64._2)),
+    "x65_inverted_index" -> (x65._1, Some(x65._2)),
+    "x66_source_overlap" -> (x66._1, Some(x66._2)),
   )
 }
