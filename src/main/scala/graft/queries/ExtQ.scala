@@ -1835,6 +1835,72 @@ object ExtQ {
       |JOIN sizes sb ON sb.g = p.group_b
       |ORDER BY group_a, group_b""".stripMargin)
 
+  // 4 checksum-valid identifiers + their single-digit corruptions —
+  // the validator, not the pattern, must tell them apart
+  private val cardPool = Seq(
+    "4111111111111111", "4539578763621486",
+    "5555555555554444", "378282246310005",
+    "4111111111111112", "4539578763621487",
+    "5555555555554445", "378282246310006")
+  private val ibanPool = Seq(
+    "DE89370400440532013000", "GB82WEST12345698765432",
+    "FR1420041010050500013M02606", "NL91ABNA0417164300",
+    "DE89370400440532013001", "GB82WEST12345698765431",
+    "FR1420041010050500013M02607", "NL91ABNA0417164301")
+
+  /** Checksum-verified PII: Luhn (cards) and mod-97 (IBAN) validity
+    * as pure integer expressions, plus checksum-gated extraction from
+    * text — an order id shaped like a card number must NOT count. */
+  private val x67: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .withColumn("card",
+          element_at(array(cardPool.map(lit): _*), ($"doc_id" % 8 + 1).cast("int")))
+        .withColumn("iban",
+          element_at(array(ibanPool.map(lit): _*), ($"doc_id" % 8 + 1).cast("int")))
+      docs.select($"doc_id", $"card",
+          Redact.luhnValid($"card").as("card_ok"),
+          $"iban", Redact.ibanValid($"iban").as("iban_ok"),
+          size(Redact.verifiedCards(concat($"text", lit(" pay "), $"card")))
+            .cast("long").as("n_verified"))
+        .orderBy($"doc_id")
+    }, {
+      val cards = cardPool.map(c => s"'$c'").mkString(", ")
+      val ibans = ibanPool.map(c => s"'$c'").mkString(", ")
+      val p97 = graft.ext.Redact.pow97.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    ([$cards])[CAST(doc_id % 8 AS INT) + 1] AS card,
+         |    ([$ibans])[CAST(doc_id % 8 AS INT) + 1] AS iban
+         |  FROM documents),
+         |ib AS (
+         |  SELECT doc_id, card, iban,
+         |    array_to_string([
+         |      CASE WHEN (iban[5:] || iban[1:4])[j] BETWEEN '0' AND '9'
+         |        THEN (iban[5:] || iban[1:4])[j]
+         |        ELSE CAST(ascii((iban[5:] || iban[1:4])[j]) - 55 AS VARCHAR) END
+         |      for j in range(1, length(iban) + 1)], '') AS digs
+         |  FROM base),
+         |chk AS (
+         |  SELECT doc_id, card, iban,
+         |    length(card) BETWEEN 2 AND 19 AND
+         |    list_sum([ CASE WHEN (length(card) - i) % 2 = 1
+         |        THEN 2 * CAST(card[i] AS INT)
+         |          - CASE WHEN 2 * CAST(card[i] AS INT) > 9 THEN 9 ELSE 0 END
+         |        ELSE CAST(card[i] AS INT) END
+         |      for i in range(1, length(card) + 1) ]) % 10 = 0 AS card_ok,
+         |    length(iban) BETWEEN 15 AND 34 AND
+         |    regexp_matches(iban, '^[A-Z]{2}[0-9]{2}[A-Z0-9]+$$') AND
+         |    list_sum([ CAST(digs[i] AS INT) *
+         |        ([$p97])[length(digs) - i + 1]
+         |      for i in range(1, length(digs) + 1) ]) % 97 = 1 AS iban_ok
+         |  FROM ib)
+         |SELECT doc_id, card, card_ok, iban, iban_ok,
+         |  (CASE WHEN card_ok THEN 1 ELSE 0 END)::BIGINT AS n_verified
+         |FROM chk ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1929,5 +1995,6 @@ object ExtQ {
     "x64_weighted_sample" -> (x64._1, Some(x64._2)),
     "x65_inverted_index" -> (x65._1, Some(x65._2)),
     "x66_source_overlap" -> (x66._1, Some(x66._2)),
+    "x67_checksum_pii" -> (x67._1, Some(x67._2)),
   )
 }

@@ -150,6 +150,25 @@ object GraftProperties extends Properties("graft") {
       sameText && noPair && merged.length <= segs.length
     }
 
+  property("Redact.luhnValid expression == Scala reference on random digit runs") = {
+    def refLuhn(s: String): Boolean =
+      s.length >= 2 && s.length <= 19 && {
+        val total = s.reverse.zipWithIndex.map { case (c, i) =>
+          val d = c - '0'
+          if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+        }.sum
+        total % 10 == 0
+      }
+    val numGen = Gen.choose(1, 21).flatMap(n =>
+      Gen.listOfN(n, Gen.numChar).map(_.mkString))
+    forAll(Gen.listOfN(8, numGen)) { nums =>
+      val got = nums.toDF("n")
+        .select(ext.Redact.luhnValid(col("n")).as("ok"))
+        .as[Boolean].collect().toSeq
+      got == nums.map(refLuhn)
+    }
+  }
+
   property("Bpe.encode expression == sequential mergeSegs reference") = {
     // same adversarial alphabet as the train property: heavy overlaps
     // (aa/ab/bb products, repeated letters) stress the fold-vs-scan

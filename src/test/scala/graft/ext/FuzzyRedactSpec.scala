@@ -26,6 +26,42 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(out(2).getAs[String]("text").endsWith("version 1.2 stays"))
   }
 
+  test("luhnValid and ibanValid: known-valid identifiers, corruption flips") {
+    val valid = Seq("4111111111111111", "4539578763621486",
+      "5555555555554444", "378282246310005")
+    val cards = (valid ++ valid.map(c => c.dropRight(1) +
+      ((c.last - '0' + 1) % 10).toString)).toDF("n")
+    val got = cards.select(col("n"), Redact.luhnValid(col("n")).as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    valid.foreach(c => assert(got(c), c))
+    got.filterKeys(k => !valid.contains(k)).foreach { case (c, ok) =>
+      assert(!ok, s"corrupted $c must fail")
+    }
+    val ibans = Seq(
+      "DE89370400440532013000" -> true,
+      "GB82WEST12345698765432" -> true,
+      "FR1420041010050500013M02606" -> true,
+      "NL91ABNA0417164300" -> true,
+      "DE89370400440532013001" -> false, // last digit bumped
+      "DE89370400440532013000X" -> false, // format violation
+      "de89370400440532013000" -> false, // lowercase country
+      "DE8937040044" -> false) // too short
+    val gotI = ibans.map(_._1).toDF("i")
+      .select(col("i"), Redact.ibanValid(col("i")).as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    ibans.foreach { case (i, want) => assert(gotI(i) == want, i) }
+  }
+
+  test("verifiedCards: checksum gates extraction, order ids excluded") {
+    val rows = Seq(
+      (1L, "pay with 4111111111111111 order 4111111111111112 ref 12345"),
+      (2L, "no digits at all")).toDF("id", "text")
+    val got = rows.select(col("id"), Redact.verifiedCards(col("text")).as("c"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("4111111111111111"))
+    assert(got(2L).isEmpty)
+  }
+
   test("redact is idempotent: redacted text has no further matches") {
     val rows = Seq((1L, "a@b.io at 10.0.0.1 tel +1-555-0000-123")).toDF("id", "text")
     val once = Redact.redact(rows, "text").select("id", "text")
