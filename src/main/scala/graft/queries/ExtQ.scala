@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Bpe, Dedup, Drift, Fuzzy, Graph, Index, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ext.{Bpe, Chunk, Dedup, Drift, Fuzzy, Graph, Index, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -1901,6 +1901,39 @@ object ExtQ {
          |FROM chk ORDER BY doc_id""".stripMargin
     })
 
+  /** Content-defined chunking: every boundary is a pure function of
+    * the token content (md5 bucket), so the oracle reproduces chunk
+    * membership, order and digests exactly. */
+  private val x68: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Chunk.cdcChunks(t(s, d, "documents"), "doc_id", "text",
+          divisor = 8, salt = "cdc")
+        .orderBy($"doc", $"chunk_idx")
+    },
+    s"""WITH sp AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS s
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, unnest(
+       |    [{'pos': i - 1, 'tok': s[i]} for i in range(1, len(s) + 1)],
+       |    recursive := true)
+       |  FROM sp),
+       |fl AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN (${bucketSql("tok", "cdc", 0)}) % 8 = 0
+       |      THEN 1 ELSE 0 END AS flag
+       |  FROM tk),
+       |cx AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM fl)
+       |SELECT doc_id AS doc, chunk_idx::BIGINT AS chunk_idx,
+       |  COUNT(*)::BIGINT AS n_tokens,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+       |FROM cx GROUP BY doc_id, chunk_idx ORDER BY doc, chunk_idx""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -1996,5 +2029,6 @@ object ExtQ {
     "x65_inverted_index" -> (x65._1, Some(x65._2)),
     "x66_source_overlap" -> (x66._1, Some(x66._2)),
     "x67_checksum_pii" -> (x67._1, Some(x67._2)),
+    "x68_cdc_chunks" -> (x68._1, Some(x68._2)),
   )
 }
