@@ -77,6 +77,48 @@ object Similarity {
     struct(maxabs.as("maxabs"), q.as("q"))
   }
 
+  /** Nearest-centroid assignment in the int8-quantized INTEGER domain
+    * — the k-means E-step / IVF routing step, made bit-deterministic.
+    *
+    * Float k-means assignment is the classic cross-hardware
+    * reproducibility hole (a re-run on different SIMD width flips
+    * boundary vectors between clusters). Here both sides of the
+    * decision are exact integers: vectors go through [[int8Quantize]],
+    * per-`seedGroup` centroids are ROUNDED-MEAN int8 vectors (the
+    * mean's half-up rounding is computed as a non-negative integer
+    * division — numerator shifted by +127·n — so trunc-vs-floor
+    * division semantics can't diverge between engines), and each
+    * distance is an exact integer sum of squared int8 differences
+    * (≤ dims·254², far inside Long). Ties break to the smallest
+    * centroid id: the argmin is total.
+    *
+    * Scale shape: one posexplode + map-combined sum for centroids
+    * (k·dims rows), centroid table broadcast, distance and argmin as
+    * one in-row fold + one map-combined min(struct) per vector — the
+    * corpus is never shuffled. */
+  def int8Assign(df: DataFrame, id: String, vec: String,
+                 seedGroup: String): DataFrame = {
+    val q = df.select(col(id).as("vid"), col(seedGroup).as("grp"),
+      int8Quantize(col(vec)).getField("q").as("q8"))
+    val sums = q
+      .select(col("grp"), posexplode(col("q8")).as(Seq("pos", "v")))
+      .groupBy("grp", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("((2 * (s + 127 * n) + n) div (2 * n)) - 127"))
+    val cents = sums.groupBy(col("grp").as("cluster"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x("c")).as("cvec"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("q8"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("d2"), col("cluster").cast("long").as("cluster")))
+        .as("m"))
+      .select(col("vid").as("vec_id"), col("m.cluster").as("cluster"),
+        col("m.d2").as("d2"))
+  }
+
   /** Exact top-k neighbours for each query vector (brute force).
     * Queries are expected to be small → broadcast; corpus streams. */
   def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,

@@ -1934,6 +1934,57 @@ object ExtQ {
        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
        |FROM cx GROUP BY doc_id, chunk_idx ORDER BY doc, chunk_idx""".stripMargin)
 
+  /** Integer-domain k-means assignment: label-seeded int8 centroids,
+    * exact integer distances, smallest-id tie break — bit-identical
+    * in any engine. */
+  private val x69: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Similarity.int8Assign(t(s, d, "embeddings"), "vec_id", "embedding",
+          "label")
+        .orderBy($"vec_id")
+    },
+    """WITH m AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label AS grp,
+      |    CASE WHEN maxabs = 0
+      |      THEN list_transform(embedding, x -> 0::BIGINT)
+      |      ELSE list_transform(embedding,
+      |        x -> CAST(greatest(-127.0, least(127.0,
+      |          floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+      |          AS BIGINT))
+      |    END AS q8
+      |  FROM m),
+      |dims AS (
+      |  SELECT grp, unnest(
+      |    [{'pos': i - 1, 'v': q8[i]} for i in range(1, len(q8) + 1)],
+      |    recursive := true)
+      |  FROM q),
+      |sums AS (
+      |  SELECT grp, pos, SUM(v)::BIGINT AS s, COUNT(*)::BIGINT AS n
+      |  FROM dims GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT grp AS cluster, list(c ORDER BY pos) AS cvec
+      |  FROM (SELECT grp, pos,
+      |          ((2 * (s + 127 * n) + n) // (2 * n)) - 127 AS c
+      |        FROM sums)
+      |  GROUP BY grp),
+      |dist AS (
+      |  SELECT q.vec_id, cent.cluster,
+      |    list_sum([ (q8[i] - cvec[i]) * (q8[i] - cvec[i])
+      |               for i in range(1, len(q8) + 1) ])::BIGINT AS d2
+      |  FROM q CROSS JOIN cent),
+      |rk AS (
+      |  SELECT vec_id, cluster, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS r
+      |  FROM dist)
+      |SELECT vec_id, cluster::BIGINT AS cluster, d2
+      |FROM rk WHERE r = 1 ORDER BY vec_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2030,5 +2081,6 @@ object ExtQ {
     "x66_source_overlap" -> (x66._1, Some(x66._2)),
     "x67_checksum_pii" -> (x67._1, Some(x67._2)),
     "x68_cdc_chunks" -> (x68._1, Some(x68._2)),
+    "x69_kmeans_assign" -> (x69._1, Some(x69._2)),
   )
 }

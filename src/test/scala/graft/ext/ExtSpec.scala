@@ -572,6 +572,46 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("int8Assign: mislabeled vector reassigned, half-up centroid rounding") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 1.0f)),
+      (4L, 1, Array(0.0f, 1.0f)),
+      (5L, 1, Array(1.0f, 0.0f)) // labeled 1, sits on cluster 0
+    ).toDF("vec_id", "label", "embedding")
+    val got = graft.ext.Similarity
+      .int8Assign(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // centroids: c0 = (127, 0); c1 = mean of (0,127)x2,(127,0) =
+    // (42.33→42, 84.67→85)
+    assert(got(1L)._1 == 0L && got(1L)._2 == 0L)
+    assert(got(5L)._1 == 0L, "mislabeled vector must be reassigned")
+    assert(got(3L)._1 == 1L)
+    // pin the exact integer distance of the reassigned vector:
+    // d(q=(127,0), c1=(42,85)) = 85^2 + 85^2 = 14450 > d to c0 = 0
+    assert(got(5L)._2 == 0L)
+    val d5c1 = (127 - 42) * (127 - 42) + 85 * 85
+    assert(d5c1 == 14450)
+  }
+
+  test("int8Assign: half-up mean rounding pinned by the distance value") {
+    import spark.implicits._
+    // group 0: q-vectors (127,0) and (127,127) → mean dim2 = 63.5,
+    // half-up = 64; if an engine rounded half-even (63) the distance
+    // below would be 64^2 = 4096, not 63^2 = 3969
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.5f, 0.5f)),
+      (3L, 1, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = graft.ext.Similarity
+      .int8Assign(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(2L) == ((0L, 3969L)))
+  }
+
   test("gopher flags: each rule fires independently") {
     import spark.implicits._
     val docs = Seq(
