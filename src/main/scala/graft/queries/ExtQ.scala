@@ -1985,6 +1985,80 @@ object ExtQ {
       |SELECT vec_id, cluster::BIGINT AS cluster, d2
       |FROM rk WHERE r = 1 ORDER BY vec_id""".stripMargin)
 
+  /** URL canonicalization over six derived variants per corpus row:
+    * mixed case, default/non-default ports, tracking params, unsorted
+    * queries, fragments, trailing slashes, schemeless garbage. */
+  private val x70: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val v = $"doc_id" % 6
+      val n = expr("CAST(doc_id div 6 AS STRING)")
+      val url = when(v === 0, concat(lit("https://www."), $"source",
+          lit(".example.com/docs/"), n, lit("/?utm_source=x&b=2&a=1")))
+        .when(v === 1, concat(lit("HTTPS://"), upper($"source"),
+          lit(".EXAMPLE.com:443/docs/"), n, lit("?a=1&b=2&utm_campaign=y")))
+        .when(v === 2, concat(lit("http://"), $"source",
+          lit(".example.com:8080/a/b?z=9&y=8#frag")))
+        .when(v === 3, concat(lit("http://www."), $"source",
+          lit(".example.com:80/path/")))
+        .when(v === 4, concat(lit("https://"), $"source",
+          lit(".example.com/docs/"), n, lit("/")))
+        .otherwise(concat(lit("no scheme "), $"source"))
+      t(s, d, "documents").withColumn("url", url)
+        .select($"doc_id", $"url",
+          graft.ext.Url.canonicalize($"url").as("canonical"),
+          graft.ext.Url.site($"url").as("site"))
+        .orderBy($"doc_id")
+    },
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'https://www.' || source || '.example.com/docs/' ||
+      |        CAST(doc_id // 6 AS VARCHAR) || '/?utm_source=x&b=2&a=1'
+      |      WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.com:443/docs/' ||
+      |        CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2&utm_campaign=y'
+      |      WHEN 2 THEN 'http://' || source || '.example.com:8080/a/b?z=9&y=8#frag'
+      |      WHEN 3 THEN 'http://www.' || source || '.example.com:80/path/'
+      |      WHEN 4 THEN 'https://' || source || '.example.com/docs/' ||
+      |        CAST(doc_id // 6 AS VARCHAR) || '/'
+      |      ELSE 'no scheme ' || source END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM u),
+      |hp AS (
+      |  SELECT doc_id, url, sch, rest,
+      |    regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+      |    regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
+      |      '^([^#]*)', 1) AS prefrag
+      |  FROM parts),
+      |hh AS (
+      |  SELECT doc_id, url, sch, hostport, prefrag,
+      |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+      |      '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+      |  FROM hp),
+      |cc AS (
+      |  SELECT doc_id, url, sch, host,
+      |    CASE WHEN port = '' OR (sch = 'http' AND port = '80')
+      |           OR (sch = 'https' AND port = '443')
+      |      THEN '' ELSE ':' || port END AS kport,
+      |    regexp_replace(regexp_extract(prefrag, '^([^?]*)', 1),
+      |      '/+$', '') AS path,
+      |    COALESCE(array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(prefrag, '\?(.*)$', 1), '&'),
+      |      p -> p <> '' AND p[1:4] <> 'utm_' AND p[1:6] <> 'gclid='
+      |        AND p[1:7] <> 'fbclid=')), '&'), '') AS q
+      |  FROM hh)
+      |SELECT doc_id, url,
+      |  CASE WHEN sch = '' THEN ''
+      |    ELSE sch || '://' || host || kport || path ||
+      |      CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canonical,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS site
+      |FROM cc ORDER BY doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2082,5 +2156,6 @@ object ExtQ {
     "x67_checksum_pii" -> (x67._1, Some(x67._2)),
     "x68_cdc_chunks" -> (x68._1, Some(x68._2)),
     "x69_kmeans_assign" -> (x69._1, Some(x69._2)),
+    "x70_url_canonicalize" -> (x70._1, Some(x70._2)),
   )
 }
