@@ -290,6 +290,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Skip-gram co-occurrence counts — the (center, context) pair
+    * statistics embedding training consumes (word2vec's sampling
+    * table, GloVe's co-occurrence matrix, PMI matrices all start
+    * here): every ordered pair of tokens at distance ≤ `window`
+    * within a document, counted over the corpus, top `k` by count.
+    *
+    * Plan shape: pair generation is IN-ROW (one `transform` over
+    * positions × offsets then a single explode — narrow, no
+    * self-join, no range join), so the only shuffle is the
+    * map-combined pair count; the global top-k is a TakeOrdered
+    * (per-partition heaps), never a full sort. Row fan-out is
+    * n·2·window per document — linear, the same data volume any
+    * skip-gram pipeline must materialize at least once.
+    *
+    * Ordering (count desc, center asc, context asc) is total, so the
+    * cut at `k` is engine-deterministic. */
+  def skipgramCounts(df: DataFrame, text: String,
+                     window: Int = 2, k: Int = 50): DataFrame = {
+    require(window >= 1 && k >= 1, "window and k must be positive")
+    val toks = filter(split(col(text), " "), t => t =!= "")
+    val offsets = ((-window to window).filter(_ != 0)).map(o => lit(o))
+    val pairs = df.select(toks.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("_t"))),
+        i => filter(
+          transform(array(offsets: _*), o =>
+            when(i + o >= 1 && i + o <= size(col("_t")),
+              struct(element_at(col("_t"), i).as("center"),
+                element_at(col("_t"), i + o).as("context")))),
+          s => s.isNotNull)))).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+    pairs.groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center"), col("context"))
+      .limit(k)
+  }
+
   /** Sliding-window token chunking: splits a document into chunks of
     * `window` tokens every `stride` tokens (stride < window ⇒
     * overlapping chunks; the tail chunk may be shorter) — the

@@ -2059,6 +2059,28 @@ object ExtQ {
       |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS site
       |FROM cc ORDER BY doc_id""".stripMargin)
 
+  /** Skip-gram co-occurrence top-k: in-row pair generation, one
+    * map-combined count, TakeOrdered cut at a total order. */
+  private val x71: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.skipgramCounts(t(s, d, "documents"), "text",
+        window = 2, k = 50)
+    },
+    """WITH sp AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS s
+      |  FROM documents),
+      |pr AS (
+      |  SELECT unnest(flatten([
+      |    [ {'center': s[i], 'context': s[i + o]}
+      |      for o in [-2, -1, 1, 2]
+      |      if i + o >= 1 AND i + o <= len(s) ]
+      |    for i in range(1, len(s) + 1) ]), recursive := true)
+      |  FROM sp WHERE len(s) >= 2)
+      |SELECT center, context, COUNT(*)::BIGINT AS cnt
+      |FROM pr GROUP BY center, context
+      |ORDER BY cnt DESC, center, context LIMIT 50""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2157,5 +2179,6 @@ object ExtQ {
     "x68_cdc_chunks" -> (x68._1, Some(x68._2)),
     "x69_kmeans_assign" -> (x69._1, Some(x69._2)),
     "x70_url_canonicalize" -> (x70._1, Some(x70._2)),
+    "x71_skipgram_counts" -> (x71._1, Some(x71._2)),
   )
 }

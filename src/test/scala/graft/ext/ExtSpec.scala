@@ -612,6 +612,20 @@ class ExtSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 3969L)))
   }
 
+  test("skipgramCounts: hand-computed window pairs, edge clipping, tie order") {
+    import spark.implicits._
+    val corpus = Seq("a b c", "a a").toDF("text")
+    val got = TextAnalysis.skipgramCounts(corpus, "text", window = 2, k = 50)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // "a b c" w=2: (a,b)(a,c)(b,a)(b,c)(c,a)(c,b); "a a": (a,a)x2
+    assert(got.head == (("a", "a", 2L)))
+    assert(got.toSet == Set(
+      ("a", "a", 2L), ("a", "b", 1L), ("a", "c", 1L),
+      ("b", "a", 1L), ("b", "c", 1L), ("c", "a", 1L), ("c", "b", 1L)))
+    // tie block ordered (center, context)
+    assert(got.tail == got.tail.sorted)
+  }
+
   test("gopher flags: each rule fires independently") {
     import spark.implicits._
     val docs = Seq(
