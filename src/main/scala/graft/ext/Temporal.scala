@@ -191,4 +191,45 @@ object Temporal {
       .groupBy("cohort_date", "day_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Half-life–decayed score per group — recency weighting without a
+    * single float: freshness signals for corpus curation (recent
+    * sources weigh more), engagement scoring, feature snapshots.
+    *
+    * `exp(-λ·age)` is the textbook form and a cross-engine/-hardware
+    * reproducibility hole (transcendental + sum order). Instead the
+    * age in `periodSec`-long half-life periods is an INTEGER halving
+    * count k (capped at `horizon`), the weight is the exact integer
+    * 2^(horizon−k), the value is pinned to cents (floor(v·100+0.5)),
+    * and the score is one Long sum: `score_scaled = Σ cents·2^(horizon−k)`
+    * — bit-identical under any partitioning or engine. Divide by
+    * 100·2^horizon for the unit-score reading; events older than
+    * `horizon` half-lives keep weight 1 (monotone floor, never
+    * negative-age truncation surprises).
+    *
+    * The reference time is `max(ts)` over the input (deterministic
+    * from data, no wall clock), broadcast as one row. Overflow: cents
+    * ≤ 10⁹ and horizon ≤ 20 leave 10⁹·2²⁰ ≈ 10¹⁵ per event — room
+    * for 10⁴ such events per Long sum; shard to DECIMAL beyond.
+    *
+    * Scale shape: one 1-row max broadcast + one map-combined sum per
+    * group — scan speed. */
+  def decayedScore(events: DataFrame, group: String, ts: String,
+                   value: String, periodSec: Long = 86400L,
+                   horizon: Int = 20): DataFrame = {
+    require(periodSec >= 1 && horizon >= 1 && horizon <= 60,
+      "need periodSec >= 1 and 1 <= horizon <= 60")
+    val mx = events.agg(max(unix_timestamp(col(ts))).as("mx"))
+    events
+      .select(col(group).as("grp"), unix_timestamp(col(ts)).as("e"),
+        floor(col(value) * 100 + 0.5).cast("long").as("cents"))
+      .crossJoin(broadcast(mx))
+      .withColumn("k",
+        least(lit(horizon.toLong), expr(s"(mx - e) div ${periodSec}L")))
+      .withColumn("w",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($horizon - k AS INT))"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * col("w")).as("score_scaled"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Bpe, Chunk, Dedup, Drift, Fuzzy, Graph, Index, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ext.{Bpe, Chunk, Dedup, Drift, Fuzzy, Graph, Index, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -2081,6 +2081,28 @@ object ExtQ {
       |FROM pr GROUP BY center, context
       |ORDER BY cnt DESC, center, context LIMIT 50""".stripMargin)
 
+  /** Half-life–decayed engagement per event type: integer halvings,
+    * exact Long sum — no exp(), no float accumulation. */
+  private val x72: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.decayedScore(t(s, d, "events"), "event_type", "ts", "value",
+          periodSec = 86400L, horizon = 20)
+        .select($"grp".as("event_type"), $"n_events", $"score_scaled")
+        .orderBy($"event_type")
+    },
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT MAX(es) AS mx FROM ev)
+      |SELECT event_type, COUNT(*)::BIGINT AS n_events,
+      |  SUM(cents * (1::BIGINT <<
+      |    CAST(20 - least(20, (mx - es) // 86400) AS INT)))::BIGINT
+      |    AS score_scaled
+      |FROM ev CROSS JOIN m
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2180,5 +2202,6 @@ object ExtQ {
     "x69_kmeans_assign" -> (x69._1, Some(x69._2)),
     "x70_url_canonicalize" -> (x70._1, Some(x70._2)),
     "x71_skipgram_counts" -> (x71._1, Some(x71._2)),
+    "x72_decayed_score" -> (x72._1, Some(x72._2)),
   )
 }

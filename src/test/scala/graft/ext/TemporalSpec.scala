@@ -143,4 +143,21 @@ class TemporalSpec extends AnyFunSuite {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("decayedScore: hand-computed halvings, cap floor, cents rounding") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      ("a", ts("2024-01-10 00:00:00"), 1.0),   // age 0  → w = 2^20
+      ("a", ts("2024-01-09 00:00:00"), 1.0),   // age 1d → w = 2^19
+      ("a", ts("2024-01-08 12:00:00"), 0.5),   // 1.5d → k=1 → 2^19
+      ("b", ts("2023-01-10 00:00:00"), 2.0),   // ancient → capped w = 1
+      ("b", ts("2024-01-10 00:00:00"), 0.005)  // cents = floor(0.5+0.5) = 1
+    ).toDF("event_type", "ts", "value")
+    val got = Temporal.decayedScore(events, "event_type", "ts", "value")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w20 = 1L << 20; val w19 = 1L << 19
+    assert(got("a") == ((3L, 100 * w20 + 100 * w19 + 50 * w19)))
+    assert(got("b") == ((2L, 200 * 1 + 1 * w20)))
+  }
 }
