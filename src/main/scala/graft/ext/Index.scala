@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Inverted-index construction — the IR-side consumer of a curated
@@ -27,29 +27,62 @@ import org.apache.spark.sql.functions._
   */
 object Index {
 
-  /** Champion-list inverted index over whitespace tokens.
-    *
-    * Returns one row per term: `(term, df, cf, champions)` where
-    * `df` = number of docs containing the term, `cf` = total
-    * occurrences, and `champions` = the `k` highest-tf postings as
-    * `"doc:tf"` joined by `";"` — ordered by (tf desc, doc asc), a
-    * total order, so the list is engine-deterministic. */
-  def championIndex(df: DataFrame, id: String, text: String,
-                    k: Int): DataFrame = {
-    require(k >= 1, s"championIndex needs k >= 1, got $k")
+  /** Structured champion index: one row per term with `df`, `cf` and
+    * `top` — the ≤ k highest-tf postings as (v=tf, id=doc) structs in
+    * (tf desc, doc asc) rank order. The mergeable form ([[merge]])
+    * and the string-rendered gate form ([[championIndex]]) both
+    * derive from this. */
+  def championPostings(df: DataFrame, id: String, text: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"championPostings needs k >= 1, got $k")
     val toks = filter(split(col(text), " "), t => t =!= "")
-    val postings = df
-      .select(col(id).as("doc"), explode(toks).as("term"))
+    df.select(col(id).as("doc"), explode(toks).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
-    postings
       .groupBy("term")
       .agg(
         count(lit(1)).as("df"),
         sum(col("tf")).as("cf"),
         graft.functions.TopKAgg.topk(col("tf"), col("doc"), k).as("top"))
-      .select(col("term"), col("df"), col("cf"),
-        concat_ws(";", transform(col("top"),
-          s => concat(s("id").cast("string"), lit(":"),
-            s("v").cast("long").cast("string")))).as("champions"))
   }
+
+  /** Merge two [[championPostings]] indexes built over DISJOINT
+    * document sets (a base index and a fresh-batch delta — the
+    * incremental indexing step). EXACT, not approximate: a document
+    * lives in exactly one side, so its tf is final there, and the
+    * union's true top-k per term is always contained in the union of
+    * the two sides' top-k lists — re-cutting the concatenation at k
+    * loses nothing. df/cf add for the same reason. One term-keyed
+    * full outer join; champion arrays are ≤ k+k structs in-row. */
+  def merge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val emptyTop = array().cast("array<struct<v:double,id:bigint>>")
+    val byRank = (l: Column, r: Column) =>
+      when(l("v") > r("v"), -1).when(l("v") < r("v"), 1)
+        .otherwise(when(l("id") < r("id"), -1)
+          .when(l("id") > r("id"), 1).otherwise(0))
+    a.select(col("term"), col("df").as("df_a"), col("cf").as("cf_a"),
+        col("top").as("top_a"))
+      .join(b.select(col("term"), col("df").as("df_b"), col("cf").as("cf_b"),
+        col("top").as("top_b")), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"),
+        (coalesce(col("cf_a"), lit(0L)) + coalesce(col("cf_b"), lit(0L))).as("cf"),
+        slice(array_sort(concat(
+          coalesce(col("top_a"), emptyTop),
+          coalesce(col("top_b"), emptyTop)), byRank), 1, k).as("top"))
+  }
+
+  /** [[championPostings]] rendered for the correctness gate: the
+    * champion list as `"doc:tf"` joined by `";"` — (tf desc, doc asc)
+    * is a total order, so the string is engine-deterministic. */
+  def championIndex(df: DataFrame, id: String, text: String,
+                    k: Int): DataFrame =
+    render(championPostings(df, id, text, k))
+
+  /** Render a structured champion index's `top` column to the
+    * gate-comparable string form. */
+  def render(idx: DataFrame): DataFrame =
+    idx.select(col("term"), col("df"), col("cf"),
+      concat_ws(";", transform(col("top"),
+        s => concat(s("id").cast("string"), lit(":"),
+          s("v").cast("long").cast("string")))).as("champions"))
 }

@@ -192,6 +192,28 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-user event-type transition counts — the Markov first-order
+    * statistics behind behavioral embeddings, next-event prediction
+    * features and funnel discovery (where [[funnel]] checks a GIVEN
+    * stage sequence, this surfaces which transitions exist at all).
+    *
+    * Consecutive-event pairs per user in time order via one `lag`
+    * window (partitioned by user — bounded partitions, never global),
+    * then a map-combined count per (from, to). The tie order inside
+    * equal timestamps is made total with the event id, so the
+    * transition multiset is deterministic. */
+  def transitionCounts(events: DataFrame, user: String, ts: String,
+                       typ: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(user))
+      .orderBy(col(ts), col(tieBreak))
+    events
+      .select(col(user), col(ts), col(tieBreak), col(typ).as("to_type"),
+        lag(col(typ), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Half-life–decayed score per group — recency weighting without a
     * single float: freshness signals for corpus curation (recent
     * sources weigh more), engagement scoring, feature snapshots.

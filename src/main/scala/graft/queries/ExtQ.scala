@@ -2103,6 +2103,24 @@ object ExtQ {
       |FROM ev CROSS JOIN m
       |GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** Event-type transition matrix: lag window per user (total order
+    * includes the event id on timestamp ties), map-combined count. */
+  private val x73: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.transitionCounts(t(s, d, "events"), "user_id", "ts",
+          "event_type", tieBreak = "event_id")
+        .orderBy($"from_type", $"to_type")
+    },
+    """WITH seq AS (
+      |  SELECT event_type AS to_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS from_type
+      |  FROM events)
+      |SELECT from_type, to_type, COUNT(*)::BIGINT AS n_transitions
+      |FROM seq WHERE from_type IS NOT NULL
+      |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2203,5 +2221,6 @@ object ExtQ {
     "x70_url_canonicalize" -> (x70._1, Some(x70._2)),
     "x71_skipgram_counts" -> (x71._1, Some(x71._2)),
     "x72_decayed_score" -> (x72._1, Some(x72._2)),
+    "x73_transition_counts" -> (x73._1, Some(x73._2)),
   )
 }
