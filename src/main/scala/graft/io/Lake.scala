@@ -66,9 +66,16 @@ object Lake {
     * dropped. Every window is recoverable — a crash can leave a
     * partition either fully old (trash restore) or fully new, never
     * half-replaced; see [[recover]]. Dot-prefixed staging/trash dirs
-    * are invisible to parquet readers of the table. */
-  def writePartitioned(df: DataFrame, root: String): Unit =
-    writePartitioned(df, root, _ => ())
+    * are invisible to parquet readers of the table.
+    *
+    * `format` selects the storage codec ("parquet" default, "orc"
+    * ships with Spark) — the swap protocol and [[recover]] are pure
+    * FS renames and never look inside a file, so crash safety is
+    * format-agnostic by construction (LakePublishSpec runs the same
+    * crash windows against ORC). */
+  def writePartitioned(df: DataFrame, root: String,
+                       format: String = "parquet"): Unit =
+    writePartitioned(df, root, _ => (), format)
 
   /** [[writePartitioned]] with a step hook between FS operations —
     * the crash-injection seam for LakePublishSpec. Steps: `staged`,
@@ -76,14 +83,20 @@ object Lake {
     * yet in place) and `swapped:part=X` (new in place, trash not yet
     * dropped). */
   private[io] def writePartitioned(df: DataFrame, root: String,
-                                   onStep: String => Unit): Unit = {
+                                   onStep: String => Unit): Unit =
+    writePartitioned(df, root, onStep, "parquet")
+
+  private[io] def writePartitioned(df: DataFrame, root: String,
+                                   onStep: String => Unit,
+                                   format: String): Unit = {
     val spark = df.sparkSession
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(rootPath)
     val staging =
       new Path(rootPath, s"$PublishTmp/${java.util.UUID.randomUUID()}")
-    df.write.partitionBy("part").mode("overwrite").parquet(staging.toString)
+    df.write.partitionBy("part").mode("overwrite").format(format)
+      .save(staging.toString)
     onStep("staged")
     val trashRoot = new Path(rootPath, PublishTrash)
     fs.listStatus(staging)
@@ -221,7 +234,9 @@ object Lake {
     * writers of the same table. */
   def compact(spark: SparkSession, root: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              maxFiles: Int = 1): Seq[CompactStat] = {
+              maxFiles: Int = 1,
+              format: String = "parquet"): Seq[CompactStat] = {
+    val ext = s".$format"
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, root) // heal any prior crashed swap before listing
@@ -229,7 +244,7 @@ object Lake {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
     val stats = parts.toSeq.flatMap { p =>
       val files = fs.listStatus(p.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(ext))
       if (files.length <= maxFiles) None
       else {
         val bytes = files.map(_.getLen).sum
@@ -237,9 +252,9 @@ object Lake {
         val name = p.getPath.getName
         val tmp = new Path(rootPath, s"$CompactTmp/$name")
         fs.delete(tmp, true)
-        spark.read.parquet(p.getPath.toString)
+        spark.read.format(format).load(p.getPath.toString)
           .repartition(nOut)
-          .write.mode("overwrite").parquet(tmp.toString)
+          .write.mode("overwrite").format(format).save(tmp.toString)
         // drop Spark's _SUCCESS marker before the dir becomes live
         fs.delete(new Path(tmp, "_SUCCESS"), false)
         // swap: old dir parked in trash (never deleted before the new
@@ -265,14 +280,15 @@ object Lake {
     * the observability feed for [[compact]] (too many files?) and
     * [[vacuum]] (stale partitions?) decisions. Listing only; never
     * opens a file. */
-  def partitionStats(spark: SparkSession, root: String): Seq[PartitionStat] = {
+  def partitionStats(spark: SparkSession, root: String,
+                     format: String = "parquet"): Seq[PartitionStat] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(rootPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
       .map { p =>
         val files = fs.listStatus(p.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(s".$format"))
         PartitionStat(p.getPath.getName.stripPrefix("part="),
           files.length, files.map(_.getLen).sum)
       }.toSeq.sortBy(_.part)

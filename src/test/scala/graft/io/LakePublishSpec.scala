@@ -66,6 +66,25 @@ class LakePublishSpec extends AnyFunSuite {
     assert(rows(root) == Set(9L -> "A")) // fully new
   }
 
+  test("ORC format: publish, crash window, recover, compact — same protocol") {
+    val root = freshRoot("orcpub")
+    def orcRows = spark.read.orc(root).as[(Long, String)].collect().toSet
+    Lake.writePartitioned(df(1L -> "A", 2L -> "B"), root, "orc")
+    assert(orcRows == Set(1L -> "A", 2L -> "B"))
+    // the crash protocol is FS renames only — format can't change it
+    intercept[Crash] {
+      Lake.writePartitioned(df(9L -> "A"), root, crashAt("aside:part=A"), "orc")
+    }
+    assert(Lake.recover(spark, root) == Seq("part=A"))
+    assert(orcRows == Set(1L -> "A", 2L -> "B"))
+    // compaction: fragment partition A, compact back to one .orc file
+    Lake.writePartitioned(
+      df((1L to 8L).map(_ -> "A"): _*).repartition(4), root, "orc")
+    val stats = Lake.compact(spark, root, maxFiles = 1, format = "orc")
+    assert(stats.exists(s => s.part == "part=A" && s.filesAfter == 1))
+    assert(orcRows == (1L to 8L).map(_ -> "A").toSet ++ Set(2L -> "B"))
+  }
+
   test("retry after a mid-swap crash converges to the new data") {
     val root = freshRoot("pub")
     Lake.writePartitioned(df(1L -> "A"), root)
