@@ -144,18 +144,31 @@ object Temporal {
     * frames shrink monotonically (funnel property), so each successive
     * join is smaller; nothing is ever sorted and no per-user event
     * list is materialized (the collect_list-then-scan formulation
-    * breaks on power users; this one cannot). */
+    * breaks on power users; this one cannot).
+    *
+    * `windowSec` adds the MATCH_RECOGNIZE `WITHIN` bound: every later
+    * stage must land within that many seconds of t1 — the conversion
+    * window, ANCHORED AT THE USER'S FIRST stage-1 event (the cohort
+    * convention; under a fixed anchor, taking each stage's earliest
+    * admissible event is provably optimal — any later choice only
+    * shrinks the room left under the deadline — so iterated-min stays
+    * exact). */
   def funnel(events: DataFrame, user: String, ts: String, typ: String,
-             stages: Seq[String]): DataFrame = {
+             stages: Seq[String], windowSec: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "need at least one funnel stage")
     val ev = events.select(col(user).as("user_id"), col(ts).as("ts"),
       col(typ).as("typ"))
     var reached = ev.filter(col("typ") === stages.head)
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev =
+        if (i == 1) reached.select(col("user_id"), col("t1"))
+        else reached.select(col("user_id"), col(s"t$i"), col("t1"))
+      val inWindow = windowSec.fold(lit(true))(w =>
+        col("ts") <= expr(s"timestampadd(SECOND, $w, t1)"))
       val next = ev.filter(col("typ") === st)
-        .join(reached.select(col("user_id"), col(s"t$i")), "user_id")
-        .filter(col("ts") > col(s"t$i"))
+        .join(prev, "user_id")
+        .filter(col("ts") > col(s"t$i") && inWindow)
         .groupBy("user_id").agg(min(col("ts")).as(s"t${i + 1}"))
       reached = reached.join(next, Seq("user_id"), "left")
     }

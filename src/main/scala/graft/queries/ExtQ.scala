@@ -2121,6 +2121,40 @@ object ExtQ {
       |FROM seq WHERE from_type IS NOT NULL
       |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin)
 
+  /** Funnel with a conversion window (MATCH_RECOGNIZE WITHIN):
+    * stages must land within 6h of the user's first stage-1 event —
+    * depths shrink vs the unbounded x59 funnel. */
+  private val x74: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.funnel(t(s, d, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSec = Some(21600L))
+        .orderBy($"user_id")
+    },
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND e.ts <= s1.t1 + INTERVAL 21600 SECOND
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND e.ts <= s1.t1 + INTERVAL 21600 SECOND
+      |       GROUP BY e.user_id)
+      |SELECT s1.user_id AS user_id,
+      |  (1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS depth,
+      |  CAST(s1.t1 AS TIMESTAMP) AS t1,
+      |  CAST(s2.t2 AS TIMESTAMP) AS t2,
+      |  CAST(s3.t3 AS TIMESTAMP) AS t3
+      |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+      |LEFT JOIN s3 ON s3.user_id = s1.user_id
+      |ORDER BY s1.user_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2222,5 +2256,6 @@ object ExtQ {
     "x71_skipgram_counts" -> (x71._1, Some(x71._2)),
     "x72_decayed_score" -> (x72._1, Some(x72._2)),
     "x73_transition_counts" -> (x73._1, Some(x73._2)),
+    "x74_funnel_within" -> (x74._1, Some(x74._2)),
   )
 }

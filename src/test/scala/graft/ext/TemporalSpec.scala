@@ -62,6 +62,36 @@ class TemporalSpec extends AnyFunSuite {
       got(4L)._2.toString.startsWith("2024-01-01T06:00"))
   }
 
+  test("funnel windowSec: deadline anchored at t1 cuts late stages") {
+    val ev = Seq(
+      // A converts fully inside a 1h window
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:20:00"), "click"),
+      (1L, ts("2024-01-01 10:59:00"), "purchase"),
+      // B clicks inside but purchases after the deadline → depth 2
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:30:00"), "click"),
+      (2L, ts("2024-01-01 11:30:00"), "purchase"),
+      // C's click is exactly AT the deadline (inclusive) → counts
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "click"),
+      // D: a second view would have allowed the click, but the anchor
+      // is the FIRST view — click is outside its window → depth 1
+      (4L, ts("2024-01-01 08:00:00"), "view"),
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-01 10:30:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = Some(3600L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // unbounded funnel on the same input reaches deeper for B and D
+    val unbounded = Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unbounded(2L) == 3L && unbounded(4L) == 2L)
+  }
+
   test("retention: cohorts by first date, offsets count distinct users") {
     val ev = Seq(
       // user 1: first on Jan 1, active again Jan 2 (twice) and Jan 3
