@@ -594,6 +594,57 @@ object Dedup {
         col("rep.doc_id").as("rep_doc"), col("rep.chunk_idx").as("rep_idx"))
   }
 
+  /** Boilerplate pruning (the CCNet/RefinedWeb rewrite shape): any
+    * fixed `window`-token chunk whose corpus document-frequency
+    * reaches `minDocs` is treated as boilerplate (headers, footers,
+    * licence blocks, navigation) and removed from every document the
+    * chunk appears in; surviving tokens re-join on single spaces.
+    * Returns the corpus with `text_clean`, `n_removed` (tokens
+    * dropped) and `n_chunks_removed` appended. The corpus itself
+    * defines what is boilerplate — no external list, unlike
+    * [[removeContaminatedSpans]] where the spans come from a
+    * benchmark.
+    *
+    * Scale shape: the hot-digest set is the df ≥ minDocs tail of ONE
+    * map-side-combined digest aggregation (the same scan shape as
+    * [[duplicatedChunks]] — partial aggregation absorbs the classic
+    * boilerplate skew key before the exchange); per-doc removal
+    * indexes come from a digest equi-join carrying (doc, chunk_idx,
+    * digest) only, never chunk text. The rewrite is in-row HOF
+    * arithmetic over token indexes (no UDF); docs with no hot chunk
+    * keep their text untouched through the left join's null path. */
+  def pruneBoilerplate(df: DataFrame, id: String, text: String,
+                       window: Int, minDocs: Long): DataFrame = {
+    require(window > 0, "window must be positive")
+    val chunks = df.select(col(id).as("_pid"),
+        posexplode(TextAnalysis.chunkTokens(col(text), window, window))
+          .as(Seq("_cidx", "_chunk")))
+      .select(col("_pid"), col("_cidx"),
+        md5(col("_chunk").cast("binary")).as("_digest"))
+    val hot = chunks.groupBy("_digest")
+      .agg(countDistinct(col("_pid")).as("_ndocs"))
+      .filter(col("_ndocs") >= minDocs)
+      .select("_digest")
+    val removals = chunks.join(hot, "_digest")
+      .groupBy("_pid").agg(collect_set(col("_cidx")).as("_ridx"))
+    val joined = df
+      .withColumn("_toks", filter(split(col(text), " "), t => t =!= ""))
+      .join(removals, df(id) === removals("_pid"), "left")
+      .withColumn("_ridx",
+        coalesce(col("_ridx"), array().cast("array<int>")))
+    val tokIdx = transform(col("_toks"), (t, i) => struct(t.as("t"), i.as("i")))
+    // chunk c covers token positions [c·window, (c+1)·window) — the
+    // stride==window tiling contract of TextAnalysis.chunkTokens
+    val kept = filter(tokIdx, p =>
+      !exists(col("_ridx"),
+        c => c * window <= p("i") && p("i") < (c + 1) * window))
+    joined
+      .withColumn("text_clean", concat_ws(" ", transform(kept, p => p("t"))))
+      .withColumn("n_removed", (size(col("_toks")) - size(kept)).cast("long"))
+      .withColumn("n_chunks_removed", size(col("_ridx")).cast("long"))
+      .drop("_toks", "_ridx", "_pid")
+  }
+
   /** Incremental ingest dedup: split an incoming batch into rows whose
     * content digest already exists in the historical corpus (`dup` =
     * true) and genuinely new rows — the steady-state form of exact

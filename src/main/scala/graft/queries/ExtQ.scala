@@ -2155,6 +2155,44 @@ object ExtQ {
       |LEFT JOIN s3 ON s3.user_id = s1.user_id
       |ORDER BY s1.user_id""".stripMargin)
 
+  /** Corpus-frequency boilerplate pruning: every 8-token chunk seen in
+    * ≥ 3 distinct documents is removed from all of them (the CCNet/
+    * RefinedWeb cleanup applied with the corpus as its own boilerplate
+    * list); output is the rewritten corpus with removal counts. */
+  private val x75: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.pruneBoilerplate(t(s, d, "documents"), "doc_id", "text",
+          window = 8, minDocs = 3L)
+        .select($"doc_id", $"text_clean", $"n_removed", $"n_chunks_removed")
+        .orderBy($"doc_id")
+    },
+    """WITH tk AS (SELECT doc_id,
+      |         [t for t in string_split(text, ' ') if len(t) > 0] AS toks
+      |       FROM documents),
+      |ch AS (SELECT doc_id, CAST(start // 8 AS INTEGER) AS cidx,
+      |         md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS digest
+      |       FROM (SELECT doc_id, toks,
+      |               unnest(range(0, greatest(len(toks) - 1, 0) + 1, 8)) AS start
+      |             FROM tk)),
+      |hot AS (SELECT digest FROM ch
+      |        GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 3),
+      |rem AS (SELECT doc_id, list(DISTINCT cidx) AS ridx
+      |        FROM ch JOIN hot USING (digest) GROUP BY doc_id),
+      |final AS (
+      |  SELECT t.doc_id,
+      |    [t.toks[i] for i in range(1, len(t.toks) + 1)
+      |     if len([c for c in COALESCE(r.ridx, CAST([] AS INTEGER[]))
+      |             if c * 8 <= i - 1 and i - 1 < (c + 1) * 8]) = 0] AS kept,
+      |    len(t.toks) AS ntok,
+      |    len(COALESCE(r.ridx, CAST([] AS INTEGER[]))) AS nchunks
+      |  FROM tk t LEFT JOIN rem r ON r.doc_id = t.doc_id)
+      |SELECT doc_id,
+      |  COALESCE(array_to_string(kept, ' '), '') AS text_clean,
+      |  (ntok - len(kept))::BIGINT AS n_removed,
+      |  nchunks::BIGINT AS n_chunks_removed
+      |FROM final ORDER BY doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2257,5 +2295,6 @@ object ExtQ {
     "x72_decayed_score" -> (x72._1, Some(x72._2)),
     "x73_transition_counts" -> (x73._1, Some(x73._2)),
     "x74_funnel_within" -> (x74._1, Some(x74._2)),
+    "x75_boilerplate_prune" -> (x75._1, Some(x75._2)),
   )
 }

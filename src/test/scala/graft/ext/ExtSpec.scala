@@ -509,6 +509,28 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("pruneBoilerplate: hot chunks removed at every position, cold docs untouched") {
+    val corpus = Seq(
+      (0L, "aa bb cc dd"),  // "aa bb" hot (df 3) at chunk 0
+      (1L, "aa bb xx yy"),
+      (2L, "aa bb zz"),     // tail chunk "zz" also hot (df 3)
+      (3L, "pp qq rr"),     // no hot chunk — text must be untouched
+      (4L, "zz"),
+      (5L, "zz")
+    ).toDF("doc_id", "text")
+    val got = Dedup.pruneBoilerplate(corpus, "doc_id", "text",
+        window = 2, minDocs = 3L)
+      .select($"doc_id", $"text_clean", $"n_removed", $"n_chunks_removed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("cc dd", 2L, 1L)))
+    assert(got(1L) == (("xx yy", 2L, 1L)))
+    // both of doc 2's chunks are hot — fully emptied, 3 tokens dropped
+    assert(got(2L) == (("", 3L, 2L)))
+    assert(got(3L) == (("pp qq rr", 0L, 0L)))
+    assert(got(4L) == (("", 1L, 1L)) && got(5L) == (("", 1L, 1L)))
+  }
+
   test("repetition signals: ratio and top token") {
     val r = Seq((1L, "a a a b"), (2L, "w x y z"))
       .toDF("doc_id", "text")
