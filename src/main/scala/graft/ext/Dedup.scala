@@ -122,6 +122,49 @@ object Dedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /** Exact shingle-CONTAINMENT pairs: directed (id_a, id_b) where
+    * |A∩B| / |A| ≥ θ — the asymmetric cousin of Jaccard that catches
+    * quotes, excerpts and partial copies a symmetric threshold misses
+    * (a 100-token quote inside a 10k-token page has Jaccard ≈ 0.01
+    * but containment 1.0 from the quote's side).
+    *
+    * Lossless prefix filter on the CONTAINED side only: if
+    * |A∩B| ≥ ⌈θ|A|⌉, the globally-rarest shared shingle cannot sit
+    * entirely in A's last ⌈θ|A|⌉−1 rarity positions, so A's first
+    * |A|−⌈θ|A|⌉+1 shingles (df asc, shingle asc) must hit B. The
+    * container side carries no size bound (containment ignores |B|),
+    * so B indexes ALL its shingles — the probe side's rarity
+    * ordering is what keeps the join off hot keys: stop-grade
+    * shingles appear in prefixes only for docs that have nothing
+    * rarer, which is exactly the AllPairs candidate-minimizing order
+    * (Bayardo et al., WWW'07, §3 applied one-sided). Containment is
+    * then verified EXACTLY over the full shingle arrays. */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+                       n: Int, threshold: Double): DataFrame = {
+    val sets = docShingleSets(df, id, text, n).cache()
+    val rows = sets.select(col("_id"), col("sz"), explode(col("shs")).as("sh"))
+    val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("df"), col("sh"))
+    val prefix = rows.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("_id", "sh")
+    val candidates = prefix.as("a")
+      .join(rows.select(col("_id"), col("sh")).as("b"),
+        col("a.sh") === col("b.sh") && col("a._id") =!= col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sets.as("sa"), col("id_a") === col("sa._id"))
+      .join(sets.as("sb"), col("id_b") === col("sb._id"))
+      .withColumn("shared",
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") / col("sa.sz")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash+LSH near-dup pairs: k-perm signatures via the native
     * [[graft.functions.MinHashAgg]] (map-side partial aggregation —
     * the shuffle carries one k-long signature per doc, not k rows per

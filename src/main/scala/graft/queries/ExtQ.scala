@@ -2193,6 +2193,33 @@ object ExtQ {
       |  nchunks::BIGINT AS n_chunks_removed
       |FROM final ORDER BY doc_id""".stripMargin)
 
+  /** Asymmetric containment pairs (quote/excerpt detection): directed
+    * |A∩B|/|A| ≥ 0.7 over word-3-gram shingles — catches partial
+    * copies whose symmetric Jaccard sits far below any dedup
+    * threshold. Oracle recomputes exact containment over all pairs. */
+  private val x76: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.7)
+        .orderBy($"id_a", $"id_b")
+    },
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |      for i in range(1, len(s) - 1) ])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |cont AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    COUNT(*)::DOUBLE / any_value(sa.sz) AS containment
+      |  FROM sh a
+      |  JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |  JOIN sizes sa ON sa.doc_id = a.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, containment FROM cont
+      |WHERE containment >= 0.7 ORDER BY id_a, id_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2296,5 +2323,6 @@ object ExtQ {
     "x73_transition_counts" -> (x73._1, Some(x73._2)),
     "x74_funnel_within" -> (x74._1, Some(x74._2)),
     "x75_boilerplate_prune" -> (x75._1, Some(x75._2)),
+    "x76_containment_pairs" -> (x76._1, Some(x76._2)),
   )
 }

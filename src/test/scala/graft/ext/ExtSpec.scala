@@ -509,6 +509,23 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("containmentPairs: directed asymmetry — the quote hits, the page does not") {
+    val corpus = Seq(
+      (1L, "q w e r t"),                 // 3 shingles, all inside doc 2
+      (2L, "q w e r t y u"),             // 5 shingles, superset of doc 1's
+      (3L, "completely unrelated words here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // C(1→2) = 3/3; C(2→1) = 3/5 misses the threshold; 3 pairs with nobody
+    assert(got == Map((1L, 2L) -> 1.0))
+    // at θ=0.5 the reverse direction appears with its exact value
+    val loose = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(loose == Map((1L, 2L) -> 1.0, (2L, 1L) -> 0.6))
+  }
+
   test("pruneBoilerplate: hot chunks removed at every position, cold docs untouched") {
     val corpus = Seq(
       (0L, "aa bb cc dd"),  // "aa bb" hot (df 3) at chunk 0
