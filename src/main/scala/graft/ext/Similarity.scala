@@ -138,6 +138,32 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the k most cosine-similar corpus vectors carrying a
+    * DIFFERENT label — the near-boundary negatives that make
+    * InfoNCE/triplet batches informative (random negatives are mostly
+    * trivial at scale). Same plan shape as [[bruteForceTopK]]: the
+    * query side broadcasts with its labels, the corpus streams and
+    * drives parallelism, the label-mismatch predicate rides the same
+    * broadcast join, and the per-query top-k is a bounded window. */
+  def hardNegatives(queries: DataFrame, qId: String, qVec: String,
+                    qLabel: String, corpus: DataFrame, cId: String,
+                    cVec: String, cLabel: String, k: Int): DataFrame = {
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(qVec).as("qv"), col(qLabel).as("qlab")))
+    val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"),
+        col(cLabel).as("neg_label"))
+      .repartition(parts)
+    val scored = c.join(q, col("query_id") =!= col("neighbour_id") &&
+        col("qlab") =!= col("neg_label"))
+      .select(col("query_id"), col("neighbour_id"), col("neg_label"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-bit sketch over `bits` deterministic md5-derived hyperplanes
     * ([[Planes]]): the plane matrix is hoisted to literals at plan
     * time, so the per-row cost is `bits` codegen'd dot products — and

@@ -2220,6 +2220,35 @@ object ExtQ {
       |SELECT id_a, id_b, containment FROM cont
       |WHERE containment >= 0.7 ORDER BY id_a, id_b""".stripMargin)
 
+  /** Hard-negative mining: per query vector, the 10 nearest corpus
+    * vectors with a different label (the near-boundary negatives a
+    * contrastive batch builder wants); exact brute-force at gate
+    * scale, same 6-dp cosine convention as x06. */
+  private val x77: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(
+          emb.filter($"vec_id" < 8), "vec_id", "embedding", "label",
+          emb, "vec_id", "embedding", "label", k = 10)
+        .select($"query_id", $"neighbour_id", $"neg_label", $"rank",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    },
+    s"""SELECT query_id, neighbour_id, neg_label, rank,
+       |  floor(cosine * 1e6 + 0.5) / 1e6 AS cos6
+       |FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+       |    c.label AS neg_label,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id)
+       |      AS INTEGER) AS rank
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id <> c.vec_id AND q.label <> c.label
+       |  WHERE q.vec_id < 8)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2324,5 +2353,6 @@ object ExtQ {
     "x74_funnel_within" -> (x74._1, Some(x74._2)),
     "x75_boilerplate_prune" -> (x75._1, Some(x75._2)),
     "x76_containment_pairs" -> (x76._1, Some(x76._2)),
+    "x77_hard_negatives" -> (x77._1, Some(x77._2)),
   )
 }

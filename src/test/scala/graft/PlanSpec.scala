@@ -146,7 +146,8 @@ class PlanSpec extends AnyFunSuite {
       "x53_bm25_top_terms",      // 1-row (n_docs, t_toks) broadcast
       "x55_pmi_collocations",    // 1-row pair-total broadcast
       "x69_kmeans_assign",       // ≤k-row centroid table broadcast
-      "x72_decayed_score")       // 1-row max-timestamp broadcast
+      "x72_decayed_score",       // 1-row max-timestamp broadcast
+      "x77_hard_negatives")      // exact baseline: queries broadcast the corpus scan
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

@@ -509,6 +509,23 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("hardNegatives: same-label twin excluded, nearest other-label wins") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query
+      (1L, Array(0.99f, 0.1f), 0),  // same-label twin — closest overall, excluded
+      (2L, Array(0.9f, 0.3f), 1),   // hardest negative
+      (3L, Array(0.0f, 1.0f), 1),   // easy negative
+      (4L, Array(-1.0f, 0.0f), 2)   // opposite
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+        emb.filter($"vec_id" === 0L), "vec_id", "embedding", "label",
+        emb, "vec_id", "embedding", "label", k = 2)
+      .select($"neighbour_id", $"neg_label", $"rank")
+      .orderBy($"rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((2L, 1, 1), (3L, 1, 2)))
+  }
+
   test("containmentPairs: directed asymmetry — the quote hits, the page does not") {
     val corpus = Seq(
       (1L, "q w e r t"),                 // 3 shingles, all inside doc 2
