@@ -61,6 +61,72 @@ object Temporal {
       .select(col(key), col("w.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Top session paths (the "common journeys" clickstream report):
+    * gap-sessionize per key with the same diff ≤ gap convention as
+    * [[sessionize]] — lag-derived here so every EVENT carries its
+    * session id, which the aggregated session_window form cannot give
+    * — then take each session's first `maxSteps` event types in time
+    * order (`tieBreak` settles equal timestamps), join them with '>',
+    * and count sessions per path.
+    *
+    * Scale shape: two key-bounded windows (per key, then per
+    * key+session — user event counts bound both partitions), ONE
+    * bounded collect of ≤ maxSteps structs per session (never the
+    * whole session — power users can't blow a reducer), a
+    * map-combined path count, and a TakeOrdered top-n at a total
+    * order (count desc, path asc). */
+  def sessionPaths(events: DataFrame, key: String, ts: String, typ: String,
+                   tieBreak: String, gap: String, maxSteps: Int,
+                   topN: Int): DataFrame = {
+    require(maxSteps > 0 && topN > 0, "maxSteps and topN must be positive")
+    val ev = events.select(col(key).as("_k"), col(ts).as("_ts"),
+      col(typ).as("_ty"), col(tieBreak).as("_tb"))
+    val wu = Window.partitionBy("_k").orderBy(col("_ts"), col("_tb"))
+    val tagged = ev
+      .withColumn("_brk",
+        when(col("_ts") - lag(col("_ts"), 1).over(wu) <=
+          expr(s"INTERVAL $gap"), lit(0)).otherwise(lit(1)))
+      .withColumn("_sess", sum(col("_brk"))
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("_k"), col("_sess"))
+      .orderBy(col("_ts"), col("_tb"))
+    val steps = tagged.withColumn("_rn", row_number().over(ws))
+      .filter(col("_rn") <= maxSteps)
+    val paths = steps.groupBy(col("_k"), col("_sess"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("_rn"), col("_ty")))),
+        p => p("_ty"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
+  /** Trailing time-window aggregates: for every event, the count and
+    * exact decimal sum of the same key's `value` over the preceding
+    * `windowSec` seconds, current row inclusive — the rolling
+    * "activity in the last hour" feature family.
+    *
+    * The frame is a RANGE over MICROSECOND epochs (`unix_micros`),
+    * not truncated seconds — event data keeps sub-second precision
+    * and a seconds-truncated frame silently widens the window by up
+    * to a second. RANGE frames are value-determined, so rows with
+    * equal (key, ts) are peers sharing one frame: the result is
+    * partition-order independent by construction. One key-bounded
+    * window, sum pinned to DECIMAL(18,2). */
+  def trailingWindow(events: DataFrame, key: String, ts: String,
+                     value: String, tieBreak: String,
+                     windowSec: Long): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val w = Window.partitionBy(col(key))
+      .orderBy(unix_micros(col(ts).cast("timestamp")))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    events.select(col(key), col(tieBreak), col(ts), col(value))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum",
+        sum(col(value).cast("decimal(18,2)")).over(w).cast("double"))
+      .drop(value)
+  }
+
   /** Interval-producing variant of [[sessionize]]: one row per
     * (key, session) with the INCLUSIVE event-time span
     * [session_start, session_end] (first and last event ts — not the

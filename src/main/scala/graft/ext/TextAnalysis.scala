@@ -209,6 +209,28 @@ object TextAnalysis {
       .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_toks"))
   }
 
+  /** Good–Turing frequency spectrum: N_r = how many distinct tokens
+    * occur exactly r times, plus the Turing adjusted-count NUMERATOR
+    * (r+1)·N_{r+1} — kept integer so the estimate r* = (r+1)N_{r+1}/N_r
+    * stays an exact rational and no float division crosses an engine
+    * boundary (the n-gram smoothing statistic of Katz/SGT backoff;
+    * N_1/N also estimates the unseen-mass/OOV rate of a corpus).
+    *
+    * Scale shape: one map-combined token count, one map-combined
+    * spectrum count over it (output is ≤ max-frequency rows — tiny),
+    * and one self-join on r+1 of that tiny table. */
+  def countOfCounts(df: DataFrame, text: String): DataFrame = {
+    val counts = df
+      .select(explode(filter(tokens(col(text)), t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("r"))
+    val spectrum = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+    spectrum.as("a")
+      .join(spectrum.select(col("r").as("_r1"), col("n_r").as("_n1")).as("b"),
+        col("a.r") + 1 === col("_r1"), "left")
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        ((col("a.r") + 1) * coalesce(col("_n1"), lit(0L))).as("gt_num"))
+  }
+
   /** Per-document BIGRAM (conditional) surprisal — one step closer to
     * CCNet's LM signal than [[unigramSurprisal]]: each token is scored
     * against its predecessor, `floor(log2(cnt(prev) / cnt(prev,tok)))`

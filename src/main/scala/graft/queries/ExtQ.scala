@@ -2249,6 +2249,78 @@ object ExtQ {
        |  WHERE q.vec_id < 8)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 
+  /** Top-20 session paths: 30-minute gap sessions, first 3 event
+    * types joined with '>' — the common-journeys clickstream report;
+    * session convention matches x13's sessionize exactly. */
+  private val x78: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.sessionPaths(t(s, d, "events"), "user_id", "ts",
+          "event_type", "event_id", gap = "30 minutes",
+          maxSteps = 3, topN = 20)
+    },
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_type, event_id,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM (
+      |    SELECT user_id, ts, event_type, event_id,
+      |      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id) <= INTERVAL 30 MINUTE
+      |           THEN 0 ELSE 1 END AS brk
+      |    FROM events)),
+      |steps AS (
+      |  SELECT user_id, sess, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, sess
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM tagged),
+      |paths AS (
+      |  SELECT user_id, sess,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM steps WHERE rn <= 3 GROUP BY user_id, sess)
+      |SELECT path, COUNT(*)::BIGINT AS n_sessions FROM paths
+      |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)
+
+  /** Rolling 1-hour trailing count + exact decimal sum per user —
+    * RANGE frame over microsecond epochs on both engines. */
+  private val x79: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.trailingWindow(t(s, d, "events"), "user_id", "ts",
+          "value", "event_id", windowSec = 3600L)
+        .withColumn("ts", $"ts".cast("timestamp_ntz"))
+        .orderBy($"user_id", $"event_id")
+    },
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  trail_n, trail_sum
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    COUNT(*) OVER w AS trail_n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |      AS trail_sum
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+      |ORDER BY user_id, event_id""".stripMargin)
+
+  /** Good–Turing frequency spectrum over corpus unigrams: N_r plus the
+    * integer Turing numerator (r+1)·N_{r+1}. */
+  private val x80: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.countOfCounts(t(s, d, "documents"), "text")
+        .orderBy($"r")
+    },
+    """WITH c AS (
+      |  SELECT tok, COUNT(*)::BIGINT AS r
+      |  FROM (SELECT unnest([t for t in string_split(text, ' ')
+      |                       if len(t) > 0]) AS tok FROM documents)
+      |  GROUP BY tok),
+      |sp AS (SELECT r, COUNT(*)::BIGINT AS n_r FROM c GROUP BY r)
+      |SELECT a.r, a.n_r,
+      |  ((a.r + 1) * COALESCE(b.n_r, 0))::BIGINT AS gt_num
+      |FROM sp a LEFT JOIN sp b ON b.r = a.r + 1 ORDER BY a.r""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2354,5 +2426,8 @@ object ExtQ {
     "x75_boilerplate_prune" -> (x75._1, Some(x75._2)),
     "x76_containment_pairs" -> (x76._1, Some(x76._2)),
     "x77_hard_negatives" -> (x77._1, Some(x77._2)),
+    "x78_session_paths" -> (x78._1, Some(x78._2)),
+    "x79_trailing_window" -> (x79._1, Some(x79._2)),
+    "x80_count_of_counts" -> (x80._1, Some(x80._2)),
   )
 }

@@ -509,6 +509,14 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("countOfCounts: spectrum and Turing numerator, missing N_{r+1} is 0") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a→2, b→2, c→1 ⇒ N_1=1, N_2=2
+    val got = TextAnalysis.countOfCounts(corpus, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 4L)), 2L -> ((2L, 0L))))
+  }
+
   test("hardNegatives: same-label twin excluded, nearest other-label wins") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 0),   // query

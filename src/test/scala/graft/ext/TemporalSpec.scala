@@ -92,6 +92,47 @@ class TemporalSpec extends AnyFunSuite {
     assert(unbounded(2L) == 3L && unbounded(4L) == 2L)
   }
 
+  test("sessionPaths: gap boundary inclusive, paths capped at maxSteps") {
+    val ev = Seq(
+      // user 1, session 1: four events — path truncates to first 3
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 10:10:00"), "b", 2L),
+      (1L, ts("2024-01-01 10:20:00"), "c", 3L),
+      (1L, ts("2024-01-01 10:25:00"), "d", 4L),
+      // user 1, session 2 (70 min after previous event)
+      (1L, ts("2024-01-01 11:35:00"), "a", 5L),
+      (1L, ts("2024-01-01 11:40:00"), "b", 6L),
+      (2L, ts("2024-01-01 10:00:00"), "a", 7L),
+      (2L, ts("2024-01-01 10:10:00"), "b", 8L),
+      // user 3: exactly the 30-min gap apart — SAME session (diff <= gap)
+      (3L, ts("2024-01-01 10:00:00"), "x", 9L),
+      (3L, ts("2024-01-01 10:30:00"), "x", 10L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Temporal.sessionPaths(ev, "user_id", "ts", "event_type",
+        "event_id", gap = "30 minutes", maxSteps = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a>b", 2L), ("a>b>c", 1L), ("x>x", 1L)))
+  }
+
+  test("trailingWindow: microsecond-exact frame edge, equal-ts peers share") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0, 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2.0, 2L),
+      // exactly 1h after the first event — inclusive, frame holds all 3
+      (1L, ts("2024-01-01 11:00:00"), 4.0, 3L),
+      // one microsecond later — the 10:00 event falls out
+      (1L, ts("2024-01-01 11:00:00.000001"), 8.0, 4L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = Temporal.trailingWindow(ev, "user_id", "ts", "value",
+        "event_id", windowSec = 3600L)
+      .select($"event_id", $"trail_n", $"trail_sum")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((1L, 1.0)))
+    assert(got(2L) == ((2L, 3.0)))
+    assert(got(3L) == ((3L, 7.0)))
+    assert(got(4L) == ((3L, 14.0)))
+  }
+
   test("retention: cohorts by first date, offsets count distinct users") {
     val ev = Seq(
       // user 1: first on Jan 1, active again Jan 2 (twice) and Jan 3
