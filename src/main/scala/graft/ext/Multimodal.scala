@@ -268,6 +268,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit perceptual difference hash (dHash) over real P6 payloads:
+    * the image is nearest-neighbour-sampled onto a 9×8 luma grid (the
+    * same floor kernel as [[resize]], the same integer 299/587/114
+    * luma as [[decode]]) and bit r·8+c is set when
+    * grid(r,c) < grid(r,c+1) — the sign pattern of horizontal
+    * gradients, which survives rescaling and small edits that change
+    * every byte-level digest. Appends `dhash` (LongType; null when no
+    * parser claims the payload). Pure scan-transform, no shuffle;
+    * pairing happens in [[imageNearDups]]. */
+  def dHash(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("dhash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val sig: java.lang.Long =
+          if (payload == null) null
+          else scala.util.Try(parsePpm(payload).map { case (w, ht, px) =>
+            val luma = Array.ofDim[Int](8, 9)
+            var gy = 0
+            while (gy < 8) {
+              val sy = (gy.toLong * ht / 8).toInt
+              var gx = 0
+              while (gx < 9) {
+                val sx = (gx.toLong * w / 9).toInt
+                val si = 3 * (sy * w + sx)
+                luma(gy)(gx) =
+                  (java.lang.Byte.toUnsignedInt(px(si)) * 299 +
+                   java.lang.Byte.toUnsignedInt(px(si + 1)) * 587 +
+                   java.lang.Byte.toUnsignedInt(px(si + 2)) * 114) / 1000
+                gx += 1
+              }
+              gy += 1
+            }
+            var h = 0L
+            var bit = 0
+            while (bit < 64) {
+              if (luma(bit / 8)(bit % 8) < luma(bit / 8)(bit % 8 + 1))
+                h |= (1L << bit)
+              bit += 1
+            }
+            java.lang.Long.valueOf(h)
+          }.orNull).getOrElse(null)
+        Row.fromSeq(r.toSeq :+ sig)
+      }
+    }(enc)
+  }
+
+  /** Perceptual image near-dup pairs: [[dHash]] signatures paired
+    * inside a hamming ball via the same lossless pigeonhole banding
+    * as text SimHash ([[Dedup.simhashCandidates]] — k flips cannot
+    * touch all k+1 disjoint signature chunks) and then EXACTLY
+    * hamming-verified. Returns (id_a, id_b, hamming); payloads no
+    * parser claims simply don't participate. The signature step is
+    * scan-speed; the pair join shuffles 16-byte (id, chunk) rows
+    * only — at 100 TB of images the bytes never leave the scan. */
+  def imageNearDups(df: DataFrame, id: String, maxHamming: Int): DataFrame = {
+    val sigs = dHash(df).filter(col("dhash").isNotNull)
+      .select(col(id).as("_id"), col("dhash").as("sig"))
+    Dedup.simhashCandidates(sigs, maxHamming)
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Partition-wise PCM WAV resample (nearest-sample / zero-order
     * hold): 16-bit PCM payloads are re-emitted as a valid RIFF/WAVE
     * at `targetRate` — output sample i copies input sample

@@ -149,6 +149,41 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(f(1) == 0.0f) // no second channel
   }
 
+  test("dHash: scale-invariant gradients, single-cell flip, banded pairing") {
+    // gray P6 from a luma grid: r=g=b=v gives luma exactly v (weights
+    // sum to 1000), and a 9x8 source maps onto the hash grid 1:1
+    def grayPpm(grid: Array[Array[Int]], scale: Int = 1): Array[Byte] = {
+      val h = grid.length * scale; val w = grid(0).length * scale
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px(3 * (y * w + x) + c) = grid(y / scale)(x / scale).toByte
+      header ++ px
+    }
+    val ascending = Array.fill(8)(Array.tabulate(9)(c => c * 10))
+    val oneFlip = ascending.map(_.clone)
+    oneFlip(0)(0) = 50                     // only bit (0,0) changes
+    val descending = Array.fill(8)(Array.tabulate(9)(c => (8 - c) * 10))
+    val rows = Seq(
+      (1L, grayPpm(ascending), "image/x-portable-pixmap"),
+      (2L, grayPpm(oneFlip), "image/x-portable-pixmap"),
+      (3L, grayPpm(descending), "image/x-portable-pixmap"),
+      (4L, grayPpm(ascending, scale = 2), "image/x-portable-pixmap"),
+      (5L, "not an image".getBytes("US-ASCII"), "image/png")
+    ).toDF("media_id", "payload", "media_type")
+    val sigs = Multimodal.dHash(rows).select($"media_id", $"dhash")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Long]("dhash"))).toMap
+    assert(sigs(1L).contains(-1L))          // every gradient ascends
+    assert(sigs(3L).contains(0L))           // every gradient descends
+    assert(sigs(4L) == sigs(1L))            // 2x upscale: same hash
+    assert(java.lang.Long.bitCount(sigs(1L).get ^ sigs(2L).get) == 1)
+    assert(sigs(5L).isEmpty)                // no codec claims it
+    val pairs = Multimodal.imageNearDups(rows, "media_id", maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 1), (1L, 4L, 0), (2L, 4L, 1)))
+  }
+
   test("resize resamples real PPM payloads nearest-neighbour, stubs pass null") {
     // 2x2 quadrant image: TL red, TR green, BL blue, BR white
     val px: Array[Byte] = Array(
