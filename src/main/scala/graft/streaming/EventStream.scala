@@ -233,6 +233,21 @@ object EventStream {
       }
       .start()
 
+  /** Normalize an event frame's `ts` to a true TimestampType —
+    * watermarks reject both spellings files actually use:
+    * TIMESTAMP(NANOS) (a LongType under nanosAsLong) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (TIMESTAMP_NTZ). The
+    * session runs in UTC, so the NTZ cast is an identity relabel. */
+  def normalizeTs(df: DataFrame,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Drive a parquet-backed stream of the events table through
     * `hourlyCounts` into an in-memory sink; returns the materialized
     * result. Used by specs and as executable documentation for the
@@ -249,10 +264,7 @@ object EventStream {
       } else eventsPath
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-    val withTs =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    val withTs = normalizeTs(stream, schema)
     val q = hourlyCounts(withTs).writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName("graft_hourly")

@@ -17,14 +17,22 @@ import org.apache.spark.sql.Column
 object tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // `events.ts` is parquet TIMESTAMP(NANOS); with
-    // spark.sql.legacy.parquet.nanosAsLong it arrives as nanos-since-
-    // epoch LongType — surface it as a true TimestampType (µs).
-    if (name == "events" &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    // Normalize `events.ts` to a true TimestampType regardless of how
+    // the file spells it: TIMESTAMP(NANOS) arrives as nanos-since-
+    // epoch LongType (spark.sql.legacy.parquet.nanosAsLong), and
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    // TIMESTAMP_NTZ — which watermarks and unix_timestamp() reject.
+    // The session runs in UTC, so the NTZ cast is an identity relabel.
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", df("ts").cast("timestamp"))
+        case _ => df
+      }
     } else df
   }
 

@@ -191,10 +191,7 @@ class EventStreamSpec extends AnyFunSuite {
       stage.resolve("events.parquet"))
     val schema = spark.read.parquet(stage.toString).schema
     val raw = spark.readStream.schema(schema).parquet(stage.toString)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = EventStream.normalizeTs(raw, schema)
     val q = EventStream.enrichedHourly(stream, dim, "user_id", "segment")
       .writeStream.outputMode("complete").format("memory")
       .queryName("graft_enriched").start()
