@@ -305,4 +305,95 @@ object Graph {
     tris.select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999), `iters` synchronous
+    * rounds in scaled-integer arithmetic: good hubs point at good
+    * authorities and vice versa — the complementary signal to
+    * [[pageRankInt]] over link/citation/reference graphs (a page that
+    * LINKS to many authoritative sources is itself a curation signal,
+    * which PageRank's in-link view cannot see).
+    *
+    * Per round, using the previous round's hubs: auth(v) = Σ hub(u)
+    * over edges u→v, L1-normalized back to `scale`; then hub(u) =
+    * Σ auth(v) over u→v, normalized the same way. All arithmetic is
+    * BIGINT with floor `div` — bit-identical on any engine or
+    * partitioning; the oracle unrolls the same ops. `scale` = 1e6 by
+    * default so the hot multiply s·scale stays inside Long for edge
+    * counts up to ~9·10⁶ per node-neighbourhood sum (m·scale² ≤ 2⁶³);
+    * for larger graphs lower `scale` or lift the two multiplies to
+    * DECIMAL(38,0) — precision is a knob, determinism is not.
+    *
+    * Scale shape per round: two edge⋈score equi-joins + two
+    * map-combined sums + two single-row totals (broadcast) — no
+    * windows, no driver-side state beyond the 1-row totals; lineage
+    * truncated per round ([[pageRankInt]] discipline).
+    *
+    * Returns (id, auth, hub) for every node, in `scale` fixed point.
+    */
+  def hitsInt(edges: DataFrame, src: String, dst: String, iters: Int,
+              scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges.select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    require(nodes.limit(1).count() > 0, "empty graph")
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      // raw: (id, s); totals are a 1-row broadcast, never a collect
+      val tot = raw.agg(sum(col("s")).as("t"))
+      nodes.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("id"),
+          expr(s"coalesce(s, CAST(0 AS BIGINT)) * ${scale}L div t").as(out))
+    }
+    var hubs = nodes.select(col("id"), lit(scale).as("hub")).localCheckpoint()
+    var auths: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val aRaw = e.join(hubs.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s"))
+      val prevA = auths
+      auths = normalized(aRaw, "auth").localCheckpoint()
+      if (prevA != null) prevA.unpersist()
+      val hRaw = e.join(auths.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s"))
+      val prevH = hubs
+      hubs = normalized(hRaw, "hub").localCheckpoint()
+      prevH.unpersist()
+    }
+    auths.join(hubs, "id")
+  }
+
+  /** [[hitsInt]] as unrolled DuckDB SQL (MATERIALIZED round CTEs —
+    * same exponential-inlining hazard as [[kCoreSql]]), sharing the
+    * edge-CTE parameterization with [[pageRankSql]]. */
+  def hitsSql(edgeCte: String, iters: Int, scale: Long = 1000000L): String = {
+    val header =
+      s"""WITH raw AS ($edgeCte),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+         |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+         |h0 AS MATERIALIZED (SELECT id, $scale::BIGINT AS hub FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val ph = s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, SUM($ph.hub)::BIGINT AS s
+         |  FROM e JOIN $ph ON $ph.id = e.src GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.id,
+         |    (COALESCE(ar.s, 0) * $scale // (SELECT SUM(s) FROM ar$i))::BIGINT AS auth
+         |  FROM nodes n LEFT JOIN ar$i ar ON ar.id = n.id),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS id, SUM(a$i.auth)::BIGINT AS s
+         |  FROM e JOIN a$i ON a$i.id = e.dst GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.id,
+         |    (COALESCE(hr.s, 0) * $scale // (SELECT SUM(s) FROM hr$i))::BIGINT AS hub
+         |  FROM nodes n LEFT JOIN hr$i hr ON hr.id = n.id)""".stripMargin
+    }
+    (Seq(header) ++ steps).mkString(",\n") +
+      s"""
+         |SELECT a.id::BIGINT AS id, a.auth, h.hub
+         |FROM a$iters a JOIN h$iters h ON h.id = a.id ORDER BY a.id""".stripMargin
+  }
 }

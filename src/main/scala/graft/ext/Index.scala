@@ -85,4 +85,33 @@ object Index {
       concat_ws(";", transform(col("top"),
         s => concat(s("id").cast("string"), lit(":"),
           s("v").cast("long").cast("string")))).as("champions"))
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N independent
+    * rankings of the same id space — the standard hybrid-retrieval
+    * combiner (lexical BM25 list ⊕ ANN vector list) and, in a
+    * curation pipeline, the way several quality orderings merge into
+    * one sampling priority without score calibration.
+    *
+    * Each input is (id, rank) with rank ≥ 1. The textbook score
+    * Σ 1/(k + rank) is float; here each contribution is the exact
+    * integer floor(scale / (k + rank)) so the fused ordering is
+    * bit-stable across engines and partitionings (ties broken by id).
+    * An id missing from a list simply contributes nothing (standard
+    * RRF semantics — union, not intersection).
+    *
+    * Scale shape: a union of the (already tiny, top-k-sized) ranking
+    * frames + one map-combined sum per id + a TakeOrdered limit —
+    * never touches the corpus itself. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, topN: Int,
+              scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty && k >= 0 && topN > 0,
+      "need >= 1 ranking, k >= 0, topN > 0")
+    val contribs = rankings.map(_.select(col("id"),
+      expr(s"${scale}L div (CAST($k AS BIGINT) + rank)").as("c")))
+    contribs.reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(sum(col("c")).as("rrf_scaled"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_scaled").desc, col("id"))
+      .limit(topN)
+  }
 }

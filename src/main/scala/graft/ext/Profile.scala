@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Numeric data profiling.
   *
@@ -136,6 +137,34 @@ object Profile {
             .cast("long"),
           lit(bins - 1L))).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
+  /** Equal-frequency (quantile) binning of column `c` into `bins`
+    * buckets — the feature-engineering discretizer (score → decile)
+    * and the partition-balancing primitive ([[histogram]] is
+    * equal-WIDTH; skewed value distributions need equal MASS). Each
+    * bin's population differs by at most one row; NTILE's standard
+    * rule (the first `n mod bins` bins take the extra row) over the
+    * total order (value, tieBreak) makes assignment engine-exact.
+    * Returns per-bin (bin, n, lo, hi) summaries.
+    *
+    * Scale note: a single global NTILE means one all-rows sort on one
+    * reducer — fine for gate-scale, wrong at 100 TB. There, cut
+    * boundaries from [[QuantileSketchAgg]] (mergeable KLL partials)
+    * and bin by broadcast range lookup instead; this exact form is
+    * for the regimes where exact decile edges are the CONTRACT
+    * (billing tiers, regulatory bands). */
+  def equalFrequencyBins(df: DataFrame, c: String, tieBreak: String,
+                         bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val w = Window.orderBy(col("x"), col("_tb"))
+    df.select(col(c).as("x"), col(tieBreak).as("_tb"))
+      .filter(col("x").isNotNull)
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
+        max(col("x")).as("hi"))
       .orderBy("bin")
   }
 }

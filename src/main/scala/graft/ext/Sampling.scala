@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic sampling operators for training-data pipelines.
   *
@@ -116,5 +117,41 @@ object Sampling {
       }
     df.withColumn("split",
       labeled.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1)))
+  }
+
+  /** Deterministic negative sampling for contrastive / recommender
+    * training: for every user in `interactions`, pick `k` items from
+    * the item vocabulary the user has NEVER interacted with, ranked
+    * by a salted per-(user, item) hash — the uniform-negative
+    * baseline, reproducible run-to-run (a `rand()` draw is not, and
+    * resampling negatives between epochs silently changes the
+    * training distribution).
+    *
+    * Plan shape at scale: the item vocabulary is derived once
+    * (map-combined distinct — vocabularies are small relative to
+    * interactions by definition) and broadcast against the distinct
+    * user set; the seen-set removal is one (user, item) anti-join of
+    * the candidate grid against the deduplicated interactions; the
+    * per-user top-k is a key-bounded window over ≤ |vocab| rows per
+    * user. Nothing global is ever sorted; the grid is |users|·|vocab|
+    * rows, the honest cost of uniform negatives (cap the vocabulary
+    * upstream if it is not dimension-sized). */
+  def hashNegatives(interactions: DataFrame, user: String, item: String,
+                    k: Int, salt: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val seen = interactions.select(col(user).as("_u"), col(item).as("_i"))
+      .distinct()
+    val users = seen.select(col("_u")).distinct()
+    val vocab = seen.select(col("_i")).distinct()
+    val candidates = users.join(broadcast(vocab))
+      .join(seen, Seq("_u", "_i"), "left_anti")
+    val w = Window.partitionBy(col("_u")).orderBy(
+      md5(concat_ws(" ", lit(salt), col("_u").cast("string"),
+        col("_i").cast("string"))),
+      col("_i"))
+    candidates.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("_u").as(user), col("_i").as(s"neg_$item"),
+        col("neg_rank").cast("long").as("neg_rank"))
   }
 }

@@ -119,6 +119,135 @@ object Similarity {
         col("m.d2").as("d2"))
   }
 
+  /** Full Lloyd's k-means (`rounds` synchronous iterations) in the
+    * int8-quantized INTEGER domain — [[int8Assign]] is the E-step;
+    * this adds the M-step loop, so the operator TRAINS the quantizer
+    * the embedding-clustering pipelines need (corpus bucketing for
+    * semantic mixing, IVF codebooks, topic discovery) instead of
+    * assuming labels.
+    *
+    * Determinism, the whole point: seeds are the `k` smallest-id
+    * vectors (no RNG), every distance is an exact integer, argmin
+    * ties break to the smallest centroid id, and the recomputed
+    * centroid is the half-up rounded mean via the same non-negative
+    * integer division as [[int8Assign]] — the trajectory is therefore
+    * bit-identical on any engine/partitioning, and the oracle unrolls
+    * the identical arithmetic ([[kmeansLloydSql]]). A cluster that
+    * loses all members keeps its previous centroid (both engines).
+    *
+    * Scale shape per round: centroids broadcast (k·dims longs),
+    * assignment is an in-row fold + map-combined min(struct), M-step
+    * is one posexplode + map-combined (cluster, pos) sum — the corpus
+    * shuffles only on its own id at the assignment join; lineage
+    * truncated per round ([[graft.ext.Graph.pageRankInt]]
+    * discipline). Returns the final (vec_id, cluster, d2). */
+  def kmeansLloyd(df: DataFrame, id: String, vec: String, k: Int,
+                  rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    val q = df.select(col(id).as("vid"),
+        int8Quantize(col(vec)).getField("q").as("q8"))
+      .localCheckpoint()
+    val seedW = org.apache.spark.sql.expressions.Window.orderBy(col("vid"))
+    var cents = q.orderBy("vid").limit(k)
+      .withColumn("cluster", row_number().over(seedW).cast("long") - 1L)
+      .select(col("cluster"), col("q8").as("cvec"))
+      .localCheckpoint()
+    def assignTo(c: DataFrame): DataFrame =
+      q.crossJoin(broadcast(c))
+        .withColumn("d2", aggregate(
+          zip_with(col("q8"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .groupBy(col("vid"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+        .select(col("vid"), col("m.cluster").as("cluster"),
+          col("m.d2").as("d2"))
+    (1 to rounds).foreach { _ =>
+      val asg = assignTo(cents).select(col("vid"), col("cluster"))
+      val sums = asg.join(q, "vid")
+        .select(col("cluster"), posexplode(col("q8")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", expr("((2 * (s + 127 * n) + n) div (2 * n)) - 127"))
+      val fresh = sums.groupBy("cluster")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          x => x("c")).as("cvec"))
+      val prev = cents
+      cents = prev.select(col("cluster"), col("cvec").as("_old"))
+        .join(fresh, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("cvec"), col("_old")).as("cvec"))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    assignTo(cents)
+      .select(col("vid").as("vec_id"), col("cluster"), col("d2"))
+  }
+
+  /** [[kmeansLloyd]] as unrolled DuckDB SQL (MATERIALIZED round CTEs)
+    * over a table with (vec_id, embedding) — the oracle generator;
+    * quantization, seeding, argmin and rounded-mean all mirror the
+    * engine's integer ops exactly. */
+  def kmeansLloydSql(table: String, k: Int, rounds: Int): String = {
+    val header =
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |  FROM $table),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN maxabs = 0
+         |      THEN list_transform(embedding, x -> 0::BIGINT)
+         |      ELSE list_transform(embedding,
+         |        x -> CAST(greatest(-127.0, least(127.0,
+         |          floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+         |          AS BIGINT))
+         |    END AS q8
+         |  FROM m),
+         |dims AS MATERIALIZED (
+         |  SELECT vec_id, unnest(
+         |    [{'pos': i - 1, 'v': q8[i]} for i in range(1, len(q8) + 1)],
+         |    recursive := true)
+         |  FROM q),
+         |c0 AS MATERIALIZED (
+         |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cluster,
+         |    q8 AS cvec
+         |  FROM q ORDER BY vec_id LIMIT $k)""".stripMargin
+    def assignCte(i: Int, cents: String) =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT q.vec_id, c.cluster,
+         |    list_sum([ (q.q8[j] - c.cvec[j]) * (q.q8[j] - c.cvec[j])
+         |               for j in range(1, len(q.q8) + 1) ])::BIGINT AS d2
+         |  FROM q CROSS JOIN $cents c),
+         |a$i AS MATERIALIZED (
+         |  SELECT vec_id, cluster, d2 FROM (
+         |    SELECT vec_id, cluster, d2,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY d2, cluster) AS r
+         |    FROM d$i) WHERE r = 1)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""${assignCte(i, s"c${i - 1}")},
+         |s$i AS MATERIALIZED (
+         |  SELECT a.cluster, d.pos, SUM(d.v)::BIGINT AS s,
+         |    COUNT(*)::BIGINT AS n
+         |  FROM a$i a JOIN dims d ON d.vec_id = a.vec_id
+         |  GROUP BY a.cluster, d.pos),
+         |n$i AS MATERIALIZED (
+         |  SELECT cluster, list(c ORDER BY pos) AS cvec FROM (
+         |    SELECT cluster, pos,
+         |      ((2 * (s + 127 * n) + n) // (2 * n)) - 127 AS c
+         |    FROM s$i)
+         |  GROUP BY cluster),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.cluster, COALESCE(nn.cvec, p.cvec) AS cvec
+         |  FROM c${i - 1} p LEFT JOIN n$i nn ON nn.cluster = p.cluster)""".stripMargin
+    }
+    val fin = rounds + 1
+    (Seq(header) ++ steps :+ assignCte(fin, s"c$rounds")).mkString(",\n") +
+      s"""
+         |SELECT vec_id, cluster::BIGINT AS cluster, d2
+         |FROM a$fin ORDER BY vec_id""".stripMargin
+  }
+
   /** Exact top-k neighbours for each query vector (brute force).
     * Queries are expected to be small → broadcast; corpus streams. */
   def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,

@@ -293,6 +293,79 @@ object Temporal {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Dense time-grid gap filling: per-key hourly (count, exact sum)
+    * buckets with MISSING HOURS MATERIALIZED AS ZERO ROWS between the
+    * key's first and last active hour — the resample/regularize step
+    * every downstream time-series consumer (forecasting features,
+    * anomaly baselines, rate limiting) needs, and precisely what a
+    * plain GROUP BY cannot produce (it has no rows for silent hours).
+    *
+    * Plan shape at scale: one map-combined hourly aggregation (the
+    * only shuffle proportional to event volume), a per-key min/max
+    * agg over the ALREADY-AGGREGATED hourly frame, a `sequence()`
+    * explode bounded by each key's own active span (never a global
+    * calendar cross-join), and one (key, hour) equi-join. A key's
+    * grid is proportional to its own lifetime — idle keys cost
+    * nothing. */
+  def gapFill(events: DataFrame, key: String, ts: String, value: String)
+      : DataFrame = {
+    val hourly = events
+      .groupBy(col(key), date_trunc("hour", col(ts)).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(value).cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val grid = hourly.groupBy(col(key))
+      .agg(min(col("hour")).as("_h0"), max(col("hour")).as("_h1"))
+      .select(col(key),
+        explode(sequence(col("_h0"), col("_h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    grid.join(hourly, Seq(key, "hour"), "left")
+      .select(col(key), col("hour").cast("timestamp_ntz").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  /** Interval union per key (gaps-and-islands): merges overlapping /
+    * touching [start, end] intervals into maximal islands and reports
+    * per key the interval count, island count and total covered
+    * microseconds — true "time on site" under concurrent sessions,
+    * SLA coverage from overlapping maintenance windows, crawl-window
+    * consolidation. Naive SUM(end-start) double-counts overlap; this
+    * is the exact union length.
+    *
+    * Sweep line as ONE key-bounded window pass: intervals sort by
+    * (start, end, tieBreak) — a total order — and a row opens a new
+    * island iff its start exceeds the running max end over all prior
+    * rows (frame: unbounded preceding → 1 preceding). Island ids are
+    * the running sum of those flags; an island's union is contiguous
+    * by construction, so its coverage is max(end) − min(start) and
+    * per-key totals are one map-combined aggregation away. Bounds are
+    * inclusive microsecond instants; adjacent intervals (next.start
+    * == prev.end) merge. */
+  def intervalCoverage(intervals: DataFrame, key: String, start: String,
+                       end: String, tieBreak: String): DataFrame = {
+    val iv = intervals.select(col(key).as("_k"),
+        unix_micros(col(start).cast("timestamp")).as("_s"),
+        unix_micros(col(end).cast("timestamp")).as("_e"),
+        col(tieBreak).as("_tb"))
+      .filter(col("_e") >= col("_s"))
+    val w = Window.partitionBy("_k").orderBy(col("_s"), col("_e"), col("_tb"))
+    val islands = iv
+      .withColumn("_pm", max(col("_e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pm").isNull || col("_s") > col("_pm"), 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("_k"), col("_isl"))
+      .agg(count(lit(1)).as("_n"),
+        (max(col("_e")) - min(col("_s"))).as("_cov"))
+      .groupBy(col("_k"))
+      .agg(sum(col("_n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_cov")).as("covered_us"))
+      .withColumnRenamed("_k", key)
+  }
+
   /** Half-life–decayed score per group — recency weighting without a
     * single float: freshness signals for corpus curation (recent
     * sources weigh more), engagement scoring, feature snapshots.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Bpe, Chunk, Dedup, Drift, Fuzzy, Graph, Index, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ext.{Assoc, Bpe, Chunk, Dedup, Drift, Fuzzy, Graph, Hll, Index, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -2321,6 +2321,214 @@ object ExtQ {
       |  ((a.r + 1) * COALESCE(b.n_r, 0))::BIGINT AS gt_num
       |FROM sp a LEFT JOIN sp b ON b.r = a.r + 1 ORDER BY a.r""".stripMargin)
 
+  /** Dense hourly grid with zero-filled silent hours, per user (users
+    * < 40 bound the gate output; the operator is corpus-general). */
+  private val x81: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.gapFill(t(s, d, "events").filter($"user_id" < 40),
+          "user_id", "ts", "value")
+        .orderBy($"user_id", $"hour")
+    },
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |    COUNT(*)::BIGINT AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+      |  FROM events WHERE user_id < 40 GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+      |         FROM hourly GROUP BY 1),
+      |grid AS (SELECT user_id,
+      |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span)
+      |SELECT g.user_id, CAST(g.h AS TIMESTAMP) AS hour,
+      |  COALESCE(hh.n, 0)::BIGINT AS n_events,
+      |  COALESCE(hh.sv, 0.0) AS sum_value
+      |FROM grid g LEFT JOIN hourly hh
+      |  ON hh.user_id = g.user_id AND hh.h = g.h
+      |ORDER BY g.user_id, hour""".stripMargin)
+
+  /** Exact interval-union coverage per user over overlapping
+    * (event_type × day) activity spans — sweep-line gaps-and-islands,
+    * integer microseconds end to end. */
+  private val x82: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val iv = t(s, d, "events")
+        .groupBy($"user_id", $"event_type", to_date($"ts").as("day"))
+        .agg(min($"ts").as("ivs"), max($"ts").as("ive"))
+      Temporal.intervalCoverage(iv, "user_id", "ivs", "ive", "event_type")
+        .orderBy($"user_id")
+    },
+    """WITH iv AS (
+      |  SELECT user_id, event_type AS tb,
+      |    epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+      |  FROM events GROUP BY user_id, event_type, date_trunc('day', ts)),
+      |w AS (
+      |  SELECT user_id, s, e, tb,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e, tb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, e, tb
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |  FROM w),
+      |grp AS (SELECT user_id, g, COUNT(*)::BIGINT AS n,
+      |          max(e) - min(s) AS cov
+      |        FROM isl GROUP BY user_id, g)
+      |SELECT user_id, SUM(n)::BIGINT AS n_intervals,
+      |  COUNT(*)::BIGINT AS n_islands, SUM(cov)::BIGINT AS covered_us
+      |FROM grp GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  /** HITS hubs/authorities, 3 L1-normalized rounds in scaled-integer
+    * arithmetic over the same synthetic link graph as x42 — oracle
+    * unrolls identical BIGINT ops. */
+  private val x83: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "orders").select(
+        ($"o_custkey" % 100).as("src"), ($"o_orderkey" % 100).as("dst"))
+      Graph.hitsInt(edges, "src", "dst", iters = 3)
+        .orderBy($"id")
+    },
+    Graph.hitsSql(
+      "SELECT o_custkey % 100 AS src, o_orderkey % 100 AS dst FROM orders",
+      iters = 3))
+
+  /** Reciprocal-rank fusion of two top-100 document rankings
+    * (char-length and token-count orderings stand in for the
+    * BM25 ⊕ ANN hybrid-retrieval pair) — integer RRF contributions,
+    * fused top-50. */
+  private val x84: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val byChars = docs.select($"doc_id".as("id"),
+          row_number().over(w.orderBy($"n_chars".desc, $"doc_id")).as("rank"))
+        .filter($"rank" <= 100)
+      val byTokens = docs.select($"doc_id".as("id"),
+          row_number().over(
+            w.orderBy(size(split($"text", " ")).desc, $"doc_id")).as("rank"))
+        .filter($"rank" <= 100)
+      Index.rrfFuse(Seq(byChars, byTokens), k = 60, topN = 50)
+    },
+    """WITH a AS (
+      |  SELECT doc_id AS id,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+      |  FROM documents QUALIFY r <= 100),
+      |b AS (
+      |  SELECT doc_id AS id,
+      |    ROW_NUMBER() OVER (ORDER BY len(string_split(text, ' ')) DESC,
+      |      doc_id) AS r
+      |  FROM documents QUALIFY r <= 100),
+      |u AS (SELECT id, 1000000000 // (60 + r) AS c FROM a
+      |      UNION ALL SELECT id, 1000000000 // (60 + r) FROM b)
+      |SELECT id, SUM(c)::BIGINT AS rrf_scaled, COUNT(*)::BIGINT AS n_lists
+      |FROM u GROUP BY id ORDER BY rrf_scaled DESC, id LIMIT 50""".stripMargin)
+
+  /** Deterministic hash-ranked negative sampling over a user×item
+    * interaction set (custkey → orderkey-bucket items). */
+  private val x85: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val inter = t(s, d, "orders").filter($"o_custkey" < 200)
+        .select($"o_custkey".as("user_id"), ($"o_orderkey" % 50).as("item"))
+      Sampling.hashNegatives(inter, "user_id", "item", k = 3, salt = "neg")
+        .orderBy($"user_id", $"neg_rank")
+    },
+    """WITH seen AS (
+      |  SELECT DISTINCT o_custkey AS u, o_orderkey % 50 AS i
+      |  FROM orders WHERE o_custkey < 200),
+      |users AS (SELECT DISTINCT u FROM seen),
+      |vocab AS (SELECT DISTINCT i FROM seen),
+      |cand AS (
+      |  SELECT users.u, vocab.i FROM users CROSS JOIN vocab
+      |  WHERE NOT EXISTS (SELECT 1 FROM seen s
+      |                    WHERE s.u = users.u AND s.i = vocab.i)),
+      |r AS (
+      |  SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u
+      |    ORDER BY md5('neg ' || u || ' ' || i), i) AS rn
+      |  FROM cand)
+      |SELECT u AS user_id, i AS neg_item, rn::BIGINT AS neg_rank
+      |FROM r WHERE rn <= 3 ORDER BY user_id, neg_rank""".stripMargin)
+
+  /** Equal-frequency decile binning of order totals (NTILE over the
+    * (value, key) total order), per-bin population and bounds. */
+  private val x86: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Profile.equalFrequencyBins(t(s, d, "orders"), "o_totalprice",
+        "o_orderkey", bins = 10)
+    },
+    """WITH b AS (
+      |  SELECT o_totalprice AS x,
+      |    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      |  FROM orders)
+      |SELECT bin::BIGINT AS bin, COUNT(*)::BIGINT AS n,
+      |  min(x) AS lo, max(x) AS hi
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+
+  /** Full Lloyd's k-means (2 rounds, k=8) in the int8 integer domain:
+    * smallest-id seeds, exact integer distances, rounded-mean M-step —
+    * the oracle unrolls the identical arithmetic per round. */
+  private val x87: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Similarity.kmeansLloyd(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 2)
+        .orderBy($"vec_id")
+    },
+    Similarity.kmeansLloydSql("embeddings", k = 8, rounds = 2))
+
+  /** Sharded-HLL distinct counting, self-verified: one sketch per
+    * (event_type, day) shard, union-merged per type, the estimate
+    * gated within 5% of the exact count (the q20 pattern — an
+    * estimate can't hash-match, a blown estimate must still turn the
+    * row red). */
+  private val x88: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").withColumn("day", to_date($"ts"))
+      val approx = Hll.estimateAcrossShards(
+        Hll.sketchBy(ev, Seq("event_type"), "day", "user_id"),
+        Seq("event_type"))
+      ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_exact"))
+        .join(approx, "event_type")
+        .select($"event_type", $"n_exact",
+          (abs($"approx_distinct" - $"n_exact") * 20 <= $"n_exact")
+            .as("within_5pct"))
+        .orderBy($"event_type")
+    },
+    """SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  /** Market-basket association stats over order→part-bucket baskets:
+    * pair supports plus integer-scaled lift and confidence. */
+  private val x89: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").select(
+        $"l_orderkey".as("basket"), ($"l_partkey" % 40).as("item"))
+      Assoc.itemPairStats(li, "basket", "item", minSupport = 50)
+        .orderBy($"item_a", $"item_b")
+    },
+    """WITH bi AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey % 40 AS i FROM lineitem),
+      |sup AS (SELECT i, COUNT(*)::BIGINT AS n FROM bi GROUP BY i),
+      |nb AS (SELECT COUNT(DISTINCT b)::BIGINT AS n_baskets FROM bi),
+      |p AS (SELECT a.i AS ia, b.i AS ib, COUNT(*)::BIGINT AS n_ab
+      |      FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2)
+      |SELECT ia AS item_a, ib AS item_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+      |  (n_ab * nb.n_baskets * 1000000 // (sa.n * sb.n))::BIGINT
+      |    AS lift_scaled,
+      |  (n_ab * 1000000 // sa.n)::BIGINT AS conf_a_to_b_scaled
+      |FROM p JOIN sup sa ON sa.i = p.ia JOIN sup sb ON sb.i = p.ib
+      |CROSS JOIN nb
+      |WHERE n_ab >= 50 ORDER BY item_a, item_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2429,5 +2637,14 @@ object ExtQ {
     "x78_session_paths" -> (x78._1, Some(x78._2)),
     "x79_trailing_window" -> (x79._1, Some(x79._2)),
     "x80_count_of_counts" -> (x80._1, Some(x80._2)),
+    "x81_gap_fill" -> (x81._1, Some(x81._2)),
+    "x82_interval_coverage" -> (x82._1, Some(x82._2)),
+    "x83_hits" -> (x83._1, Some(x83._2)),
+    "x84_rrf_fusion" -> (x84._1, Some(x84._2)),
+    "x85_negative_sampling" -> (x85._1, Some(x85._2)),
+    "x86_equal_freq_bins" -> (x86._1, Some(x86._2)),
+    "x87_kmeans_lloyd" -> (x87._1, Some(x87._2)),
+    "x88_hll_shard_union" -> (x88._1, Some(x88._2)),
+    "x89_basket_lift" -> (x89._1, Some(x89._2)),
   )
 }

@@ -147,7 +147,9 @@ class PlanSpec extends AnyFunSuite {
       "x55_pmi_collocations",    // 1-row pair-total broadcast
       "x69_kmeans_assign",       // ≤k-row centroid table broadcast
       "x72_decayed_score",       // 1-row max-timestamp broadcast
-      "x77_hard_negatives")      // exact baseline: queries broadcast the corpus scan
+      "x77_hard_negatives",      // exact baseline: queries broadcast the corpus scan
+      "x83_hits",                // 1-row L1-total broadcast per round
+      "x85_negative_sampling")   // item vocabulary broadcast (dimension-sized)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

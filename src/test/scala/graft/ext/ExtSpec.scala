@@ -736,4 +736,114 @@ class ExtSpec extends AnyFunSuite {
     assert(prof(0).getLong(3) == 9L)       // needs 9 of 10 reducers
     assert(prof(1).getLong(3) == 1L)       // uniform keys need no salt
   }
+
+  test("hashNegatives: never a seen item, exactly k, deterministic") {
+    import spark.implicits._
+    val inter = Seq(
+      (1L, 10L), (1L, 11L), (1L, 10L),   // user 1 saw {10, 11}
+      (2L, 12L),                          // user 2 saw {12}
+      (3L, 10L), (3L, 11L), (3L, 12L), (3L, 13L) // saw all → no negatives
+    ).toDF("u", "i")
+    val got = Sampling.hashNegatives(inter, "u", "i", k = 2, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = got.groupBy(_._1)
+    // vocab = {10,11,12,13}; negatives never intersect the seen set
+    assert(byUser(1L).map(_._2).toSet.subsetOf(Set(12L, 13L)))
+    assert(byUser(1L).length == 2 && byUser(2L).length == 2)
+    assert(!byUser.contains(3L))
+    assert(byUser(2L).map(_._2).toSet.subsetOf(Set(10L, 11L, 13L)))
+    // ranks are 1..k and the draw is partition-stable
+    assert(byUser(1L).map(_._3).sorted.toSeq == Seq(1L, 2L))
+    val again = Sampling.hashNegatives(inter.repartition(7), "u", "i",
+      k = 2, salt = "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("rrfFuse: integer contributions, union semantics, missing-list ids") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((11L, 1), (10L, 2), (13L, 3)).toDF("id", "rank")
+    val got = Index.rrfFuse(Seq(a, b), k = 60, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def c(r: Int) = 1000000000L / (60 + r)
+    val want = Seq(
+      (10L, c(1) + c(2), 2L), (11L, c(2) + c(1), 2L),
+      (12L, c(3), 1L), (13L, c(3), 1L))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == want)
+  }
+
+  test("kmeansLloyd: separated blobs converge to their own clusters") {
+    import spark.implicits._
+    // two tight blobs around (100,0,...) and (0,100,...); seeds are the
+    // two smallest ids — one in each blob → Lloyd separates them
+    val vecs = (0L until 20L).map { i =>
+      val blob = (i % 2).toInt
+      val base = if (blob == 0) Array(100f, 0f, 0f, 5f)
+                 else Array(0f, 100f, 5f, 0f)
+      (i, base.map(v => v + (i % 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(vecs, "vec_id", "embedding",
+        k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // even ids (blob 0) share seed 0's cluster; odd ids seed 1's
+    assert((0L until 20L).forall(i => got(i) == got(i % 2)))
+    assert(got(0L) != got(1L))
+    // bit-stable across partitioning
+    val again = Similarity.kmeansLloyd(vecs.repartition(7), "vec_id",
+        "embedding", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again)
+  }
+
+  test("kmeansLloyd: a cluster losing all members keeps its centroid") {
+    import spark.implicits._
+    // seed 1 (vec 1) sits between the blobs but nearer blob 0's mass:
+    // after round 1 it may capture nothing — the operator must not
+    // crash or drop the cluster id
+    val vecs = (Seq((0L, Array(100f, 0f)), (1L, Array(98f, 0f))) ++
+      (2L until 12L).map(i => (i, Array(100f, 0f)))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(vecs, "vec_id", "embedding",
+      k = 2, rounds = 2).collect()
+    assert(got.length == 12)
+    assert(got.map(_.getLong(1)).toSet.subsetOf(Set(0L, 1L)))
+  }
+
+  test("itemPairStats: hand-computed support, lift and confidence") {
+    import spark.implicits._
+    // baskets: {a,b} {a,b} {a,c} {b} — n=4 baskets
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),   // duplicate presence collapses
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "b")
+    ).toDF("basket", "item")
+    val got = Assoc.itemPairStats(rows, "basket", "item")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).sortBy(t => (t._1, t._2))
+    // (a,b): n_ab=2, n_a=3, n_b=3 → lift = 2·4·1e6/9 = 888888 (floor),
+    //        conf = 2·1e6/3 = 666666
+    // (a,c): n_ab=1, n_a=3, n_c=1 → lift = 4·1e6/3 = 1333333,
+    //        conf = 333333
+    assert(got.toSeq == Seq(
+      ("a", "b", 2L, 3L, 3L, 888888L, 666666L),
+      ("a", "c", 1L, 3L, 1L, 1333333L, 333333L)))
+  }
+
+  test("equalFrequencyBins: populations differ by <= 1, bounds nest") {
+    import spark.implicits._
+    // 23 rows into 5 bins: 3 bins of 5, 2 of 4 (NTILE rule)
+    val rows = (1 to 23).map(i => ((i * 37 % 100).toDouble, i.toLong))
+      .toDF("v", "k")
+    val got = Profile.equalFrequencyBins(rows, "v", "k", bins = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    assert(got.map(_._2).toSeq == Seq(5L, 5L, 5L, 4L, 4L))
+    // bin boundaries are monotone: each bin's lo >= previous bin's hi
+    got.sliding(2).foreach { case Array(p, n) => assert(n._3 >= p._4) }
+    assert(got.map(_._2).sum == 23L)
+  }
 }

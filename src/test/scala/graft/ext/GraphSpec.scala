@@ -169,4 +169,43 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b)
   }
+
+  test("hitsInt: star graph — spokes are pure hubs, the hub is the authority") {
+    // edges 1→0, 2→0, 3→0: node 0 is the only authority; 1,2,3 are
+    // equal hubs; 0 has no out-edges so its hub score is 0
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("s", "d")
+    val got = Graph.hitsInt(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val scale = 1000000L
+    assert(got(0L) == ((scale, 0L)))          // all authority mass
+    assert(got(1L) == ((0L, scale / 3)))      // equal third of hub mass
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+  }
+
+  test("hitsInt matches a hand-rolled integer reference and is partition-stable") {
+    val edgeSeq = (1L to 60L).map(i => (i % 9, (i * 5) % 11))
+    val edges = edgeSeq.toDF("s", "d")
+    // driver-side reference with identical integer ops
+    val e = edgeSeq.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val scale = 1000000L
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    (1 to 3).foreach { _ =>
+      val ar = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(ed => hub(ed._1)).sum }
+      val at = ar.values.sum
+      auth = nodes.map(n => n -> ar.getOrElse(n, 0L) * scale / at).toMap
+      val hr = e.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(ed => auth(ed._2)).sum }
+      val ht = hr.values.sum
+      hub = nodes.map(n => n -> hr.getOrElse(n, 0L) * scale / ht).toMap
+    }
+    val want = nodes.map(n => (n, auth(n), hub(n)))
+    val got = Graph.hitsInt(edges.repartition(5), "s", "d", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+  }
 }

@@ -231,4 +231,43 @@ class TemporalSpec extends AnyFunSuite {
     assert(got("a") == ((3L, 100 * w20 + 100 * w19 + 50 * w19)))
     assert(got("b") == ((2L, 200 * 1 + 1 * w20)))
   }
+
+  test("gapFill: silent hours materialize as zero rows inside the span only") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 1.5),
+      (1L, ts("2024-01-01 10:45:00"), 2.5),
+      // 11:00 and 12:00 silent
+      (1L, ts("2024-01-01 13:05:00"), 4.0),
+      (2L, ts("2024-01-01 00:00:00"), 9.0)   // single-hour span
+    ).toDF("user_id", "ts", "value")
+    val got = Temporal.gapFill(events, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1).getHour,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, 10, 2L, 4.0), (1L, 11, 0L, 0.0), (1L, 12, 0L, 0.0),
+      (1L, 13, 1L, 4.0), (2L, 0, 1L, 9.0)))
+  }
+
+  test("intervalCoverage: overlap merges, touching merges, gaps split") {
+    val iv = Seq(
+      // key 1: [0,10] ∪ [5,20] (overlap) ∪ [20,30] (touching) = one
+      // island covering 30s; [40,45] a second island
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:10"), "a"),
+      (1L, ts("2024-01-01 00:00:05"), ts("2024-01-01 00:00:20"), "b"),
+      (1L, ts("2024-01-01 00:00:20"), ts("2024-01-01 00:00:30"), "c"),
+      (1L, ts("2024-01-01 00:00:40"), ts("2024-01-01 00:00:45"), "d"),
+      // key 2: an interval CONTAINED in an earlier one must not
+      // reopen an island (running-max, not lag, catches this)
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00"), "a"),
+      (2L, ts("2024-01-01 00:00:10"), ts("2024-01-01 00:00:20"), "b"),
+      (2L, ts("2024-01-01 00:00:30"), ts("2024-01-01 00:00:40"), "c")
+    ).toDF("k", "s", "e", "tb")
+    val got = Temporal.intervalCoverage(iv, "k", "s", "e", "tb")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((4L, 2L, 35000000L)))   // 30s + 5s
+    assert(got(2L) == ((3L, 1L, 60000000L)))   // the containing minute
+  }
 }
