@@ -165,6 +165,65 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Aligned-overlap length for near-dup pairs: for every pair at
+    * n-gram Jaccard ≥ `threshold`, the longest run of CONSECUTIVE
+    * matching shingle positions — i.e. how long the longest verbatim
+    * shared span actually is (in tokens), which a set-level Jaccard
+    * score cannot tell you. This is the attribution/forensics step
+    * after dedup flags a pair: a 0.6-Jaccard pair may be one long
+    * quote or many scattered phrases; downstream policy (drop, trim,
+    * keep) differs.
+    *
+    * Alignment without alignment algorithms: matching positions
+    * (pa, pb) form diagonals pa−pb = const; a verbatim run is a
+    * maximal set of consecutive pa on one diagonal — exactly the
+    * gaps-and-islands pattern, one window per (pair, diagonal).
+    * Repeated shingles inside a doc just add more grid cells; (doc,
+    * position) is unique so runs stay well-defined.
+    *
+    * Scale shape: the position table is built ONLY for docs that
+    * appear in a flagged pair (inner join against the pair set —
+    * pair-subset sized, not corpus sized); the grid join keys on
+    * (id_b, shingle); windows partition per (pair, diagonal) —
+    * bounded by the pair's own shingle counts. Output: (id_a, id_b,
+    * max_run, span_tokens = max_run + n − 1). */
+  def overlapSpans(df: DataFrame, id: String, text: String, n: Int,
+                   threshold: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(df, id, text, n, threshold)
+      .select(col("id_a"), col("id_b")).cache()
+    val pairedDocs = pairs.select(col("id_a").as("_id"))
+      .union(pairs.select(col("id_b").as("_id"))).distinct()
+    // positional (not distinct) shingles, 0-based
+    val toks = split(col(text), " ")
+    val m = size(toks) - (n - 1)
+    val posShingles = when(m <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), m - 1), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    val pos = df.select(col(id).as("_id"), posShingles.as("_gs"))
+      .join(pairedDocs, "_id")
+      .select(col("_id"), posexplode(col("_gs")).as(Seq("p", "g")))
+    val grid = pairs
+      .join(pos.select(col("_id").as("id_a"), col("p").as("pa"), col("g")),
+        "id_a")
+      .join(pos.select(col("_id").as("id_b"), col("p").as("pb"), col("g")),
+        Seq("id_b", "g"))
+      .withColumn("dg", col("pa") - col("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "dg").orderBy("pa")
+    val runs = grid
+      .withColumn("brk",
+        when(lag(col("pa"), 1).over(w) === col("pa") - 1, 0L).otherwise(1L))
+      .withColumn("run", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    runs.groupBy("id_a", "id_b", "dg", "run")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("len")).as("max_run"))
+      .select(col("id_a"), col("id_b"), col("max_run"),
+        (col("max_run") + (n - 1)).as("span_tokens"))
+  }
+
   /** MinHash+LSH near-dup pairs: k-perm signatures via the native
     * [[graft.functions.MinHashAgg]] (map-side partial aggregation —
     * the shuffle carries one k-long signature per doc, not k rows per

@@ -119,6 +119,36 @@ object Sampling {
       labeled.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1)))
   }
 
+  /** Deterministic epoch shuffle + sharding for training-data export:
+    * every row gets a stable pseudo-random coordinate — `shard` (one
+    * md5 byte mod `shards`, an independent digest byte from the
+    * sample/split coordinates) and `shard_pos` (md5 rank within the
+    * shard) — so an "epoch" is a reproducible global permutation
+    * materialized as contiguous shard sequences (the
+    * TFRecord/WebDataset layout): identical across runs, engines and
+    * task retries, no RNG seed plumbing. A different `salt` is the
+    * next epoch's fresh permutation.
+    *
+    * Plan shape: the shard is a narrow in-row hash; positions are ONE
+    * window per shard, and shards are balanced by construction
+    * (~|rows|/shards each), so the sort work is evenly spread across
+    * exactly `shards` reducers — this is the rare case where a
+    * rank-assigning window is the honest full cost of the semantics
+    * (a total per-shard order IS the product). */
+  def epochShuffle(df: DataFrame, key: String, salt: String,
+                   shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 256, "need 1..256 shards (one hash byte)")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(key))
+    df
+      .withColumn("_h",
+        md5(concat(lit(salt), col(key).cast("string")).cast("binary")))
+      .withColumn("shard",
+        pmod(hashBucket256(col(key), salt, offset = 2), lit(shards))
+          .cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
+      .drop("_h")
+  }
+
   /** Deterministic negative sampling for contrastive / recommender
     * training: for every user in `interactions`, pick `k` items from
     * the item vocabulary the user has NEVER interacted with, ranked

@@ -147,7 +147,13 @@ object Lake {
       else fs.listStatus(trashRoot).filter(_.isDirectory).toSeq.flatMap { t =>
         val dst = new Path(rootPath, t.getPath.getName)
         if (fs.exists(dst)) { fs.delete(t.getPath, true); None }
-        else { fs.rename(t.getPath, dst); Some(t.getPath.getName) }
+        else {
+          // strict here too: the trash entry is the partition's ONLY
+          // copy, and the wholesale trash cleanup below would destroy
+          // it after a silently failed (false-returning) rename
+          renameStrict(fs, t.getPath, dst)
+          Some(t.getPath.getName)
+        }
       }
     }
     Seq(PublishTmp, CompactTmp, PublishTrash, CompactTrash)

@@ -2529,6 +2529,62 @@ object ExtQ {
       |CROSS JOIN nb
       |WHERE n_ab >= 50 ORDER BY item_a, item_b""".stripMargin)
 
+  /** Deterministic epoch shuffle + sharding (8 shards): stable
+    * per-epoch permutation, md5-ranked within balanced shards. */
+  private val x90: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Sampling.epochShuffle(t(s, d, "documents").select($"doc_id"),
+          "doc_id", salt = "ep1", shards = 8)
+        .orderBy($"shard", $"shard_pos")
+    },
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('ep1' || CAST(doc_id AS VARCHAR)) AS hh,
+       |    (${bucketSql("doc_id", "ep1", 2)}) % 8 AS shard
+       |  FROM documents)
+       |SELECT doc_id, shard::BIGINT AS shard,
+       |  (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1)
+       |    ::BIGINT AS shard_pos
+       |FROM h ORDER BY shard, shard_pos""".stripMargin)
+
+  /** Aligned-overlap span length for every planted near-dup pair:
+    * longest consecutive-position shingle run via diagonal
+    * gaps-and-islands — oracle replays the identical grid. */
+  private val x91: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.overlapSpans(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH $shingleCte,
+       |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+       |ps AS (
+       |  SELECT doc_id, unnest(
+       |    [{'p': i - 1, 'g': s[i] || ' ' || s[i+1] || ' ' || s[i+2]}
+       |     for i in range(1, len(s) - 1)], recursive := true)
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+       |grid AS (
+       |  SELECT p.id_a, p.id_b, a.p AS pa, b.p AS pb
+       |  FROM pairs p
+       |  JOIN ps a ON a.doc_id = p.id_a
+       |  JOIN ps b ON b.doc_id = p.id_b AND b.g = a.g),
+       |r AS (
+       |  SELECT id_a, id_b, pa - pb AS dg, pa,
+       |    CASE WHEN lag(pa) OVER (PARTITION BY id_a, id_b, pa - pb
+       |      ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk
+       |  FROM grid),
+       |runs AS (
+       |  SELECT id_a, id_b, dg, pa,
+       |    SUM(brk) OVER (PARTITION BY id_a, id_b, dg ORDER BY pa
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM r),
+       |lens AS (SELECT id_a, id_b, dg, run, COUNT(*)::BIGINT AS len
+       |         FROM runs GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, MAX(len)::BIGINT AS max_run,
+       |  (MAX(len) + 2)::BIGINT AS span_tokens
+       |FROM lens GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2646,5 +2702,7 @@ object ExtQ {
     "x87_kmeans_lloyd" -> (x87._1, Some(x87._2)),
     "x88_hll_shard_union" -> (x88._1, Some(x88._2)),
     "x89_basket_lift" -> (x89._1, Some(x89._2)),
+    "x90_epoch_shuffle" -> (x90._1, Some(x90._2)),
+    "x91_overlap_spans" -> (x91._1, Some(x91._2)),
   )
 }

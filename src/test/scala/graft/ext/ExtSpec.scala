@@ -774,6 +774,41 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("epochShuffle: balanced contiguous positions, salt changes the permutation") {
+    import spark.implicits._
+    val rows = (0L until 200L).toDF("k")
+    val out = Sampling.epochShuffle(rows, "k", salt = "e1", shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 200 && out.map(_._1).toSet.size == 200)
+    // per shard: positions are exactly 0..n-1 (a permutation segment)
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    // stable across partitioning; a new salt reorders
+    val again = Sampling.epochShuffle(rows.repartition(7), "k", "e1", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    val epoch2 = Sampling.epochShuffle(rows, "k", "e2", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq != epoch2.sorted.toSeq)
+  }
+
+  test("overlapSpans: longest verbatim run found on the diagonal") {
+    import spark.implicits._
+    // share the 5-token span "a b c d e" (3 consecutive 3-grams) plus
+    // one scattered 3-gram "p q r" that must NOT extend the run
+    val pair = Seq(
+      (1L, "a b c d e x1 x2 p q r x3"),
+      (2L, "z1 a b c d e z2 p q r z3"),
+      (3L, "totally unrelated words here right now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.overlapSpans(pair, "doc_id", "text", n = 3,
+        threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 5L)))
+  }
+
   test("kmeansLloyd: separated blobs converge to their own clusters") {
     import spark.implicits._
     // two tight blobs around (100,0,...) and (0,100,...); seeds are the
