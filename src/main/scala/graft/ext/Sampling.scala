@@ -149,6 +149,32 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each key
+    * goes to the shard whose md5(salt ‖ shard ‖ key) digest is
+    * lexicographically largest — the consistent-placement primitive
+    * for growing/shrinking a sharded store. Against mod-N hashing
+    * (where resizing N reshuffles almost EVERY key), adding a shard
+    * moves exactly the keys that now win for it — 1/(n+1) of the
+    * corpus in expectation — and removing one moves only its own
+    * keys; at 100 TB that is the difference between an incremental
+    * top-up and a full rewrite.
+    *
+    * Pure in-row expression (`shards` digests per row, no shuffle,
+    * no coordination state) — scan speed; determinism inherits from
+    * md5. Returns df plus a `shard` column with the winning id. */
+  def rendezvousShard(df: DataFrame, key: String, salt: String,
+                      shardIds: Seq[Long]): DataFrame = {
+    require(shardIds.nonEmpty && shardIds.distinct.size == shardIds.size,
+      "need distinct shard ids")
+    val best = shardIds.map { sid =>
+      struct(
+        md5(concat(lit(salt), lit(":"), lit(sid.toString), lit(":"),
+          col(key).cast("string")).cast("binary")).as("h"),
+        lit(sid).as("sid"))
+    }.reduce((a, b) => when(a("h") >= b("h"), a).otherwise(b))
+    df.withColumn("shard", best.getField("sid"))
+  }
+
   /** Deterministic negative sampling for contrastive / recommender
     * training: for every user in `interactions`, pick `k` items from
     * the item vocabulary the user has NEVER interacted with, ranked

@@ -2585,6 +2585,22 @@ object ExtQ {
        |  (MAX(len) + 2)::BIGINT AS span_tokens
        |FROM lens GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin)
 
+  /** Rendezvous-hash shard assignment over 5 shards — argmax digest,
+    * smallest shard id on (never-occurring) ties. */
+  private val x92: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Sampling.rendezvousShard(t(s, d, "documents").select($"doc_id"),
+          "doc_id", salt = "rv", shardIds = Seq(0L, 1L, 2L, 3L, 4L))
+        .orderBy($"doc_id")
+    },
+    """SELECT doc_id, shard FROM (
+      |  SELECT doc_id, s AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY md5('rv:' || s || ':' || doc_id) DESC, s) AS rn
+      |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS s))
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2704,5 +2720,6 @@ object ExtQ {
     "x89_basket_lift" -> (x89._1, Some(x89._2)),
     "x90_epoch_shuffle" -> (x90._1, Some(x90._2)),
     "x91_overlap_spans" -> (x91._1, Some(x91._2)),
+    "x92_rendezvous_shard" -> (x92._1, Some(x92._2)),
   )
 }

@@ -793,6 +793,23 @@ class ExtSpec extends AnyFunSuite {
     assert(out.sorted.toSeq != epoch2.sorted.toSeq)
   }
 
+  test("rendezvousShard: adding a shard moves only the new shard's keys") {
+    import spark.implicits._
+    val rows = (0L until 500L).toDF("k")
+    val before = Sampling.rendezvousShard(rows, "k", "rv", Seq(0L, 1L, 2L, 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = Sampling.rendezvousShard(rows, "k", "rv", Seq(0L, 1L, 2L, 3L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = before.keys.filter(k => before(k) != after(k)).toSeq
+    // every moved key lands on the NEW shard; nothing reshuffles
+    // among the old shards (the HRW property mod-N hashing lacks)
+    assert(moved.nonEmpty && moved.forall(k => after(k) == 4L))
+    // expected movement is n/5 = 100; allow a generous band
+    assert(moved.length > 50 && moved.length < 160)
+    // all shards populated, assignment covers every key
+    assert(after.values.toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("overlapSpans: longest verbatim run found on the diagonal") {
     import spark.implicits._
     // share the 5-token span "a b c d e" (3 consecutive 3-grams) plus
