@@ -187,19 +187,24 @@ object Dedup {
     * (id_b, shingle); windows partition per (pair, diagonal) —
     * bounded by the pair's own shingle counts. Output: (id_a, id_b,
     * max_run, span_tokens = max_run + n − 1). */
+  /** In-order positional word-n-gram array (NOT distinct — position
+    * semantics need every occurrence), 0-based. */
+  private def positionalShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val m = size(toks) - (n - 1)
+    when(m <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), m - 1), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
   def overlapSpans(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double): DataFrame = {
     val pairs = ngramJaccardPairs(df, id, text, n, threshold)
       .select(col("id_a"), col("id_b")).cache()
     val pairedDocs = pairs.select(col("id_a").as("_id"))
       .union(pairs.select(col("id_b").as("_id"))).distinct()
-    // positional (not distinct) shingles, 0-based
-    val toks = split(col(text), " ")
-    val m = size(toks) - (n - 1)
-    val posShingles = when(m <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), m - 1), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-    val pos = df.select(col(id).as("_id"), posShingles.as("_gs"))
+    val pos = df.select(col(id).as("_id"),
+        positionalShingles(col(text), n).as("_gs"))
       .join(pairedDocs, "_id")
       .select(col("_id"), posexplode(col("_gs")).as(Seq("p", "g")))
     val grid = pairs
@@ -222,6 +227,58 @@ object Dedup {
       .agg(max(col("len")).as("max_run"))
       .select(col("id_a"), col("id_b"), col("max_run"),
         (col("max_run") + (n - 1)).as("span_tokens"))
+  }
+
+  /** Longest INTERNAL verbatim repeat per document — the degenerate-
+    * generation / template-page detector: model-output loops, boiler-
+    * plated listings and copy-paste-within-page all show up as a long
+    * token span occurring twice in one document, which token-ratio
+    * signals ([[graft.ext.TextAnalysis.repetitionRatio]]) blur and
+    * cross-doc dedup never sees.
+    *
+    * Same diagonal mechanics as [[overlapSpans]], applied to a doc
+    * against itself: equal-shingle position pairs (p1 < p2) at offset
+    * d = p2−p1 form runs of consecutive p1 — the longest run r means
+    * a span of r+n−1 tokens repeats d tokens later. Returns docs with
+    * at least one repeat: (doc_id, max_run, span_tokens, period) —
+    * period is the offset of the longest run, smallest on ties.
+    *
+    * `maxOcc` caps per-doc occurrences of a shingle before pairing
+    * (the position grid is Σ occ² per shingle): a pathological
+    * one-token loop would otherwise square into millions of cells;
+    * such docs are degenerate far below the cap and already flagged
+    * by the ratio signals. Windows partition per (doc, offset) —
+    * bounded; the only volume shuffle keys on (doc, shingle). */
+  def internalRepeats(df: DataFrame, id: String, text: String, n: Int,
+                      maxOcc: Int = 50): DataFrame = {
+    require(maxOcc >= 2, "maxOcc must allow at least one repeat")
+    val pos = df.select(col(id).as("_id"),
+        positionalShingles(col(text), n).as("_gs"))
+      .select(col("_id"), posexplode(col("_gs")).as(Seq("p", "g")))
+    val occW = org.apache.spark.sql.expressions.Window.partitionBy("_id", "g")
+    val capped = pos.withColumn("occ", count(lit(1)).over(occW))
+      .filter(col("occ") <= maxOcc && col("occ") >= 2)
+    val grid = capped.select(col("_id"), col("p").as("p1"), col("g"))
+      .join(capped.select(col("_id"), col("p").as("p2"), col("g")),
+        Seq("_id", "g"))
+      .filter(col("p1") < col("p2"))
+      .withColumn("d", col("p2") - col("p1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id", "d").orderBy("p1")
+    val runs = grid
+      .withColumn("brk",
+        when(lag(col("p1"), 1).over(w) === col("p1") - 1, 0L).otherwise(1L))
+      .withColumn("run", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    runs.groupBy(col("_id"), col("d"), col("run"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("_id"))
+      .agg(min(struct((-col("len")).as("nl"), col("d").as("dd"))).as("m"))
+      .select(col("_id").as("doc_id"),
+        (-col("m.nl")).as("max_run"),
+        (-col("m.nl") + (n - 1)).as("span_tokens"),
+        col("m.dd").cast("long").as("period"))
   }
 
   /** MinHash+LSH near-dup pairs: k-perm signatures via the native

@@ -266,6 +266,42 @@ object TextAnalysis {
       .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_bigrams"))
   }
 
+  /** Kneser–Ney continuation counts — the statistics behind the KN
+    * smoothing family every n-gram LM (and LM-based quality scorer)
+    * uses: for each token, the number of DISTINCT left contexts
+    * (N1+(•w), the continuation-probability numerator), distinct
+    * right contexts (N1+(w•), the backoff normalizer), and the corpus
+    * bigram-type total (the shared denominator). "how many contexts
+    * has this word been seen in" — not "how often" — is what
+    * separates versatile words from frequent-but-bound ones
+    * ("Francisco" is frequent yet almost always follows "San").
+    *
+    * All integers: one in-row bigram build (no self-join), one
+    * map-combined distinct over bigram TYPES (the only
+    * volume-proportional shuffle), two map-combined counts over the
+    * type table, a full outer join on the token key, a 1-row total
+    * broadcast. */
+  def knContinuationCounts(df: DataFrame, text: String): DataFrame = {
+    val toks = filter(tokens(col(text)), t => t =!= "")
+    val types = df.select(toks.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_t) - 1)," +
+          " i -> struct(_t[i-1] AS prev, _t[i] AS tok))")).as("b"))
+      .select(col("b.prev"), col("b.tok")).distinct()
+    val total = types.agg(count(lit(1)).as("bigram_types"))
+    val left = types.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_left_types"))
+    val right = types.groupBy(col("prev").as("tok"))
+      .agg(count(lit(1)).as("n_right_types"))
+    left.join(right, Seq("tok"), "full_outer")
+      .crossJoin(broadcast(total))
+      .select(col("tok"),
+        coalesce(col("n_left_types"), lit(0L)).as("n_left_types"),
+        coalesce(col("n_right_types"), lit(0L)).as("n_right_types"),
+        col("bigram_types"))
+  }
+
   /** Corpus-wide collocation discovery by PMI (pointwise mutual
     * information) over adjacent token pairs — the classic phrase-mining
     * signal ("New York" scores high because its parts co-occur far

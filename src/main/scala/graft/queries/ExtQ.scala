@@ -2601,6 +2601,83 @@ object ExtQ {
       |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS s))
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 
+  /** Kneser–Ney continuation counts over corpus bigram types. */
+  private val x93: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.knContinuationCounts(t(s, d, "documents"), "text")
+        .orderBy($"tok")
+    },
+    """WITH tk AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS s
+      |  FROM documents),
+      |bt AS (
+      |  SELECT DISTINCT prev, tok FROM (
+      |    SELECT unnest([{'prev': s[i], 'tok': s[i+1]}
+      |      for i in range(1, len(s))], recursive := true)
+      |    FROM tk WHERE len(s) >= 2)),
+      |tot AS (SELECT COUNT(*)::BIGINT AS bigram_types FROM bt),
+      |l AS (SELECT tok, COUNT(*)::BIGINT AS n_left_types FROM bt GROUP BY tok),
+      |r AS (SELECT prev AS tok, COUNT(*)::BIGINT AS n_right_types
+      |      FROM bt GROUP BY prev)
+      |SELECT COALESCE(l.tok, r.tok) AS tok,
+      |  COALESCE(n_left_types, 0)::BIGINT AS n_left_types,
+      |  COALESCE(n_right_types, 0)::BIGINT AS n_right_types,
+      |  tot.bigram_types
+      |FROM l FULL OUTER JOIN r ON r.tok = l.tok CROSS JOIN tot
+      |ORDER BY tok""".stripMargin)
+
+  /** Longest internal verbatim repeat (generation-loop detector) over
+    * docs with a synthesized 20-token self-append — every doc gets a
+    * guaranteed repeat; natural in-text repeats may beat it, and the
+    * oracle replays the identical grid. */
+  private val x94: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val looped = t(s, d, "documents").filter($"doc_id" < 200)
+        .select($"doc_id", concat_ws(" ", $"text",
+          array_join(slice(split($"text", " "), 1, 20), " ")).as("text"))
+      Dedup.internalRepeats(looped, "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
+    },
+    """WITH lp AS (
+      |  SELECT doc_id,
+      |    text || ' ' ||
+      |      array_to_string(string_split(text, ' ')[1:20], ' ') AS text
+      |  FROM documents WHERE doc_id < 200),
+      |ps AS (
+      |  SELECT doc_id, unnest(
+      |    [{'p': i - 1, 'g': s[i] || ' ' || s[i+1] || ' ' || s[i+2]}
+      |     for i in range(1, len(s) - 1)], recursive := true)
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM lp)),
+      |occ AS (SELECT doc_id, g FROM ps GROUP BY doc_id, g
+      |        HAVING COUNT(*) BETWEEN 2 AND 50),
+      |cp AS (SELECT p.* FROM ps p
+      |       JOIN occ o ON o.doc_id = p.doc_id AND o.g = p.g),
+      |grid AS (
+      |  SELECT a.doc_id, a.p AS p1, b.p - a.p AS d
+      |  FROM cp a JOIN cp b
+      |    ON b.doc_id = a.doc_id AND b.g = a.g AND a.p < b.p),
+      |r AS (
+      |  SELECT doc_id, d, p1,
+      |    CASE WHEN lag(p1) OVER (PARTITION BY doc_id, d ORDER BY p1)
+      |      = p1 - 1 THEN 0 ELSE 1 END AS brk
+      |  FROM grid),
+      |runs AS (
+      |  SELECT doc_id, d, p1,
+      |    SUM(brk) OVER (PARTITION BY doc_id, d ORDER BY p1
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM r),
+      |lens AS (SELECT doc_id, d, run, COUNT(*)::BIGINT AS len
+      |         FROM runs GROUP BY 1, 2, 3),
+      |best AS (SELECT doc_id, d, len,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id
+      |             ORDER BY len DESC, d) AS rn
+      |         FROM lens)
+      |SELECT doc_id, len::BIGINT AS max_run,
+      |  (len + 2)::BIGINT AS span_tokens, d::BIGINT AS period
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2721,5 +2798,7 @@ object ExtQ {
     "x90_epoch_shuffle" -> (x90._1, Some(x90._2)),
     "x91_overlap_spans" -> (x91._1, Some(x91._2)),
     "x92_rendezvous_shard" -> (x92._1, Some(x92._2)),
+    "x93_kn_continuation" -> (x93._1, Some(x93._2)),
+    "x94_internal_repeats" -> (x94._1, Some(x94._2)),
   )
 }

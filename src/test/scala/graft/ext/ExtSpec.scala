@@ -793,6 +793,37 @@ class ExtSpec extends AnyFunSuite {
     assert(out.sorted.toSeq != epoch2.sorted.toSeq)
   }
 
+  test("knContinuationCounts: context variety, not frequency") {
+    import spark.implicits._
+    // "san francisco" 3x (frequent, bound); "the" follows 3 distinct
+    // words and precedes 2 — variety beats frequency
+    val docs2 = Seq(
+      (1L, "san francisco san francisco san francisco"),
+      (2L, "in the house by the sea near the house")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knContinuationCounts(docs2, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bigram types: (san,francisco),(francisco,san) + (in,the),(the,house),
+    // (house,by),(by,the),(the,sea),(sea,near),(near,the) = 9
+    assert(got("francisco") == ((1L, 1L, 9L))) // frequent but single-context
+    assert(got("the") == ((3L, 2L, 9L)))       // 3 left contexts, 2 right
+    assert(got("in") == ((0L, 1L, 9L)))        // sentence-initial only
+  }
+
+  test("internalRepeats: planted loop found, period and span exact") {
+    import spark.implicits._
+    val docs3 = Seq(
+      // "a b c d e" repeats 6 tokens later: run of 3 3-grams, span 5
+      (1L, "a b c d e x y z w q a b c d e t u v"),
+      (2L, "all distinct tokens with no internal repetition at all now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.internalRepeats(docs3, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 5L, 10L)))
+  }
+
   test("rendezvousShard: adding a shard moves only the new shard's keys") {
     import spark.implicits._
     val rows = (0L until 500L).toDF("k")
