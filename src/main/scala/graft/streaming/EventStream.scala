@@ -233,6 +233,53 @@ object EventStream {
       }
       .start()
 
+  case class RunTotals(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Per-user running totals on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4): one typed ValueState row per
+    * user, updated per micro-batch — the successor to
+    * mapGroupsWithState that [[userSessions]] uses, with explicitly
+    * named state, per-state TTL support and a RocksDB-backed store
+    * (state no longer bounded by executor heap — the 100 TB-side
+    * requirement for billions of keys). Values are pinned to integer
+    * cents so the running sum is exact under any batch split.
+    *
+    * Kept beside the v1 operators deliberately: same semantics, both
+    * APIs exercised, specs pin stream==batch parity for each. */
+  class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, RunTotals] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[RunTotals] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit =
+      st = getHandle.getValueState[RunTotals]("totals",
+        org.apache.spark.sql.Encoders.product[RunTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunTotals] = {
+      val p = if (st.exists()) st.get() else RunTotals(key, 0L, 0L)
+      var n = p.n_events
+      var cents = p.sum_cents
+      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      val next = RunTotals(key, n, cents)
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[RunningTotalsProcessor]] wired onto a typed event stream;
+    * requires the RocksDB state-store provider (see spec). */
+  def runningTotalsTws(events: Dataset[Event]): Dataset[RunTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Normalize an event frame's `ts` to a true TimestampType —
     * watermarks reject both spellings files actually use:
     * TIMESTAMP(NANOS) (a LongType under nanosAsLong) and

@@ -291,4 +291,53 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out(1L).n_events == 2 && out(1L).total_value == 4.0)
     assert(out(2L).n_events == 1 && out(2L).total_value == 10.0)
   }
+
+  test("transformWithState running totals carry RocksDB state across triggers") {
+    import EventStream._
+    def ev(id: Long, uid: Long, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), uid,
+        "click", v)
+    // two files → two triggers; user 1 spans both (state must carry)
+    val stage = java.nio.file.Files.createTempDirectory("tws_stage")
+    Seq(Seq(ev(1, 1, 1.25), ev(2, 1, 2.25), ev(3, 2, 10.0)),
+        Seq(ev(4, 1, 4.0), ev(5, 2, 0.5))).zipWithIndex.foreach {
+      case (evs, i) =>
+        val dir = java.nio.file.Files.createTempDirectory("tws_part")
+        evs.toDS().repartition(1).write.parquet(s"$dir/w")
+        val src = new java.io.File(s"$dir/w").listFiles()
+          .filter(_.getName.endsWith(".parquet"))(0)
+        val dst = stage.resolve(s"$i.parquet")
+        java.nio.file.Files.copy(src.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(5000000L + i * 60000L))
+    }
+    // the v2 state API requires the RocksDB provider; scope it to
+    // this query and restore the session default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(stage.toString).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val q = runningTotalsTws(stream.as[Event]).writeStream
+        .outputMode("update").format("memory").queryName("graft_tws").start()
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("graft_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // final state per user: latest (largest n) row
+      val fin = rows.groupBy(_._1).map { case (_, v) => v.maxBy(_._2) }.toSet
+      assert(fin == Set((1L, 3L, 750L), (2L, 2L, 1050L)))
+      // provisional first-trigger row for user 1 proves state carried
+      // across triggers rather than recomputing from scratch
+      assert(rows.contains((1L, 2L, 350L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
