@@ -149,7 +149,10 @@ class PlanSpec extends AnyFunSuite {
       "x72_decayed_score",       // 1-row max-timestamp broadcast
       "x77_hard_negatives",      // exact baseline: queries broadcast the corpus scan
       "x83_hits",                // 1-row L1-total broadcast per round
-      "x85_negative_sampling")   // item vocabulary broadcast (dimension-sized)
+      "x85_negative_sampling",   // item vocabulary broadcast (dimension-sized)
+      "x87_kmeans_lloyd",        // ≤k-row centroid broadcast per round
+      "x89_basket_lift",         // 1-row basket-total broadcast
+      "x93_kn_continuation")     // 1-row bigram-type-total broadcast
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

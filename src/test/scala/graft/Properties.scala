@@ -234,6 +234,49 @@ object GraftProperties extends Properties("graft") {
       native == brute
     }
 
+  property("intervalCoverage == driver-side sweep on random intervals") = {
+    val ivGen = for {
+      s <- Gen.choose(0L, 2000L)
+      len <- Gen.choose(0L, 400L)
+      tb <- Gen.choose(0, 1000000)
+    } yield (s, s + len, tb.toString)
+    forAll(Gen.listOfN(12, ivGen)) { ivs =>
+      val base = 1700000000000000L // µs epoch anchor
+      val df = ivs.zipWithIndex.map { case ((s, e, tb), i) =>
+        (1L, new java.sql.Timestamp((base + s * 1000000L) / 1000),
+          new java.sql.Timestamp((base + e * 1000000L) / 1000), s"$tb-$i")
+      }.toDF("k", "s", "e", "tb")
+      val got = ext.Temporal.intervalCoverage(df, "k", "s", "e", "tb")
+        .collect().headOption
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      // driver-side sweep over the same integer-second spans
+      val sorted = ivs.map { case (s, e, _) => (s, e) }.sortBy(identity)
+      val (islands, cov, _) = sorted.foldLeft((0L, 0L, Long.MinValue)) {
+        case ((isl, c, hi), (s, e)) =>
+          if (s > hi) (isl + 1, c + (e - s), e.max(hi))
+          else (isl, c + (e.max(hi) - hi), e.max(hi))
+      }
+      got.contains((ivs.length.toLong, islands, cov * 1000000L))
+    }
+  }
+
+  property("rrfFuse == driver-side reference on random rankings") = {
+    val rkGen = Gen.choose(2, 8).flatMap(n =>
+      Gen.pick(n, 0L until 20L).map(_.toSeq))
+    forAll(rkGen, rkGen) { (la, lb) =>
+      val a = la.zipWithIndex.map { case (id, i) => (id, i + 1) }
+      val b = lb.zipWithIndex.map { case (id, i) => (id, i + 1) }
+      val got = ext.Index.rrfFuse(
+          Seq(a.toDF("id", "rank"), b.toDF("id", "rank")), k = 60, topN = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val contrib = (a ++ b).groupBy(_._1).map { case (id, rs) =>
+        (id, rs.map(r => 1000000000L / (60 + r._2)).sum, rs.size.toLong)
+      }.toSeq
+      val want = contrib.sortBy(t => (-t._2, t._1)).take(50)
+      got == want
+    }
+  }
+
   property("Redact.scrub removes every planted PII occurrence") = {
     val piiGen = Gen.oneOf(
       Gen.alphaLowerStr.suchThat(_.nonEmpty).map(u => s"$u@example.org"),
