@@ -306,6 +306,55 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Distinct 2-hop neighbourhood size per node — friends-of-friends
+    * excluding self and direct neighbours: the expansion/reach
+    * feature behind link-graph spam scoring (link farms have huge
+    * 1-hop but collapsed 2-hop diversity) and candidate generation
+    * for graph-based recommendation.
+    *
+    * Exact by construction: wedges x→m→y from the doubled edge list,
+    * distinct (x, y), minus direct edges via one anti join. Wedge
+    * volume is Σ deg(m)² — the honest cost of exact 2-hop reach; at
+    * web scale cap hub degrees upstream (a 10⁶-degree hub
+    * contributes 10¹² wedges and its 2-hop set is "everything" —
+    * analytically uninteresting) or switch to HLL sketch unions per
+    * neighbourhood for the approximate variant ([[graft.ext.Hll]]).
+    * AQE absorbs residual middle-key skew; every shuffle carries
+    * long pairs. */
+  def twoHopCounts(edges: DataFrame, a: String, b: String): DataFrame = {
+    val und = edges.select(
+        least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dir = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val hop2 = dir.select(col("src").as("x"), col("dst").as("m"))
+      .join(dir.select(col("src").as("m"), col("dst").as("y")), "m")
+      .filter(col("x") =!= col("y"))
+      .select(col("x"), col("y")).distinct()
+    hop2.join(dir.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"), "left_anti")
+      .groupBy(col("x").as("id"))
+      .agg(count(lit(1)).as("n_two_hop"))
+  }
+
+  /** Degree distribution in log2 buckets — the first graph-health
+    * profile read before any iterative algorithm is launched (bucket
+    * = ⌊log2 deg⌋ via binary digit count, integer-exact): a heavy
+    * top bucket says salt/cap before you shuffle. One map-combined
+    * degree agg + one map-combined bucket count. */
+  def degreeProfile(edges: DataFrame, a: String, b: String): DataFrame = {
+    val und = edges.select(
+        least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .select((length(bin(col("deg"))) - 1).cast("long").as("log2_deg"))
+      .groupBy("log2_deg").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999), `iters` synchronous
     * rounds in scaled-integer arithmetic: good hubs point at good
     * authorities and vice versa — the complementary signal to

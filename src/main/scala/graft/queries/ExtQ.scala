@@ -2678,6 +2678,50 @@ object ExtQ {
       |  (len + 2)::BIGINT AS span_tokens, d::BIGINT AS period
       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 
+  /** Exact 2-hop neighbourhood sizes over the x42 link graph. */
+  private val x95: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "orders").select(
+        ($"o_custkey" % 100).as("src"), ($"o_orderkey" % 100).as("dst"))
+      Graph.twoHopCounts(edges, "src", "dst").orderBy($"id")
+    },
+    """WITH raw AS (
+      |  SELECT o_custkey % 100 AS src, o_orderkey % 100 AS dst FROM orders),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |        FROM raw WHERE src <> dst),
+      |dir AS (SELECT u AS src, v AS dst FROM und
+      |        UNION ALL SELECT v, u FROM und),
+      |h2 AS (SELECT DISTINCT a.src AS x, b.dst AS y
+      |       FROM dir a JOIN dir b ON b.src = a.dst AND a.src <> b.dst),
+      |fof AS (SELECT x, y FROM h2 WHERE NOT EXISTS
+      |        (SELECT 1 FROM dir d WHERE d.src = h2.x AND d.dst = h2.y))
+      |SELECT x AS id, COUNT(*)::BIGINT AS n_two_hop
+      |FROM fof GROUP BY x ORDER BY id""".stripMargin)
+
+  /** Degree distribution in log2 buckets over a SPARSER modulo graph
+    * (997 buckets) so the profile spans several buckets — the dense
+    * x42 graph collapses to one. */
+  private val x96: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "orders").select(
+        ($"o_custkey" % 997).as("src"), ($"o_orderkey" % 997).as("dst"))
+      Graph.degreeProfile(edges, "src", "dst").orderBy($"log2_deg")
+    },
+    """WITH raw AS (
+      |  SELECT o_custkey % 997 AS src, o_orderkey % 997 AS dst FROM orders),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |        FROM raw WHERE src <> dst),
+      |deg AS (
+      |  SELECT id, COUNT(*)::BIGINT AS deg FROM
+      |    (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY id)
+      |SELECT (length(to_binary_str) - 1)::BIGINT AS log2_deg,
+      |  COUNT(*)::BIGINT AS n_nodes
+      |FROM (SELECT bin(deg) AS to_binary_str FROM deg)
+      |GROUP BY 1 ORDER BY log2_deg""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2800,5 +2844,7 @@ object ExtQ {
     "x92_rendezvous_shard" -> (x92._1, Some(x92._2)),
     "x93_kn_continuation" -> (x93._1, Some(x93._2)),
     "x94_internal_repeats" -> (x94._1, Some(x94._2)),
+    "x95_two_hop_counts" -> (x95._1, Some(x95._2)),
+    "x96_degree_profile" -> (x96._1, Some(x96._2)),
   )
 }

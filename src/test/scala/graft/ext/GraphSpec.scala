@@ -170,6 +170,30 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("twoHopCounts: path graph, direct and self excluded") {
+    // path 1-2-3-4-5: 2-hop sets {3},{4},{1,5},{2},{3}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val got = Graph.twoHopCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("twoHopCounts: triangle has no 2-hop-only neighbours") {
+    // in a triangle every 2-hop candidate is already a direct edge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    assert(Graph.twoHopCounts(edges, "s", "d").count() == 0)
+  }
+
+  test("degreeProfile: log2 buckets over star plus triangle") {
+    // hub 0 with spokes 1..8 (deg 8 → bucket 3; spokes deg 1 → bucket
+    // 0) and a separate triangle 10-11-12 (deg 2 → bucket 1)
+    val edges = ((1L to 8L).map(i => (0L, i)) ++
+      Seq((10L, 11L), (11L, 12L), (10L, 12L))).toDF("s", "d")
+    val got = Graph.degreeProfile(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 8L, 1L -> 3L, 3L -> 1L))
+  }
+
   test("hitsInt: star graph — spokes are pure hubs, the hub is the authority") {
     // edges 1→0, 2→0, 3→0: node 0 is the only authority; 1,2,3 are
     // equal hubs; 0 has no out-edges so its hub score is 0
