@@ -165,6 +165,69 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** IDF-weighted Jaccard near-dup pairs — rarity-weighted overlap,
+    * the fix for template-heavy corpora where unweighted Jaccard is
+    * blind: two pages sharing only their 200-shingle site template
+    * score high unweighted (template shingles count like any other)
+    * while two docs sharing a rare 20-shingle passage score low.
+    * Weighting each shingle by its integer idf bucket
+    * w = clamp(1 + ⌊log2(N/df)⌋, 1..wMax) makes shared RARE content
+    * dominate: wJ(A,B) = W(A∩B) / W(A∪B) with global per-shingle
+    * weights (exact integer sums; the single final division is one
+    * IEEE754 op, identical on every engine).
+    *
+    * Lossless candidates from the SAME prefix filter as
+    * [[ngramJaccardPairs]], run at θ/wMax: weights lie in [1, wMax],
+    * so W(∩)/W(∪) ≤ wMax·|∩|/|∪| — every pair at weighted θ has
+    * unweighted Jaccard ≥ θ/wMax, and the prefix filter at that
+    * threshold misses nothing. Longer prefixes are the price of the
+    * bound; the rarity order still keeps stop-grade shingles out of
+    * the join.
+    *
+    * Scale shape: one doc-frequency agg (map-combined), the prefix
+    * self-join on rarest shingles, then weighted verify as id-keyed
+    * joins + one map-combined pair sum — every shuffle carries
+    * (id, shingle, small-int) rows. `N` is one driver-side scalar
+    * (the corpus row count), same discipline as
+    * [[graft.ext.Graph.pageRankInt]]'s node count. */
+  def idfWeightedJaccardPairs(df: DataFrame, id: String, text: String,
+                              n: Int, threshold: Double,
+                              wMax: Int = 4): DataFrame = {
+    require(threshold > 0 && threshold <= 1 && wMax >= 1,
+      "need 0 < threshold <= 1 and wMax >= 1")
+    val sets = docShingleSets(df, id, text, n).localCheckpoint()
+    val nDocs = sets.count()
+    val rows = sets.select(col("_id"), col("sz"), explode(col("shs")).as("sh"))
+    val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .withColumn("w", least(lit(wMax.toLong),
+        length(bin(expr(s"${nDocs}L div df_"))).cast("long")))
+    val thetaC = threshold / wMax
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("df_"), col("sh"))
+    val prefix = rows.join(dfreq.select("sh", "df_"), "sh")
+      .withColumn("rk", row_number().over(ww))
+      .filter(col("rk") <= col("sz") - ceil(lit(thetaC) * col("sz")) + 1)
+      .select("_id", "sh")
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val rw = rows.join(dfreq.select("sh", "w"), "sh")
+      .select(col("_id"), col("sh"), col("w"))
+    val inter = candidates
+      .join(rw.select(col("_id").as("id_a"), col("sh"), col("w")), Seq("id_a"))
+      .join(rw.select(col("_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(sum(col("w")).as("wi"))
+    val tot = rw.groupBy("_id").agg(sum(col("w")).as("wt"))
+    inter
+      .join(tot.select(col("_id").as("id_a"), col("wt").as("wa")), "id_a")
+      .join(tot.select(col("_id").as("id_b"), col("wt").as("wb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("wi").cast("double") / (col("wa") + col("wb") - col("wi")))
+          .as("wjaccard"))
+      .filter(col("wjaccard") >= threshold)
+  }
+
   /** Aligned-overlap length for near-dup pairs: for every pair at
     * n-gram Jaccard ≥ `threshold`, the longest run of CONSECUTIVE
     * matching shingle positions — i.e. how long the longest verbatim

@@ -2722,6 +2722,43 @@ object ExtQ {
       |FROM (SELECT bin(deg) AS to_binary_str FROM deg)
       |GROUP BY 1 ORDER BY log2_deg""".stripMargin)
 
+  /** IDF-weighted Jaccard near-dup pairs (rare shared content
+    * dominates); oracle recomputes exact weighted overlap over all
+    * pairs with the identical integer weight buckets. */
+  private val x97: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.idfWeightedJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6, wMax = 4)
+        .orderBy($"id_a", $"id_b")
+    },
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |      for i in range(1, len(s) - 1) ])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      |nd AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+      |dfq AS (
+      |  SELECT sh, least(4, length(bin(
+      |    (SELECT n FROM nd) // COUNT(*))))::BIGINT AS w
+      |  FROM sh GROUP BY sh),
+      |inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(d.w)::BIGINT AS wi
+      |  FROM sh a
+      |  JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+      |  JOIN dfq d ON d.sh = a.sh
+      |  GROUP BY 1, 2),
+      |tots AS (
+      |  SELECT s.doc_id, SUM(d.w)::BIGINT AS wt
+      |  FROM sh s JOIN dfq d ON d.sh = s.sh GROUP BY 1)
+      |SELECT ia AS id_a, ib AS id_b,
+      |  wi::DOUBLE / (ta.wt + tb.wt - wi) AS wjaccard
+      |FROM inter
+      |JOIN tots ta ON ta.doc_id = ia
+      |JOIN tots tb ON tb.doc_id = ib
+      |WHERE wi::DOUBLE / (ta.wt + tb.wt - wi) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2846,5 +2883,6 @@ object ExtQ {
     "x94_internal_repeats" -> (x94._1, Some(x94._2)),
     "x95_two_hop_counts" -> (x95._1, Some(x95._2)),
     "x96_degree_profile" -> (x96._1, Some(x96._2)),
+    "x97_weighted_jaccard" -> (x97._1, Some(x97._2)),
   )
 }

@@ -774,6 +774,48 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("idfWeightedJaccardPairs: template sharing demoted, rare passage promoted") {
+    import spark.implicits._
+    val template = "breaking news site menu home about contact subscribe today"
+    val rare = "quantum error correction surface code threshold theorem"
+    val corpus = (
+      Seq((1L, s"$template $rare alpha beta"),
+          (2L, s"$template $rare gamma delta")) ++
+      (3L to 10L).map(i => (i, s"$template filler$i junk$i"))
+    ).toDF("doc_id", "text")
+    def shingleSet(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = (Seq((1L, s"$template $rare alpha beta"),
+      (2L, s"$template $rare gamma delta")) ++
+      (3L to 10L).map(i => (i, s"$template filler$i junk$i"))).toMap
+    // driver-side reference with identical integer weights
+    val n = texts.size.toLong
+    val allSh = texts.values.flatMap(shingleSet).toSeq
+    val dfm = allSh.groupBy(identity).map { case (s, o) => s -> o.size.toLong }
+    def w(s: String) =
+      math.min(4L, java.lang.Long.toBinaryString(n / dfm(s)).length.toLong)
+    def wj(a: Long, b: Long) = {
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      val wi = (sa & sb).toSeq.map(w).sum.toDouble
+      wi / ((sa.toSeq.map(w).sum + sb.toSeq.map(w).sum) - wi)
+    }
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b && wj(a, b) >= 0.5
+    } yield (a, b)).toSet
+    val got = Dedup.idfWeightedJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5, wMax = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // the semantic point: the rare-passage pair is IN, and at least
+    // one template-only pair that plain Jaccard admits at 0.5 is OUT
+    assert(got.contains((1L, 2L)))
+    val unweighted = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val templateOnly = unweighted.filter { case (a, b) => a >= 3 && b >= 3 }
+    assert(templateOnly.nonEmpty && templateOnly.forall(!got.contains(_)))
+  }
+
   test("epochShuffle: balanced contiguous positions, salt changes the permutation") {
     import spark.implicits._
     val rows = (0L until 200L).toDF("k")
