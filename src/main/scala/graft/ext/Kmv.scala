@@ -37,4 +37,24 @@ object Kmv {
     when(size(summary) < k, size(summary).cast("double"))
       .otherwise(lit((k - 1).toDouble) /
         (element_at(summary, k).cast("double") / lit(HashRange)))
+
+  /** Distinct-intersection estimate from two summaries — the
+    * join-cardinality probe a planner wants BEFORE committing to a
+    * shuffle strategy: two tiny sketch rows answer "how many keys
+    * match" without scanning either table again. Beth-style KMV set
+    * algebra (Beyer et al., SIGMOD'07): K smallest of the merged
+    * union give θ; the fraction of those present in BOTH inputs
+    * scales the union estimate. Exact (not estimated) whenever the
+    * union never filled the sketch — then both summaries hold every
+    * hash. Deterministic: order statistics of md5 coordinates, no
+    * arrival-order term anywhere. */
+  def intersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val merged = slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    val kk = size(merged)
+    val theta = element_at(merged, kk).cast("double") / lit(HashRange)
+    val inBoth = size(array_intersect(merged, array_intersect(a, b)))
+    when(kk < k, inBoth.cast("double"))
+      .otherwise(inBoth.cast("double") / kk.cast("double") *
+        (lit((k - 1).toDouble) / theta))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Assoc, Bpe, Chunk, Dedup, Drift, Fuzzy, Graph, Hll, Index, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ext.{Assoc, Bpe, Chunk, Dedup, Drift, Fuzzy, Graph, Hll, Index, Kmv, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -2759,6 +2759,32 @@ object ExtQ {
       |WHERE wi::DOUBLE / (ta.wt + tb.wt - wi) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin)
 
+  /** KMV join-cardinality estimation, self-verified (q20 pattern):
+    * two sketch rows estimate |distinct(o_custkey) ∩ c_custkey|; the
+    * estimate must land within 15% of exact or the boolean flips and
+    * the row hash-fails. */
+  private val x98: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val est = t(s, d, "orders")
+        .agg(Kmv.summary($"o_custkey", 512, "kmv").as("sa"))
+        .crossJoin(t(s, d, "customer")
+          .agg(Kmv.summary($"c_custkey", 512, "kmv").as("sb")))
+        .select(Kmv.intersectEstimate($"sa", $"sb", 512).as("est"))
+      t(s, d, "orders").select($"o_custkey".as("ck")).distinct()
+        .join(t(s, d, "customer").select($"c_custkey".as("ck")),
+          Seq("ck"), "leftsemi")
+        .agg(count(lit(1)).as("n_matching_keys"))
+        .crossJoin(broadcast(est))
+        .select($"n_matching_keys",
+          (abs($"est" - $"n_matching_keys") * 20 <= $"n_matching_keys" * 3)
+            .as("within_15pct"))
+    },
+    """SELECT COUNT(DISTINCT o_custkey)::BIGINT AS n_matching_keys,
+      |  TRUE AS within_15pct
+      |FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)"""
+      .stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2884,5 +2910,6 @@ object ExtQ {
     "x95_two_hop_counts" -> (x95._1, Some(x95._2)),
     "x96_degree_profile" -> (x96._1, Some(x96._2)),
     "x97_weighted_jaccard" -> (x97._1, Some(x97._2)),
+    "x98_kmv_join_estimate" -> (x98._1, Some(x98._2)),
   )
 }

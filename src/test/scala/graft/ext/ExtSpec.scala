@@ -774,6 +774,25 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("kmv intersectEstimate: exact when unfilled, within 15% when filled") {
+    import spark.implicits._
+    // unfilled: 60+60 keys, overlap 20, k=512 → exact answer
+    val a1 = (0L until 60L).toDF("k")
+    val b1 = (40L until 100L).toDF("k")
+    def est(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame, k: Int) =
+      a.agg(Kmv.summary($"k", k, "s").as("sa"))
+        .crossJoin(b.agg(Kmv.summary($"k", k, "s").as("sb")))
+        .select(Kmv.intersectEstimate($"sa", $"sb", k).as("e"))
+        .head().getDouble(0)
+    assert(est(a1, b1, 512) == 20.0)
+    // filled: 4000+4000 keys, overlap 2000, k=512 → estimate ±15%
+    val a2 = (0L until 4000L).toDF("k")
+    val b2 = (2000L until 6000L).toDF("k")
+    val e = est(a2, b2, 512)
+    assert(math.abs(e - 2000.0) <= 300.0, s"estimate $e off by > 15%")
+  }
+
   test("idfWeightedJaccardPairs: template sharing demoted, rare passage promoted") {
     import spark.implicits._
     val template = "breaking news site menu home about contact subscribe today"
