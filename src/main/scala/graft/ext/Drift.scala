@@ -80,4 +80,47 @@ object Drift {
       .select(col("term"), col("cnt_a"), col("cnt_b"),
         round9(col("_diff") * col("_diff") / col("_exp")).as("chi2"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between two numeric
+    * samples — the NUMERIC companion to [[termDrift]]: "did this
+    * month's price/score/length distribution move" as one number,
+    * with no binning choices to argue about.
+    *
+    * Entirely in integers: at each distinct value v the CDF gap is
+    * F_A(v) − F_B(v) = (cumA·nB − cumB·nA) / (nA·nB), so the max of
+    * |cumA·nB − cumB·nA| IS the KS numerator over the common
+    * denominator nA·nB — reported as (ks_num, n_a, n_b) plus the
+    * value achieving it (smallest on ties). D = ks_num/(nA·nB);
+    * compare against c(α)·√((nA+nB)/(nA·nB)) off-engine. Bit-exact:
+    * no division ever happens.
+    *
+    * Scale shape: one map-combined per-(value) count pair, ONE global
+    * ordered window for the running sums (the honest cost of an exact
+    * CDF — for 100 TB use the KLL sketch quantiles instead), one
+    * min(struct) argmax. Overflow: cum ≤ n, so nA·nB ≤ 2⁶³ needs
+    * samples ≤ 3·10⁹ each. */
+  def ksDistance(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val pts = a.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("ca"))
+      .join(
+        b.select(col(valueCol).cast("double").as("v"))
+          .filter(col("v").isNotNull)
+          .groupBy("v").agg(count(lit(1)).as("cb")),
+        Seq("v"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = pts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    pts
+      .withColumn("cumA", sum(col("ca")).over(w))
+      .withColumn("cumB", sum(col("cb")).over(w))
+      .join(broadcast(totals))
+      .withColumn("gap", abs(col("cumA") * col("nb") - col("cumB") * col("na")))
+      .agg(min(struct((-col("gap")).as("ng"), col("v").as("at_v"))).as("m"),
+        first(col("na")).as("n_a"), first(col("nb")).as("n_b"))
+      .select((-col("m.ng")).as("ks_num"), col("n_a"), col("n_b"),
+        col("m.at_v").as("at_value"))
+  }
 }

@@ -155,6 +155,23 @@ object Profile {
     * and bin by broadcast range lookup instead; this exact form is
     * for the regimes where exact decile edges are the CONTRACT
     * (billing tiers, regulatory bands). */
+  /** Benford first-significant-digit profile of a positive numeric
+    * column — the classic fabricated-data / unit-mix-up screen for
+    * financial and count-like fields (organic multiplicative data
+    * leads with 1 ~30% of the time; uniform leading digits scream
+    * synthetic). The first digit comes from the DECIMAL RENDERING of
+    * ⌊x⌋ (rows < 1 dropped) — no float log10 anywhere, so the
+    * profile is bit-exact on any engine. One narrow projection + one
+    * map-combined 9-row count. Compare against log10(1+1/d) shares
+    * off-engine. */
+  def benfordProfile(df: DataFrame, c: String): DataFrame =
+    df.select(floor(col(c)).cast("long").as("_ix"))
+      .filter(col("_ix") >= 1L)
+      .select(substring(col("_ix").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .orderBy("digit")
+
   def equalFrequencyBins(df: DataFrame, c: String, tieBreak: String,
                          bins: Int): DataFrame = {
     require(bins >= 1, "bins must be positive")

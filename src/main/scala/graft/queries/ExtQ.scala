@@ -2785,6 +2785,47 @@ object ExtQ {
       |FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)"""
       .stripMargin)
 
+  /** Exact integer two-sample KS distance between even- and odd-
+    * customer order totals — no division ever computed. */
+  private val x99: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders")
+      Drift.ksDistance(
+        o.filter($"o_custkey" % 2 === 0).select($"o_totalprice"),
+        o.filter($"o_custkey" % 2 === 1).select($"o_totalprice"),
+        "o_totalprice")
+    },
+    """WITH pa AS (SELECT o_totalprice AS v, COUNT(*)::BIGINT AS ca
+      |            FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1),
+      |pb AS (SELECT o_totalprice AS v, COUNT(*)::BIGINT AS cb
+      |       FROM orders WHERE o_custkey % 2 = 1 GROUP BY 1),
+      |m AS (SELECT COALESCE(pa.v, pb.v) AS v, COALESCE(ca, 0) AS ca,
+      |        COALESCE(cb, 0) AS cb
+      |      FROM pa FULL OUTER JOIN pb ON pb.v = pa.v),
+      |cum AS (SELECT v, SUM(ca) OVER w AS cumA, SUM(cb) OVER w AS cumB
+      |        FROM m WINDOW w AS (ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM m),
+      |g AS (SELECT v, abs(cumA * t.nb - cumB * t.na)::BIGINT AS gap
+      |      FROM cum CROSS JOIN t)
+      |SELECT (SELECT gap FROM g ORDER BY gap DESC, v LIMIT 1) AS ks_num,
+      |  t.na AS n_a, t.nb AS n_b,
+      |  (SELECT v FROM g ORDER BY gap DESC, v LIMIT 1) AS at_value
+      |FROM t""".stripMargin)
+
+  /** Benford first-digit profile of order totals. */
+  private val x100: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Profile.benfordProfile(t(s, d, "orders"), "o_totalprice")
+    },
+    """SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |  COUNT(*)::BIGINT AS n
+      |FROM orders WHERE floor(o_totalprice) >= 1
+      |GROUP BY 1 ORDER BY digit""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2911,5 +2952,7 @@ object ExtQ {
     "x96_degree_profile" -> (x96._1, Some(x96._2)),
     "x97_weighted_jaccard" -> (x97._1, Some(x97._2)),
     "x98_kmv_join_estimate" -> (x98._1, Some(x98._2)),
+    "x99_ks_distance" -> (x99._1, Some(x99._2)),
+    "x100_benford_profile" -> (x100._1, Some(x100._2)),
   )
 }

@@ -774,6 +774,28 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("ksDistance: hand-computed gap, integer numerator, argmin value") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: nA=nB=4; gaps·16 at v=1..6:
+    // 4,8,8,8,4,0 → max 8 first achieved at v=2
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("x")
+    val r = Drift.ksDistance(a, b, "x").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((8L, 4L, 4L, 2.0)))
+    // identical samples → zero distance
+    val z = Drift.ksDistance(a, a, "x").head()
+    assert(z.getLong(0) == 0L)
+  }
+
+  test("benfordProfile: digits from decimal rendering, sub-1 rows dropped") {
+    import spark.implicits._
+    val rows = Seq(1.5, 19.0, 123.0, 2.0, 0.4, 987.0, 91.0).toDF("x")
+    val got = Profile.benfordProfile(rows, "x")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 9L -> 2L))
+  }
+
   test("kmv intersectEstimate: exact when unfilled, within 15% when filled") {
     import spark.implicits._
     // unfilled: 60+60 keys, overlap 20, k=512 → exact answer
