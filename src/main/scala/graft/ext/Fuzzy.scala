@@ -47,6 +47,46 @@ object Fuzzy {
     * canonical = lexicographic minimum). Composes the pair generator
     * with [[Dedup.connectedComponents]]; singleton keys map to
     * themselves. */
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995) —
+    * the OTHER classic ER blocking: sort records by a key, compare
+    * each record only to its `window` successors in sort order. Where
+    * [[fuzzyPairs]]' equality blocking misses pairs whose block key
+    * itself is dirty (typo in the first token ⇒ different block),
+    * sort order keeps near-spellings adjacent, so those pairs still
+    * meet. Returns (k_a, k_b, dist) with dist = levenshtein ≤
+    * maxDist, k_a < k_b.
+    *
+    * Scale shape: the global sort rank is one window (the honest SNM
+    * cost — at 100 TB use range-partitioned rank via sketch
+    * boundaries); the neighborhood join is an equi-join on rank
+    * blocks of width `window` (each rank joins its own and the next
+    * block — every candidate (r, r+i), i ≤ window, falls in one of
+    * the two), so candidate volume is n·window, never n². */
+  def sortedNeighborPairs(df: DataFrame, keyCol: String, window: Int,
+                          maxDist: Int): DataFrame = {
+    require(window >= 1 && maxDist >= 0, "window >= 1, maxDist >= 0")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_k"))
+    val ranked = df.select(col(keyCol).as("_k")).distinct()
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("_blk", expr(s"_r div ${window}L"))
+      .localCheckpoint()
+    val probe = ranked.select(col("_k").as("k_b"), col("_r").as("_rb"),
+      col("_blk").as("_b2"))
+    val pairs = ranked
+      .select(col("_k").as("k_a"), col("_r").as("_ra"),
+        explode(array(col("_blk"), col("_blk") + 1)).as("_b2"))
+      .join(probe, "_b2")
+      .filter(col("_rb") > col("_ra") &&
+        col("_rb") <= col("_ra") + window)
+    pairs
+      .withColumn("dist", levenshtein(
+        least(col("k_a"), col("k_b")),
+        greatest(col("k_a"), col("k_b"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("k_a"), col("k_b")).as("k_a"),
+        greatest(col("k_a"), col("k_b")).as("k_b"), col("dist"))
+  }
+
   def resolve(df: DataFrame, keyCol: String, maxDist: Int,
               blockKey: Column => Column = firstToken): DataFrame = {
     val vals = df.select(col(keyCol).as("k")).distinct()

@@ -172,6 +172,32 @@ object Profile {
       .groupBy("digit").agg(count(lit(1)).as("n"))
       .orderBy("digit")
 
+  /** 2-D Pareto frontier (skyline): the points not dominated under
+    * (minimize `costCol`, maximize `gainCol`) — price/performance
+    * frontiers, quality-vs-length curation cuts, resource-allocation
+    * envelopes. A point is dominated if another has cost ≤ AND gain ≥
+    * (strict in at least one).
+    *
+    * Not the naive O(n²) dominance join: per distinct cost keep the
+    * max gain (map-combined agg), then ONE ordered window pass — a
+    * cost's champion is on the frontier iff its gain strictly exceeds
+    * the running max over all cheaper costs. The window runs over
+    * DISTINCT COSTS (already aggregated), not rows; for 100 TB the
+    * distinct-cost set is the small side or gets pre-bucketed. */
+  def paretoFrontier(df: DataFrame, costCol: String, gainCol: String)
+      : DataFrame = {
+    val champs = df
+      .select(col(costCol).as("cost"), col(gainCol).as("gain"))
+      .filter(col("cost").isNotNull && col("gain").isNotNull)
+      .groupBy("cost").agg(max(col("gain")).as("gain"))
+    val w = Window.orderBy("cost")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    champs
+      .withColumn("_pm", max(col("gain")).over(w))
+      .filter(col("_pm").isNull || col("gain") > col("_pm"))
+      .select(col("cost"), col("gain"))
+  }
+
   def equalFrequencyBins(df: DataFrame, c: String, tieBreak: String,
                          bins: Int): DataFrame = {
     require(bins >= 1, "bins must be positive")

@@ -2826,6 +2826,40 @@ object ExtQ {
       |FROM orders WHERE floor(o_totalprice) >= 1
       |GROUP BY 1 ORDER BY digit""".stripMargin)
 
+  /** 2-D Pareto frontier of lineitem price/quantity. */
+  private val x101: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Profile.paretoFrontier(t(s, d, "lineitem"),
+          "l_extendedprice", "l_quantity")
+        .orderBy($"cost")
+    },
+    """WITH ch AS (SELECT l_extendedprice AS cost,
+      |              max(l_quantity) AS gain
+      |            FROM lineitem GROUP BY 1),
+      |w AS (SELECT cost, gain,
+      |        max(gain) OVER (ORDER BY cost
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM ch)
+      |SELECT cost, gain FROM w WHERE pm IS NULL OR gain > pm
+      |ORDER BY cost""".stripMargin)
+
+  /** Sorted-neighborhood ER pairs over part names (window 5,
+    * levenshtein ≤ 8). */
+  private val x102: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Fuzzy.sortedNeighborPairs(t(s, d, "part").select($"p_name"),
+          "p_name", window = 5, maxDist = 8)
+        .orderBy($"k_a", $"k_b")
+    },
+    """WITH ks AS (SELECT DISTINCT p_name AS k FROM part),
+      |r AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM ks)
+      |SELECT a.k AS k_a, b.k AS k_b,
+      |  levenshtein(a.k, b.k)::BIGINT AS dist
+      |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+      |WHERE levenshtein(a.k, b.k) <= 8 ORDER BY k_a, k_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2954,5 +2988,7 @@ object ExtQ {
     "x98_kmv_join_estimate" -> (x98._1, Some(x98._2)),
     "x99_ks_distance" -> (x99._1, Some(x99._2)),
     "x100_benford_profile" -> (x100._1, Some(x100._2)),
+    "x101_pareto_frontier" -> (x101._1, Some(x101._2)),
+    "x102_sorted_neighbor_pairs" -> (x102._1, Some(x102._2)),
   )
 }

@@ -774,6 +774,35 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("paretoFrontier: dominated points drop, per-cost champions kept") {
+    import spark.implicits._
+    val pts = Seq(
+      (1.0, 5.0), (1.0, 3.0),   // same cost: champion is gain 5
+      (2.0, 4.0),               // dominated by (1, 5)
+      (3.0, 8.0),               // frontier
+      (4.0, 8.0),               // equal gain at higher cost → dominated
+      (5.0, 9.0)                // frontier
+    ).toDF("c", "g")
+    val got = Profile.paretoFrontier(pts, "c", "g")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == Set((1.0, 5.0), (3.0, 8.0), (5.0, 9.0)))
+  }
+
+  test("sortedNeighborPairs: dirty-first-token pair found, window bound holds") {
+    import spark.implicits._
+    // equality blocking on the first token would separate "marror" from
+    // "mirror" — sort order keeps them adjacent
+    val names = Seq("mirror finish steel", "marror finish steel",
+      "aaaa zzzz", "zzzz aaaa").toDF("k")
+    val got = Fuzzy.sortedNeighborPairs(names, "k", window = 3, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("marror finish steel", "mirror finish steel", 1L)))
+    // window=1 must only pair adjacent ranks
+    val many = (0 to 9).map(i => s"key$i").toDF("k")
+    val adj = Fuzzy.sortedNeighborPairs(many, "k", window = 1, maxDist = 1)
+    assert(adj.count() == 9)
+  }
+
   test("ksDistance: hand-computed gap, integer numerator, argmin value") {
     import spark.implicits._
     // A = {1,2,3,4}, B = {3,4,5,6}: nA=nB=4; gaps·16 at v=1..6:
