@@ -366,6 +366,38 @@ object Temporal {
       .withColumnRenamed("_k", key)
   }
 
+  /** Per-group OLS trend slope as an EXACT INTEGER FRACTION —
+    * activity trending up or down per user/source/segment, the
+    * screening regression behind burn-down charts and corpus-source
+    * health monitors. slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²);
+    * both sides stay integers (x = seconds since the group's own
+    * first event, y = cents), reported as (slope_num, slope_den) —
+    * divide off-engine; sign(slope_num) is the trend verdict. No
+    * float ever sums, so the result is bit-identical under any
+    * partitioning; a single-point or zero-variance-x group reports
+    * den = 0 (undefined slope, consumer decides).
+    *
+    * Scale: one min-agg + one key equi-join + one map-combined sum
+    * per group — scan speed. Overflow: with x ≤ 3·10⁷ s (a year) and
+    * cents ≤ 10⁶, n·Σxy needs n ≤ ~10⁴ rows per group before Long
+    * pressure; pin to DECIMAL beyond. */
+  def trendSlope(events: DataFrame, group: String, ts: String,
+                 value: String): DataFrame = {
+    val ev = events.select(col(group).as("grp"),
+      unix_timestamp(col(ts)).as("t"),
+      floor(col(value) * 100 + 0.5).cast("long").as("cents"))
+    val t0 = ev.groupBy("grp").agg(min(col("t")).as("t0"))
+    ev.join(t0, "grp")
+      .select(col("grp"), (col("t") - col("t0")).as("x"), col("cents").as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("grp"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+  }
+
   /** Half-life–decayed score per group — recency weighting without a
     * single float: freshness signals for corpus curation (recent
     * sources weigh more), engagement scoring, feature snapshots.

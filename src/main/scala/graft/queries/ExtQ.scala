@@ -2860,6 +2860,57 @@ object ExtQ {
       |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
       |WHERE levenshtein(a.k, b.k) <= 8 ORDER BY k_a, k_b""".stripMargin)
 
+  /** Integer-fraction OLS trend slope per user over event values
+    * (users < 60 bound the gate output). */
+    private val x103: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.trendSlope(t(s, d, "events").filter($"user_id" < 60),
+          "user_id", "ts", "value")
+        .withColumnRenamed("grp", "user_id")
+        .orderBy($"user_id")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, (epoch_us(ts) // 1000000)::BIGINT AS t,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 60),
+      |t0 AS (SELECT user_id, min(t) AS t0 FROM ev GROUP BY 1),
+      |xy AS (SELECT ev.user_id, ev.t - t0.t0 AS x, cents AS y
+      |       FROM ev JOIN t0 ON t0.user_id = ev.user_id)
+      |SELECT user_id, COUNT(*)::BIGINT AS n,
+      |  (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS slope_num,
+      |  (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS slope_den
+      |FROM xy GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  /** Retention matrix normalized to cohort-size ppm — integer
+    * division, joinable back to x60's raw counts. */
+  private val x104: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val ret = Temporal.retention(t(s, d, "events"), "user_id", "ts")
+      val sizes = ret.filter($"day_offset" === 0)
+        .select($"cohort_date", $"n_users".as("cohort_size"))
+      ret.join(sizes, "cohort_date")
+        .select($"cohort_date".cast("string").as("cohort_date"),
+          $"day_offset",
+          expr("n_users * 1000000L div cohort_size").as("retained_ppm"))
+        .orderBy($"cohort_date", $"day_offset")
+    },
+    """WITH act AS (
+      |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+      |coh AS (SELECT u, min(d) AS c FROM act GROUP BY u),
+      |cell AS (
+      |  SELECT c AS cohort_date, (d - c)::BIGINT AS day_offset,
+      |    COUNT(*)::BIGINT AS n_users
+      |  FROM act JOIN coh USING (u) GROUP BY 1, 2),
+      |sz AS (SELECT cohort_date, n_users AS cohort_size FROM cell
+      |       WHERE day_offset = 0)
+      |SELECT CAST(cell.cohort_date AS VARCHAR) AS cohort_date,
+      |  day_offset,
+      |  (n_users * 1000000 // cohort_size)::BIGINT AS retained_ppm
+      |FROM cell JOIN sz USING (cohort_date)
+      |ORDER BY cohort_date, day_offset""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -2990,5 +3041,7 @@ object ExtQ {
     "x100_benford_profile" -> (x100._1, Some(x100._2)),
     "x101_pareto_frontier" -> (x101._1, Some(x101._2)),
     "x102_sorted_neighbor_pairs" -> (x102._1, Some(x102._2)),
+    "x103_trend_slope" -> (x103._1, Some(x103._2)),
+    "x104_retention_ppm" -> (x104._1, Some(x104._2)),
   )
 }

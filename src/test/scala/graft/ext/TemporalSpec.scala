@@ -232,6 +232,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(got("b") == ((2L, 200 * 1 + 1 * w20)))
   }
 
+  test("trendSlope: hand-computed integer fraction, degenerate groups") {
+    val ev = Seq(
+      // user a: y = 100 + 2t cents at t = 0, 10, 20s → slope 2 cents/s
+      (1L, ts("2024-01-01 00:00:00"), 1.00),
+      (1L, ts("2024-01-01 00:00:10"), 1.20),
+      (1L, ts("2024-01-01 00:00:20"), 1.40),
+      // user b: single point → undefined slope (den 0)
+      (2L, ts("2024-01-01 00:00:00"), 5.0),
+      // user c: two points at the SAME second → zero x-variance
+      (3L, ts("2024-01-01 00:00:00"), 1.0),
+      (3L, ts("2024-01-01 00:00:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Temporal.trendSlope(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a: n=3, sx=30, sy=360, sxy=4000, sxx=500 →
+    //    num = 3·4000 − 30·360 = 1200; den = 3·500 − 900 = 600 → 2 c/s
+    assert(got(1L) == ((3L, 1200L, 600L)))
+    assert(got(1L)._2 / got(1L)._3 == 2L)
+    assert(got(2L)._3 == 0L && got(3L)._3 == 0L)
+  }
+
   test("gapFill: silent hours materialize as zero rows inside the span only") {
     val events = Seq(
       (1L, ts("2024-01-01 10:15:00"), 1.5),
