@@ -355,6 +355,73 @@ object Graph {
       .groupBy("log2_deg").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Multi-source BFS distance labels, `maxDepth` synchronous rounds:
+    * every node's hop distance to the NEAREST seed (trust/spam seed
+    * propagation, crawl-frontier depth, "how far from curated
+    * content" quality tiers). Nodes unreached within maxDepth are
+    * absent — the consumer's sentinel choice, not ours.
+    *
+    * Per round one frontier⋈edges equi-join + a map-combined min —
+    * the frontier SHRINKS to newly-reached nodes only (visited set
+    * checked via anti join), so total work is O(edges touched), not
+    * O(rounds·m); lineage truncated per round ([[pageRankInt]]
+    * discipline). */
+  def bfsDistances(edges: DataFrame, a: String, b: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val und = edges.select(
+        least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dir = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var visited = seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited
+    (1 to maxDepth).foreach { depth =>
+      val next = dir.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+        .localCheckpoint()
+      val prev = visited
+      visited = visited.unionByName(next.select("id", "dist"))
+        .localCheckpoint()
+      prev.unpersist(); frontier.unpersist()
+      frontier = next
+    }
+    visited
+  }
+
+  /** [[bfsDistances]] as unrolled DuckDB SQL round CTEs (shared
+    * edge-CTE parameterization; `seedCte` must yield a column `id`). */
+  def bfsSql(edgeCte: String, seedCte: String, maxDepth: Int): String = {
+    val header =
+      s"""WITH raw AS ($edgeCte),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM raw WHERE src <> dst),
+         |dir AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |v0 AS MATERIALIZED (
+         |  SELECT DISTINCT id, 0::BIGINT AS dist FROM ($seedCte))""".stripMargin
+    val steps = (1 to maxDepth).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT dir.dst AS id, $i::BIGINT AS dist
+         |  FROM dir JOIN v${i - 1} f ON f.id = dir.src
+         |    AND f.dist = ${i - 1}
+         |  WHERE dir.dst NOT IN (SELECT id FROM v${i - 1})),
+         |v$i AS MATERIALIZED (
+         |  SELECT id, dist FROM v${i - 1} UNION ALL
+         |  SELECT id, dist FROM f$i)""".stripMargin
+    }
+    (Seq(header) ++ steps).mkString(",\n") +
+      s"\nSELECT id::BIGINT AS id, dist FROM v$maxDepth ORDER BY id"
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999), `iters` synchronous
     * rounds in scaled-integer arithmetic: good hubs point at good
     * authorities and vice versa — the complementary signal to

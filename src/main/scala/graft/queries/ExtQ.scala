@@ -2911,6 +2911,22 @@ object ExtQ {
       |FROM cell JOIN sz USING (cohort_date)
       |ORDER BY cohort_date, day_offset""".stripMargin)
 
+  /** Multi-source BFS hop distances (seeds 0-4, depth ≤ 3) over the
+    * x42 link graph — unreached nodes absent by contract. */
+  private val x105: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "orders").select(
+        ($"o_custkey" % 100).as("src"), ($"o_orderkey" % 100).as("dst"))
+      val seeds = s.range(0, 5).select($"id")
+      Graph.bfsDistances(edges, "src", "dst", seeds, "id", maxDepth = 3)
+        .orderBy($"id")
+    },
+    Graph.bfsSql(
+      "SELECT o_custkey % 100 AS src, o_orderkey % 100 AS dst FROM orders",
+      "SELECT unnest([0, 1, 2, 3, 4]) AS id",
+      maxDepth = 3))
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3043,5 +3059,6 @@ object ExtQ {
     "x102_sorted_neighbor_pairs" -> (x102._1, Some(x102._2)),
     "x103_trend_slope" -> (x103._1, Some(x103._2)),
     "x104_retention_ppm" -> (x104._1, Some(x104._2)),
+    "x105_bfs_distances" -> (x105._1, Some(x105._2)),
   )
 }

@@ -194,6 +194,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> 8L, 1L -> 3L, 3L -> 1L))
   }
 
+  test("bfsDistances: nearest seed wins, depth bound respected") {
+    // path 0-1-2-3-4-5 with seeds {0, 5}: distances 0,1,2,2,1,0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val seeds = Seq(0L, 5L).toDF("id")
+    val got = Graph.bfsDistances(edges, "s", "d", seeds, "id", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
+      5L -> 0L))
+    // depth 1: middle nodes unreached and absent
+    val shallow = Graph.bfsDistances(edges, "s", "d", seeds, "id",
+        maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow == Map(0L -> 0L, 1L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("hitsInt: star graph — spokes are pure hubs, the hub is the authority") {
     // edges 1→0, 2→0, 3→0: node 0 is the only authority; 1,2,3 are
     // equal hubs; 0 has no out-edges so its hub score is 0
