@@ -176,13 +176,14 @@ object Dedup {
     * weights (exact integer sums; the single final division is one
     * IEEE754 op, identical on every engine).
     *
-    * Lossless candidates from the SAME prefix filter as
-    * [[ngramJaccardPairs]], run at θ/wMax: weights lie in [1, wMax],
-    * so W(∩)/W(∪) ≤ wMax·|∩|/|∪| — every pair at weighted θ has
-    * unweighted Jaccard ≥ θ/wMax, and the prefix filter at that
-    * threshold misses nothing. Longer prefixes are the price of the
-    * bound; the rarity order still keeps stop-grade shingles out of
-    * the join.
+    * Lossless candidates from a WEIGHT-GENERALIZED prefix filter run
+    * at θ directly: a doc's prefix is its rarity-ordered shingles
+    * whose preceding cumulative weight is ≤ W(A) − ⌈θ·W(A)⌉ (unit
+    * weights reduce this to [[ngramJaccardPairs]]' |A| − ⌈θ|A|⌉ + 1
+    * rule) — see the in-code proof. Because rare shingles carry the
+    * most weight, weighted prefixes are SHORTER than the unweighted
+    * filter's, and the candidate join touches only each doc's rarest
+    * shingles.
     *
     * Scale shape: one doc-frequency agg (map-combined), the prefix
     * self-join on rarest shingles, then weighted verify as id-keyed
@@ -197,28 +198,51 @@ object Dedup {
       "need 0 < threshold <= 1 and wMax >= 1")
     val sets = docShingleSets(df, id, text, n).localCheckpoint()
     val nDocs = sets.count()
-    val rows = sets.select(col("_id"), col("sz"), explode(col("shs")).as("sh"))
+    val rows = sets.select(col("_id"), explode(col("shs")).as("sh"))
     val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df_"))
       .withColumn("w", least(lit(wMax.toLong),
         length(bin(expr(s"${nDocs}L div df_"))).cast("long")))
-    val thetaC = threshold / wMax
+    // rw feeds the prefix, both intersection sides and the totals —
+    // materialize ONCE (a lazy plan re-executes the full-corpus
+    // shuffle per reference)
+    val rw = rows.join(dfreq, "sh")
+      .select(col("_id"), col("sh"), col("df_"), col("w"))
+      .localCheckpoint()
+    val tot = rw.groupBy("_id").agg(sum(col("w")).as("wt")).localCheckpoint()
+    // WEIGHTED prefix filter at θ directly (not θ/wMax): if
+    // wJ(A,B) ≥ θ then W(∩) ≥ θ·W(A), and W(∩) is an integer, so
+    // W(∩) ≥ ⌈θ·W(A)⌉. A shingle belongs to A's prefix iff the
+    // cumulative weight BEFORE it (rarity order) is ≤ W(A) − ⌈θ·W(A)⌉
+    // — were every shared shingle outside the prefix, the shared
+    // weight would fit in a suffix strictly lighter than ⌈θ·W(A)⌉, a
+    // contradiction; the globally-rarest shared shingle therefore
+    // sits in BOTH prefixes (the Bayardo argument, weight-generalized
+    // — with unit weights this reduces exactly to the unweighted
+    // |A| − ⌈θ|A|⌉ + 1 rule). Rarity-heavy weights make prefixes
+    // SHORTER than the unweighted filter's, and the join still only
+    // ever touches each doc's rarest shingles.
     val ww = org.apache.spark.sql.expressions.Window
       .partitionBy("_id").orderBy(col("df_"), col("sh"))
-    val prefix = rows.join(dfreq.select("sh", "df_"), "sh")
-      .withColumn("rk", row_number().over(ww))
-      .filter(col("rk") <= col("sz") - ceil(lit(thetaC) * col("sz")) + 1)
-      .select("_id", "sh")
+    val prefix = rw.join(tot, "_id")
+      .withColumn("cumx", coalesce(sum(col("w")).over(
+        ww.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .filter(col("cumx") <= col("wt") - ceil(lit(threshold) * col("wt")))
+      .select("_id", "sh", "wt")
+    // length (total-weight) filter riding the same join: wJ ≥ θ needs
+    // W(∩) ≥ θ·W(∪) ≥ θ·max(W(A), W(B)) and W(∩) ≤ min(W(A), W(B)),
+    // so min ≥ θ·max — size-incompatible pairs never verify and are
+    // pruned before the shuffle-heavy distinct
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a._id") < col("b._id"))
+        col("a.sh") === col("b.sh") && col("a._id") < col("b._id") &&
+          col("a.wt") >= lit(threshold) * col("b.wt") &&
+          col("b.wt") >= lit(threshold) * col("a.wt"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
-    val rw = rows.join(dfreq.select("sh", "w"), "sh")
-      .select(col("_id"), col("sh"), col("w"))
     val inter = candidates
       .join(rw.select(col("_id").as("id_a"), col("sh"), col("w")), Seq("id_a"))
       .join(rw.select(col("_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(sum(col("w")).as("wi"))
-    val tot = rw.groupBy("_id").agg(sum(col("w")).as("wt"))
     inter
       .join(tot.select(col("_id").as("id_a"), col("wt").as("wa")), "id_a")
       .join(tot.select(col("_id").as("id_b"), col("wt").as("wb")), "id_b")
