@@ -48,6 +48,12 @@ object Bench {
       // 5.1s in-suite vs 3.1s isolated before this). Each timed run
       // rebuilds its own checkpoints, so dropping stale ones is safe.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // settle the heap between queries: 100+ queries of driver-side
+      // plan/codegen allocation otherwise bleed GC pressure into late
+      // queries (x18 measured 4.5 s isolated vs 6.6 s at position
+      // ~110 of a 147-query session); one explicit collection per
+      // query keeps per-query numbers comparable across rounds
+      System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
