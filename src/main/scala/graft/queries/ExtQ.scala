@@ -2594,7 +2594,7 @@ object ExtQ {
           "doc_id", salt = "rv", shardIds = Seq(0L, 1L, 2L, 3L, 4L))
         .orderBy($"doc_id")
     },
-    """SELECT doc_id, shard FROM (
+    """SELECT doc_id, shard::BIGINT AS shard FROM (
       |  SELECT doc_id, s AS shard,
       |    ROW_NUMBER() OVER (PARTITION BY doc_id
       |      ORDER BY md5('rv:' || s || ':' || doc_id) DESC, s) AS rn
