@@ -103,9 +103,14 @@ object Dedup {
     * from candidate generation without any lossy cap. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         n: Int, threshold: Double): DataFrame = {
-    val sets = docShingleSets(df, id, text, n).cache()
-    // exploded view is a pure map over the cached sets (carries sz for
-    // free — no extra sizes join)
+    // localCheckpoint, not cache(): the sets feed the prefix, both
+    // verify sides and the df-counts — under storage-memory pressure a
+    // cache block is LRU-evicted and each downstream reference silently
+    // re-executes the full shingle plan (observed 2-4x bench swings);
+    // checkpoint blocks spill to disk instead and lineage is truncated
+    val sets = docShingleSets(df, id, text, n).localCheckpoint()
+    // exploded view is a pure map over the checkpointed sets (carries
+    // sz for free — no extra sizes join)
     val rows = sets.select(col("_id"), col("sz"), explode(col("shs")).as("sh"))
     // global rarity order; ties broken by shingle text for determinism
     val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -141,7 +146,7 @@ object Dedup {
     * then verified EXACTLY over the full shingle arrays. */
   def containmentPairs(df: DataFrame, id: String, text: String,
                        n: Int, threshold: Double): DataFrame = {
-    val sets = docShingleSets(df, id, text, n).cache()
+    val sets = docShingleSets(df, id, text, n).localCheckpoint()
     val rows = sets.select(col("_id"), col("sz"), explode(col("shs")).as("sh"))
     val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -384,7 +389,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
                       threshold: Double, bands: Int = 64, rowsPerBand: Int = 2)
       : DataFrame = {
-    val sets = docShingleSets(df, id, text, n).cache()
+    val sets = docShingleSets(df, id, text, n).localCheckpoint()
     val buckets = minhashBuckets(sets, bands, rowsPerBand)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -427,8 +432,8 @@ object Dedup {
                             id: String, text: String, n: Int,
                             threshold: Double, bands: Int = 64,
                             rowsPerBand: Int = 2): DataFrame = {
-    val setsA = docShingleSets(newDf, id, text, n).cache()
-    val setsB = docShingleSets(histDf, id, text, n).cache()
+    val setsA = docShingleSets(newDf, id, text, n).localCheckpoint()
+    val setsB = docShingleSets(histDf, id, text, n).localCheckpoint()
     val candidates = minhashBuckets(setsA, bands, rowsPerBand).as("a")
       .join(minhashBuckets(setsB, bands, rowsPerBand).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
@@ -554,7 +559,7 @@ object Dedup {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val planes = Planes.components(bands * bitsPerBand, dim)
     val v = df.select(col(id).as("_id"), col(vec).as("v"))
-      .repartition(parts).cache()
+      .repartition(parts).localCheckpoint()
     // band rows carry only (id, band, bucket) — the vectors join back
     // on candidates only, so the banded shuffle is tiny even when the
     // embedding payload is wide
@@ -603,7 +608,7 @@ object Dedup {
       .repartition(parts)
       .select(col("_id"), col("fv"),
         Similarity.int8Quantize(col("fv")).getField("q").as("qv"))
-      .cache()
+      .localCheckpoint()
     val banded = q.select(col("_id"),
       posexplode(Planes.bandBuckets(col("fv"), planes, bands, bitsPerBand))
         .as(Seq("band", "bucket")))
@@ -720,14 +725,16 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b"): DataFrame = {
-    // cache the directed edges FIRST: the undirected view is a union
-    // of two projections of the same (possibly expensive) pair plan,
-    // and caching only the union would execute that plan twice. The
-    // count() is a materialization BARRIER for the same reason — the
-    // union's two branches otherwise race the cold cache within one
-    // job and can each compute the full pair plan
-    val e = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
-    e.count()
+    // materialize the directed edges FIRST: the undirected view is a
+    // union of two projections of the same (possibly expensive) pair
+    // plan, and materializing only the union would execute that plan
+    // twice. localCheckpoint (eager), not cache()+count(): a cache
+    // block under storage-memory pressure is LRU-evicted and every
+    // later iteration's reference silently re-executes the full pair
+    // plan (the observed 2-4x wall-time swings on identical code);
+    // checkpoint blocks spill to disk and the lineage is truncated
+    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .localCheckpoint()
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -769,7 +776,6 @@ object Dedup {
       changed = merged.filter(col("nlabel") < col("old")).count()
       labels = merged.select(col("id"), col("nlabel").as("label"))
     }
-    e.unpersist()
     System.err.println(s"[cc] converged after $iters rounds")
     labels.withColumnRenamed("label", "cluster")
   }

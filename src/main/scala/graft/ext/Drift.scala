@@ -94,11 +94,17 @@ object Drift {
     * compare against c(α)·√((nA+nB)/(nA·nB)) off-engine. Bit-exact:
     * no division ever happens.
     *
-    * Scale shape: one map-combined per-(value) count pair, ONE global
-    * ordered window for the running sums (the honest cost of an exact
-    * CDF — for 100 TB use the KLL sketch quantiles instead), one
-    * min(struct) argmax. Overflow: cum ≤ n, so nA·nB ≤ 2⁶³ needs
-    * samples ≤ 3·10⁹ each. */
+    * Scale shape: one map-combined per-(value) count pair, then the
+    * running CDF sums computed DISTRIBUTED over the value-ordered
+    * spine via [[Prefix.globalRunningSums]] (range exchange +
+    * per-partition offsets — the cumulative work parallelizes across
+    * all partitions; distinct values are unique, so `v` alone is the
+    * required total order), one min(struct) argmax. The distinct-value
+    * spine is ~n for continuous data, which this shape carries at a
+    * distributed sort's cost; when sketch-grade D suffices, compare
+    * KLL quantiles ([[graft.functions.QuantileSketchAgg]]) instead of
+    * exact CDFs. Overflow: cum ≤ n, so nA·nB ≤ 2⁶³ needs samples
+    * ≤ 3·10⁹ each. */
   def ksDistance(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val pts = a.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
@@ -109,13 +115,12 @@ object Drift {
           .groupBy("v").agg(count(lit(1)).as("cb")),
         Seq("v"), "full_outer")
       .na.fill(0L, Seq("ca", "cb"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val totals = pts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    pts
-      .withColumn("cumA", sum(col("ca")).over(w))
-      .withColumn("cumB", sum(col("cb")).over(w))
+    val cum = Prefix.globalRunningSums(pts, order = Seq(col("v")),
+      values = Seq(col("ca") -> "cumA", col("cb") -> "cumB"))
+    // the final running totals ARE nA/nB — read them off the
+    // checkpointed cum frame instead of re-executing the count plan
+    val totals = cum.agg(max(col("cumA")).as("na"), max(col("cumB")).as("nb"))
+    cum
       .join(broadcast(totals))
       .withColumn("gap", abs(col("cumA") * col("nb") - col("cumB") * col("na")))
       .agg(min(struct((-col("gap")).as("ng"), col("v").as("at_v"))).as("m"),

@@ -56,18 +56,23 @@ object Fuzzy {
     * meet. Returns (k_a, k_b, dist) with dist = levenshtein ≤
     * maxDist, k_a < k_b.
     *
-    * Scale shape: the global sort rank is one window (the honest SNM
-    * cost — at 100 TB use range-partitioned rank via sketch
-    * boundaries); the neighborhood join is an equi-join on rank
-    * blocks of width `window` (each rank joins its own and the next
-    * block — every candidate (r, r+i), i ≤ window, falls in one of
-    * the two), so candidate volume is n·window, never n². */
+    * Scale shape: the global sort rank is DISTRIBUTED — a
+    * range-partitioned running count via [[Prefix.globalRunningSum]]
+    * (range exchange + per-partition offsets; the window inside runs
+    * per partition, never on one reducer), the exact pattern the
+    * global-cumsum operators share. The neighborhood join is an
+    * equi-join on rank blocks of width `window` (each rank joins its
+    * own and the next block — every candidate (r, r+i), i ≤ window,
+    * falls in one of the two), so candidate volume is n·window,
+    * never n². */
   def sortedNeighborPairs(df: DataFrame, keyCol: String, window: Int,
                           maxDist: Int): DataFrame = {
     require(window >= 1 && maxDist >= 0, "window >= 1, maxDist >= 0")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_k"))
-    val ranked = df.select(col(keyCol).as("_k")).distinct()
-      .withColumn("_r", row_number().over(w).cast("long"))
+    // distinct keys make (_k) a total order, so the running count of
+    // ones over it IS row_number — computed distributed
+    val ranked = Prefix.globalRunningSum(
+        df.select(col(keyCol).as("_k")).distinct(),
+        order = Seq(col("_k")), value = lit(1L), cumName = "_r")
       .withColumn("_blk", expr(s"_r div ${window}L"))
       .localCheckpoint()
     val probe = ranked.select(col("_k").as("k_b"), col("_r").as("_rb"),

@@ -30,10 +30,13 @@ object Graph {
     * edges; returns (id, pr) with pr in SCALE fixed point. */
   def pageRankInt(edges: DataFrame, src: String, dst: String, iters: Int,
                   dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    // localCheckpoint, not cache(): both frames feed every iteration,
+    // and an LRU-evicted cache block would re-execute the edge distinct
+    // per round (checkpoint blocks spill to disk instead)
     val e = edges.select(col(src).cast("long").as("src"),
-      col(dst).cast("long").as("dst")).distinct().cache()
+      col(dst).cast("long").as("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().cache()
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty graph")
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -52,7 +55,6 @@ object Graph {
         .localCheckpoint()
       prev.unpersist()
     }
-    e.unpersist(); nodes.unpersist()
     ranks
   }
 

@@ -140,21 +140,6 @@ object Profile {
       .orderBy("bin")
   }
 
-  /** Equal-frequency (quantile) binning of column `c` into `bins`
-    * buckets — the feature-engineering discretizer (score → decile)
-    * and the partition-balancing primitive ([[histogram]] is
-    * equal-WIDTH; skewed value distributions need equal MASS). Each
-    * bin's population differs by at most one row; NTILE's standard
-    * rule (the first `n mod bins` bins take the extra row) over the
-    * total order (value, tieBreak) makes assignment engine-exact.
-    * Returns per-bin (bin, n, lo, hi) summaries.
-    *
-    * Scale note: a single global NTILE means one all-rows sort on one
-    * reducer — fine for gate-scale, wrong at 100 TB. There, cut
-    * boundaries from [[QuantileSketchAgg]] (mergeable KLL partials)
-    * and bin by broadcast range lookup instead; this exact form is
-    * for the regimes where exact decile edges are the CONTRACT
-    * (billing tiers, regulatory bands). */
   /** Benford first-significant-digit profile of a positive numeric
     * column — the classic fabricated-data / unit-mix-up screen for
     * financial and count-like fields (organic multiplicative data
@@ -198,13 +183,49 @@ object Profile {
       .select(col("cost"), col("gain"))
   }
 
+  /** Equal-frequency (quantile) binning of column `c` into `bins`
+    * buckets — the feature-engineering discretizer (score → decile)
+    * and the partition-balancing primitive ([[histogram]] is
+    * equal-WIDTH; skewed value distributions need equal MASS). Each
+    * bin's population differs by at most one row; NTILE's standard
+    * rule (the first `n mod bins` bins take the extra row) over the
+    * total order (value, tieBreak) makes assignment engine-exact.
+    * `(c, tieBreak)` must be a TOTAL order (unique pairs) — the same
+    * precondition the window form had. Returns per-bin
+    * (bin, n, lo, hi) summaries.
+    *
+    * Scale shape: NTILE's bin is pure arithmetic over the global rank
+    * — bin boundaries fall at ⌈n/b⌉·(n mod b) etc. — so no actual
+    * NTILE window is needed: the rank comes DISTRIBUTED from
+    * [[Prefix.globalRunningSum]] (range exchange + per-partition
+    * offsets; sort work spreads over all partitions, exactly a
+    * distributed sort's cost), the row count broadcasts as one row,
+    * and the bin is an in-row integer expression. Exact at any scale
+    * — the regimes where exact decile edges are the CONTRACT (billing
+    * tiers, regulatory bands) pay a distributed sort, not a
+    * single-reducer one. When sketch-grade edges suffice, cut
+    * boundaries from [[graft.functions.QuantileSketchAgg]] and bin by
+    * broadcast range lookup (one scan, no sort at all). */
   def equalFrequencyBins(df: DataFrame, c: String, tieBreak: String,
                          bins: Int): DataFrame = {
     require(bins >= 1, "bins must be positive")
-    val w = Window.orderBy(col("x"), col("_tb"))
-    df.select(col(c).as("x"), col(tieBreak).as("_tb"))
-      .filter(col("x").isNotNull)
-      .withColumn("bin", ntile(bins).over(w).cast("long"))
+    val ranked = Prefix.globalRunningSum(
+      df.select(col(c).as("x"), col(tieBreak).as("_tb"))
+        .filter(col("x").isNotNull),
+      order = Seq(col("x"), col("_tb")), value = lit(1L), cumName = "_r")
+    // n rides in as a 1-row broadcast off the checkpointed rank frame
+    val n1 = ranked.agg(max(col("_r")).as("_n"))
+    ranked.join(broadcast(n1))
+      // NTILE(b): q = n div b rows per bin, the first rem = n mod b
+      // bins take one extra; rank r ≤ (q+1)·rem lands in the wide
+      // bins, the rest divide into the narrow ones (q = 0 ⇒ rem = n,
+      // every row takes the wide branch — no division by zero)
+      .withColumn("_q", expr(s"_n div ${bins}L"))
+      .withColumn("_rem", expr(s"_n % ${bins}L"))
+      .withColumn("bin",
+        when(col("_r") <= (col("_q") + 1) * col("_rem"),
+          expr("(_r - 1) div (_q + 1) + 1"))
+          .otherwise(expr("_rem + (_r - (_q + 1) * _rem - 1) div _q + 1")))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
         max(col("x")).as("hi"))

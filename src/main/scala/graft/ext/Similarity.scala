@@ -325,7 +325,7 @@ object Similarity {
     val keepMod = math.max(1L, n / math.max(1L, trainSample.toLong * 4))
     val v = all.filter(pmod(xxhash64(col("_id")), lit(keepMod)) === 0)
       .orderBy(xxhash64(col("_id"), lit(17))).limit(trainSample)
-      .cache()
+      .localCheckpoint()
     // deterministic init: the nCentroids hash-smallest sample rows,
     // materialized driver-side (tiny by definition) — avoids any
     // unpartitioned window; centroids collect every iteration anyway
@@ -349,7 +349,6 @@ object Similarity {
         .collect()
       centroids = spark.createDataFrame(next.toSeq.asJava, centSchema)
     }
-    v.unpersist()
     centroids
   }
 
@@ -373,7 +372,9 @@ object Similarity {
   def ivfTopK(queries: DataFrame, qId: String, qVec: String,
               corpus: DataFrame, cId: String, cVec: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = ivfTrain(corpus, cId, cVec, nCentroids).cache()
+    // cents is a driver-built LocalRelation (collect()-backed) —
+    // nothing to cache, re-references are free
+    val cents = ivfTrain(corpus, cId, cVec, nCentroids)
     val bucketed = assign(
       corpus.select(col(cId).as("_id"), col(cVec).as("v")), cents)
       .select(col("_id").as("neighbour_id"), col("v").as("cv2"), col("cid"))

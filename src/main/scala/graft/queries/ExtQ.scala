@@ -2402,15 +2402,19 @@ object ExtQ {
   private val x84: (Fn, String) = (
     (s, d) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
+      // top-100 ranking frames via the bounded TopKAgg (map-side
+      // k-heaps, one 1-row gather, posexplode → rank), NOT a global
+      // row_number window — the anti-pattern the operator library
+      // preaches against; TopKAgg's (v desc, id asc) order matches
+      // the oracle's ORDER BY ... DESC, doc_id exactly
       val docs = t(s, d, "documents")
-      val byChars = docs.select($"doc_id".as("id"),
-          row_number().over(w.orderBy($"n_chars".desc, $"doc_id")).as("rank"))
-        .filter($"rank" <= 100)
-      val byTokens = docs.select($"doc_id".as("id"),
-          row_number().over(
-            w.orderBy(size(split($"text", " ")).desc, $"doc_id")).as("rank"))
-        .filter($"rank" <= 100)
+      def top100(v: org.apache.spark.sql.Column) = docs
+        .agg(graft.functions.TopKAgg.topk(v.cast("double"), $"doc_id", 100)
+          .as("top"))
+        .select(posexplode($"top").as(Seq("p", "s")))
+        .select($"s.id".as("id"), ($"p" + 1).as("rank"))
+      val byChars = top100($"n_chars")
+      val byTokens = top100(size(split($"text", " ")))
       Index.rrfFuse(Seq(byChars, byTokens), k = 60, topN = 50)
     },
     """WITH a AS (
