@@ -147,22 +147,42 @@ object Similarity {
     val q = df.select(col(id).as("vid"),
         int8Quantize(col(vec)).getField("q").as("q8"))
       .localCheckpoint()
-    val seedW = org.apache.spark.sql.expressions.Window.orderBy(col("vid"))
-    var cents = q.orderBy("vid").limit(k)
-      .withColumn("cluster", row_number().over(seedW).cast("long") - 1L)
-      .select(col("cluster"), col("q8").as("cvec"))
-      .localCheckpoint()
-    def assignTo(c: DataFrame): DataFrame =
-      q.crossJoin(broadcast(c))
-        .withColumn("d2", aggregate(
-          zip_with(col("q8"), col("cvec"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .groupBy(col("vid"))
-        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
-        .select(col("vid"), col("m.cluster").as("cluster"),
-          col("m.d2").as("d2"))
+    int8AssignTo(q, lloydLoop(q, k, rounds))
+      .select(col("vid").as("vec_id"), col("cluster"), col("d2"))
+  }
+
+  /** Nearest-centroid assignment in the integer domain: exact int d2,
+    * argmin ties to the smallest cluster id. `q` is (vid, q8); `c` is
+    * (cluster, cvec) and broadcasts. */
+  private def int8AssignTo(q: DataFrame, c: DataFrame): DataFrame =
+    q.crossJoin(broadcast(c))
+      .withColumn("d2", aggregate(
+        zip_with(col("q8"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("vid"), col("m.cluster").as("cluster"),
+        col("m.d2").as("d2"))
+
+  /** The Lloyd's E/M loop over a quantized (vid, q8) frame; returns
+    * the trained (cluster, cvec) codebook. Seeds are the k smallest-id
+    * vectors, fetched with a distributed TakeOrdered heap and pinned
+    * driver-side (k·dims longs — bounded metadata, and windowless:
+    * no single-partition row_number anywhere in the plan). */
+  private def lloydLoop(q: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val spark = q.sparkSession
+    val centSchema = StructType(Seq(
+      StructField("cluster", LongType),
+      StructField("cvec", ArrayType(LongType))))
+    val init = q.orderBy("vid").limit(k).select(col("q8")).collect()
+    var cents: DataFrame = spark.createDataFrame(
+      init.toSeq.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i.toLong, r.getSeq[Long](0))
+      }.asJava, centSchema)
     (1 to rounds).foreach { _ =>
-      val asg = assignTo(cents).select(col("vid"), col("cluster"))
+      val asg = int8AssignTo(q, cents).select(col("vid"), col("cluster"))
       val sums = asg.join(q, "vid")
         .select(col("cluster"), posexplode(col("q8")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
@@ -171,15 +191,12 @@ object Similarity {
       val fresh = sums.groupBy("cluster")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
           x => x("c")).as("cvec"))
-      val prev = cents
-      cents = prev.select(col("cluster"), col("cvec").as("_old"))
+      cents = cents.select(col("cluster"), col("cvec").as("_old"))
         .join(fresh, Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("cvec"), col("_old")).as("cvec"))
         .localCheckpoint()
-      prev.unpersist()
     }
-    assignTo(cents)
-      .select(col("vid").as("vec_id"), col("cluster"), col("d2"))
+    cents
   }
 
   /** [[kmeansLloyd]] as unrolled DuckDB SQL (MATERIALIZED round CTEs)
@@ -187,8 +204,22 @@ object Similarity {
     * quantization, seeding, argmin and rounded-mean all mirror the
     * engine's integer ops exactly. */
   def kmeansLloydSql(table: String, k: Int, rounds: Int): String = {
+    val (ctes, asgRel, _) = kmeansLloydCtes(table, k, rounds)
+    s"""WITH $ctes
+       |SELECT vec_id, cluster::BIGINT AS cluster, d2
+       |FROM $asgRel ORDER BY vec_id""".stripMargin
+  }
+
+  /** The [[kmeansLloydSql]] WITH-chain split out for composition
+    * (x14's IVF oracle stacks probe + top-k on top): returns
+    * (cteBody, finalAssignmentRelation, finalCentroidRelation) where
+    * the assignment relation has (vec_id, cluster, d2) and the
+    * centroid relation (cluster, cvec). The chain also exposes `q`
+    * (vec_id, q8), the quantized vectors. */
+  def kmeansLloydCtes(table: String, k: Int, rounds: Int)
+      : (String, String, String) = {
     val header =
-      s"""WITH m AS (
+      s"""m AS (
          |  SELECT vec_id, embedding,
          |    list_max(list_transform(embedding,
          |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
@@ -242,10 +273,9 @@ object Similarity {
          |  FROM c${i - 1} p LEFT JOIN n$i nn ON nn.cluster = p.cluster)""".stripMargin
     }
     val fin = rounds + 1
-    (Seq(header) ++ steps :+ assignCte(fin, s"c$rounds")).mkString(",\n") +
-      s"""
-         |SELECT vec_id, cluster::BIGINT AS cluster, d2
-         |FROM a$fin ORDER BY vec_id""".stripMargin
+    val body =
+      (Seq(header) ++ steps :+ assignCte(fin, s"c$rounds")).mkString(",\n")
+    (body, s"a$fin", s"c$rounds")
   }
 
   /** Exact top-k neighbours for each query vector (brute force).
@@ -390,6 +420,59 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
         cosine(col("qv"), col("cv2")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF ANN top-k with a DETERMINISTIC coarse quantizer: the
+    * codebook is [[kmeansLloyd]]'s int8 integer-domain k-means
+    * (smallest-id seeds, exact integer distances, rounded-mean
+    * M-step), so the buckets — and therefore the candidate set and
+    * the final ranking — are bit-identical on any engine, hardware or
+    * partitioning. Where [[ivfTopK]]'s float quantizer is the
+    * classic cross-run reproducibility hole (SIMD-order float means
+    * flip boundary vectors between probes), this variant is fully
+    * oracle-checkable: the x14 gate unrolls the identical arithmetic
+    * in DuckDB ([[kmeansLloydCtes]] + probe + top-k) and hash-matches
+    * the rows.
+    *
+    * Scale shape: training assigns against a broadcast codebook
+    * (k·dims longs per round); the corpus shuffles only on its own id
+    * at the M-step join; routing and probing are broadcast joins; the
+    * probe join fans the scored rows down by ~nProbe/nCentroids; the
+    * per-query top-k is a key-bounded window. Exact float cosine
+    * (fixed-dag, engine-portable) ranks inside probed buckets only. */
+  def ivfTopKInt8(queries: DataFrame, qId: String, qVec: String,
+                  corpus: DataFrame, cId: String, cVec: String,
+                  k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                  rounds: Int = 2): DataFrame = {
+    // one materialization carries both the float vectors (exact
+    // scoring) and the quantized view (routing)
+    val cq = corpus.select(col(cId).as("vid"), col(cVec).as("cv"),
+        int8Quantize(col(cVec)).getField("q").as("q8"))
+      .localCheckpoint()
+    val cents = lloydLoop(cq.select("vid", "q8"), nCentroids, rounds)
+    val bucketed = int8AssignTo(cq.select("vid", "q8"), cents)
+      .select(col("vid"), col("cluster"))
+      .join(cq.select(col("vid"), col("cv")), "vid")
+      .select(col("vid").as("neighbour_id"), col("cluster"), col("cv"))
+    val probes = queries
+      .select(col(qId).as("query_id"), col(qVec).as("qv"),
+        int8Quantize(col(qVec)).getField("q").as("qq8"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("qq8"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2"), col("cluster"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val scored = probes.join(bucketed, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -364,6 +364,56 @@ object ExtQ {
        |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin)
 
+  /** IVF ANN top-k with the DETERMINISTIC int8 coarse quantizer
+    * ([[Similarity.ivfTopKInt8]]): the codebook is the x87 integer
+    * Lloyd's k-means (smallest-id seeds, 2 rounds), so buckets,
+    * probes and the final ranking are bit-reproducible — the oracle
+    * composes the x87 CTE chain with the probe ranking and the
+    * in-bucket exact-cosine top-k, closing the one gate that was
+    * rows-only through round 4. */
+  private val x14: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopKInt8(emb.filter($"vec_id" < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 6, rounds = 2)
+        .select($"query_id", $"neighbour_id", $"rank",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    }, {
+      val (ctes, asgRel, centRel) =
+        Similarity.kmeansLloydCtes("embeddings", k = 16, rounds = 2)
+      s"""WITH $ctes,
+         |dq AS (
+         |  SELECT q.vec_id AS query_id, c.cluster,
+         |    list_sum([ (q.q8[j] - c.cvec[j]) * (q.q8[j] - c.cvec[j])
+         |               for j in range(1, len(q.q8) + 1) ])::BIGINT AS d2
+         |  FROM q CROSS JOIN $centRel c WHERE q.vec_id < 5),
+         |qp AS (
+         |  SELECT query_id, cluster FROM (
+         |    SELECT query_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY d2, cluster) AS pr
+         |    FROM dq) WHERE pr <= 6),
+         |sc AS (
+         |  SELECT qp.query_id, a.vec_id AS neighbour_id,
+         |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine
+         |  FROM qp
+         |  JOIN $asgRel a ON a.cluster = qp.cluster
+         |    AND a.vec_id <> qp.query_id
+         |  JOIN embeddings qe ON qe.vec_id = qp.query_id
+         |  JOIN embeddings ce ON ce.vec_id = a.vec_id)
+         |SELECT query_id, neighbour_id, rank,
+         |  floor(cosine * 1e6 + 0.5) / 1e6 AS cos6
+         |FROM (
+         |  SELECT query_id, neighbour_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbour_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    })
+
   /** LSH-bucketed ANN top-k (the 100 TB ANN path): candidates must
     * share the query's full sign-bit sketch; oracle mirrors the
     * sketch exactly (same md5-derived planes). */
@@ -2945,34 +2995,7 @@ object ExtQ {
     "x11_salted_skew_join" -> (x11._1, Some(x11._2)),
     "x12_asof_join" -> (x12._1, Some(x12._2)),
     "x13_sessionize" -> (x13._1, Some(x13._2)),
-    // IVF ANN: k-means quantizer has no SQL-expressible oracle →
-    // rows-only check here; ExtSpec asserts recall vs brute force and
-    // run-to-run determinism. So the driver still RECORDS the quality
-    // number every round, recall vs the exact brute-force top-k is
-    // computed distributively (1-row broadcast) and stamped on every
-    // output row as recall_vs_bruteforce (round-2 verdict item 5),
-    // and the final filter is a HARD floor: a recall collapse empties
-    // the result, so the driver's rows-only check turns red instead
-    // of silently passing (round-3 verdict item 3).
-    "x14_ann_ivf_topk" -> (((s: SparkSession, d: String) => {
-      val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
-      // quantizer granularity is a per-corpus knob: the synthetic
-      // embeddings are near-uniform (recall ~ scan fraction), so the
-      // gate config probes 24/64 buckets (~3/8 scan) for recall 0.90
-      val ivf = Similarity.ivfTopK(q, "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 10, nCentroids = 64, nProbe = 24)
-      val bf = Similarity.bruteForceTopK(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbour_id"))
-      val recall = ivf.join(bf, Seq("query_id", "neighbour_id"), "leftsemi")
-        .agg(count(lit(1)).cast("double").as("hits"))
-        .crossJoin(bf.agg(count(lit(1)).cast("double").as("tot")))
-        .select((col("hits") / col("tot")).as("recall_vs_bruteforce"))
-      ivf.crossJoin(broadcast(recall))
-        .filter(col("recall_vs_bruteforce") >= 0.9)
-        .orderBy(col("query_id"), col("rank"))
-    }): Fn, None),
+    "x14_ann_ivf_topk" -> (x14._1, Some(x14._2)),
     "x15_ann_lsh_topk" -> (x15._1, Some(x15._2)),
     "x16_subword_punct" -> (x16._1, Some(x16._2)),
     "x17_stop_shingles" -> (x17._1, Some(x17._2)),

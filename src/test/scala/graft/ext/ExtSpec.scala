@@ -239,6 +239,26 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf.map(_.toString).toSeq == ivf2.map(_.toString).toSeq)
   }
 
+  test("int8 IVF ANN: deterministic quantizer keeps recall and repeats exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbour_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKInt8(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 4)
+      .collect()
+    assert(ivf.nonEmpty)
+    val recall = ivf.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbour_id"))).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+    val ivf2 = Similarity.ivfTopKInt8(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 4)
+      .collect()
+    assert(ivf.map(_.toString).toSeq == ivf2.map(_.toString).toSeq)
+  }
+
   test("bucketed embedding near-dups: candidates are a verified subset of exact") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", 0.4)
