@@ -456,7 +456,17 @@ object Graph {
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    require(nodes.limit(1).count() > 0, "empty graph")
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    // underflow guard, the mirror of the scaladoc's overflow bound: L1
+    // normalization spreads a total of ~`scale` over n nodes, so
+    // scale < n floors EVERY score to 0 and the next round's total
+    // divides by zero (NULL scores) — exactly on the large graphs the
+    // fixed point targets. Raising scale trades against m·scale² ≤ 2⁶³.
+    require(scale >= n,
+      s"hitsInt: scale ($scale) must be >= node count ($n) or integer " +
+        "L1 normalization floors all scores to 0; raise scale " +
+        "(keeping sum-of-neighbour-scores * scale inside Long)")
     def normalized(raw: DataFrame, out: String): DataFrame = {
       // raw: (id, s); totals are a 1-row broadcast, never a collect
       val tot = raw.agg(sum(col("s")).as("t"))

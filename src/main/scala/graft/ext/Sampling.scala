@@ -120,14 +120,23 @@ object Sampling {
   }
 
   /** Deterministic epoch shuffle + sharding for training-data export:
-    * every row gets a stable pseudo-random coordinate — `shard` (one
-    * md5 byte mod `shards`, an independent digest byte from the
-    * sample/split coordinates) and `shard_pos` (md5 rank within the
-    * shard) — so an "epoch" is a reproducible global permutation
-    * materialized as contiguous shard sequences (the
+    * every row gets a stable pseudo-random coordinate — `shard`
+    * (a 16-bit digest slice mod `shards`) and `shard_pos` (md5 rank
+    * within the shard) — so an "epoch" is a reproducible global
+    * permutation materialized as contiguous shard sequences (the
     * TFRecord/WebDataset layout): identical across runs, engines and
     * task retries, no RNG seed plumbing. A different `salt` is the
-    * next epoch's fresh permutation.
+    * next epoch's fresh permutation — the digest input is
+    * `salt ‖ ':' ‖ key` (explicit separator, like [[rendezvousShard]]
+    * and [[hashNegatives]]), so distinct (salt, key) pairs can never
+    * collide into one digest across epochs.
+    *
+    * Both coordinates read the SAME per-row digest: `shard` is hex
+    * chars 5-8 (16 bits — worst-case shard imbalance from the mod is
+    * ⌈65536/shards⌉/⌊65536/shards⌋, ≤ 1+2⁻¹² relative for shards ≤ 16,
+    * vs up to 50% for one byte mod a non-divisor of 256) and the
+    * position rank orders by the full digest, whose leading 4 chars
+    * are independent of the shard slice.
     *
     * Plan shape: the shard is a narrow in-row hash; positions are ONE
     * window per shard, and shards are balanced by construction
@@ -137,14 +146,16 @@ object Sampling {
     * (a total per-shard order IS the product). */
   def epochShuffle(df: DataFrame, key: String, salt: String,
                    shards: Int): DataFrame = {
-    require(shards >= 1 && shards <= 256, "need 1..256 shards (one hash byte)")
+    require(shards >= 1 && shards <= 65536,
+      "need 1..65536 shards (two hash bytes)")
     val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(key))
     df
       .withColumn("_h",
-        md5(concat(lit(salt), col(key).cast("string")).cast("binary")))
+        md5(concat(lit(salt), lit(":"), col(key).cast("string"))
+          .cast("binary")))
       .withColumn("shard",
-        pmod(hashBucket256(col(key), salt, offset = 2), lit(shards))
-          .cast("long"))
+        pmod(conv(substring(col("_h"), 5, 4), 16, 10).cast("long"),
+          lit(shards.toLong)))
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
       .drop("_h")
   }

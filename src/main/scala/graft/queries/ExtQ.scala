@@ -2584,7 +2584,9 @@ object ExtQ {
       |WHERE n_ab >= 50 ORDER BY item_a, item_b""".stripMargin)
 
   /** Deterministic epoch shuffle + sharding (8 shards): stable
-    * per-epoch permutation, md5-ranked within balanced shards. */
+    * per-epoch permutation, md5-ranked within balanced shards; the
+    * shard is a 16-bit slice (chars 5-8) of the salted-and-separated
+    * digest, mirrored nibble-for-nibble here. */
   private val x90: (Fn, String) = (
     (s, d) => {
       import s.implicits._
@@ -2593,13 +2595,19 @@ object ExtQ {
         .orderBy($"shard", $"shard_pos")
     },
     s"""WITH h AS (
-       |  SELECT doc_id, md5('ep1' || CAST(doc_id AS VARCHAR)) AS hh,
-       |    (${bucketSql("doc_id", "ep1", 2)}) % 8 AS shard
-       |  FROM documents)
+       |  SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS hh
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id, hh,
+       |    ((strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) * 4096 +
+       |     (strpos('0123456789abcdef', substr(hh, 6, 1)) - 1) * 256 +
+       |     (strpos('0123456789abcdef', substr(hh, 7, 1)) - 1) * 16 +
+       |     (strpos('0123456789abcdef', substr(hh, 8, 1)) - 1)) % 8 AS shard
+       |  FROM h)
        |SELECT doc_id, shard::BIGINT AS shard,
        |  (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1)
        |    ::BIGINT AS shard_pos
-       |FROM h ORDER BY shard, shard_pos""".stripMargin)
+       |FROM hs ORDER BY shard, shard_pos""".stripMargin)
 
   /** Aligned-overlap span length for every planted near-dup pair:
     * longest consecutive-position shingle run via diagonal
