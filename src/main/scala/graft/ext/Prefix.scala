@@ -86,4 +86,56 @@ object Prefix {
   def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
                        cumName: String, partitions: Int = 0): DataFrame =
     globalRunningSums(df, order, Seq(value -> cumName), partitions)
+
+  /** EXCLUSIVE running max over a total `order`: for each row,
+    * max(`value`) over all strictly-preceding rows — null for the
+    * global first row. The Pareto-frontier / envelope primitive
+    * (`gain > running max of cheaper gains` ⇔ on the frontier), with
+    * the same two-phase distributed scheme as [[globalRunningSums]]:
+    * range exchange pinned by checkpoint, per-partition maxes folded
+    * into per-partition STARTING maxes on the driver (#partitions
+    * rows), then a partitioned intra-partition window. The value's
+    * native type is preserved (no long cast — a decimal envelope
+    * stays exact); the driver fold compares via Comparable, which
+    * every orderable Spark external type implements. */
+  def globalRunningMaxExclusive(df: DataFrame, order: Seq[Column],
+                                value: Column, name: String,
+                                partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val projected = df.select(col("*"), value.as("_gv"))
+    val ranged0 =
+      if (partitions > 0) projected.repartitionByRange(partitions, order: _*)
+      else projected.repartitionByRange(order: _*)
+    val ranged = ranged0
+      .sortWithinPartitions(order: _*)
+      .withColumn("_gp", spark_partition_id())
+      .localCheckpoint()
+    val spark = ranged.sparkSession
+    val vType = ranged.schema("_gv").dataType
+    val perPart = ranged.groupBy("_gp").agg(max(col("_gv")).as("_m"))
+      .collect().sortBy(_.getInt(0))
+    var acc: Any = null
+    val offRows = perPart.map { r =>
+      val off = acc
+      if (!r.isNullAt(1)) {
+        val m = r.get(1)
+        acc =
+          if (acc == null) m
+          else if (acc.asInstanceOf[Comparable[Any]].compareTo(m) >= 0) acc
+          else m
+      }
+      org.apache.spark.sql.Row(r.getInt(0), off)
+    }
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("_gp", IntegerType, nullable = false),
+        StructField("_off", vType))))
+    val w = Window.partitionBy("_gp").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offDf), "_gp")
+      // greatest skips nulls: first row of a partition sees only the
+      // carried-in offset; first partition's offset is null ⇒ null
+      .withColumn(name, greatest(col("_off"), max(col("_gv")).over(w)))
+      .drop("_gp", "_gv", "_off")
+  }
 }

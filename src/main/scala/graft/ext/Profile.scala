@@ -164,21 +164,21 @@ object Profile {
     * (strict in at least one).
     *
     * Not the naive O(n²) dominance join: per distinct cost keep the
-    * max gain (map-combined agg), then ONE ordered window pass — a
-    * cost's champion is on the frontier iff its gain strictly exceeds
-    * the running max over all cheaper costs. The window runs over
-    * DISTINCT COSTS (already aggregated), not rows; for 100 TB the
-    * distinct-cost set is the small side or gets pre-bucketed. */
+    * max gain (map-combined agg), then one DISTRIBUTED exclusive
+    * running-max pass ([[Prefix.globalRunningMaxExclusive]] — range
+    * exchange + per-partition offsets, never a single-reducer
+    * window) — a cost's champion is on the frontier iff its gain
+    * strictly exceeds the running max over all cheaper costs. The
+    * cumulative pass runs over DISTINCT COSTS (already aggregated),
+    * not rows. */
   def paretoFrontier(df: DataFrame, costCol: String, gainCol: String)
       : DataFrame = {
     val champs = df
       .select(col(costCol).as("cost"), col(gainCol).as("gain"))
       .filter(col("cost").isNotNull && col("gain").isNotNull)
       .groupBy("cost").agg(max(col("gain")).as("gain"))
-    val w = Window.orderBy("cost")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    champs
-      .withColumn("_pm", max(col("gain")).over(w))
+    Prefix.globalRunningMaxExclusive(champs, Seq(col("cost")),
+        col("gain"), "_pm")
       .filter(col("_pm").isNull || col("gain") > col("_pm"))
       .select(col("cost"), col("gain"))
   }

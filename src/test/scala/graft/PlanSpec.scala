@@ -166,6 +166,29 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("no query plans an unpartitioned (single-reducer) window") {
+    // Window.orderBy with no partition key moves EVERY row to one
+    // task — the global-sort scale cliff. The library's cumsum/rank
+    // operators route through Prefix.globalRunningSums (range
+    // exchange + per-partition offsets) instead; this gate keeps the
+    // class extinct. Checked on the pre-AQE physical plan so
+    // WindowExec nodes are still visible as such.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, "/root/testdata/sf0.001")
+          .queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w.nodeName
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w.nodeName
+        }
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition windows found:\n${offenders.mkString("\n")}")
+  }
+
   test("deterministic sampling is a pure narrow plan (scan + filter only)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sampled = graft.ext.Sampling.stratifiedSample(

@@ -58,6 +58,23 @@ class PrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRunningMaxExclusive matches the window form, native type kept") {
+    val df = rows(4000).withColumn("g", ($"v" * 7 % 101).cast("decimal(9,2)"))
+      .localCheckpoint()
+    val got = Prefix.globalRunningMaxExclusive(df, Seq(col("id")),
+        col("g"), "pm", partitions = 6)
+      .select($"id", $"pm").collect()
+      .map(r => r.getLong(0) -> Option(r.getDecimal(1)).map(_.toString))
+      .toMap
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("pm", max($"g").over(w))
+      .select($"id", $"pm").collect()
+      .map(r => r.getLong(0) -> Option(r.getDecimal(1)).map(_.toString))
+      .toMap
+    assert(got == want)
+    assert(got(got.keys.min).isEmpty) // global first row has no predecessor
+  }
+
   test("re-execution of the returned frame is stable (pinned boundaries)") {
     val out = Prefix.globalRunningSum(rows(3000), Seq(col("id")), col("v"), "cum")
     val a = out.agg(sum($"cum")).head.getLong(0)
