@@ -150,6 +150,7 @@ class PlanSpec extends AnyFunSuite {
       "x77_hard_negatives",      // exact baseline: queries broadcast the corpus scan
       "x83_hits",                // 1-row L1-total broadcast per round
       "x85_negative_sampling",   // item vocabulary broadcast (dimension-sized)
+      "x86_equal_freq_bins",     // 1-row row-count broadcast (NTILE arithmetic)
       "x87_kmeans_lloyd",        // ≤k-row centroid broadcast per round
       "x89_basket_lift",         // 1-row basket-total broadcast
       "x93_kn_continuation",     // 1-row bigram-type-total broadcast
