@@ -904,6 +904,36 @@ object Dedup {
       .drop("_toks", "_ridx", "_pid")
   }
 
+  /** Marginal shingle novelty per source, in a declared acquisition
+    * order — the data-valuation curve behind "is this new crawl worth
+    * ingesting": source k's `n_novel` counts the distinct shingles NO
+    * earlier source (ord < k) contributed, i.e. the greedy marginal
+    * coverage gain of adding sources in `order`. Deduplication policy,
+    * crawl prioritization and buy/skip decisions read directly off the
+    * (n_novel / n_shingles) ratio's decay.
+    *
+    * Exact and order-deterministic: first-occurrence attribution is
+    * min(ord) per shingle — no sampling, no sketch. Scale shape: one
+    * explode + a map-combined distinct on (source, shingle), one
+    * map-combined min per shingle (vocabulary space), one equi-join on
+    * the shingle key, one final per-source count — every shuffle
+    * carries (shingle, small-int) rows; nothing is corpus-sized on the
+    * driver. Output: (source, ord, n_shingles, n_novel). */
+  def shingleNovelty(df: DataFrame, source: String, order: String,
+                     text: String, n: Int): DataFrame = {
+    val sh = df.select(col(source).as("source"),
+        col(order).cast("long").as("ord"),
+        explode(shingles(col(text), n)).as("sh"))
+      .groupBy("source", "ord", "sh").agg(count(lit(1)).as("_dup"))
+      .drop("_dup")
+    val first = sh.groupBy("sh").agg(min(col("ord")).as("first_ord"))
+    sh.join(first, "sh")
+      .groupBy("source", "ord")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ord") === col("first_ord"), lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+  }
+
   /** Incremental ingest dedup: split an incoming batch into rows whose
     * content digest already exists in the historical corpus (`dup` =
     * true) and genuinely new rows — the steady-state form of exact

@@ -92,6 +92,51 @@ object Fuzzy {
         greatest(col("k_a"), col("k_b")).as("k_b"), col("dist"))
   }
 
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
+    * decision-theoretic layer above the engine's candidate generators:
+    * given blocked candidate pairs, score each by the sum of per-field
+    * agreement/disagreement log-likelihood weights and threshold into
+    * link / non-link. Weights are INTEGER decibans supplied by the
+    * caller (wAgree ≈ 10·log10(m/u), wDisagree ≈ 10·log10((1−m)/(1−u)),
+    * both pre-rounded) so the score is exact integer arithmetic —
+    * engine-portable like every other gate-bearing scorer here; the
+    * m/u estimation step (EM over agreement patterns) stays outside
+    * the operator, as in production linkers where weights are fitted
+    * offline and applied at scale.
+    *
+    * Agreement per field is null-strict: a NULL never agrees (missing
+    * data earns the disagreement weight, the conservative Fellegi–
+    * Sunter convention for unvalued comparisons).
+    *
+    * Scale shape: candidates come from ONE equality join on the
+    * blocking key in id space (ids + block key + compared fields only);
+    * scoring is a codegen'd in-row CASE sum over the joined row — no
+    * extra shuffle beyond the blocking join itself.
+    *
+    * `fields` = (column, wAgree, wDisagree); returns
+    * (id_a, id_b, score_db, is_link). */
+  def fellegiSunter(df: DataFrame, idCol: String, blockCol: String,
+                    fields: Seq[(String, Long, Long)],
+                    threshold: Long): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field")
+    val cols = Seq(col(idCol).as("_id"), col(blockCol).as("_bk")) ++
+      fields.map { case (f, _, _) => col(f) }
+    val side = df.select(cols: _*)
+    val a = side.select(Seq(col("_id").as("id_a"), col("_bk")) ++
+      fields.map { case (f, _, _) => col(f).as(s"a_$f") }: _*)
+    val b = side.select(Seq(col("_id").as("id_b"), col("_bk")) ++
+      fields.map { case (f, _, _) => col(f).as(s"b_$f") }: _*)
+    val score = fields.map { case (f, wa, wd) =>
+      when(col(s"a_$f").isNotNull && (col(s"a_$f") <=> col(s"b_$f")),
+        lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    a.join(b, Seq("_bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score_db", score.cast("long"))
+      .withColumn("is_link", col("score_db") >= threshold)
+      .select("id_a", "id_b", "score_db", "is_link")
+  }
+
   def resolve(df: DataFrame, keyCol: String, maxDist: Int,
               blockKey: Column => Column = firstToken): DataFrame = {
     val vals = df.select(col(keyCol).as("k")).distinct()

@@ -86,6 +86,91 @@ object Graph {
       s"\nSELECT id::BIGINT AS id, pr::BIGINT AS pr FROM pr$iters ORDER BY id"
   }
 
+  /** Personalized PageRank (topic-sensitive PageRank, Haveliwala
+    * WWW'02): the damped power iteration of [[pageRankInt]] with the
+    * teleport mass restricted to a source set — scores measure
+    * proximity TO the sources through the link structure, the standard
+    * seed-expansion signal for curation (start from known-good domains
+    * / trusted documents, rank everything else by how much seed mass
+    * flows to it). Same SCALE fixed point, same floor-`div` integer
+    * arithmetic, bit-identical on any engine or partitioning; the
+    * DuckDB oracle ([[personalizedPageRankSql]]) unrolls the identical
+    * iterations.
+    *
+    * `sources` is caller metadata (seed ids), broadcast as a literal
+    * IN-set — seeds are human-curated lists, thousands at most, never
+    * corpus-sized. Initial and teleport mass (Scale div |S|) sit on
+    * sources only; dangling mass leaks as in [[pageRankInt]].
+    *
+    * Scale shape per iteration: identical to [[pageRankInt]] — one
+    * edge⋈rank equi-join (shuffle on src), one map-combined sum
+    * (shuffle on dst), lineage checkpoint-truncated per round. */
+  def personalizedPageRankInt(edges: DataFrame, src: String, dst: String,
+                              sources: Seq[Long], iters: Int,
+                              dampNum: Long = 85, dampDen: Long = 100)
+      : DataFrame = {
+    require(sources.nonEmpty, "at least one source node")
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ns = sources.distinct.size
+    val isSource = col("id").isInCollection(sources.distinct)
+    val base = (Scale - Scale * dampNum / dampDen) / ns
+    var ranks = nodes
+      .withColumn("pr", when(isSource, lit(Scale / ns)).otherwise(lit(0L)))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(outDeg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      val prev = ranks
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(isSource, lit(base)).otherwise(lit(0L)) +
+            expr(s"coalesce(s, CAST(0 AS BIGINT)) * $dampNum div $dampDen"))
+            .as("pr"))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    ranks
+  }
+
+  /** [[personalizedPageRankInt]] as unrolled DuckDB SQL — the oracle
+    * generator (x109), mirroring [[pageRankSql]]. */
+  def personalizedPageRankSql(edgeCte: String, sources: Seq[Long],
+                              iters: Int, dampNum: Long = 85,
+                              dampDen: Long = 100): String = {
+    val s = Scale
+    val srcList = sources.distinct.sorted.mkString(", ")
+    val ns = sources.distinct.size
+    val header =
+      s"""WITH e AS ($edgeCte),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+         |deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
+         |pr0 AS (SELECT id,
+         |  (CASE WHEN id IN ($srcList) THEN $s // $ns ELSE 0 END)::BIGINT AS pr
+         |  FROM nodes)""".stripMargin
+    val base = s"($s - $s * $dampNum // $dampDen) // $ns"
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+      s"""pr$i AS (
+         |  SELECT nodes.id,
+         |    ((CASE WHEN nodes.id IN ($srcList) THEN $base ELSE 0 END)
+         |      + COALESCE(agg.s, 0) * $dampNum // $dampDen)::BIGINT AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS id, SUM($prev.pr // deg.deg)::BIGINT AS s
+         |    FROM e JOIN deg ON e.src = deg.src
+         |    JOIN $prev ON $prev.id = e.src
+         |    GROUP BY e.dst) agg ON agg.id = nodes.id)""".stripMargin
+    }
+    (Seq(header) ++ steps).mkString(",\n") +
+      s"\nSELECT id::BIGINT AS id, pr::BIGINT AS pr FROM pr$iters ORDER BY id"
+  }
+
   /** k-core peeling, `rounds` synchronous rounds: each round drops
     * every node whose degree in the CURRENT surviving subgraph is
     * < k, then drops edges touching dropped nodes. After enough

@@ -99,6 +99,39 @@ object TextAnalysis {
       maxc.as("count"))
   }
 
+  /** Per-document Shannon token entropy, quantized to integer bits —
+    * the information-density quality signal ([[repetitionRatio]]'s
+    * principled cousin): templated/generated text concentrates mass on
+    * few tokens and scores low, natural prose spreads mass and scores
+    * high. Exact entropy needs log2 of rationals (a transcendental,
+    * not engine-portable); instead each distinct token with count c
+    * out of N contributes c · floor(log2(N div c)) bits — the same
+    * Zipf-bucket quantization as [[unigramSurprisal]], computed as the
+    * binary digit count `length(bin(N div c)) − 1` so every engine
+    * gets the identical integer. Output `entropy_ppm` =
+    * 10⁶·Σbits div N (micro-bits per token).
+    *
+    * In-row HOF scan, O(distinct × total) per document like
+    * [[topToken]] — no explode, no shuffle, scan speed at any corpus
+    * size. Returns (n_toks, n_distinct, entropy_ppm) columns appended
+    * via the returned expressions. */
+  def tokenEntropy(text: Column): Column = {
+    val toks = filter(tokens(text), t => t =!= "")
+    val n = size(toks).cast("long")
+    // Column `/` is IEEE double division; floor(·) recovers the exact
+    // integer quotient because numerator and denominator are document
+    // token counts (≪ 2⁵²: the quotient's ulp is far below the 1/c
+    // minimum fractional part, so rounding can never cross an integer)
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)).cast("long"))
+    val bitsSum = aggregate(counts, lit(0L),
+      (acc, c) => acc + c * (length(bin(floor(n / c).cast("long"))) - 1))
+    struct(
+      n.as("n_toks"),
+      size(counts).cast("long").as("n_distinct"),
+      floor((bitsSum * 1000000L) / n).cast("long").as("entropy_ppm"))
+  }
+
   /** Per-document top-k distinguishing terms, tf-idf family: score =
     * tf · N / df with a RATIONAL idf (N/df) instead of log(N/df).
     * With integer tf/N/df the score is a single correctly-rounded

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Assoc, Bpe, Chunk, Dedup, Drift, Fuzzy, Graph, Hll, Index, Kmv, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ext.{Assoc, Bpe, Chunk, Cms, Dedup, Drift, Fuzzy, Graph, Hll, Index, Kmv, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -2989,6 +2989,159 @@ object ExtQ {
       "SELECT unnest([0, 1, 2, 3, 4]) AS id",
       maxDepth = 3))
 
+  /** Quantized Shannon token entropy per document — the information-
+    * density quality signal; floor-log2 Zipf buckets keep every value
+    * an exact integer on both engines. */
+  private val x106: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", TextAnalysis.tokenEntropy($"text").as("e"))
+        .select($"doc_id", $"e.n_toks", $"e.n_distinct", $"e.entropy_ppm")
+        .orderBy($"doc_id")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |    x -> x <> '')) AS t
+      |  FROM documents),
+      |n AS (SELECT doc_id, COUNT(*)::BIGINT AS n_toks FROM toks GROUP BY doc_id),
+      |tc AS (SELECT doc_id, t, COUNT(*)::BIGINT AS c FROM toks GROUP BY doc_id, t)
+      |SELECT tc.doc_id, any_value(n.n_toks) AS n_toks,
+      |  COUNT(*)::BIGINT AS n_distinct,
+      |  (SUM(c * (length(bin(n.n_toks // c)) - 1)) * 1000000
+      |    // any_value(n.n_toks))::BIGINT AS entropy_ppm
+      |FROM tc JOIN n ON tc.doc_id = n.doc_id
+      |GROUP BY tc.doc_id ORDER BY tc.doc_id""".stripMargin)
+
+  /** Count-Min sketch point estimates vs exact counts for the corpus'
+    * 20 hottest tokens: the oracle rebuilds the d×w cell matrix
+    * nibble-for-nibble from the same md5 coordinates, so the estimate
+    * (CMS guarantees est ≥ exact) is gate-exact, not approximate. */
+  private val x107: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select(explode(filter(split($"text", " "), t => t =!= "")).as("tok"))
+      val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+      val probes = exact.orderBy($"exact".desc, $"tok").limit(20)
+      val sk = Cms.sketch(toks, "tok", depth = 4, width = 1024)
+      Cms.estimate(sk, probes.select($"tok"), "tok", depth = 4, width = 1024)
+        .join(probes, "tok")
+        .select($"tok", $"est", $"exact")
+        .orderBy($"exact".desc, $"tok")
+    },
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |exact AS (SELECT tok, COUNT(*)::BIGINT AS exact FROM toks GROUP BY tok),
+      |probes AS (SELECT tok, exact FROM exact
+      |           ORDER BY exact DESC, tok LIMIT 20),
+      |rows_ AS (SELECT unnest(range(4)) AS r),
+      |bkt AS (
+      |  SELECT r, tok,
+      |    ((((strpos('0123456789abcdef', substr(md5('cms' || r || ':' || tok), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5('cms' || r || ':' || tok), 2, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5('cms' || r || ':' || tok), 3, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5('cms' || r || ':' || tok), 4, 1)) - 1) % 1024
+      |      AS bucket
+      |  FROM toks CROSS JOIN rows_),
+      |cells AS (SELECT r, bucket, COUNT(*)::BIGINT AS cnt
+      |          FROM bkt GROUP BY r, bucket),
+      |pbkt AS (
+      |  SELECT rows_.r, probes.tok,
+      |    ((((strpos('0123456789abcdef', substr(md5('cms' || rows_.r || ':' || probes.tok), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5('cms' || rows_.r || ':' || probes.tok), 2, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5('cms' || rows_.r || ':' || probes.tok), 3, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5('cms' || rows_.r || ':' || probes.tok), 4, 1)) - 1) % 1024
+      |      AS bucket
+      |  FROM probes CROSS JOIN rows_),
+      |est AS (
+      |  SELECT pbkt.tok, MIN(COALESCE(c.cnt, 0))::BIGINT AS est
+      |  FROM pbkt LEFT JOIN cells c ON c.r = pbkt.r AND c.bucket = pbkt.bucket
+      |  GROUP BY pbkt.tok)
+      |SELECT p.tok, est.est, p.exact
+      |FROM probes p JOIN est ON est.tok = p.tok
+      |ORDER BY p.exact DESC, p.tok""".stripMargin)
+
+  /** Fellegi–Sunter probabilistic linkage over customers blocked on
+    * custkey mod 500: integer deciban weights, exact score histogram
+    * with an id-sum content witness (pair volume stays aggregate-side;
+    * the per-pair frame is the operator's output, the gate hashes its
+    * distribution + witness). */
+  private val x108: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+        .withColumn("blk", $"c_custkey" % 500)
+        .withColumn("nat", $"c_nationkey".cast("long"))
+        .withColumn("seg", $"c_mktsegment")
+        .withColumn("bal_kb", floor($"c_acctbal" / 1000.0).cast("long"))
+      Fuzzy.fellegiSunter(cust, "c_custkey", "blk",
+          fields = Seq(("nat", 15L, -8L), ("seg", 12L, -6L),
+            ("bal_kb", 10L, -10L)),
+          threshold = 17L)
+        .groupBy($"score_db", $"is_link")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"id_a" + $"id_b").as("id_witness"))
+        .orderBy($"score_db")
+    },
+    """WITH c AS (
+      |  SELECT c_custkey, c_custkey % 500 AS blk,
+      |    c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_kb
+      |  FROM customer),
+      |pairs AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |    ((CASE WHEN a.nat IS NOT NULL AND a.nat IS NOT DISTINCT FROM b.nat
+      |           THEN 15 ELSE -8 END)
+      |     + (CASE WHEN a.seg IS NOT NULL AND a.seg IS NOT DISTINCT FROM b.seg
+      |           THEN 12 ELSE -6 END)
+      |     + (CASE WHEN a.bal_kb IS NOT NULL AND a.bal_kb IS NOT DISTINCT FROM b.bal_kb
+      |           THEN 10 ELSE -10 END))::BIGINT AS score_db
+      |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey)
+      |SELECT score_db, score_db >= 17 AS is_link,
+      |  COUNT(*)::BIGINT AS n_pairs, SUM(id_a + id_b)::BIGINT AS id_witness
+      |FROM pairs GROUP BY score_db ORDER BY score_db""".stripMargin)
+
+  /** Personalized PageRank from a 3-seed set over the x42 interaction
+    * graph — integer fixed point, oracle unrolls identical rounds. */
+  private val x109: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "orders").select(
+        ($"o_custkey" % 100).as("src"), ($"o_orderkey" % 100).as("dst"))
+      Graph.personalizedPageRankInt(edges, "src", "dst",
+          sources = Seq(1L, 2L, 3L), iters = 3)
+        .orderBy($"id")
+    },
+    Graph.personalizedPageRankSql(
+      "SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst FROM orders",
+      sources = Seq(1L, 2L, 3L), iters = 3))
+
+  /** Marginal shingle novelty by source in acquisition order (the
+    * numeric suffix of `source`) — the greedy coverage-gain curve of
+    * adding crawls one by one. */
+  private val x110: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.shingleNovelty(
+          t(s, d, "documents")
+            .withColumn("ord", substring($"source", 4, 10).cast("long")),
+          source = "source", order = "ord", text = "text", n = 3)
+        .orderBy($"ord")
+    },
+    """WITH sh AS (
+      |  SELECT DISTINCT source, CAST(substr(source, 4, 10) AS BIGINT) AS ord, sh
+      |  FROM (
+      |    SELECT source, unnest([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |      for i in range(1, len(w) - 1) ]) AS sh
+      |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+      |first_ AS (SELECT sh, MIN(ord) AS first_ord FROM sh GROUP BY sh)
+      |SELECT source, ord, COUNT(*)::BIGINT AS n_shingles,
+      |  SUM(CASE WHEN ord = first_ord THEN 1 ELSE 0 END)::BIGINT AS n_novel
+      |FROM sh JOIN first_ ON sh.sh = first_.sh
+      |GROUP BY source, ord ORDER BY ord""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3095,5 +3248,10 @@ object ExtQ {
     "x103_trend_slope" -> (x103._1, Some(x103._2)),
     "x104_retention_ppm" -> (x104._1, Some(x104._2)),
     "x105_bfs_distances" -> (x105._1, Some(x105._2)),
+    "x106_token_entropy" -> (x106._1, Some(x106._2)),
+    "x107_cms_estimates" -> (x107._1, Some(x107._2)),
+    "x108_fs_linkage" -> (x108._1, Some(x108._2)),
+    "x109_personalized_pagerank" -> (x109._1, Some(x109._2)),
+    "x110_shingle_novelty" -> (x110._1, Some(x110._2)),
   )
 }

@@ -1061,4 +1061,100 @@ class ExtSpec extends AnyFunSuite {
     got.sliding(2).foreach { case Array(p, n) => assert(n._3 >= p._4) }
     assert(got.map(_._2).sum == 23L)
   }
+
+  test("tokenEntropy: hand-computed quantized bits, degenerate cases") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "a a a a"),            // uniform single token → 0 bits
+      (1L, "a b c d"),            // uniform over 4 → 2 bits/token exactly
+      (2L, "a a a b"),            // N=4: a: 3·floor(log2(4 div 3))=0, b: 1·2
+      (3L, "x")                   // single token
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id", TextAnalysis.tokenEntropy($"text").as("e"))
+      .select($"doc_id", $"e.n_toks", $"e.n_distinct", $"e.entropy_ppm")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(0L) == ((4L, 1L, 0L)))
+    assert(got(1L) == ((4L, 4L, 2000000L)))
+    assert(got(2L) == ((4L, 2L, 500000L))) // 2 bits · 1 tok / 4 toks
+    assert(got(3L) == ((1L, 1L, 0L)))
+  }
+
+  test("CMS: estimates dominate exact counts; shard merge == whole") {
+    import spark.implicits._
+    val toks = (1 to 400).map(i => s"t${i % 37}").toDF("tok")
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val sk = Cms.sketch(toks, "tok", depth = 4, width = 64)
+    val est = Cms.estimate(sk, exact.select("tok"), "tok",
+        depth = 4, width = 64)
+      .join(exact, "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (_, e, x) => assert(e >= x) } // one-sided error
+    // never-seen key estimates 0 only if all 4 rows miss; must be >= 0
+    // and <= total stream length
+    est.foreach { case (_, e, _) => assert(e >= 0L && e <= 400L) }
+    // mergeability: cell-wise union of shard sketches == whole sketch
+    val whole = sk.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val even = toks.filter(substring($"tok", 2, 10).cast("int") % 2 === 0)
+    val odd = toks.filter(substring($"tok", 2, 10).cast("int") % 2 =!= 0)
+    val merged = Cms.merge(Seq(
+        Cms.sketch(even, "tok", 4, 64), Cms.sketch(odd, "tok", 4, 64)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("fellegiSunter: hand-scored pairs, null never agrees") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "b1", "US", "AUTO"),
+      (2L, "b1", "US", "AUTO"),          // agrees on both: 15+12=27
+      (3L, "b1", "US", "RAIL"),          // nat only: 15-6=9
+      (4L, "b1", null.asInstanceOf[String], "AUTO") // null nat: -8+12=4
+    ).toDF("id", "blk", "nat", "seg")
+    val got = Fuzzy.fellegiSunter(rows, "id", "blk",
+        fields = Seq(("nat", 15L, -8L), ("seg", 12L, -6L)), threshold = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got((1L, 2L)) == ((27L, true)))
+    assert(got((1L, 3L)) == ((9L, false)))
+    assert(got((1L, 4L)) == ((4L, false)))  // null nat → disagreement
+    assert(got((3L, 4L)) == ((-14L, false)))
+    assert(got.size == 6) // all C(4,2) pairs share the block
+  }
+
+  test("personalizedPageRank: teleport mass sits on sources only") {
+    import spark.implicits._
+    // star: 1 -> 2, 1 -> 3; source set {1}
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val pr = Graph.personalizedPageRankInt(edges, "src", "dst",
+        sources = Seq(1L), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val S = Graph.Scale
+    // iter math: base = (S - 0.85S) = 0.15S on node 1 only.
+    // r0 = (S, 0, 0); r1 = (0.15S, (S div 2)*85 div 100, same)
+    val half = S / 2
+    assert(pr(1L) == S - S * 85 / 100)
+    // r2: node 2/3 get (r1(1) div 2) * 85 div 100
+    val r1_1 = S - S * 85 / 100
+    assert(pr(2L) == r1_1 / 2 * 85 / 100)
+    assert(pr(2L) == pr(3L))
+    // sinks keep no teleport mass: nothing flows back to 1
+  }
+
+  test("shingleNovelty: later sources only count unseen shingles") {
+    import spark.implicits._
+    val rows = Seq(
+      ("s0", 0L, "a b c d"),        // shingles: "a b c", "b c d"
+      ("s1", 1L, "a b c e"),        // "a b c" (seen), "b c e" (novel)
+      ("s2", 2L, "a b c d")         // both seen
+    ).toDF("source", "ord", "text")
+    val got = Dedup.shingleNovelty(rows, "source", "ord", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._2)
+    assert(got.toSeq == Seq(
+      ("s0", 0L, 2L, 2L),
+      ("s1", 1L, 2L, 1L),
+      ("s2", 2L, 2L, 0L)))
+  }
 }
