@@ -34,27 +34,28 @@ object Bench {
     }
     val results = qs.map { case (name, fn) =>
       var failed = false
-      // isolate queries from each other's leaked cache entries: 50+
-      // queries × per-call caches otherwise fill storage memory and
-      // LRU-evict the CURRENT query's cache mid-run (observed 3-5x
-      // inflation on cache-heavy queries) — every query is measured
-      // against a clean cache, warm JVM
-      spark.catalog.clearCache()
-      // clearCache only drops TABLE cache entries; localCheckpoint()
-      // blocks are persistent RDDs that survive it. The iterative
-      // operators (cc, pagerank, k-core, BPE, prefix) checkpoint per
-      // round, so a full suite pass strands hundreds of blocks that
-      // crowd storage memory and inflate later queries (x18 measured
-      // 5.1s in-suite vs 3.1s isolated before this). Each timed run
-      // rebuilds its own checkpoints, so dropping stale ones is safe.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      // settle the heap between queries: 100+ queries of driver-side
-      // plan/codegen allocation otherwise bleed GC pressure into late
-      // queries (x18 measured 4.5 s isolated vs 6.6 s at position
-      // ~110 of a 147-query session); one explicit collection per
-      // query keeps per-query numbers comparable across rounds
-      System.gc()
       val times = (1 to runs).map { _ =>
+        // isolate every TIMED RUN (not just every query) from leaked
+        // state — all of it outside the timer:
+        // 1. table-cache entries: 50+ queries × per-call caches
+        //    otherwise fill storage memory and LRU-evict the CURRENT
+        //    query's cache mid-run (observed 3-5x inflation);
+        // 2. stranded localCheckpoint blocks: clearCache doesn't touch
+        //    persistent RDDs, and the checkpoint-heavy queries strand
+        //    a FULL set of blocks per run (x46's shingle arrays +
+        //    per-round CC labels) — five runs of accumulation pushed
+        //    runs 3-5 into storage pressure and inflated the MEDIAN
+        //    (x46 measured 10.6 s vs 4.6 s across back-to-back suite
+        //    runs before this moved inside the run loop). Each run
+        //    rebuilds its own checkpoints, so dropping stale ones
+        //    between runs is safe;
+        // 3. heap settle: 100+ queries of driver-side plan/codegen
+        //    allocation otherwise bleed GC pressure into late queries
+        //    (x18 measured 4.5 s isolated vs 6.6 s at position ~110
+        //    of a 147-query session).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
