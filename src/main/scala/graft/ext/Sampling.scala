@@ -119,6 +119,33 @@ object Sampling {
       labeled.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1)))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME split, or eval measures memorized train content
+    * (the classic contamination-by-split bug — [[hashSplit]] on doc
+    * ids scatters a near-dup cluster across train AND test). Split
+    * membership is decided per CLUSTER: connected components over the
+    * caller's near-dup `pairs` ([[Dedup.minhashLshPairs]] /
+    * [[Dedup.ngramJaccardPairs]] output), singleton docs form their
+    * own cluster (their id), then [[hashSplit]] hashes the CLUSTER
+    * label — same label ⇒ same bucket ⇒ same split, by construction.
+    *
+    * Scale shape: the pair frame reduces to clusters via
+    * [[Dedup.connectedComponents]] (pointer-jumping rounds, edges-only
+    * shuffles); one left join of the corpus against the cluster map
+    * (clusters ≤ docs-with-a-dup, a small fraction of the corpus);
+    * the split label itself is a narrow in-row hash. Adds `cluster`
+    * (the split-deciding group) and `split`. */
+  def leakageSafeSplit(df: DataFrame, id: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)], salt: String)
+      : DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as("_cid"), col("cluster").as("_cl"))
+    val grouped = df.join(comp, df(id) === col("_cid"), "left")
+      .withColumn("cluster", coalesce(col("_cl"), df(id).cast("long")))
+      .drop("_cid", "_cl")
+    hashSplit(grouped, "cluster", splits, salt)
+  }
+
   /** Deterministic epoch shuffle + sharding for training-data export:
     * every row gets a stable pseudo-random coordinate — `shard`
     * (a 16-bit digest slice mod `shards`) and `shard_pos` (md5 rank

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Assoc, Bpe, Chunk, Cms, Dedup, Drift, Fuzzy, Graph, Hll, Index, Kmv, Multimodal, Planes, Prefix, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ext.{Assoc, Bpe, Chunk, Cms, Dedup, Drift, Fuzzy, Graph, Hll, Index, Kmv, Multimodal, Planes, Prefix, Privacy, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -3142,6 +3142,75 @@ object ExtQ {
       |FROM sh JOIN first_ ON sh.sh = first_.sh
       |GROUP BY source, ord ORDER BY ord""".stripMargin)
 
+  /** k-anonymity + distinct-l-diversity audit over customer
+    * quasi-identifiers (nation, 2k-account-balance band) with market
+    * segment as the sensitive attribute — exact per-group counts. */
+  private val x111: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+        .withColumn("nat", $"c_nationkey".cast("long"))
+        .withColumn("bal_kb", floor($"c_acctbal" / 2000.0).cast("long"))
+      val qis = Seq("nat", "bal_kb")
+      val ka = Privacy.kAnonymity(cust, qis, k = 5)
+      val ld = Privacy.lDiversity(cust, qis, "c_mktsegment", l = 3)
+        .withColumnRenamed("n_rows", "_nr2")
+      ka.join(ld, qis)
+        .select($"nat", $"bal_kb", $"n_rows", $"risky",
+          $"n_sensitive", $"diverse")
+        .orderBy($"nat", $"bal_kb")
+    },
+    """WITH c AS (
+      |  SELECT c_nationkey::BIGINT AS nat,
+      |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_kb,
+      |    c_mktsegment
+      |  FROM customer)
+      |SELECT nat, bal_kb, COUNT(*)::BIGINT AS n_rows,
+      |  COUNT(*) < 5 AS risky,
+      |  COUNT(DISTINCT c_mktsegment)::BIGINT AS n_sensitive,
+      |  COUNT(DISTINCT c_mktsegment) >= 3 AS diverse
+      |FROM c GROUP BY nat, bal_kb ORDER BY nat, bal_kb""".stripMargin)
+
+  /** Leakage-safe split: near-dup clusters (LSH pairs → connected
+    * components) decide membership, so planted near-dups never
+    * straddle train/test; the oracle rebuilds clusters with a
+    * recursive CTE and replays the cluster-keyed hash split. */
+  private val x112: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, bands = 64, rowsPerBand = 2)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+          splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+          salt = "lk1")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"cluster").as("n_clusters"),
+          sum($"doc_id").as("id_witness"))
+        .orderBy($"split")
+    },
+    s"""WITH RECURSIVE $shingleCte,
+       |edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+       |und AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION SELECT id_b, id_a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM und
+       |  UNION
+       |  SELECT re.id, u.dst FROM reach re JOIN und u ON u.src = re.r),
+       |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |lab AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |spl AS (SELECT doc_id, cluster,
+       |  (CASE WHEN ${bucketSql("cluster", "lk1", 1)} < 204 THEN 'train'
+       |        WHEN ${bucketSql("cluster", "lk1", 1)} < 230 THEN 'val'
+       |        ELSE 'test' END) AS split
+       |  FROM lab)
+       |SELECT split, COUNT(*)::BIGINT AS n_docs,
+       |  COUNT(DISTINCT cluster)::BIGINT AS n_clusters,
+       |  SUM(doc_id)::BIGINT AS id_witness
+       |FROM spl GROUP BY split ORDER BY split""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3253,5 +3322,7 @@ object ExtQ {
     "x108_fs_linkage" -> (x108._1, Some(x108._2)),
     "x109_personalized_pagerank" -> (x109._1, Some(x109._2)),
     "x110_shingle_novelty" -> (x110._1, Some(x110._2)),
+    "x111_privacy_audit" -> (x111._1, Some(x111._2)),
+    "x112_leakage_safe_split" -> (x112._1, Some(x112._2)),
   )
 }

@@ -1142,6 +1142,49 @@ class ExtSpec extends AnyFunSuite {
     // sinks keep no teleport mass: nothing flows back to 1
   }
 
+  test("privacy audit: k-anonymity and l-diversity verdicts") {
+    import spark.implicits._
+    val rows = Seq(
+      ("10001", 1980, "flu"), ("10001", 1980, "flu"), ("10001", 1980, "flu"),
+      ("10001", 1980, "cold"), ("10001", 1980, "acne"),   // 5 rows, 3 values
+      ("10002", 1990, "flu"), ("10002", 1990, "flu"),     // 2 rows < k
+      ("10003", 1975, "hiv")                              // 1 row, 1 value
+    ).toDF("zip", "by", "dx")
+    val ka = Privacy.kAnonymity(rows, Seq("zip", "by"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(ka == Set(("10001", 5L, false), ("10002", 2L, true),
+      ("10003", 1L, true)))
+    val ld = Privacy.lDiversity(rows, Seq("zip", "by"), "dx", l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(ld == Set(("10001", 3L, true), ("10002", 1L, false),
+      ("10003", 1L, false)))
+  }
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a"), (1L, "a"), (2L, "a"),    // cluster {0,1,2}
+      (3L, "b"), (4L, "b"),               // cluster {3,4}
+      (5L, "c")                           // singleton
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(corpus, "doc_id", pairs,
+        splits = Seq(("train", 0.8), ("test", 0.2)), salt = "s")
+      .select("doc_id", "cluster", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // same cluster => same split, always
+    got.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1)
+    }
+    // cluster labels are the component minima; singleton keeps its id
+    val byDoc = got.map(r => r._1 -> r._2).toMap
+    assert(byDoc(0L) == 0L && byDoc(1L) == 0L && byDoc(2L) == 0L)
+    assert(byDoc(3L) == 3L && byDoc(4L) == 3L)
+    assert(byDoc(5L) == 5L)
+  }
+
   test("shingleNovelty: later sources only count unseen shingles") {
     import spark.implicits._
     val rows = Seq(
