@@ -230,6 +230,31 @@ object Sampling {
     * user. Nothing global is ever sorted; the grid is |users|·|vocab|
     * rows, the honest cost of uniform negatives (cap the vocabulary
     * upstream if it is not dimension-sized). */
+  /** Deterministic fixed-size per-group sample: exactly
+    * min(k, |group|) rows per `group` value, chosen by ranking each
+    * group's rows on a salted md5 of the row key. The eval-subset
+    * primitive ("5 docs per language for the human-review queue",
+    * "1000 examples per source for the probe suite") — where
+    * [[stratifiedSample]] draws a deterministic FRACTION per stratum,
+    * this draws a deterministic COUNT, and a different `salt` redraws
+    * the panel without touching any seed plumbing.
+    *
+    * Plan shape: one hash-partitioned window per group — the sort is
+    * per-group and groups spread across all reducers, so there is no
+    * global order and no single-reducer task; work is bounded by the
+    * largest group (salt-split upstream if one stratum dominates).
+    * Adds `sample_rank` (1..k within the group). */
+  def fixedKPerGroup(df: DataFrame, group: String, key: String, k: Int,
+                     salt: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = Window.partitionBy(col(group)).orderBy(
+      md5(concat(lit(salt), lit(":"), col(key).cast("string"))
+        .cast("binary")),
+      col(key))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   def hashNegatives(interactions: DataFrame, user: String, item: String,
                     k: Int, salt: String): DataFrame = {
     require(k >= 1, "k must be positive")

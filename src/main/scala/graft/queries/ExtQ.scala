@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Assoc, Bpe, Chunk, Cms, Dedup, Drift, Fuzzy, Graph, Hll, Index, Kmv, Multimodal, Planes, Prefix, Privacy, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ext.{Assoc, Bpe, Chunk, Cms, Dedup, Drift, Eval, Fuzzy, Graph, Hll, Index, Kmv, Multimodal, Planes, Prefix, Privacy, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -3211,6 +3211,167 @@ object ExtQ {
        |  SUM(doc_id)::BIGINT AS id_witness
        |FROM spl GROUP BY split ORDER BY split""".stripMargin)
 
+  /** Exact ROC AUC of "longer documents are English" — rank-sum with
+    * midrank ties over the distinct-score spine (length//100 forces
+    * heavy ties, exercising the midrank algebra), never a global
+    * sort of the corpus. */
+  private val x113: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Eval.aucExact(t(s, d, "documents"),
+        ($"n_chars" / 100).cast("long"), $"lang" === "en")
+    },
+    """WITH r AS (
+      |  SELECT n_chars // 100 AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |sp AS (SELECT s, COUNT(*)::BIGINT AS c, SUM(y)::BIGINT AS p
+      |       FROM r GROUP BY s),
+      |cum AS (SELECT s, c, p, SUM(c) OVER (ORDER BY s) AS cm FROM sp),
+      |agg AS (SELECT SUM(p)::BIGINT AS n_pos, SUM(c - p)::BIGINT AS n_neg,
+      |        SUM(p * (2 * (cm - c) + c + 1))::BIGINT AS r2 FROM cum)
+      |SELECT n_pos, n_neg,
+      |  (r2 - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+      |  (2 * n_pos * n_neg)::BIGINT AS auc_den,
+      |  CASE WHEN n_pos * n_neg > 0 THEN
+      |    ((r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg))::BIGINT
+      |  END AS auc_ppm
+      |FROM agg""".stripMargin)
+
+  /** Calibration bins of a length-based pseudo-probability against
+    * the lang='en' label: exact integer confidence/accuracy ppm and
+    * the per-bin ECE-gap numerator. One map-combined groupBy. */
+  private val x114: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Eval.calibrationBins(t(s, d, "documents"),
+          least($"n_chars" * 2000, lit(1000000L)), $"lang" === "en",
+          bins = 10)
+        .orderBy($"bin")
+    },
+    """WITH r AS (
+      |  SELECT least(n_chars * 2000, 1000000) AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (SELECT least(s * 10 // 1000000, 9) AS bin, s, y FROM r)
+      |SELECT bin::BIGINT AS bin, COUNT(*)::BIGINT AS n,
+      |  SUM(y)::BIGINT AS n_pos,
+      |  (SUM(s) // COUNT(*))::BIGINT AS conf_ppm,
+      |  (SUM(y) * 1000000 // COUNT(*))::BIGINT AS acc_ppm,
+      |  abs(SUM(y) * 1000000 - SUM(s))::BIGINT AS gap_num
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+
+  /** Cohen's kappa between the labeled language and the marker-vote
+    * detector (x08's classifier): the inter-annotator-agreement gate
+    * as one contingency aggregation, exact integer fraction. */
+  private val x115: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val markers = Seq(
+        "en" -> Seq("the", "a"), "de" -> Seq("table", "row"),
+        "fr" -> Seq("value", "data"), "es" -> Seq("query", "join"))
+      Eval.cohenKappa(
+        t(s, d, "documents").select($"lang".as("a"),
+          TextAnalysis.langId($"text", markers).as("b")),
+        $"a", $"b")
+    },
+    """WITH det AS (
+      |  SELECT lang AS a,
+      |    CASE WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+      |         WHEN s_fr = mx THEN 'fr' ELSE 'es' END AS b
+      |  FROM (
+      |    SELECT lang,
+      |      len(list_filter(toks, x -> x IN ('the', 'a'))) AS s_en,
+      |      len(list_filter(toks, x -> x IN ('table', 'row'))) AS s_de,
+      |      len(list_filter(toks, x -> x IN ('value', 'data'))) AS s_fr,
+      |      len(list_filter(toks, x -> x IN ('query', 'join'))) AS s_es,
+      |      greatest(
+      |        len(list_filter(toks, x -> x IN ('the', 'a'))),
+      |        len(list_filter(toks, x -> x IN ('table', 'row'))),
+      |        len(list_filter(toks, x -> x IN ('value', 'data'))),
+      |        len(list_filter(toks, x -> x IN ('query', 'join')))) AS mx
+      |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))),
+      |cont AS (SELECT a, b, COUNT(*)::BIGINT AS cn FROM det GROUP BY a, b),
+      |rm AS (SELECT a, SUM(cn)::BIGINT AS r FROM cont GROUP BY a),
+      |cm AS (SELECT b, SUM(cn)::BIGINT AS c FROM cont GROUP BY b),
+      |e AS (SELECT COALESCE(SUM(r * c), 0)::BIGINT AS e
+      |      FROM rm JOIN cm ON rm.a = cm.b),
+      |tot AS (SELECT SUM(cn)::BIGINT AS nn,
+      |        COALESCE(SUM(CASE WHEN a = b THEN cn END), 0)::BIGINT AS dd
+      |        FROM cont)
+      |SELECT nn AS n, dd AS diag, e.e AS expected_num,
+      |  (nn * dd - e.e)::BIGINT AS kappa_num,
+      |  (nn * nn - e.e)::BIGINT AS kappa_den,
+      |  CASE WHEN nn * nn - e.e <> 0 THEN
+      |    ((nn * dd - e.e) * 1000000 // (nn * nn - e.e))::BIGINT
+      |  END AS kappa_ppm
+      |FROM tot, e""".stripMargin)
+
+  /** Retrieval eval of cosine top-10 against same-label relevance
+    * (does the embedding ranking surface same-class vectors?): MRR /
+    * hits@10 / recall@10 per query, exact integer ppm. The ranked
+    * frame is x06's brute-force top-k; the relevance set is the
+    * label-equality join. */
+  private val x116: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" < 20)
+      val ranked = Similarity.bruteForceTopK(
+        q, "vec_id", "embedding", emb, "vec_id", "embedding", k = 10)
+      val rels = q.select($"vec_id".as("qid"), $"label".as("ql"))
+        .join(emb.select($"vec_id".as("cid"), $"label".as("cl")),
+          $"ql" === $"cl" && $"qid" =!= $"cid")
+        .select($"qid", $"cid")
+      Eval.retrievalEval(ranked, "query_id", "neighbour_id", "rank",
+          rels, "qid", "cid", k = 10)
+        .orderBy($"query_id")
+    },
+    s"""WITH ranked AS (
+       |  SELECT query_id, neighbour_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id)
+       |        AS BIGINT) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE rank <= 10),
+       |rels AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.label = c.label AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 20),
+       |nrel AS (SELECT qid, COUNT(*)::BIGINT AS n_rel FROM rels GROUP BY qid),
+       |hit AS (SELECT r.query_id, r.rank FROM ranked r
+       |        JOIN rels ON rels.qid = r.query_id AND rels.cid = r.neighbour_id),
+       |perq AS (SELECT query_id, MIN(rank)::BIGINT AS first_rel_rank,
+       |         SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_k
+       |         FROM hit GROUP BY query_id)
+       |SELECT n.qid AS query_id, n.n_rel, p.first_rel_rank,
+       |  COALESCE(1000000 // p.first_rel_rank, 0)::BIGINT AS rr_ppm,
+       |  COALESCE(p.hits_k, 0)::BIGINT AS hits_k,
+       |  (COALESCE(p.hits_k, 0) * 1000000 // n.n_rel)::BIGINT AS recall_ppm
+       |FROM nrel n LEFT JOIN perq p ON p.query_id = n.qid
+       |ORDER BY query_id""".stripMargin)
+
+  /** Deterministic 7-per-language review panel: fixed-COUNT stratum
+    * sample by salted md5 rank — same salt, same panel, any engine. */
+  private val x117: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Sampling.fixedKPerGroup(t(s, d, "documents"), "lang", "doc_id",
+          k = 7, salt = "panel1")
+        .select($"doc_id", $"lang", $"sample_rank")
+        .orderBy($"lang", $"sample_rank")
+    },
+    """SELECT doc_id, lang, sample_rank FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('panel1:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS BIGINT) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= 7 ORDER BY lang, sample_rank""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3324,5 +3485,10 @@ object ExtQ {
     "x110_shingle_novelty" -> (x110._1, Some(x110._2)),
     "x111_privacy_audit" -> (x111._1, Some(x111._2)),
     "x112_leakage_safe_split" -> (x112._1, Some(x112._2)),
+    "x113_auc_exact" -> (x113._1, Some(x113._2)),
+    "x114_calibration_bins" -> (x114._1, Some(x114._2)),
+    "x115_cohen_kappa" -> (x115._1, Some(x115._2)),
+    "x116_retrieval_eval" -> (x116._1, Some(x116._2)),
+    "x117_group_panel_sample" -> (x117._1, Some(x117._2)),
   )
 }

@@ -155,7 +155,9 @@ class PlanSpec extends AnyFunSuite {
       "x89_basket_lift",         // 1-row basket-total broadcast
       "x93_kn_continuation",     // 1-row bigram-type-total broadcast
       "x98_kmv_join_estimate",   // two 1-row sketch frames crossed
-      "x99_ks_distance")         // 1-row sample-total broadcast
+      "x99_ks_distance",         // 1-row sample-total broadcast
+      "x115_cohen_kappa",        // two 1-row frames crossed (totals × pe)
+      "x116_retrieval_eval")     // exact baseline: queries broadcast the corpus scan
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("aucExact matches the hand-computed midrank AUC (with ties)") {
+    // scores ascending: 1-,1+,2-,2+,2+,3+  → n+=4, n-=2
+    // midranks: value1→1.5, value2→4, value3→6
+    // R+ = 1.5 + 4 + 4 + 6 = 15.5 ; U = 15.5 - 4*5/2 = 5.5 ; AUC = 5.5/8
+    val df = Seq((1, false), (1, true), (2, false), (2, true), (2, true),
+      (3, true)).toDF("s", "y").repartition(3)
+    val r = Eval.aucExact(df, $"s", $"y").collect().head
+    assert(r.getAs[Long]("n_pos") == 4L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Long]("auc_num") == 11L)   // 2*15.5 - 4*5 = 31 - 20
+    assert(r.getAs[Long]("auc_den") == 16L)
+    assert(r.getAs[Long]("auc_ppm") == 687500L)
+  }
+
+  test("aucExact: perfect, inverted, and degenerate separations") {
+    val perfect = Seq((1, false), (2, false), (3, true), (4, true))
+      .toDF("s", "y")
+    val p = Eval.aucExact(perfect, $"s", $"y").collect().head
+    assert(p.getAs[Long]("auc_num") == p.getAs[Long]("auc_den"))
+    val inverted = Eval.aucExact(perfect, $"s", !$"y").collect().head
+    assert(inverted.getAs[Long]("auc_num") == 0L)
+    // single-class input → null ppm, zero denominator, no crash
+    val onlyPos = Eval.aucExact(perfect.filter($"y"), $"s", $"y")
+      .collect().head
+    assert(onlyPos.getAs[Long]("auc_den") == 0L)
+    assert(onlyPos.isNullAt(onlyPos.fieldIndex("auc_ppm")))
+  }
+
+  test("aucExact equals the probability a random +,- pair is ordered") {
+    // brute-force check on a pseudo-random frame: AUC*den must equal
+    // #(pos>neg)*2 + #(pos==neg) over all pos×neg pairs
+    val df = spark.range(200).select(
+      pmod(xxhash64($"id"), lit(13)).as("s"),
+      (pmod(xxhash64($"id" + 7), lit(3)) === 0).as("y"))
+      .localCheckpoint()
+    val rows = df.collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val num = pos.map(p => neg.map(n =>
+      if (p > n) 2L else if (p == n) 1L else 0L).sum).sum
+    val r = Eval.aucExact(df, $"s", $"y").collect().head
+    assert(r.getAs[Long]("auc_num") == num)
+    assert(r.getAs[Long]("auc_den") == 2L * pos.length * neg.length)
+  }
+
+  test("calibrationBins: exact per-bin confidence, accuracy, gap") {
+    val df = Seq(
+      (100000L, false), (150000L, true),             // bin 0 (of 5)
+      (900000L, true), (950000L, true), (1000000L, true) // bin 4 (1e6 folds in)
+    ).toDF("p", "y")
+    val out = Eval.calibrationBins(df, $"p", $"y", bins = 5)
+      .orderBy($"bin").collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 4L))
+    val b0 = out(0)
+    assert(b0.getAs[Long]("n") == 2 && b0.getAs[Long]("n_pos") == 1)
+    assert(b0.getAs[Long]("conf_ppm") == 125000L)
+    assert(b0.getAs[Long]("acc_ppm") == 500000L)
+    assert(b0.getAs[Long]("gap_num") == math.abs(1L * 1000000L - 250000L))
+    val b4 = out(1)
+    assert(b4.getAs[Long]("n") == 3 && b4.getAs[Long]("n_pos") == 3)
+    assert(b4.getAs[Long]("gap_num") == math.abs(3000000L - 2850000L))
+  }
+
+  test("cohenKappa matches the textbook 2x2 example") {
+    // classic: a=20 yes/yes, b=5 yes/no, c=10 no/yes, d=15 no/no
+    // po=35/50, pe=(25*30 + 25*20)/2500=0.5, kappa=(0.7-0.5)/0.5=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Eval.cohenKappa(rows.toDF("a", "b").repartition(4), $"a", $"b")
+      .collect().head
+    assert(r.getAs[Long]("n") == 50 && r.getAs[Long]("diag") == 35)
+    assert(r.getAs[Long]("expected_num") == 25L * 30 + 25L * 20)
+    assert(r.getAs[Long]("kappa_num") == 50L * 35 - 1250L)
+    assert(r.getAs[Long]("kappa_den") == 2500L - 1250L)
+    assert(r.getAs[Long]("kappa_ppm") == 400000L)
+  }
+
+  test("cohenKappa: perfect agreement, disjoint vocabularies, nulls") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("x", "y")
+    val p = Eval.cohenKappa(perfect, $"x", $"y").collect().head
+    assert(p.getAs[Long]("kappa_ppm") == 1000000L)
+    // annotators never use the same category → pe=0, kappa = po = 0
+    val disjoint = Seq(("a", "b"), ("c", "d")).toDF("x", "y")
+    val dj = Eval.cohenKappa(disjoint, $"x", $"y").collect().head
+    assert(dj.getAs[Long]("expected_num") == 0L && dj.getAs[Long]("kappa_num") == 0L)
+    // nulls agree only with nulls (null-safe equality)
+    val nulls = Seq((Some("a"), Some("a")), (None, None), (Some("b"), None))
+      .toDF("x", "y")
+    val nv = Eval.cohenKappa(nulls, $"x", $"y").collect().head
+    assert(nv.getAs[Long]("diag") == 2L)
+  }
+
+  test("cohenKappa: negative kappa floors like DuckDB's // (not truncate)") {
+    // systematic disagreement: po=0, pe=1/2 → kappa = -1
+    val rows = Seq(("y", "n"), ("n", "y")).toDF("a", "b")
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), $"a", $"b").collect().head
+    assert(r.getAs[Long]("kappa_num") == -2L && r.getAs[Long]("kappa_den") == 2L)
+    assert(r.getAs[Long]("kappa_ppm") == -1000000L)
+    // a non-divisible negative fraction must floor downward:
+    // 3 annotations, diag=1, pe via marginals → check floor(num*1e6/den)
+    val rows2 = Seq(("a", "a"), ("a", "b"), ("b", "a")).toDF("a", "b")
+    val r2 = Eval.cohenKappa(rows2, $"a", $"b").collect().head
+    val num = r2.getAs[Long]("kappa_num"); val den = r2.getAs[Long]("kappa_den")
+    assert(r2.getAs[Long]("kappa_ppm") == Math.floorDiv(num * 1000000L, den))
+  }
+
+  test("retrievalEval: MRR / hits@k / recall@k per query") {
+    val ranked = Seq(
+      ("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+      ("q2", "d4", 1), ("q2", "d5", 2),
+      ("q3", "d6", 1)).toDF("q", "d", "rk")
+    val rels = Seq(
+      ("q1", "d2"), ("q1", "d3"), ("q1", "d9"),  // first hit rank 2; d9 never ranked
+      ("q2", "d4"),
+      ("q3", "d7")                                // nothing relevant ranked
+    ).toDF("q", "d")
+    val out = Eval.retrievalEval(ranked, "q", "d", "rk", rels, "q", "d", k = 2)
+      .orderBy($"query_id").collect()
+    val q1 = out(0)
+    assert(q1.getAs[Long]("first_rel_rank") == 2L)
+    assert(q1.getAs[Long]("rr_ppm") == 500000L)
+    assert(q1.getAs[Long]("hits_k") == 1L && q1.getAs[Long]("n_rel") == 3L)
+    assert(q1.getAs[Long]("recall_ppm") == 333333L)
+    val q2 = out(1)
+    assert(q2.getAs[Long]("rr_ppm") == 1000000L && q2.getAs[Long]("recall_ppm") == 1000000L)
+    val q3 = out(2)
+    assert(q3.isNullAt(q3.fieldIndex("first_rel_rank")))
+    assert(q3.getAs[Long]("rr_ppm") == 0L && q3.getAs[Long]("hits_k") == 0L)
+  }
+
+  test("fixedKPerGroup: exact k per group, deterministic, salt-sensitive") {
+    val df = spark.range(500).select(
+      $"id", pmod($"id", lit(7)).as("g")).localCheckpoint()
+    val s1 = Sampling.fixedKPerGroup(df, "g", "id", k = 10, salt = "s1")
+    val got = s1.groupBy("g").agg(count(lit(1)).as("n")).collect()
+    assert(got.length == 7 && got.forall(_.getAs[Long]("n") == 10L))
+    assert(s1.agg(max("sample_rank")).collect().head.getLong(0) == 10L)
+    // same salt → identical panel; different salt → different panel
+    val again = Sampling.fixedKPerGroup(df, "g", "id", 10, "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == s1.select("id").collect().map(_.getLong(0)).toSet)
+    val other = Sampling.fixedKPerGroup(df, "g", "id", 10, "s2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again != other)
+    // groups smaller than k return whole group
+    val tiny = Sampling.fixedKPerGroup(df.filter($"id" < 3), "g", "id", 10, "s")
+    assert(tiny.count() == 3)
+  }
+}
