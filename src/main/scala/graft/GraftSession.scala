@@ -65,6 +65,7 @@ object GraftSession {
     graft.functions.HeavyHittersAgg.register(spark)
     graft.functions.QuantileSketchAgg.register(spark)
     graft.functions.KMinAgg.register(spark)
+    graft.functions.VectorSumAgg.register(spark)
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
       spark.experimental.extraOptimizations ++=

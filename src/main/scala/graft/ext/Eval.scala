@@ -25,24 +25,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Eval {
 
-  /** EXACT floor(num / den) for integral columns via DECIMAL(38,0).
-    * Two traps this dodges: Spark's `/` on longs is DOUBLE division
-    * (silently rounds past 2⁵³), and `floor(decimalA / decimalB)`
-    * rounds the quotient to the result scale BEFORE the floor (a
-    * quotient of x.9999996 floors to x+1). Subtracting the pmod
-    * first makes the division exact-integral, and pmod's sign
-    * convention makes this FLOOR division (not truncation) — the
-    * semantics of DuckDB's `//` — which matters for negative
-    * numerators (κ can be negative). */
-  private def floorDiv(num: Column, den: Column): Column = {
-    val t = num.cast("decimal(38,0)")
-    val d = den.cast("decimal(38,0)")
-    ((t - pmod(t, d)) / d).cast("long")
-  }
-
-  /** floor(num·10⁶ / den), exact over the full BIGINT range. */
-  private def ppmDiv(num: Column, den: Column): Column =
-    floorDiv(num.cast("decimal(38,0)") * lit(1000000L), den)
+  import IntMath.{floorDiv, ppmDiv}
 
   /** Exact ROC AUC by rank-sum (Mann–Whitney U) with midrank tie
     * handling, as an exact integer fraction.

@@ -357,6 +357,52 @@ object Graph {
     * Returns (id, n_triangles) for nodes participating in ≥ 1
     * triangle. Self-loops are dropped; parallel edges collapse.
     */
+  /** Newman modularity of a community assignment, per community, as
+    * exact integer fractions — the quality score that tells you
+    * whether [[labelPropagate]] (or any clustering) actually found
+    * structure: Q = Σ_c [e_c/m − (d_c/2m)²] over communities, cleared
+    * to q_num_c = 4m·e_c − d_c² over q_den = 4m² (sum q_num_c/q_den
+    * for the global Q; positive contribution ⇒ denser-than-chance).
+    *
+    * `labels` maps node id → community (nodes without a label are
+    * excluded, as are edges touching them). Self-loops drop, parallel
+    * edges collapse — matching the other Graph operators.
+    *
+    * Plan shape: canonical edge list materialized once; two id-keyed
+    * equi-joins attach endpoint communities; e_c and (n_nodes, d_c)
+    * are map-combined aggregations over community keys; m rides a
+    * 1-row broadcast (never a driver count). Everything shuffled is
+    * id/community longs — no corpus payloads, no windows. */
+  def modularity(edges: DataFrame, a: String, b: String,
+                 labels: DataFrame, id: String, lab: String): DataFrame = {
+    val und = edges.select(
+        least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val m = und.agg(count(lit(1)).as("_m"))
+    val lb = labels.select(col(id).cast("long").as("_nid"),
+      col(lab).as("_lb"))
+    val labeled = und
+      .join(lb.select(col("_nid").as("u"), col("_lb").as("lu")), Seq("u"))
+      .join(lb.select(col("_nid").as("v"), col("_lb").as("lv")), Seq("v"))
+    val intra = labeled.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("u").as("nid"))
+      .union(und.select(col("v").as("nid")))
+      .groupBy("nid").agg(count(lit(1)).as("_d"))
+    val comm = deg.join(lb, deg("nid") === lb("_nid"))
+      .groupBy(col("_lb").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("_d").as("d_tot"))
+    comm.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_tot"),
+        (lit(4L) * col("_m") * col("e_in") - col("d_tot") * col("d_tot"))
+          .as("q_num"),
+        (lit(4L) * col("_m") * col("_m")).as("q_den"))
+  }
+
   def triangleCounts(edges: DataFrame, a: String, b: String): DataFrame = {
     val e = edges.select(
         least(col(a), col(b)).cast("long").as("u"),

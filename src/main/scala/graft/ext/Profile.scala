@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -230,5 +230,73 @@ object Profile {
       .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
         max(col("x")).as("hi"))
       .orderBy("bin")
+  }
+
+  /** Quantized information gain of a label given a feature — the
+    * feature-relevance ranking every labeling/routing pipeline runs
+    * ("does `source` predict `lang`?"). IG = H(Y) − H(Y|X) in the
+    * floor-log₂ convention of [[TextAnalysis.tokenEntropy]]:
+    * H_q(Y)·N = Σ_y c_y·⌊log₂(N div c_y)⌋ and
+    * H_q(Y|X)·N = Σ_{x,y} c_xy·⌊log₂(c_x div c_xy)⌋ — every term an
+    * exact integer, so both entropies (ppm, floor-divided by N) and
+    * their difference are engine-exact. Quantization makes IG a
+    * conservative estimate and occasionally slightly negative;
+    * treat near-zero as "no signal".
+    *
+    * Plan shape: one map-combined (feature,label) contingency groupBy
+    * (vocabulary-sized output), two marginal aggregations over it,
+    * N and the entropy sums as 1-row broadcasts. The corpus is
+    * scanned once; nothing corpus-sized shuffles.
+    *
+    * Returns one row: `n, h_label_ppm, h_cond_ppm, ig_ppm`. */
+  def informationGain(df: DataFrame, feature: String, label: String)
+      : DataFrame = {
+    def bits(n: Column, c: Column): Column =
+      (length(bin(IntMath.floorDiv(n, c))) - 1).cast("long")
+    val xy = df.select(col(feature).cast("string").as("_x"),
+        col(label).cast("string").as("_y"))
+      .groupBy("_x", "_y").agg(count(lit(1)).as("_cxy"))
+      .localCheckpoint()
+    val n1 = xy.agg(sum("_cxy").as("_n"))
+    val hy = xy.groupBy("_y").agg(sum("_cxy").as("_cy"))
+      .crossJoin(broadcast(n1))
+      .agg(sum(col("_cy") * bits(col("_n"), col("_cy"))).as("_hyBits"))
+    val cx = xy.groupBy("_x").agg(sum("_cxy").as("_cx"))
+    val hyx = xy.join(cx, Seq("_x"))
+      .agg(sum(col("_cxy") * bits(col("_cx"), col("_cxy"))).as("_hyxBits"))
+    n1.crossJoin(broadcast(hy)).crossJoin(broadcast(hyx))
+      .select(col("_n").as("n"),
+        IntMath.ppmDiv(col("_hyBits"), col("_n")).as("h_label_ppm"),
+        IntMath.ppmDiv(col("_hyxBits"), col("_n")).as("h_cond_ppm"),
+        (IntMath.ppmDiv(col("_hyBits"), col("_n")) -
+          IntMath.ppmDiv(col("_hyxBits"), col("_n"))).as("ig_ppm"))
+  }
+
+  /** Exact weighted (lower) median per group: the smallest value v
+    * with 2·Σ_{x≤v} w(x) ≥ W — robust central tendency where rows
+    * carry multiplicity (token counts, quantities, sampling weights).
+    * Integer-exact: values and weights cast to long, the decision is
+    * an integer cross-multiplication, no interpolation.
+    *
+    * Plan shape: ties collapse first through a map-combined
+    * (group, value) groupBy — the window then ranks DISTINCT values
+    * per group, not rows — and the cumulative sum is a per-group
+    * partitioned window (groups spread across reducers; no global
+    * order). Group totals join back from their own tiny aggregate.
+    *
+    * Returns (group, w_total, w_median). */
+  def weightedMedian(df: DataFrame, group: String, value: Column,
+                     weight: Column): DataFrame = {
+    val byv = df.select(col(group).as("_g"), value.cast("long").as("_v"),
+        weight.cast("long").as("_w"))
+      .groupBy("_g", "_v").agg(sum("_w").as("_wv"))
+    val w = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byv.withColumn("_cum", sum("_wv").over(w))
+    val tot = byv.groupBy("_g").agg(sum("_wv").as("_W"))
+    cum.join(tot, Seq("_g"))
+      .filter(lit(2L) * col("_cum") >= col("_W"))
+      .groupBy(col("_g").as(group))
+      .agg(min("_W").as("w_total"), min("_v").as("w_median"))
   }
 }

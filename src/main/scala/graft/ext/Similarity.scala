@@ -55,6 +55,34 @@ object Similarity {
       .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
         count(lit(1))).as("centroid"))
 
+  /** Gram-matrix sufficient statistics of an int8-quantized embedding
+    * corpus: ONE row holding n, the per-dimension sums Σq_i, and the
+    * flattened dims×dims Gram Σq_i·q_j — everything PCA/whitening/
+    * covariance needs (cov_ij ∝ n·gram_ij − sums_i·sums_j, exact
+    * integers; the driver-side eigensolve over a dims² matrix is then
+    * trivial and deterministic). Quantizing first ([[int8Quantize]])
+    * makes every product an exact integer: |q_i·q_j| ≤ 127², so the
+    * Gram sums are bit-identical under any partitioning for up to
+    * ~5·10¹⁴ rows.
+    *
+    * Plan shape: the outer product is an in-row nested `transform`
+    * (dims² longs per row, no explode); the reduction is one
+    * [[graft.functions.VectorSumAgg]] group-all aggregate whose
+    * partial buffers combine map-side — the shuffle carries one
+    * dims²-long buffer per partition, NOT dims²·rows exploded rows.
+    * The corpus is scanned once and never shuffled. */
+  def int8Gram(df: DataFrame, vec: String, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 1024, "dims must be in [1, 1024]")
+    val q = int8Quantize(col(vec)).getField("q")
+    val rows = df.select(q.as("_q"))
+    val outer = flatten(transform(col("_q"), qi =>
+      transform(col("_q"), qj => qi * qj)))
+    rows.agg(
+      count(lit(1)).as("n"),
+      graft.functions.VectorSumAgg.vecSum(col("_q"), dims).as("sums"),
+      graft.functions.VectorSumAgg.vecSum(outer, dims * dims).as("gram"))
+  }
+
   /** Symmetric int8 quantization of an embedding — the standard
     * storage/compute compression step before ANN serving (4× smaller
     * than float32, SIMD-friendly dot products downstream). Returns a

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Assoc, Bpe, Chunk, Cms, Dedup, Drift, Eval, Fuzzy, Graph, Hll, Index, Kmv, Multimodal, Planes, Prefix, Privacy, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ext.{Assoc, Bpe, Chunk, Cms, Dedup, Drift, Eval, Fuzzy, Graph, Hll, Index, IntMath, Kmv, Multimodal, Planes, Prefix, Privacy, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -3372,6 +3372,123 @@ object ExtQ {
       |  FROM documents)
       |WHERE sample_rank <= 7 ORDER BY lang, sample_rank""".stripMargin)
 
+  /** Int8 Gram matrix of the embedding corpus — PCA/covariance
+    * sufficient statistics as one group-all VectorSumAgg (dims²
+    * buffer, map-side combined; no explode, no shuffle of vectors).
+    * The gate unrolls the 1-row array result to (i, j, s) cells. */
+  private val x118: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val dims = 64
+      Similarity.int8Gram(t(s, d, "embeddings"), "embedding", dims)
+        .select($"n", posexplode($"gram").as(Seq("idx", "s")))
+        .select($"n", IntMath.floorDiv($"idx", lit(dims)).as("i"),
+          pmod($"idx", lit(dims)).cast("long").as("j"), $"s")
+        .orderBy($"i", $"j")
+    },
+    """WITH m AS (
+      |  SELECT embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT CASE WHEN maxabs = 0
+      |    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(embedding,
+      |      x -> CAST(greatest(-127.0, least(127.0,
+      |        floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+      |        AS BIGINT)) END AS qv
+      |  FROM m),
+      |n AS (SELECT COUNT(*)::BIGINT AS n FROM q),
+      |ij AS (SELECT ti.range AS i, tj.range AS j
+      |       FROM range(0, 64) ti, range(0, 64) tj)
+      |SELECT n.n, ij.i::BIGINT AS i, ij.j::BIGINT AS j,
+      |  SUM(qv[ij.i + 1] * qv[ij.j + 1])::BIGINT AS s
+      |FROM q, ij, n GROUP BY n.n, ij.i, ij.j ORDER BY i, j""".stripMargin)
+
+  /** Modularity of the 4-round LPA communities on the supplier
+    * co-occurrence graph — did label propagation find real structure?
+    * Exact integer fractions per community. */
+  private val x119: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter($"l_quantity" > 47)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      val labels = Graph.labelPropagate(edges, "sa", "sb", rounds = 4)
+      Graph.modularity(edges, "sa", "sb", labels, "id", "lab")
+        .orderBy($"community")
+    },
+    s"""WITH lp AS (SELECT * FROM (${Graph.labelPropSql(supplierEdgeSql(47), rounds = 4)}) t),
+       |raw2 AS (${supplierEdgeSql(47)}),
+       |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |      FROM raw2 WHERE src <> dst),
+       |mm AS (SELECT COUNT(*)::BIGINT AS m FROM e),
+       |lt AS (SELECT e.u, e.v, lu.lab AS lu, lv.lab AS lv
+       |       FROM e JOIN lp lu ON lu.id = e.u JOIN lp lv ON lv.id = e.v),
+       |intra AS (SELECT lu AS community, COUNT(*)::BIGINT AS e_in
+       |          FROM lt WHERE lu = lv GROUP BY lu),
+       |deg AS (SELECT nid, COUNT(*)::BIGINT AS d FROM
+       |        (SELECT u AS nid FROM e UNION ALL SELECT v FROM e)
+       |        GROUP BY nid),
+       |comm AS (SELECT lp.lab AS community, COUNT(*)::BIGINT AS n_nodes,
+       |         SUM(deg.d)::BIGINT AS d_tot
+       |         FROM deg JOIN lp ON lp.id = deg.nid GROUP BY lp.lab)
+       |SELECT c.community, c.n_nodes,
+       |  COALESCE(i.e_in, 0)::BIGINT AS e_in, c.d_tot,
+       |  (4 * mm.m * COALESCE(i.e_in, 0) - c.d_tot * c.d_tot)::BIGINT AS q_num,
+       |  (4 * mm.m * mm.m)::BIGINT AS q_den
+       |FROM comm c LEFT JOIN intra i ON i.community = c.community, mm
+       |ORDER BY c.community""".stripMargin)
+
+  /** Quantized information gain: does `source` predict `lang`? The
+    * feature-relevance number as exact integer entropy fractions. */
+  private val x120: (Fn, String) = (
+    (s, d) => Profile.informationGain(t(s, d, "documents"), "source", "lang"),
+    """WITH xy AS (SELECT source AS x, lang AS y, COUNT(*)::BIGINT AS cxy
+      |            FROM documents GROUP BY 1, 2),
+      |nn AS (SELECT SUM(cxy)::BIGINT AS n FROM xy),
+      |hy AS (SELECT SUM(cy * (length(bin(nn.n // cy)) - 1))::BIGINT AS hyb
+      |       FROM (SELECT y, SUM(cxy)::BIGINT AS cy FROM xy GROUP BY y), nn),
+      |cx AS (SELECT x, SUM(cxy)::BIGINT AS cx FROM xy GROUP BY x),
+      |hyx AS (SELECT SUM(xy.cxy * (length(bin(cx.cx // xy.cxy)) - 1))::BIGINT
+      |        AS hyxb FROM xy JOIN cx ON cx.x = xy.x)
+      |SELECT nn.n AS n,
+      |  (hy.hyb * 1000000 // nn.n)::BIGINT AS h_label_ppm,
+      |  (hyx.hyxb * 1000000 // nn.n)::BIGINT AS h_cond_ppm,
+      |  ((hy.hyb * 1000000 // nn.n) - (hyx.hyxb * 1000000 // nn.n))::BIGINT
+      |    AS ig_ppm
+      |FROM nn, hy, hyx""".stripMargin)
+
+  /** Exact weighted median of line-item price (cents) weighted by
+    * quantity, per return flag — robust central tendency with
+    * integer cross-multiplied decisions, distinct-value windows. */
+  private val x121: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Profile.weightedMedian(t(s, d, "lineitem"), "l_returnflag",
+          floor($"l_extendedprice" * 100 + 0.5).cast("long"),
+          floor($"l_quantity").cast("long"))
+        .orderBy($"l_returnflag")
+    },
+    """WITH b AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(floor(l_quantity) AS BIGINT) AS w
+      |  FROM lineitem),
+      |byv AS (SELECT g, v, SUM(w)::BIGINT AS wv FROM b GROUP BY g, v),
+      |cum AS (SELECT g, v, wv,
+      |        SUM(wv) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cm
+      |        FROM byv),
+      |tot AS (SELECT g, SUM(wv)::BIGINT AS w FROM byv GROUP BY g)
+      |SELECT cum.g AS l_returnflag, MIN(tot.w)::BIGINT AS w_total,
+      |  MIN(cum.v)::BIGINT AS w_median
+      |FROM cum JOIN tot ON tot.g = cum.g
+      |WHERE 2 * cum.cm >= tot.w
+      |GROUP BY cum.g ORDER BY cum.g""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3490,5 +3607,9 @@ object ExtQ {
     "x115_cohen_kappa" -> (x115._1, Some(x115._2)),
     "x116_retrieval_eval" -> (x116._1, Some(x116._2)),
     "x117_group_panel_sample" -> (x117._1, Some(x117._2)),
+    "x118_int8_gram" -> (x118._1, Some(x118._2)),
+    "x119_modularity" -> (x119._1, Some(x119._2)),
+    "x120_information_gain" -> (x120._1, Some(x120._2)),
+    "x121_weighted_median" -> (x121._1, Some(x121._2)),
   )
 }

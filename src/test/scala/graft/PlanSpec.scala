@@ -157,7 +157,9 @@ class PlanSpec extends AnyFunSuite {
       "x98_kmv_join_estimate",   // two 1-row sketch frames crossed
       "x99_ks_distance",         // 1-row sample-total broadcast
       "x115_cohen_kappa",        // two 1-row frames crossed (totals × pe)
-      "x116_retrieval_eval")     // exact baseline: queries broadcast the corpus scan
+      "x116_retrieval_eval",     // exact baseline: queries broadcast the corpus scan
+      "x119_modularity",         // 1-row edge-count broadcast
+      "x120_information_gain")   // 1-row N + entropy-sum frames crossed
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

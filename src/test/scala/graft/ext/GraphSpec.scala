@@ -248,4 +248,39 @@ class GraphSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(got == want)
   }
+
+  test("modularity: hand-computed two-triangle graph with a bridge") {
+    // triangles {1,2,3} and {4,5,6} bridged by (3,4); m=7
+    // each community: e_in=3, d_tot=7 -> q_num = 4*7*3 - 49 = 35, q_den=196
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("id", "c")
+    val got = Graph.modularity(edges, "a", "b", labels, "id", "c")
+      .orderBy("community").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 3L)
+      assert(r.getAs[Long]("e_in") == 3L)
+      assert(r.getAs[Long]("d_tot") == 7L)
+      assert(r.getAs[Long]("q_num") == 35L)
+      assert(r.getAs[Long]("q_den") == 196L)
+    }
+  }
+
+  test("modularity: negative contribution for anti-community split") {
+    // triangle 1-2-3 plus pendant 4-1; communities {1,2,3} and {4}
+    // m=4: c1 q_num = 4*4*3 - 7*7 = -1; c2 = 0 - 1 = -1 (worse than chance)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)).toDF("id", "c")
+    val got = Graph.modularity(edges, "a", "b", labels, "id", "c")
+      .orderBy("community").collect()
+    assert(got.map(_.getAs[Long]("q_num")).toSeq == Seq(-1L, -1L))
+    assert(got.map(_.getAs[Long]("q_den")).toSeq == Seq(64L, 64L))
+    // dirty input: self-loops and duplicate edges must not change Q
+    val dirty = edges.union(Seq((2L, 1L), (3L, 3L)).toDF("a", "b"))
+    val got2 = Graph.modularity(dirty, "a", "b", labels, "id", "c")
+      .orderBy("community").collect()
+    assert(got2.map(_.getAs[Long]("q_num")).toSeq == Seq(-1L, -1L))
+  }
 }

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("int8Gram matches a hand-computed outer-product sum") {
+    // per-vector maxabs. v1=[4.0,-2.0]: scale=31.75 → q=[127, floor(-63.0)=-63]
+    // v2=[1.0,3.0]: maxabs=3, scale=42.33… → q=[floor(42.83)=42, 127]
+    val df = Seq(
+      (1L, Seq(4.0f, -2.0f)),
+      (2L, Seq(1.0f, 3.0f))).toDF("id", "emb").repartition(2)
+    val r = Similarity.int8Gram(df, "emb", dims = 2).collect().head
+    assert(r.getAs[Long]("n") == 2L)
+    val sums = r.getSeq[Long](r.fieldIndex("sums")).toSeq
+    assert(sums == Seq(127L + 42L, -63L + 127L))
+    val gram = r.getSeq[Long](r.fieldIndex("gram")).toSeq
+    // cells: (0,0)=127²+42², (0,1)=127·(-63)+42·127, (1,0) sym, (1,1)=63²+127²
+    assert(gram == Seq(127L * 127 + 42L * 42, 127L * (-63) + 42L * 127,
+      (-63L) * 127 + 127L * 42, 63L * 63 + 127L * 127))
+    // symmetry of the full matrix
+    assert(gram(1) == gram(2))
+  }
+
+  test("int8Gram is partitioning-invariant (exact integers)") {
+    val df = spark.range(300).select(
+      $"id", array((0 until 8).map(i =>
+        (pmod(xxhash64($"id" + i), lit(200)) - 100).cast("float") / 10.0f): _*)
+        .as("emb")).localCheckpoint()
+    val a = Similarity.int8Gram(df.repartition(1), "emb", 8).collect().head
+    val b = Similarity.int8Gram(df.repartition(13), "emb", 8).collect().head
+    assert(a.getSeq[Long](a.fieldIndex("gram")).toSeq == b.getSeq[Long](b.fieldIndex("gram")).toSeq)
+    assert(a.getSeq[Long](a.fieldIndex("sums")).toSeq == b.getSeq[Long](b.fieldIndex("sums")).toSeq)
+  }
+
+  test("informationGain: perfectly predictive vs independent features") {
+    // X fully determines Y → H(Y|X)=0, IG = H(Y)
+    val perfect = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v"))
+      .toDF("x", "y")
+    val p = Profile.informationGain(perfect, "x", "y").collect().head
+    assert(p.getAs[Long]("h_cond_ppm") == 0L)
+    assert(p.getAs[Long]("h_label_ppm") == 1000000L) // 2 classes, 50/50 → 1 bit
+    assert(p.getAs[Long]("ig_ppm") == 1000000L)
+    // X carries nothing: same Y distribution in every X slice → IG = 0
+    val indep = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val i = Profile.informationGain(indep, "x", "y").collect().head
+    assert(i.getAs[Long]("h_label_ppm") == 1000000L)
+    assert(i.getAs[Long]("h_cond_ppm") == 1000000L)
+    assert(i.getAs[Long]("ig_ppm") == 0L)
+  }
+
+  test("informationGain quantized-log2 convention matches hand math") {
+    // 8 rows: y=u 6 times, y=v 2 times; floor(log2(8//6))=0, floor(log2(8//2))=2
+    // H(Y)·N = 6·0 + 2·2 = 4 → h_label_ppm = 4e6//8 = 500000
+    val df = Seq.fill(6)(("a", "u")).++(Seq.fill(2)(("a", "v"))).toDF("x", "y")
+    val r = Profile.informationGain(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("h_label_ppm") == 500000L)
+    // single X category → conditional equals marginal
+    assert(r.getAs[Long]("h_cond_ppm") == 500000L)
+    assert(r.getAs[Long]("ig_ppm") == 0L)
+  }
+
+  test("weightedMedian: exact lower weighted median with ties and skew") {
+    val df = Seq(
+      ("g1", 10L, 1L), ("g1", 20L, 2L), ("g1", 30L, 1L), // W=4, 2cum: 2,6,8 → 20
+      ("g2", 5L, 9L), ("g2", 100L, 1L),                  // heavy head → 5
+      ("g3", 7L, 1L)                                      // singleton → 7
+    ).toDF("g", "v", "w").repartition(3)
+    val got = Profile.weightedMedian(df, "g", col("v"), col("w"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("g1", 4L, 20L), ("g2", 10L, 5L), ("g3", 1L, 7L)))
+  }
+
+  test("weightedMedian collapses duplicate values before ranking") {
+    // same value split across rows must merge weights: 2·cum at v=1 is 6 ≥ W=6
+    val df = Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 3L)).toDF("g", "v", "w")
+    val r = Profile.weightedMedian(df, "g", col("v"), col("w")).collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 1L)
+  }
+}
