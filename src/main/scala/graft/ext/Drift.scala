@@ -81,6 +81,45 @@ object Drift {
         round9(col("_diff") * col("_diff") / col("_exp")).as("chi2"))
   }
 
+  /** Quantized KL divergence D(A‖B) between two corpora's term
+    * distributions — the DIRECTED companion to [[termDrift]]'s
+    * symmetric chi-square: "how surprised is a model of corpus B by
+    * corpus A", the drift score whose units (bits/token) are directly
+    * comparable across corpus pairs and over time. Add-one smoothing
+    * over the union vocabulary keeps every ratio finite.
+    *
+    * Integer-exact via the same floor-log₂ quantization as
+    * [[Profile.informationGain]]: per term, the log ratio
+    * log₂((cA+1)·N'B / ((cB+1)·N'A)) is bucketed to q_bits =
+    * ±⌊log₂⌋ of the integer quotient (sign by which side is larger;
+    * exact DECIMAL cross-multiplication, never a float), and the
+    * per-term contribution is (cA+1)·q_bits. Σcontrib / N'A is the
+    * quantized divergence in bits/token — conservative, engine-exact.
+    *
+    * Plan shape: two map-combined term counts, one full-outer join on
+    * term, totals + union-vocab size as a 1-row broadcast, then
+    * in-row integer arithmetic. The corpus enters only through the
+    * two count shuffles. */
+  def klDriftBits(a: DataFrame, b: DataFrame, text: String): DataFrame = {
+    val joined = counts(a, text, "cnt_a")
+      .join(counts(b, text, "cnt_b"), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+    val totals = joined.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"), count(lit(1)).as("v"))
+    def bits(num: Column, den: Column): Column =
+      (length(bin(IntMath.floorDiv(num, den))) - 1).cast("long")
+    joined.join(broadcast(totals))
+      .withColumn("_num", (col("cnt_a") + 1).cast("decimal(38,0)") *
+        (col("tot_b") + col("v")))
+      .withColumn("_den", (col("cnt_b") + 1).cast("decimal(38,0)") *
+        (col("tot_a") + col("v")))
+      .withColumn("q_bits", when(col("_num") >= col("_den"),
+          bits(col("_num"), col("_den")))
+        .otherwise(lit(0L) - bits(col("_den"), col("_num"))))
+      .select(col("term"), col("cnt_a"), col("cnt_b"), col("q_bits"),
+        ((col("cnt_a") + 1) * col("q_bits")).as("contrib_bits"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between two numeric
     * samples — the NUMERIC companion to [[termDrift]]: "did this
     * month's price/score/length distribution move" as one number,

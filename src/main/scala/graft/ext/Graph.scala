@@ -439,6 +439,38 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node — "how much of this node's
+    * neighbourhood is itself connected", the community-cohesion /
+    * link-farm discriminator (organic social and citation graphs have
+    * high local clustering; synthetic spam link constellations have
+    * near-zero, and bipartite scrape artifacts exactly zero). Exact
+    * integers end-to-end: cc = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * reported as ppm via floor division, alongside the raw counts.
+    *
+    * Plan shape: [[triangleCounts]]' degree-oriented wedge close (the
+    * O(m^{3/2}) bound — no node ever enumerates its full neighbour
+    * pair set) plus one map-combined degree agg and a left join of
+    * degrees against triangle counts (nodes without triangles keep
+    * cc = 0). Degree-1 nodes have no defined coefficient and emit
+    * null. Nothing beyond the edge list ever shuffles. */
+  def clusteringCoefficient(edges: DataFrame, a: String, b: String)
+      : DataFrame = {
+    val und = edges.select(
+        least(col(a), col(b)).cast("long").as("u"),
+        greatest(col(a), col(b)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(und, "u", "v")
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          IntMath.ppmDiv(lit(2L) * coalesce(col("n_triangles"), lit(0L)),
+            col("deg") * (col("deg") - 1))).as("cc_ppm"))
+  }
+
   /** Distinct 2-hop neighbourhood size per node — friends-of-friends
     * excluding self and direct neighbours: the expansion/reach
     * feature behind link-graph spam scoring (link farms have huge

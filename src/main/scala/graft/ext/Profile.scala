@@ -272,6 +272,56 @@ object Profile {
           IntMath.ppmDiv(col("_hyxBits"), col("_n"))).as("ig_ppm"))
   }
 
+  /** Exact Spearman rank correlation, reported as its integer
+    * components: monotone-association between two numeric columns —
+    * the scale-free "does quality score track length / does price
+    * track quantity" check that is robust to outliers and any
+    * monotone transform (where Pearson is neither).
+    *
+    * Average ranks (the tie-correct convention) are kept exact by
+    * DOUBLING: a value with `cnt` ties and `cumBefore` smaller rows
+    * has avg rank (2·cumBefore + cnt + 1)/2, so rank2 =
+    * 2·cumBefore + cnt + 1 is always an integer. Spearman ρ is then
+    * Pearson over rank2 pairs, emitted as exact DECIMAL(38,0)
+    * components: ρ = num / √(den_x·den_y) with num = n·Σxy − Σx·Σy,
+    * den_x = n·Σx² − (Σx)², den_y likewise — one IEEE sqrt away from
+    * the scalar, with every accumulation exact (valid to n ≈ 3·10⁹,
+    * where n·Σx² ≈ 4n⁴ approaches DECIMAL(38)).
+    *
+    * Plan shape: per variable one map-combined distinct-value count,
+    * then [[Prefix.globalRunningSum]] over the value spine (range
+    * exchange + per-partition offsets — never a single-reducer
+    * window; the spine is distinct values, not rows), one equi-join
+    * of ranks back to rows, one final 1-row aggregate. */
+  def spearmanComponents(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val rows = df.select(x.as("_x"), y.as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .localCheckpoint()
+    def rank2(c: String): DataFrame = {
+      val cnts = rows.groupBy(col(c)).agg(count(lit(1)).as("_cnt"))
+      Prefix.globalRunningSum(cnts, order = Seq(col(c)),
+          value = col("_cnt"), cumName = "_cum")
+        .select(col(c),
+          (lit(2L) * (col("_cum") - col("_cnt")) + col("_cnt") + 1)
+            .as(s"_r$c"))
+    }
+    rows.join(rank2("_x"), Seq("_x")).join(rank2("_y"), Seq("_y"))
+      .select(col("_r_x").cast("decimal(38,0)").as("_rx"),
+        col("_r_y").cast("decimal(38,0)").as("_ry"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("_rx")).as("_sx"), sum(col("_ry")).as("_sy"),
+        sum(col("_rx") * col("_rx")).as("_sxx"),
+        sum(col("_ry") * col("_ry")).as("_syy"),
+        sum(col("_rx") * col("_ry")).as("_sxy"))
+      .select(col("_n").cast("long").as("n"),
+        (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+          .cast("decimal(38,0)").as("rho_num"),
+        (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+          .cast("decimal(38,0)").as("den_x"),
+        (col("_n") * col("_syy") - col("_sy") * col("_sy"))
+          .cast("decimal(38,0)").as("den_y"))
+  }
+
   /** Exact weighted (lower) median per group: the smallest value v
     * with 2·Σ_{x≤v} w(x) ≥ W — robust central tendency where rows
     * carry multiplicity (token counts, quantities, sampling weights).

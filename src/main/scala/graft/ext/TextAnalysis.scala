@@ -264,6 +264,35 @@ object TextAnalysis {
         ((col("a.r") + 1) * coalesce(col("_n1"), lit(0L))).as("gt_num"))
   }
 
+  /** Chao1 vocabulary-richness estimate — "how many distinct terms
+    * does the FULL population have, given what this sample showed":
+    * the species-richness estimator applied to corpus vocabulary,
+    * the standard answer to "have we crawled enough to stop seeing
+    * new vocabulary" (estimate ≈ observed ⇒ coverage saturated;
+    * estimate ≫ observed ⇒ the tail is still unseen). Uses the
+    * bias-corrected form V + F₁(F₁−1)/(2(F₂+1)) over the frequency
+    * spectrum's singleton/doubleton counts, plus Good–Turing unseen
+    * mass F₁/N — all exact integers (ppm via floor division).
+    *
+    * Plan shape: one map-combined token count, one 1-row aggregate
+    * over the vocabulary frame (F₁/F₂ as conditional sums). Returns
+    * one row: (n_tokens, v_obs, f1, f2, chao1_ppm, unseen_mass_ppm). */
+  def chao1Richness(df: DataFrame, text: String): DataFrame = {
+    val counts = df
+      .select(explode(filter(tokens(col(text)), t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("r"))
+    counts.agg(
+        sum(col("r")).as("n_tokens"),
+        count(lit(1)).as("v_obs"),
+        sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("v_obs"), col("f1"), col("f2"),
+        (col("v_obs") * lit(1000000L) +
+          IntMath.floorDiv(lit(1000000L) * col("f1") * (col("f1") - 1),
+            lit(2L) * (col("f2") + 1))).as("chao1_ppm"),
+        IntMath.ppmDiv(col("f1"), col("n_tokens")).as("unseen_mass_ppm"))
+  }
+
   /** Per-document BIGRAM (conditional) surprisal — one step closer to
     * CCNet's LM signal than [[unigramSurprisal]]: each token is scored
     * against its predecessor, `floor(log2(cnt(prev) / cnt(prev,tok)))`

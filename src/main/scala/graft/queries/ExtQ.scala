@@ -3489,6 +3489,135 @@ object ExtQ {
       |WHERE 2 * cum.cm >= tot.w
       |GROUP BY cum.g ORDER BY cum.g""".stripMargin)
 
+  /** Directed quantized KL drift between the src0–src2 slice and the
+    * rest of the corpus — bits/token surprise of a B-model reading A,
+    * floor-log₂ quantized, engine-exact integers. */
+  private val x122: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      Drift.klDriftBits(docs.filter($"source" <= "src2"),
+          docs.filter($"source" > "src2"), "text")
+        .orderBy($"term")
+    },
+    """WITH ta AS (SELECT unnest([w for w in string_split(text, ' ')
+      |                           if len(w) > 0]) AS term
+      |            FROM documents WHERE source <= 'src2'),
+      |tb AS (SELECT unnest([w for w in string_split(text, ' ')
+      |                      if len(w) > 0]) AS term
+      |       FROM documents WHERE source > 'src2'),
+      |ca AS (SELECT term, COUNT(*)::BIGINT AS cnt_a FROM ta GROUP BY term),
+      |cb AS (SELECT term, COUNT(*)::BIGINT AS cnt_b FROM tb GROUP BY term),
+      |j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+      |        COALESCE(cnt_a, 0)::BIGINT AS cnt_a,
+      |        COALESCE(cnt_b, 0)::BIGINT AS cnt_b
+      |      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+      |tt AS (SELECT SUM(cnt_a)::BIGINT AS ta2, SUM(cnt_b)::BIGINT AS tb2,
+      |        COUNT(*)::BIGINT AS v FROM j),
+      |qb AS (SELECT term, cnt_a, cnt_b,
+      |        CASE WHEN (cnt_a + 1) * (tt.tb2 + tt.v)
+      |               >= (cnt_b + 1) * (tt.ta2 + tt.v)
+      |          THEN length(bin((cnt_a + 1) * (tt.tb2 + tt.v)
+      |                 // ((cnt_b + 1) * (tt.ta2 + tt.v)))) - 1
+      |          ELSE -(length(bin((cnt_b + 1) * (tt.ta2 + tt.v)
+      |                 // ((cnt_a + 1) * (tt.tb2 + tt.v)))) - 1)
+      |        END::BIGINT AS q_bits
+      |       FROM j, tt)
+      |SELECT term, cnt_a, cnt_b, q_bits,
+      |  ((cnt_a + 1) * q_bits)::BIGINT AS contrib_bits
+      |FROM qb ORDER BY term""".stripMargin)
+
+  /** Local clustering coefficient over the supplier co-occurrence
+    * graph — exact ppm fractions from the degree-oriented triangle
+    * close; deg-1 nodes emit the −1 sentinel (undefined). */
+  private val x123: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter($"l_quantity" > 45)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      Graph.clusteringCoefficient(edges, "sa", "sb")
+        .select($"id", $"deg", $"n_triangles",
+          coalesce($"cc_ppm", lit(-1L)).as("cc_ppm"))
+        .orderBy($"id")
+    },
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem WHERE l_quantity > 45),
+      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+      |      FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.sk < b.sk),
+      |deg AS (SELECT id, COUNT(*)::BIGINT AS deg FROM
+      |        (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY id),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tc AS (SELECT id, COUNT(*)::BIGINT AS nt FROM
+      |       (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
+      |SELECT deg.id::BIGINT AS id, deg.deg,
+      |  COALESCE(tc.nt, 0)::BIGINT AS n_triangles,
+      |  (CASE WHEN deg.deg >= 2
+      |    THEN (2000000 * COALESCE(tc.nt, 0)) // (deg.deg * (deg.deg - 1))
+      |    ELSE -1 END)::BIGINT AS cc_ppm
+      |FROM deg LEFT JOIN tc ON tc.id = deg.id ORDER BY id""".stripMargin)
+
+  /** Exact Spearman rank correlation (integer components) between
+    * per-part total quantity and total revenue — tie-correct doubled
+    * average ranks, distributed rank spine, no floats anywhere. */
+  private val x124: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val ag = t(s, d, "lineitem").groupBy($"l_partkey")
+        .agg(sum($"l_quantity".cast("decimal(18,2)")).as("q"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).as("p"))
+      Profile.spearmanComponents(ag, col("q"), col("p"))
+        .select($"n", $"rho_num".cast("long").as("rho_num"),
+          $"den_x".cast("long").as("den_x"),
+          $"den_y".cast("long").as("den_y"))
+    },
+    """WITH ag AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS p
+      |  FROM lineitem GROUP BY 1),
+      |cq AS (SELECT q, COUNT(*)::BIGINT AS cnt FROM ag GROUP BY q),
+      |rq AS (SELECT q, 2 * (SUM(cnt) OVER (ORDER BY q) - cnt) + cnt + 1
+      |         AS rx FROM cq),
+      |cp AS (SELECT p, COUNT(*)::BIGINT AS cnt FROM ag GROUP BY p),
+      |rp AS (SELECT p, 2 * (SUM(cnt) OVER (ORDER BY p) - cnt) + cnt + 1
+      |         AS ry FROM cp),
+      |jj AS (SELECT rq.rx AS rx, rp.ry AS ry
+      |       FROM ag JOIN rq ON rq.q = ag.q JOIN rp ON rp.p = ag.p),
+      |ss AS (SELECT COUNT(*)::BIGINT AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+      |        SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+      |        SUM(rx * ry) AS sxy FROM jj)
+      |SELECT n, (n * sxy - sx * sy)::BIGINT AS rho_num,
+      |  (n * sxx - sx * sx)::BIGINT AS den_x,
+      |  (n * syy - sy * sy)::BIGINT AS den_y
+      |FROM ss""".stripMargin)
+
+  /** Chao1 vocabulary-richness estimate + Good–Turing unseen mass
+    * over the documents corpus — "is vocabulary coverage saturated",
+    * exact integer ppm. */
+  private val x125: (Fn, String) = (
+    (s, d) => TextAnalysis.chao1Richness(t(s, d, "documents"), "text"),
+    """WITH c AS (
+      |  SELECT tok, COUNT(*)::BIGINT AS r
+      |  FROM (SELECT unnest([w for w in string_split(text, ' ')
+      |                       if len(w) > 0]) AS tok FROM documents)
+      |  GROUP BY tok),
+      |s AS (SELECT SUM(r)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS v_obs,
+      |        SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+      |        SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+      |      FROM c)
+      |SELECT n_tokens, v_obs, f1, f2,
+      |  (v_obs * 1000000 + (1000000 * f1 * (f1 - 1)) // (2 * (f2 + 1)))::BIGINT
+      |    AS chao1_ppm,
+      |  ((f1 * 1000000) // n_tokens)::BIGINT AS unseen_mass_ppm
+      |FROM s""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3611,5 +3740,9 @@ object ExtQ {
     "x119_modularity" -> (x119._1, Some(x119._2)),
     "x120_information_gain" -> (x120._1, Some(x120._2)),
     "x121_weighted_median" -> (x121._1, Some(x121._2)),
+    "x122_kl_drift" -> (x122._1, Some(x122._2)),
+    "x123_clustering_coefficient" -> (x123._1, Some(x123._2)),
+    "x124_spearman" -> (x124._1, Some(x124._2)),
+    "x125_chao1_vocab" -> (x125._1, Some(x125._2)),
   )
 }

@@ -283,4 +283,20 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("community").collect()
     assert(got2.map(_.getAs[Long]("q_num")).toSeq == Seq(-1L, -1L))
   }
+
+  test("clusteringCoefficient: K4 is fully clustered, pendants undefined") {
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("a", "b")
+    val got = Graph.clusteringCoefficient(k4, "a", "b").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("cc_ppm")))
+    assert(got.toSeq == (1L to 4L).map(i => (i, 3L, 3L, 1000000L)))
+    // triangle 1-2-3 with pendant 4 on 1: node1 cc = 2·1/(3·2) = 1/3
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val m = Graph.clusteringCoefficient(tp, "a", "b").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(m(1L) == Some(333333L) && m(2L) == Some(1000000L) &&
+      m(3L) == Some(1000000L) && m(4L) == None) // deg-1 → null
+  }
 }

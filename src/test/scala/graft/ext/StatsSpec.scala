@@ -85,4 +85,54 @@ class StatsSpec extends AnyFunSuite {
     val r = Profile.weightedMedian(df, "g", col("v"), col("w")).collect().head
     assert(r.getLong(1) == 6L && r.getLong(2) == 1L)
   }
+
+  test("spearmanComponents: perfect monotone / inverse association") {
+    val up = Seq((1, 10), (2, 20), (3, 30), (4, 40), (5, 50)).toDF("x", "y")
+    val u = Profile.spearmanComponents(up, col("x"), col("y")).collect().head
+    // identical rank vectors → num == den_x == den_y (ρ = 1)
+    assert(u.getDecimal(1) == u.getDecimal(2) && u.getDecimal(2) == u.getDecimal(3))
+    val down = Seq((1, 50), (2, 40), (3, 30), (4, 20), (5, 10)).toDF("x", "y")
+    val dn = Profile.spearmanComponents(down, col("x"), col("y")).collect().head
+    assert(dn.getDecimal(1).negate() == dn.getDecimal(2)) // ρ = −1
+  }
+
+  test("spearmanComponents: tie-corrected average ranks match hand math") {
+    // x=(1,2,2,3) → rank2=(2,5,5,8); y=(1,2,3,4) → rank2=(2,4,6,8)
+    // n=4: num = 4·118−20·20 = 72, den_x = 72, den_y = 80 (ρ ≈ 0.9487)
+    val df = Seq((1, 1), (2, 2), (2, 3), (3, 4)).toDF("x", "y")
+      .repartition(3)
+    val r = Profile.spearmanComponents(df, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDecimal(1).longValue == 72L)
+    assert(r.getDecimal(2).longValue == 72L)
+    assert(r.getDecimal(3).longValue == 80L)
+  }
+
+  test("chao1Richness: hand-computed spectrum") {
+    // tokens: a·2, b·1, c·1 → n=4, V=3, F1=2, F2=1
+    // chao1 = 3e6 + (1e6·2·1)//(2·2) = 3.5e6; unseen = 2e6//4 = 5e5
+    val df = Seq("a a b", "c").toDF("text")
+    val r = TextAnalysis.chao1Richness(df, "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 2L, 1L)))
+    assert(r.getAs[Long]("chao1_ppm") == 3500000L)
+    assert(r.getAs[Long]("unseen_mass_ppm") == 500000L)
+  }
+
+  test("klDriftBits: quantized log ratios match hand math") {
+    // A = x⁴, B = y: V=2, N'A=6, N'B=3
+    // x: (5·3)//(1·6)=2 → +1 bit, contrib 5; y: (6·2)//(3·1)=4 → −2, contrib −2
+    val a = Seq("x x x x").toDF("text")
+    val b = Seq("y").toDF("text")
+    val got = Drift.klDriftBits(a, b, "text").orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("x", 4L, 0L, 1L, 5L), ("y", 0L, 1L, -2L, -2L)))
+  }
+
+  test("klDriftBits of a corpus against itself is zero everywhere") {
+    val c = Seq("p q q r", "r r s").toDF("text").repartition(2)
+    val got = Drift.klDriftBits(c, c, "text").collect()
+    assert(got.nonEmpty && got.forall(r => r.getLong(3) == 0L))
+  }
 }
