@@ -255,6 +255,84 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Per-domain document cap — "keep at most `cap` docs per site,
+    * best quality first": the anti-over-representation rule every
+    * web-scale pretraining mix applies (a single crawl-friendly
+    * domain must not dominate the corpus; C4/RefinedWeb-style
+    * curation). Deterministic: quality descending, key ascending on
+    * ties.
+    *
+    * Plan shape: NOT a per-domain row_number window (that sorts every
+    * row of every domain — and the domains this operator exists for
+    * are exactly the pathological ones). The per-domain top-cap is a
+    * bounded [[graft.functions.TopKAgg]] aggregate: each map task
+    * reduces to ≤ cap (quality, key) pairs per domain before the
+    * shuffle, so a 10⁹-doc domain ships cap pairs per mapper, never
+    * 10⁹ rows to one reducer. Kept keys then pull their full rows
+    * back via one equi-join. Adds `cap_rank` (1..cap, quality order
+    * within the domain). `key` must be numeric-unique; `quality`
+    * must be exactly representable in double (counts/ppm scores are;
+    * see TopKAgg). */
+  def domainCap(df: DataFrame, domain: String, key: String,
+                quality: Column, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be positive")
+    val kept = df.groupBy(col(domain).as("_dc_g"))
+      .agg(graft.functions.TopKAgg.topk(quality, col(key), cap).as("_top"))
+      .select(col("_dc_g"), posexplode(col("_top")).as(Seq("_pos", "_kv")))
+      .select(col("_dc_g"), col("_kv.id").as("_dc_k"),
+        (col("_pos") + 1).cast("long").as("cap_rank"))
+    df.join(kept, col(domain) === col("_dc_g") &&
+        col(key).cast("long") === col("_dc_k"))
+      .drop("_dc_g", "_dc_k")
+  }
+
+  /** Feasible mixture quota: given target per-source weights (ppm)
+    * and the observed per-source token supply, compute the LARGEST
+    * total budget at which the target mixture is exactly achievable
+    * without repeating data — the planning step before sampling a
+    * pretraining mix ("web 60%, code 30%, papers 10%" is only
+    * realizable up to the scarcest source's supply ÷ its weight).
+    * Everything is exact integer arithmetic: budget* =
+    * min_s ⌊avail_s·10⁶ / w_s⌋, quota_s = ⌊budget*·w_s / 10⁶⌋,
+    * accept_ppm = ⌊quota_s·10⁶ / avail_s⌋ — feed accept_ppm straight
+    * into [[hashBucket256]]-style deterministic acceptance.
+    *
+    * Plan shape: one map-combined per-source token sum (sources are
+    * few by nature), the target map rides in as a literal frame, the
+    * min is a 1-row broadcast. Sources named in the target but
+    * absent from the corpus force budget* = 0 (the mixture is
+    * infeasible — surfaced, not silently renormalized); corpus
+    * sources not in the target get quota 0. */
+  def mixtureQuota(df: DataFrame, source: String, tokens: Column,
+                   targetPpm: Map[String, Long]): DataFrame = {
+    require(targetPpm.nonEmpty && targetPpm.values.forall(_ > 0),
+      "target weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val target = targetPpm.toSeq.sortBy(_._1).toDF("_src", "target_ppm")
+    val avail = df.groupBy(col(source).as("_src"))
+      .agg(sum(tokens.cast("long")).as("avail_tokens"))
+    val joined = target.join(avail, Seq("_src"), "full_outer")
+      .na.fill(0L, Seq("avail_tokens", "target_ppm"))
+    // multiplications lift to DECIMAL(38,0) BEFORE scaling by 10⁶ —
+    // a long multiply would overflow past ~9·10¹² source tokens
+    val budget = joined.filter(col("target_ppm") > 0)
+      .select(IntMath.floorDiv(
+        col("avail_tokens").cast("decimal(38,0)") * lit(1000000L),
+        col("target_ppm")).as("_b"))
+      .agg(min(col("_b")).as("budget_total"))
+    val quota = IntMath.floorDiv(
+      col("budget_total").cast("decimal(38,0)") * col("target_ppm"),
+      lit(1000000L))
+    joined.crossJoin(broadcast(budget))
+      .select(col("_src").as(source), col("avail_tokens"),
+        col("target_ppm"), col("budget_total"),
+        quota.as("quota_tokens"),
+        when(col("avail_tokens") > 0,
+          IntMath.ppmDiv(quota, col("avail_tokens")))
+          .otherwise(0L).as("accept_ppm"))
+  }
+
   def hashNegatives(interactions: DataFrame, user: String, item: String,
                     k: Int, salt: String): DataFrame = {
     require(k >= 1, "k must be positive")

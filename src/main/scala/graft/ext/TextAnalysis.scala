@@ -264,6 +264,19 @@ object TextAnalysis {
         ((col("a.r") + 1) * coalesce(col("_n1"), lit(0L))).as("gt_num"))
   }
 
+  /** Canonical text cleanup — the first mechanical pass of every
+    * ingest pipeline: control characters (C0 + DEL) become spaces,
+    * whitespace runs collapse to one space, edges trim, case folds
+    * to lower. Pure codegen'd Column ops (two regexp_replace + trim
+    * + lower — the regex subset used is shared by Java regex and
+    * RE2, so any engine normalizes identically); runs at scan speed,
+    * no shuffle. Normalize BEFORE hashing/shingling so that
+    * formatting-only variants dedup together ([[Dedup]] operators
+    * compose downstream). */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), " {2,}", " ")))
+
   /** Chao1 vocabulary-richness estimate — "how many distinct terms
     * does the FULL population have, given what this sample showed":
     * the species-richness estimator applied to corpus vocabulary,

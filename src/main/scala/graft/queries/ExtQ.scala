@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Assoc, Bpe, Chunk, Cms, Dedup, Drift, Eval, Fuzzy, Graph, Hll, Index, IntMath, Kmv, Multimodal, Planes, Prefix, Privacy, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ext.{Assoc, BloomJoin, Bpe, Chunk, Cms, Dedup, Drift, Eval, Fuzzy, Graph, Hll, Index, IntMath, Kmv, Multimodal, Planes, Prefix, Privacy, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -3618,6 +3618,92 @@ object ExtQ {
       |  ((f1 * 1000000) // n_tokens)::BIGINT AS unseen_mass_ppm
       |FROM s""".stripMargin)
 
+  /** Per-domain cap, best-quality-first: keep ≤ 20 docs per source by
+    * n_chars (ties by doc_id) via the bounded TopKAgg — never a
+    * per-domain row sort. */
+  private val x126: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Sampling.domainCap(t(s, d, "documents"), "source", "doc_id",
+          $"n_chars", cap = 20)
+        .select($"doc_id", $"source", $"n_chars", $"cap_rank")
+        .orderBy($"source", $"cap_rank")
+    },
+    """SELECT doc_id, source, n_chars,
+      |  ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id)::BIGINT AS cap_rank
+      |FROM documents
+      |QUALIFY cap_rank <= 20
+      |ORDER BY source, cap_rank""".stripMargin)
+
+  /** Feasible mixture quota for a 50/30/20 source mix — the largest
+    * exactly-achievable budget, per-source quotas and acceptance
+    * ppm, all integer floors. */
+  private val x127: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Sampling.mixtureQuota(t(s, d, "documents"), "source", $"n_chars",
+          Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L))
+        .orderBy($"source")
+    },
+    """WITH tgt AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
+      |                            ('src2', 200000)) t(s, target_ppm)),
+      |av AS (SELECT source AS s, SUM(n_chars)::BIGINT AS avail_tokens
+      |       FROM documents GROUP BY 1),
+      |j AS (SELECT COALESCE(tgt.s, av.s) AS s,
+      |        COALESCE(target_ppm, 0)::BIGINT AS target_ppm,
+      |        COALESCE(avail_tokens, 0)::BIGINT AS avail_tokens
+      |      FROM tgt FULL OUTER JOIN av ON tgt.s = av.s),
+      |b AS (SELECT MIN((avail_tokens * 1000000) // target_ppm)::BIGINT
+      |        AS budget_total FROM j WHERE target_ppm > 0)
+      |SELECT j.s AS source, avail_tokens, target_ppm, b.budget_total,
+      |  ((b.budget_total * target_ppm) // 1000000)::BIGINT AS quota_tokens,
+      |  (CASE WHEN avail_tokens > 0
+      |    THEN (((b.budget_total * target_ppm) // 1000000) * 1000000)
+      |         // avail_tokens
+      |    ELSE 0 END)::BIGINT AS accept_ppm
+      |FROM j, b ORDER BY source""".stripMargin)
+
+  /** Bloom-prefiltered semi join against a rare allowlist (orders
+    * over 400k): result must be EXACTLY the plain semi join — the
+    * 16 KiB bitmap only prunes, never decides. */
+  private val x128: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val allow = t(s, d, "orders").filter($"o_totalprice" > 400000.0)
+      BloomJoin.bloomSemiJoin(t(s, d, "lineitem"), allow,
+          "l_orderkey", "o_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          graft.tables.dsum($"l_extendedprice").as("revenue"))
+        .orderBy($"l_orderkey")
+    },
+    """SELECT l_orderkey, COUNT(*)::BIGINT AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_totalprice > 400000)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+
+  /** Canonical text normalization over a deterministically-messied
+    * corpus (injected case, tabs, C0 controls, space runs) — both
+    * engines must clean to identical bytes. */
+  private val x129: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val messy = t(s, d, "documents").select($"doc_id",
+        concat(lit("  \t"), upper($"text"), lit(" \u0001 END  ")).as("raw"))
+      messy.select($"doc_id",
+          TextAnalysis.normalizeText($"raw").as("norm"))
+        .orderBy($"doc_id")
+    },
+    """SELECT doc_id,
+      |  lower(trim(regexp_replace(regexp_replace(
+      |    '  ' || chr(9) || upper(text) || ' ' || chr(1) || ' END  ',
+      |    '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g'))) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3744,5 +3830,9 @@ object ExtQ {
     "x123_clustering_coefficient" -> (x123._1, Some(x123._2)),
     "x124_spearman" -> (x124._1, Some(x124._2)),
     "x125_chao1_vocab" -> (x125._1, Some(x125._2)),
+    "x126_domain_cap" -> (x126._1, Some(x126._2)),
+    "x127_mixture_quota" -> (x127._1, Some(x127._2)),
+    "x128_bloom_semi_join" -> (x128._1, Some(x128._2)),
+    "x129_normalize_text" -> (x129._1, Some(x129._2)),
   )
 }

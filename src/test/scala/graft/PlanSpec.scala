@@ -159,7 +159,9 @@ class PlanSpec extends AnyFunSuite {
       "x115_cohen_kappa",        // two 1-row frames crossed (totals × pe)
       "x116_retrieval_eval",     // exact baseline: queries broadcast the corpus scan
       "x119_modularity",         // 1-row edge-count broadcast
-      "x120_information_gain")   // 1-row N + entropy-sum frames crossed
+      "x120_information_gain",   // 1-row N + entropy-sum frames crossed
+      "x122_kl_drift",           // 1-row (totals, vocab-size) broadcast
+      "x127_mixture_quota")      // 1-row budget-minimum broadcast
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

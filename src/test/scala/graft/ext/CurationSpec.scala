@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Corpus-curation operators: domain caps, mixture quotas,
+  * Bloom-prefiltered semi joins, text normalization. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("domainCap keeps best-quality cap per domain, ties by key") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L)).toDF("id", "dom", "q").repartition(3)
+    val got = Sampling.domainCap(df, "dom", "id", col("q"), cap = 2)
+      .select($"dom", $"id", $"cap_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // domain a: q=30 ties on ids 2,4 → id asc wins both slots
+    assert(got == Set(("a", 2L, 1L), ("a", 4L, 2L), ("b", 5L, 1L)))
+  }
+
+  test("domainCap matches the window formulation on random data") {
+    val df = spark.range(500).select(
+      $"id", pmod($"id" * 7919, lit(5)).cast("string").as("dom"),
+      pmod(xxhash64($"id"), lit(40)).as("q")).localCheckpoint()
+    val got = Sampling.domainCap(df, "dom", "id", col("q"), cap = 7)
+      .select($"dom", $"id", $"cap_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"dom").orderBy($"q".desc, $"id")
+    val ref = df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter($"cap_rank" <= 7)
+      .select($"dom", $"id", $"cap_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+  }
+
+  test("mixtureQuota: scarcest source pins the budget, exact floors") {
+    // avail: a=1000, b=300; targets 60%/40%
+    // budget* = min(⌊1000·1e6/6e5⌋, ⌊300·1e6/4e5⌋) = min(1666, 750) = 750
+    // quota_a = ⌊750·0.6⌋ = 450 (accept 450000 ppm of 1000)
+    // quota_b = ⌊750·0.4⌋ = 300 (accept 1000000 ppm — b is the pin)
+    val df = Seq(("a", 1000L), ("b", 300L)).toDF("src", "toks")
+    val got = Sampling.mixtureQuota(df, "src", col("toks"),
+        Map("a" -> 600000L, "b" -> 400000L))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", 1000L, 600000L, 750L, 450L, 450000L),
+      ("b", 300L, 400000L, 750L, 300L, 1000000L)))
+  }
+
+  test("mixtureQuota: a targeted-but-absent source forces budget 0") {
+    val df = Seq(("a", 1000L)).toDF("src", "toks")
+    val got = Sampling.mixtureQuota(df, "src", col("toks"),
+        Map("a" -> 500000L, "ghost" -> 500000L))
+      .orderBy("src").collect()
+    assert(got.forall(_.getLong(3) == 0L)) // budget_total
+    assert(got.forall(_.getLong(4) == 0L)) // quota_tokens
+  }
+
+  test("bloomSemiJoin equals the exact semi join, preserves all matches") {
+    val big = spark.range(2000).select($"id",
+      pmod(xxhash64($"id"), lit(100)).as("v")).localCheckpoint()
+    val small = spark.range(40).select(($"id" * 37 % 1900).as("k"))
+    val got = BloomJoin.bloomSemiJoin(big, small, "id", "k")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val ref = big.join(small.select($"k".as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("bloomSemiJoin with a tiny filter still never loses a match") {
+    // m=64 → dense false positives; the exact join must still clear them
+    val big = spark.range(1000).toDF("id").localCheckpoint()
+    val small = Seq(3L, 500L, 999L).toDF("k")
+    val got = BloomJoin.bloomSemiJoin(big, small, "id", "k", m = 64, h = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 500L, 999L))
+  }
+
+  test("normalizeText: controls, runs, edges, case") {
+    val df = Seq("  A\tB\u0001C  ", "x   y", "", "\u0000\u007f").toDF("t")
+    val got = df.select(TextAnalysis.normalizeText($"t").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a b c", "x y", "", ""))
+  }
+}
