@@ -20,25 +20,29 @@ import org.apache.spark.sql.functions._
   * form of the runtime-filter/bloom-pushdown optimization in modern
   * engines, made explicit and engine-checkable.
   *
-  * Construction mirrors [[graft.io.BloomSkip]] bit-for-bit: h salted
-  * md5 draws per key, positions from the first 15 hex chars (< 2⁶⁰,
-  * exact in a long), bitset built DISTRIBUTIVELY as per-word bit_or
-  * aggregates — the driver materializes only the finished m/64-long
-  * word array (16 KiB at defaults, bounded metadata like a sketch,
-  * never the key stream). False positives cost only wasted shuffle
-  * rows, never correctness; false negatives cannot happen, so no
-  * matching row is ever lost.
+  * Construction uses [[graft.io.BloomSkip]]'s md5-hex technique, but
+  * amortized: ONE digest per key, with the h bit positions read from
+  * h DISJOINT 6-hex-char slices of the 32-char digest (24 bits per
+  * draw ≥ the 17 needed at default m; md5 hex is engine-stable and
+  * 6 hex chars < 2²⁴ are exact in a long) — the probe side hashes
+  * each big-side row once, not h times, which is the scan-speed
+  * difference at 100 TB. The bitset is built DISTRIBUTIVELY as
+  * per-word bit_or aggregates — the driver materializes only the
+  * finished m/64-long word array (16 KiB at defaults, bounded
+  * metadata like a sketch, never the key stream). False positives
+  * cost only wasted shuffle rows, never correctness; false negatives
+  * cannot happen, so no matching row is ever lost.
   */
 object BloomJoin {
 
   val DefaultBits = 1 << 17 // m = 131072 bits → 2048-word bitmap
   val DefaultHashes = 5
 
-  /** The i-th salted bit position of `value` (same formula as
-    * [[graft.io.BloomSkip]] — md5 hex is engine-stable). */
-  private def posCol(value: Column, i: Int, m: Int): Column =
-    (conv(substring(md5(concat(lit(s"$i:"), value).cast("binary")), 1, 15),
-      16, 10).cast("long") % m).cast("int")
+  /** The i-th bit position of `value`: a disjoint 6-hex-char slice of
+    * the single md5 digest, mod m (i < 5 — 5·6 = 30 of 32 chars). */
+  private def posCol(digestHex: Column, i: Int, m: Int): Column =
+    (conv(substring(digestHex, 1 + 6 * i, 6), 16, 10).cast("long") % m)
+      .cast("int")
 
   /** Exact semi join `big ⋉ small` with Bloom prefiltering on
     * `big`. Keys compare as their string rendering for hashing (the
@@ -48,15 +52,18 @@ object BloomJoin {
                     bigKey: String, smallKey: String,
                     m: Int = DefaultBits, h: Int = DefaultHashes)
       : DataFrame = {
-    require(m >= 64 && m % 64 == 0 && h >= 1,
-      "need m a positive multiple of 64, h >= 1")
+    require(m >= 64 && m % 64 == 0 && h >= 1 && h <= 5,
+      "need m a positive multiple of 64, 1 <= h <= 5")
+    // no distinct: duplicate keys OR the same bits — a dedup shuffle
+    // of the allowlist would be pure waste
     val keys = small.select(col(smallKey).cast("string").as("_v"))
-      .filter(col("_v").isNotNull).distinct()
+      .filter(col("_v").isNotNull)
     // distributive bitset: positions → (word, mask) → per-word bit_or;
     // the shuffle carries ≤ m/64 words, not the key stream
     val one = lit(1L).cast("long")
     val words = keys
-      .select(explode(array((0 until h).map(i => posCol(col("_v"), i, m)): _*))
+      .select(md5(col("_v").cast("binary")).as("_d"))
+      .select(explode(array((0 until h).map(i => posCol(col("_d"), i, m)): _*))
         .as("_pos"))
       .select((col("_pos") / 64).cast("int").as("_w"),
         call_function("shiftleft", one, pmod(col("_pos"), lit(64))).as("_m"))
@@ -65,15 +72,19 @@ object BloomJoin {
     val bitmap = new Array[Long](m / 64)
     words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
     val bitsLit = typedLit(bitmap.toSeq)
+    // one digest per probed row; h slice-reads against the constant map
+    val dig = md5(col(bigKey).cast("string").cast("binary"))
     val probe = (0 until h).map { i =>
-      val p = posCol(col(bigKey).cast("string"), i, m)
+      val p = posCol(dig, i, m)
       (element_at(bitsLit, (p / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", one, pmod(p, lit(64))))
         ) =!= 0L
     }.reduce(_ && _)
     // the exact semi join clears Bloom false positives — output is
     // provably big ⋉ small
-    val rhs = small.select(col(smallKey).as("_bsj_k")).distinct()
+    // no distinct on the rhs either: semi-join semantics ignore
+    // right-side duplicates, so deduping is another wasted shuffle
+    val rhs = small.select(col(smallKey).as("_bsj_k"))
     big.filter(col(bigKey).isNotNull && probe)
       .join(rhs, col(bigKey) === col("_bsj_k"), "left_semi")
   }

@@ -272,6 +272,45 @@ object Profile {
           IntMath.ppmDiv(col("_hyxBits"), col("_n"))).as("ig_ppm"))
   }
 
+  /** Corpus concentration profile: Gini coefficient and Herfindahl
+    * index of a non-negative weight distribution — "is the training
+    * mix dominated by a few domains/sources/languages", the
+    * one-number diversity audit run before setting mixture weights
+    * (a Gini near 1 or HHI near 10⁶ says the dedup/cap stages have a
+    * monoculture to break up).
+    *
+    * Exact integers: with weights x₁ ≤ … ≤ xₙ (ties broken by group
+    * — the Gini sum is tie-order-invariant, the order just has to be
+    * total), G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx), emitted as
+    * (gini_num, gini_den) DECIMAL components plus floor-ppm; HHI =
+    * Σxᵢ² / (Σx)² in ppm via DECIMAL cross-division. No floats.
+    *
+    * Plan shape: one map-combined per-group weight sum (groups are
+    * vocabulary-sized), ranks over the group spine via
+    * [[Prefix.globalRunningSum]] (range exchange + offsets — never a
+    * single-reducer window), one 1-row aggregate. */
+  def concentration(df: DataFrame, group: String, weight: Column)
+      : DataFrame = {
+    val sums = df.groupBy(col(group).as("_g"))
+      .agg(sum(weight.cast("long")).as("_x"))
+    val ranked = Prefix.globalRunningSum(sums,
+      order = Seq(col("_x"), col("_g")), value = lit(1L), cumName = "_i")
+    val agg = ranked.agg(
+      count(lit(1)).cast("decimal(38,0)").as("_n"),
+      sum(col("_x").cast("decimal(38,0)")).as("_sx"),
+      sum(col("_i").cast("decimal(38,0)") * col("_x")).as("_six"),
+      sum(col("_x").cast("decimal(38,0)") * col("_x")).as("_sxx"))
+    agg.select(col("_n").cast("long").as("n_groups"),
+      col("_sx").cast("long").as("total"),
+      (lit(2L) * col("_six") - (col("_n") + 1) * col("_sx"))
+        .cast("decimal(38,0)").as("gini_num"),
+      (col("_n") * col("_sx")).cast("decimal(38,0)").as("gini_den"),
+      IntMath.ppmDiv(lit(2L) * col("_six") - (col("_n") + 1) * col("_sx"),
+        col("_n") * col("_sx")).as("gini_ppm"),
+      IntMath.floorDiv(col("_sxx") * lit(1000000L),
+        col("_sx") * col("_sx")).as("hhi_ppm"))
+  }
+
   /** Exact Spearman rank correlation, reported as its integer
     * components: monotone-association between two numeric columns —
     * the scale-free "does quality score track length / does price

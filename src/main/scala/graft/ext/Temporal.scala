@@ -132,6 +132,55 @@ object Temporal {
     * [session_start, session_end] (first and last event ts — not the
     * gap-extended window end) — the natural left side of a
     * point-in-interval join. */
+  /** Rolling robust anomaly flags: each observation is judged against
+    * the MEDIAN and MAD (median absolute deviation) of its own
+    * trailing window — the self-calibrating spike detector for
+    * per-entity metric streams (ingest volumes, per-domain crawl
+    * rates, per-user event values), robust where rolling mean/stddev
+    * is wrecked by the very outliers it should flag.
+    *
+    * Integer-exact: values are longs (cast upstream — cents, counts),
+    * medians are the LOWER median of the trailing value list (always
+    * an actual data value, no interpolation), and the decision
+    * |v − med| · 1 > k · MAD is an integer cross-multiplication. Rows
+    * with fewer than `minPrior` predecessors emit null flags (no
+    * evidence, no verdict). The current row is EXCLUDED from its own
+    * window — an outlier must not vote on its own normality.
+    *
+    * Plan shape: one per-key window (keys spread across reducers —
+    * never a global order) materializing ≤ `window` trailing values
+    * per row; median/MAD are in-row sort_array + element_at over that
+    * bounded array, codegen-friendly HOFs. Cost is O(rows · window) —
+    * the honest price of an exact rolling median; `window` is a small
+    * constant (24, 168) by construction.
+    *
+    * Adds (roll_n, roll_med, roll_mad, is_anomaly). `tieBreak` must
+    * make (ts, tieBreak) unique per key. */
+  def rollingMadFlags(events: DataFrame, key: String, ts: String,
+                      tieBreak: String, value: Column, window: Int,
+                      minPrior: Int, k: Int): DataFrame = {
+    require(window >= 1 && minPrior >= 1 && k >= 1,
+      "window, minPrior, k must be positive")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(tieBreak))
+      .rowsBetween(-window, -1)
+    def lowerMedian(arr: Column): Column =
+      element_at(sort_array(arr), ((size(arr) + 1) / 2).cast("int"))
+    events
+      .withColumn("_v", value.cast("long"))
+      .withColumn("_arr", collect_list(col("_v")).over(w))
+      .withColumn("roll_n", size(col("_arr")).cast("long"))
+      // empty-window guard: element_at(…, 0) is an error under ANSI
+      .withColumn("roll_med",
+        when(col("roll_n") > 0, lowerMedian(col("_arr"))))
+      .withColumn("roll_mad", when(col("roll_n") > 0, lowerMedian(
+        transform(col("_arr"), x => abs(x - col("roll_med"))))))
+      .withColumn("is_anomaly",
+        when(col("roll_n") >= minPrior,
+          abs(col("_v") - col("roll_med")) > lit(k.toLong) * col("roll_mad")))
+      .drop("_arr", "_v")
+  }
+
   def sessionSpans(events: DataFrame, key: String, ts: String, gap: String)
       : DataFrame =
     events

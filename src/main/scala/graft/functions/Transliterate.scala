@@ -20,6 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - typographic punctuation/space fold (smart quotes, en/em dashes,
   *    ellipsis, NBSP/zero-width spaces, guillemets, ×÷±, vulgar
   *    fractions, superscripts) and currency signs (€→EUR, …);
+  *  - Hangul syllable romanization, fully ALGORITHMIC (arithmetic
+  *    jamo decomposition × three Revised-Romanization tables covers
+  *    all 11,172 syllables with ~70 table entries);
+  *  - Kana (Hepburn per-character) and Arabic base-block letters,
+  *    digits and punctuation. Han/CJK ideographs stay unmapped —
+  *    their romanization is a per-word dictionary problem (readings
+  *    depend on context), out of scope for a char-table pass;
   *  - BOM (U+FEFF) and NUL dropped in the same pass;
   *  - a generic NFKD compatibility fallback for every remaining BMP
   *    char whose decomposition is short pure ASCII — ligatures
@@ -146,6 +153,87 @@ object Transliterate {
       // currency: the euro sign is the one that actually appears on
       // European securitisation tapes
       '\u20AC' -> "EUR", '\u00A2' -> "c", '\u00A3' -> "PS", '\u00A5' -> "Y")
+    // Hangul syllables (U+AC00..U+D7A3) — ALGORITHMIC romanization:
+    // every syllable decomposes arithmetically into initial/vowel/final
+    // jamo (idx = cp − 0xAC00; i = idx/588, v = (idx%588)/28,
+    // f = idx%28), so 11,172 code points reduce to three Revised-
+    // Romanization lookup tables. No giant table to maintain.
+    locally {
+      val ini = Array("g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s",
+        "ss", "", "j", "jj", "ch", "k", "t", "p", "h")
+      val vow = Array("a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o",
+        "wa", "wae", "oe", "yo", "u", "wo", "we", "wi", "yu", "eu", "ui", "i")
+      val fin = Array("", "g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg",
+        "lm", "lb", "ls", "lt", "lp", "lh", "m", "b", "bs", "s", "ss", "ng",
+        "j", "ch", "k", "t", "p", "h")
+      (0xAC00 to 0xD7A3).foreach { cp =>
+        val idx = cp - 0xAC00
+        t(cp) = ini(idx / 588) + vow((idx % 588) / 28) + fin(idx % 28)
+      }
+    }
+    // Kana (Hepburn, per-character best effort — no digraph context):
+    // one hiragana table serves katakana too (same romaji at cp+0x60)
+    locally {
+      val kana = Seq(
+        0x3041 -> "a", 0x3042 -> "a", 0x3043 -> "i", 0x3044 -> "i",
+        0x3045 -> "u", 0x3046 -> "u", 0x3047 -> "e", 0x3048 -> "e",
+        0x3049 -> "o", 0x304A -> "o",
+        0x304B -> "ka", 0x304C -> "ga", 0x304D -> "ki", 0x304E -> "gi",
+        0x304F -> "ku", 0x3050 -> "gu", 0x3051 -> "ke", 0x3052 -> "ge",
+        0x3053 -> "ko", 0x3054 -> "go",
+        0x3055 -> "sa", 0x3056 -> "za", 0x3057 -> "shi", 0x3058 -> "ji",
+        0x3059 -> "su", 0x305A -> "zu", 0x305B -> "se", 0x305C -> "ze",
+        0x305D -> "so", 0x305E -> "zo",
+        0x305F -> "ta", 0x3060 -> "da", 0x3061 -> "chi", 0x3062 -> "ji",
+        0x3063 -> "", 0x3064 -> "tsu", 0x3065 -> "zu", 0x3066 -> "te",
+        0x3067 -> "de", 0x3068 -> "to", 0x3069 -> "do",
+        0x306A -> "na", 0x306B -> "ni", 0x306C -> "nu", 0x306D -> "ne",
+        0x306E -> "no",
+        0x306F -> "ha", 0x3070 -> "ba", 0x3071 -> "pa", 0x3072 -> "hi",
+        0x3073 -> "bi", 0x3074 -> "pi", 0x3075 -> "fu", 0x3076 -> "bu",
+        0x3077 -> "pu", 0x3078 -> "he", 0x3079 -> "be", 0x307A -> "pe",
+        0x307B -> "ho", 0x307C -> "bo", 0x307D -> "po",
+        0x307E -> "ma", 0x307F -> "mi", 0x3080 -> "mu", 0x3081 -> "me",
+        0x3082 -> "mo",
+        0x3083 -> "ya", 0x3084 -> "ya", 0x3085 -> "yu", 0x3086 -> "yu",
+        0x3087 -> "yo", 0x3088 -> "yo",
+        0x3089 -> "ra", 0x308A -> "ri", 0x308B -> "ru", 0x308C -> "re",
+        0x308D -> "ro",
+        0x308E -> "wa", 0x308F -> "wa", 0x3090 -> "wi", 0x3091 -> "we",
+        0x3092 -> "wo", 0x3093 -> "n",
+        0x3094 -> "vu", 0x3095 -> "ka", 0x3096 -> "ke")
+      kana.foreach { case (cp, s) =>
+        t(cp) = s
+        if (cp + 0x60 <= 0x30F6) t(cp + 0x60) = s
+      }
+      t(0x30F7) = "va"; t(0x30F8) = "vi"; t(0x30F9) = "ve"; t(0x30FA) = "vo"
+      t(0x30FB) = "-"  // katakana middle dot (word separator)
+      t(0x30FC) = "-"  // prolonged sound mark
+      t(0x3001) = ","; t(0x3002) = "."  // ideographic comma / full stop
+      t(0x300C) = "\""; t(0x300D) = "\"" // corner brackets
+      t(0x3000) = " "                    // ideographic space
+    }
+    // Arabic base block: per-letter common romanization + Arabic-Indic
+    // digits and punctuation (emphatic/plain pairs collapse — lossy by
+    // design, like every ASCII romanization)
+    locally {
+      val ar = Seq(
+        0x0621 -> "'", 0x0622 -> "a", 0x0623 -> "a", 0x0624 -> "w",
+        0x0625 -> "i", 0x0626 -> "y", 0x0627 -> "a", 0x0628 -> "b",
+        0x0629 -> "h", 0x062A -> "t", 0x062B -> "th", 0x062C -> "j",
+        0x062D -> "h", 0x062E -> "kh", 0x062F -> "d", 0x0630 -> "dh",
+        0x0631 -> "r", 0x0632 -> "z", 0x0633 -> "s", 0x0634 -> "sh",
+        0x0635 -> "s", 0x0636 -> "d", 0x0637 -> "t", 0x0638 -> "z",
+        0x0639 -> "'", 0x063A -> "gh", 0x0641 -> "f", 0x0642 -> "q",
+        0x0643 -> "k", 0x0644 -> "l", 0x0645 -> "m", 0x0646 -> "n",
+        0x0647 -> "h", 0x0648 -> "w", 0x0649 -> "a", 0x064A -> "y",
+        0x0640 -> "",                       // tatweel (stretching bar)
+        0x060C -> ",", 0x061B -> ";", 0x061F -> "?", 0x066A -> "%")
+      ar.foreach { case (cp, s) => t(cp) = s }
+      (0x064B to 0x065F).foreach(cp => t(cp) = "") // harakat diacritics
+      (0x0660 to 0x0669).foreach(cp => t(cp) = ('0' + cp - 0x660).toChar.toString)
+      (0x06F0 to 0x06F9).foreach(cp => t(cp) = ('0' + cp - 0x6F0).toChar.toString)
+    }
     // generic NFKD fallback for everything still unmapped:
     // compatibility decompositions reach what NFD can't \u2014 ligatures
     // (\uFB01\u2192fi), fullwidth forms (\uFF21\u2192A, \uFF15\u21925), digraphs (\u01C4\u2192DZ), \u2116\u2192No,

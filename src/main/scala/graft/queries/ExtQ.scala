@@ -3704,6 +3704,74 @@ object ExtQ {
       |    '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g'))) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Corpus concentration: Gini + Herfindahl of per-source character
+    * mass — exact integer components, distributed rank spine. */
+  private val x130: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Profile.concentration(t(s, d, "documents"), "source", $"n_chars")
+        .select($"n_groups", $"total",
+          $"gini_num".cast("long").as("gini_num"),
+          $"gini_den".cast("long").as("gini_den"),
+          $"gini_ppm", $"hhi_ppm")
+    },
+    """WITH s AS (SELECT source AS g, SUM(n_chars)::BIGINT AS x
+      |           FROM documents GROUP BY 1),
+      |r AS (SELECT g, x, ROW_NUMBER() OVER (ORDER BY x, g)::BIGINT AS i
+      |      FROM s),
+      |a AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+      |        SUM(i * x)::BIGINT AS six, SUM(x * x)::BIGINT AS sxx FROM r)
+      |SELECT n AS n_groups, sx AS total,
+      |  (2 * six - (n + 1) * sx)::BIGINT AS gini_num,
+      |  (n * sx)::BIGINT AS gini_den,
+      |  (((2 * six - (n + 1) * sx) * 1000000) // (n * sx))::BIGINT
+      |    AS gini_ppm,
+      |  ((sxx * 1000000) // (sx * sx))::BIGINT AS hhi_ppm
+      |FROM a""".stripMargin)
+
+  /** Rolling median/MAD anomaly flags over per-user event values —
+    * trailing 8, ≥4 prior to vote, 3×MAD threshold; −1 sentinels for
+    * "no verdict". */
+  private val x131: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").filter($"user_id" < 30)
+      Temporal.rollingMadFlags(ev, "user_id", "ts", "event_id",
+          floor($"value" * 100 + 0.5), window = 8, minPrior = 4, k = 3)
+        .select($"event_id", $"user_id", $"roll_n",
+          coalesce($"roll_med", lit(-1L)).as("roll_med"),
+          coalesce($"roll_mad", lit(-1L)).as("roll_mad"),
+          when($"is_anomaly".isNull, -1L)
+            .when($"is_anomaly", 1L).otherwise(0L).as("anomaly"))
+        .orderBy($"event_id")
+    },
+    """WITH e AS (SELECT event_id, user_id, ts,
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |           FROM events WHERE user_id < 30),
+      |w AS (SELECT event_id, user_id, v,
+      |        -- an empty window frame yields NULL (not []) in DuckDB
+      |        COALESCE(list(v) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id
+      |          ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), []) AS arr
+      |      FROM e),
+      |m AS (SELECT event_id, user_id, v, len(arr)::BIGINT AS roll_n,
+      |        CASE WHEN len(arr) > 0
+      |          THEN list_sort(arr)[(len(arr) + 1) // 2] END AS med,
+      |        arr
+      |      FROM w),
+      |m2 AS (SELECT event_id, user_id, v, roll_n, med,
+      |         CASE WHEN roll_n > 0
+      |           THEN list_sort(list_transform(arr, x -> abs(x - med)))
+      |                [(roll_n + 1) // 2] END AS mad
+      |       FROM m)
+      |SELECT event_id, user_id, roll_n,
+      |  COALESCE(med, -1)::BIGINT AS roll_med,
+      |  COALESCE(mad, -1)::BIGINT AS roll_mad,
+      |  (CASE WHEN roll_n < 4 THEN -1
+      |        WHEN abs(v - med) > 3 * mad THEN 1 ELSE 0 END)::BIGINT
+      |    AS anomaly
+      |FROM m2 ORDER BY event_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3834,5 +3902,7 @@ object ExtQ {
     "x127_mixture_quota" -> (x127._1, Some(x127._2)),
     "x128_bloom_semi_join" -> (x128._1, Some(x128._2)),
     "x129_normalize_text" -> (x129._1, Some(x129._2)),
+    "x130_concentration" -> (x130._1, Some(x130._2)),
+    "x131_rolling_mad" -> (x131._1, Some(x131._2)),
   )
 }

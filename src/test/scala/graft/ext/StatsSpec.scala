@@ -130,6 +130,23 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Seq(("x", 4L, 0L, 1L, 5L), ("y", 0L, 1L, -2L, -2L)))
   }
 
+  test("concentration: uniform → Gini 0, monopoly → (n−1)/n, hand case") {
+    val eq = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)).toDF("g", "w")
+    val e = Profile.concentration(eq, "g", col("w")).collect().head
+    assert(e.getDecimal(2).longValue == 0L)            // gini_num
+    assert(e.getAs[Long]("hhi_ppm") == 250000L)        // 1/4
+    val mono = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 10L)).toDF("g", "w")
+    val m = Profile.concentration(mono, "g", col("w")).collect().head
+    assert(m.getAs[Long]("gini_ppm") == 750000L)       // (n−1)/n = 3/4
+    assert(m.getAs[Long]("hhi_ppm") == 1000000L)
+    // x = (1,2,3,4): G = (2·30 − 5·10)/40 = 1/4, HHI = 30/100
+    val mix = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("g", "w")
+    val x = Profile.concentration(mix, "g", col("w")).collect().head
+    assert(x.getDecimal(2).longValue == 10L && x.getDecimal(3).longValue == 40L)
+    assert(x.getAs[Long]("gini_ppm") == 250000L)
+    assert(x.getAs[Long]("hhi_ppm") == 300000L)
+  }
+
   test("klDriftBits of a corpus against itself is zero everywhere") {
     val c = Seq("p q q r", "r r s").toDF("text").repartition(2)
     val got = Drift.klDriftBits(c, c, "text").collect()

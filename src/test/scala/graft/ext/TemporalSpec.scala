@@ -292,4 +292,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(1L) == ((4L, 2L, 35000000L)))   // 30s + 5s
     assert(got(2L) == ((3L, 1L, 60000000L)))   // the containing minute
   }
+
+  test("rollingMadFlags: spike flagged against its own trailing window") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    // key 1: steady 10s then a spike; key 2: drift within 3·MAD
+    val ev = Seq(
+      (1L, 1L, at(0), 10L), (1L, 2L, at(1), 10L), (1L, 3L, at(2), 10L),
+      (1L, 4L, at(3), 11L), (1L, 5L, at(4), 100L),
+      (2L, 6L, at(0), 10L), (2L, 7L, at(1), 12L), (2L, 8L, at(2), 14L),
+      (2L, 9L, at(3), 16L), (2L, 10L, at(4), 18L)
+    ).toDF("k", "eid", "ts", "v").repartition(3)
+    val got = Temporal.rollingMadFlags(ev, "k", "ts", "eid",
+        org.apache.spark.sql.functions.col("v"),
+        window = 8, minPrior = 4, k = 3)
+      .collect().map(r => r.getAs[Long]("eid") ->
+        ((r.getAs[Long]("roll_n"), Option(r.getAs[Any]("roll_med")),
+          Option(r.getAs[Any]("is_anomaly"))))).toMap
+    assert(got(1L) == ((0L, None, None)))            // empty window
+    assert(got(4L)._1 == 3L && got(4L)._3 == None)   // below minPrior
+    // eid 5: arr = [10,10,10,11] → med 10, mad 0; |100−10| > 0 → flagged
+    assert(got(5L) == ((4L, Some(10L), Some(true))))
+    // eid 10: arr = [10,12,14,16] → med 12, mad 2; |18−12| = 6 ≤ 3·2
+    assert(got(10L) == ((4L, Some(12L), Some(false))))
+  }
 }

@@ -136,6 +136,23 @@ class CleanCsvSpec extends AnyFunSuite {
     assert(r.getString(4) == "Ngang Hah Ee")
   }
 
+  test("transliteration: Hangul (algorithmic), Kana, Arabic tiers") {
+    import org.apache.spark.sql.functions.lit
+    val tr = graft.functions.Transliterate.transliterate _
+    val r = spark.range(1).select(
+      tr(lit("한국 서울")).as("a"),   // jamo arithmetic: han-gug seo-ul
+      tr(lit("さくら すし")).as("b"), // hiragana
+      tr(lit("カタカナ")).as("c"),    // katakana (shared table, +0x60)
+      tr(lit("كتاب ١٢٣")).as("d"),   // abjad consonants + Arabic digits
+      tr(lit("漢字")).as("e"))        // Han ideographs stay unmapped
+      .collect()(0)
+    assert(r.getString(0) == "hangug seoul")
+    assert(r.getString(1) == "sakura sushi")
+    assert(r.getString(2) == "katakana")
+    assert(r.getString(3) == "ktab 123")
+    assert(r.getString(4) == "漢字")
+  }
+
   test("amortisation tapes truncate to 121 columns") {
     val dir = Files.createTempDirectory("cleancsv3").toString
     val header = (1 to 150).map(i => s"AS$i").mkString(",")
