@@ -520,6 +520,37 @@ object Graph {
       .groupBy("log2_deg").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Component-size profile of a pair graph over a node universe —
+    * the first question after any dedup/linkage pass: "how big are
+    * the duplicate families, and is there a pathological
+    * giant component" (one boilerplate template chaining 10⁶ docs
+    * into one cluster is a pipeline bug, not a dedup win). Returns
+    * one row per component size: (csize, n_components), with
+    * universe members that appear in no pair counted as size-1
+    * singletons — so Σ csize·n_components = |universe| exactly, an
+    * invariant the caller can assert.
+    *
+    * Plan shape: [[Dedup.connectedComponents]] pointer-jumping over
+    * the pairs (edges-only shuffles, checkpoint-truncated rounds),
+    * one size agg, one histogram agg (output ≤ max-size rows), and
+    * ONE 2-row count reduce for the singleton bucket — the universe
+    * is scanned once and never shuffled. */
+  def componentSizeProfile(pairs: DataFrame, universe: DataFrame,
+                           id: String): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+    val hist = comp.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
+    val totals = universe.select(col(id)).agg(count(lit(1)).as("_nu"))
+      .crossJoin(broadcast(comp.agg(count(lit(1)).as("_nin"))))
+    val singles = totals.select(lit(1L).as("csize"),
+        (col("_nu") - col("_nin")).as("n_components"))
+      .filter(col("n_components") > 0)
+    // pair-derived components always have csize >= 2 — the buckets
+    // cannot collide with the singleton row
+    hist.unionByName(singles)
+  }
+
   /** Multi-source BFS distance labels, `maxDepth` synchronous rounds:
     * every node's hop distance to the NEAREST seed (trust/spam seed
     * propagation, crawl-frontier depth, "how far from curated

@@ -272,6 +272,38 @@ object Profile {
           IntMath.ppmDiv(col("_hyxBits"), col("_n"))).as("ig_ppm"))
   }
 
+  /** Per-group percentile-rank normalization: each row's value mapped
+    * to its midrank percentile WITHIN its group, in exact ppm — the
+    * cross-source score calibration step ("a web-crawl quality score
+    * of 0.7 and a books score of 0.7 are not the same quantile")
+    * applied before any global threshold or mixture cut. Monotone per
+    * group, uniform on [0, 1e6) per group by construction, engine-
+    * exact (the midrank 2·cumBefore+cnt+1 is kept doubled as an
+    * integer; pct_ppm = ⌊10⁶·(rank2−1) / (2·n_g)⌋).
+    *
+    * Plan shape: ties collapse through a map-combined (group, value)
+    * count FIRST, the cumulative window then ranks DISTINCT values
+    * per group (groups spread across reducers — no global order),
+    * group totals join from their own tiny aggregate, and rows pull
+    * their percentile back via one (group, value) equi-join. Adds
+    * `pct_ppm`. */
+  def percentileRank(df: DataFrame, group: String, value: Column)
+      : DataFrame = {
+    val byv = df.select(col(group).as("_g"), value.as("_v"))
+      .groupBy("_g", "_v").agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byv.withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_r2", lit(2L) * (col("_cum") - col("_cnt")) + col("_cnt") + 1)
+    val tot = byv.groupBy("_g").agg(sum(col("_cnt")).as("_ng"))
+    val pct = ranked.join(tot, Seq("_g"))
+      .select(col("_g"), col("_v"),
+        IntMath.floorDiv(lit(1000000L) * (col("_r2") - 1),
+          lit(2L) * col("_ng")).as("pct_ppm"))
+    df.join(pct, col(group) === col("_g") && value === col("_v"))
+      .drop("_g", "_v")
+  }
+
   /** Corpus concentration profile: Gini coefficient and Herfindahl
     * index of a non-negative weight distribution — "is the training
     * mix dominated by a few domains/sources/languages", the

@@ -3772,6 +3772,61 @@ object ExtQ {
       |    AS anomaly
       |FROM m2 ORDER BY event_id""".stripMargin)
 
+  /** Component-size profile of the SimHash near-dup graph over the
+    * whole corpus — duplicate-family histogram with singleton
+    * accounting (Σ csize·n = |docs| exactly). */
+  private val x132: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      Graph.componentSizeProfile(pairs, docs, "doc_id").orderBy($"csize")
+    },
+    s"""WITH RECURSIVE sigs AS ($simhashSigSql),
+       |edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |und AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION SELECT id_b, id_a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM und
+       |  UNION
+       |  SELECT re.id, u.dst FROM reach re JOIN und u ON u.src = re.r),
+       |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |szs AS (SELECT cluster, COUNT(*)::BIGINT AS csize
+       |        FROM comp GROUP BY cluster),
+       |hist AS (SELECT csize, COUNT(*)::BIGINT AS n_components
+       |         FROM szs GROUP BY csize),
+       |tots AS (SELECT (SELECT COUNT(*) FROM documents)
+       |           - (SELECT COUNT(*) FROM comp) AS singles)
+       |SELECT csize, n_components FROM hist
+       |UNION ALL
+       |SELECT 1::BIGINT, singles::BIGINT FROM tots WHERE singles > 0
+       |ORDER BY csize""".stripMargin)
+
+  /** Per-source percentile-rank normalization of document length —
+    * midrank ppm, exact integers, ties collapsed before ranking. */
+  private val x133: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Profile.percentileRank(t(s, d, "documents"), "source", $"n_chars")
+        .select($"doc_id", $"source", $"n_chars", $"pct_ppm")
+        .orderBy($"doc_id")
+    },
+    """WITH byv AS (SELECT source AS g, n_chars AS v, COUNT(*)::BIGINT AS cnt
+      |             FROM documents GROUP BY 1, 2),
+      |r AS (SELECT g, v,
+      |        2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY v) - cnt)
+      |          + cnt + 1 AS r2
+      |      FROM byv),
+      |tt AS (SELECT g, SUM(cnt)::BIGINT AS ng FROM byv GROUP BY g)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  ((1000000 * (r.r2 - 1)) // (2 * tt.ng))::BIGINT AS pct_ppm
+      |FROM documents d
+      |JOIN r ON r.g = d.source AND r.v = d.n_chars
+      |JOIN tt ON tt.g = d.source
+      |ORDER BY d.doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3904,5 +3959,7 @@ object ExtQ {
     "x129_normalize_text" -> (x129._1, Some(x129._2)),
     "x130_concentration" -> (x130._1, Some(x130._2)),
     "x131_rolling_mad" -> (x131._1, Some(x131._2)),
+    "x132_component_sizes" -> (x132._1, Some(x132._2)),
+    "x133_percentile_rank" -> (x133._1, Some(x133._2)),
   )
 }

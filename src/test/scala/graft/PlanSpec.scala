@@ -161,7 +161,8 @@ class PlanSpec extends AnyFunSuite {
       "x119_modularity",         // 1-row edge-count broadcast
       "x120_information_gain",   // 1-row N + entropy-sum frames crossed
       "x122_kl_drift",           // 1-row (totals, vocab-size) broadcast
-      "x127_mixture_quota")      // 1-row budget-minimum broadcast
+      "x127_mixture_quota",      // 1-row budget-minimum broadcast
+      "x132_component_sizes")    // two 1-row counts crossed (singletons)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

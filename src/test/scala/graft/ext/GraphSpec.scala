@@ -284,6 +284,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got2.map(_.getAs[Long]("q_num")).toSeq == Seq(-1L, -1L))
   }
 
+  test("componentSizeProfile: families, singletons, mass invariant") {
+    // pairs: {1-2, 2-3} (size 3) and {10-11} (size 2); universe 1..8 ∪ {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val universe = ((1L to 8L) ++ Seq(10L, 11L)).toDF("id")
+    val got = Graph.componentSizeProfile(pairs, universe, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 1L, 3L -> 1L)) // 4..8 are singletons
+    assert(got.map { case (s, n) => s * n }.sum == 10L) // Σ csize·n = |universe|
+    // no singletons → no size-1 row
+    val all2 = Graph.componentSizeProfile(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), Seq(1L, 2L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all2 == Map(2L -> 1L))
+  }
+
   test("clusteringCoefficient: K4 is fully clustered, pendants undefined") {
     val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
       .toDF("a", "b")

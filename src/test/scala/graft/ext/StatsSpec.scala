@@ -147,6 +147,19 @@ class StatsSpec extends AnyFunSuite {
     assert(x.getAs[Long]("hhi_ppm") == 300000L)
   }
 
+  test("percentileRank: midrank ppm within each group, ties shared") {
+    // group a values (10, 20, 20, 30): midranks 1, 2.5, 2.5, 4 of n=4
+    // pct_ppm = ⌊1e6·(2·mid−2)/(2·4)⌋·... = ⌊1e6·(r2−1)/8⌋ → 125000,
+    // 500000, 500000, 875000; group b singleton → 500000
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L), ("b", 7L))
+      .toDF("g", "v").repartition(3)
+    val got = Profile.percentileRank(df, "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(got == Seq(("a", 10L, 125000L), ("a", 20L, 500000L),
+      ("a", 20L, 500000L), ("a", 30L, 875000L), ("b", 7L, 500000L)))
+  }
+
   test("klDriftBits of a corpus against itself is zero everywhere") {
     val c = Seq("p q q r", "r r s").toDF("text").repartition(2)
     val got = Drift.klDriftBits(c, c, "text").collect()
