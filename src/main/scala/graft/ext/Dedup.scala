@@ -508,6 +508,35 @@ object Dedup {
     * — that lower bound is the output size itself, not banding waste.
     * Chunks are extracted with unsigned shifts — float division would
     * lose bits beyond 2^53 on 64-bit signatures. */
+  /** Contrastive positive mining from a near-dup pair list: for every
+    * document that appears in at least one pair, its `cap` STRONGEST
+    * partners — the (anchor, positive) training-pair extraction for
+    * contrastive/embedding training, where near-duplicates are free
+    * positives the dedup pass would otherwise just delete.
+    * Deterministic: similarity descending, partner id ascending.
+    *
+    * Plan shape: the pair list doubles (both orientations — every
+    * member anchors), then ONE bounded [[graft.functions.TopKAgg]]
+    * aggregate per anchor (≤ cap pairs per mapper per anchor — never
+    * a per-anchor sort, exactly [[Sampling.domainCap]]'s shape).
+    * Output (anchor, positive, sim, pos_rank). `sim` must be exactly
+    * double-representable for determinism (Jaccard fractions and
+    * hamming counts are). */
+  def minePositives(pairs: DataFrame, idA: String, idB: String,
+                    sim: Column, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be positive")
+    val both = pairs
+      .select(col(idA).as("_anchor"), col(idB).as("_other"), sim.as("_s"))
+      .unionByName(pairs
+        .select(col(idB).as("_anchor"), col(idA).as("_other"), sim.as("_s")))
+    both.groupBy(col("_anchor").as("anchor"))
+      .agg(graft.functions.TopKAgg.topk(col("_s"), col("_other"), cap)
+        .as("_top"))
+      .select(col("anchor"), posexplode(col("_top")).as(Seq("_pos", "_kv")))
+      .select(col("anchor"), col("_kv.id").as("positive"),
+        col("_kv.v").as("sim"), (col("_pos") + 1).cast("long").as("pos_rank"))
+  }
+
   def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int)
       : DataFrame =
     simhashCandidates(

@@ -27,6 +27,50 @@ object Eval {
 
   import IntMath.{floorDiv, ppmDiv}
 
+  /** Decile (or any-k) lift table: rows ranked by score DESCENDING,
+    * cut into `buckets` equal-population bands by midrank, with each
+    * band's positive rate compared against the base rate — the
+    * standard "is the top decile of this quality/relevance classifier
+    * actually richer" report read before trusting a score for
+    * curation cuts. Ties share a band by construction (midrank
+    * assignment — a score value can never straddle a cut).
+    *
+    * Integer-exact: band = ⌊buckets·(rank2−1) / 2n⌋ over the doubled
+    * midrank, rate and lift in floor-ppm (lift = rate/base_rate, so
+    * 1 000 000 = exactly base rate). Returns one row per non-empty
+    * band: (bucket, n, n_pos, rate_ppm, lift_ppm).
+    *
+    * Plan shape: corpus collapses to its distinct-score spine
+    * (map-combined groupBy), cumulative counts via
+    * [[Prefix.globalRunningSum]] over the DESCENDING spine (range
+    * exchange + offsets, no single-reducer window), one map-combined
+    * band aggregation, totals as a 1-row broadcast. */
+  def decileLift(df: DataFrame, score: Column, label: Column,
+                 buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val rows = df.select(score.cast("long").as("_s"),
+      when(label, 1L).otherwise(0L).as("_y"))
+    val spine = rows.groupBy("_s")
+      .agg(count(lit(1)).as("_c"), sum("_y").as("_p"))
+    val ranked = Prefix.globalRunningSum(spine, Seq(col("_s").desc),
+      col("_c"), "_cum")
+    val totals = ranked.agg(sum(col("_c")).as("_n"), sum(col("_p")).as("_np"))
+    ranked.crossJoin(broadcast(totals))
+      // rank2 = 2·cumBefore + c + 1 (doubled midrank, score-desc)
+      .withColumn("_r2", lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1)
+      .withColumn("bucket",
+        floorDiv(lit(buckets.toLong) * (col("_r2") - 1), lit(2L) * col("_n")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("_c")).as("n"), sum(col("_p")).as("n_pos"),
+        first(col("_n")).as("_tn"), first(col("_np")).as("_tp"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        ppmDiv(col("n_pos"), col("n")).as("rate_ppm"),
+        when(col("_tp") > 0,
+          floorDiv(col("n_pos").cast("decimal(38,0)") * col("_tn")
+            * lit(1000000L), col("n").cast("decimal(38,0)") * col("_tp")))
+          .as("lift_ppm"))
+  }
+
   /** Exact ROC AUC by rank-sum (Mann–Whitney U) with midrank tie
     * handling, as an exact integer fraction.
     *

@@ -304,6 +304,65 @@ object Profile {
       .drop("_g", "_v")
   }
 
+  /** Quantile mapping (histogram matching): every distinct value of a
+    * SOURCE distribution mapped to the REFERENCE distribution's value
+    * at the same quantile — the score-harmonization step when a
+    * quality classifier is retrained ("old 0.63 ≙ new 0.58") or when
+    * two corpora's raw scores must be made comparable before one
+    * global threshold. Exact integers throughout: the source value's
+    * midrank fraction (r2−1)/(2·n_src) is matched by integer
+    * cross-multiplication (2·cum_ref·n_src ≥ (r2−1)·n_ref — valid to
+    * ~10⁹ rows per side in a long), and the mapped value is the
+    * smallest reference value whose inclusive CDF reaches that
+    * fraction (percentile_disc convention: always an actual
+    * reference value, no interpolation).
+    *
+    * Plan shape: both distributions collapse to distinct-value spines
+    * (map-combined); each spine gets its cumulative via
+    * [[Prefix.globalRunningSum]]; the match itself is the classic
+    * distributed merge — union both spines on the COMMON integer
+    * fraction axis, order descending, and take the running min of
+    * reference values seen so far via
+    * [[Prefix.globalRunningMaxExclusive]] on the negated value
+    * (range exchange + offsets — no single-reducer window, no
+    * quadratic join). Totals ride as 1-row broadcasts.
+    *
+    * Returns (v_src, pct_ppm, v_mapped), one row per distinct source
+    * value. */
+  def quantileMap(ref: DataFrame, src: DataFrame, value: Column)
+      : DataFrame = {
+    def spine(df: DataFrame) = Prefix.globalRunningSum(
+      df.select(value.cast("long").as("_v")).filter(col("_v").isNotNull)
+        .groupBy("_v").agg(count(lit(1)).as("_c")),
+      Seq(col("_v")), col("_c"), "_cum")
+    val aCum = spine(ref)
+    val bCum = spine(src)
+    val totals = aCum.agg(max(col("_cum")).as("_na"))
+      .crossJoin(broadcast(bCum.agg(max(col("_cum")).as("_nb"))))
+    val aRows = aCum.crossJoin(broadcast(totals))
+      .select((lit(2L) * col("_cum") * col("_nb")).as("_pos"),
+        lit(1).as("_isA"), col("_v").as("_va"),
+        lit(null).cast("long").as("_vb"), lit(null).cast("long").as("_r2"),
+        col("_nb").as("_tnb"))
+    val bRows = bCum.crossJoin(broadcast(totals))
+      // r2 − 1 = 2·cumBefore + c
+      .select(((lit(2L) * (col("_cum") - col("_c")) + col("_c"))
+          * col("_na")).as("_pos"),
+        lit(0).as("_isA"), lit(null).cast("long").as("_va"),
+        col("_v").as("_vb"),
+        (lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1).as("_r2"),
+        col("_nb").as("_tnb"))
+    val merged = Prefix.globalRunningMaxExclusive(
+      aRows.unionByName(bRows),
+      order = Seq(col("_pos").desc, col("_isA").desc),
+      value = lit(0L) - col("_va"), name = "_negmin")
+    merged.filter(col("_isA") === 0)
+      .select(col("_vb").as("v_src"),
+        IntMath.floorDiv(lit(1000000L) * (col("_r2") - 1),
+          lit(2L) * col("_tnb")).as("pct_ppm"),
+        (lit(0L) - col("_negmin")).as("v_mapped"))
+  }
+
   /** Corpus concentration profile: Gini coefficient and Herfindahl
     * index of a non-negative weight distribution — "is the training
     * mix dominated by a few domains/sources/languages", the

@@ -3827,6 +3827,83 @@ object ExtQ {
       |JOIN tt ON tt.g = d.source
       |ORDER BY d.doc_id""".stripMargin)
 
+  /** Contrastive positive mining from the exact near-dup pair list —
+    * top-2 partners per anchor, bounded TopKAgg, both orientations. */
+  private val x134: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.6)
+      Dedup.minePositives(pairs, "id_a", "id_b", $"jaccard", cap = 2)
+        .orderBy($"anchor", $"pos_rank")
+    },
+    s"""WITH $shingleCte,
+       |pr AS (SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.6),
+       |bo AS (SELECT id_a AS anchor, id_b AS positive, jaccard AS sim
+       |       FROM pr
+       |       UNION ALL
+       |       SELECT id_b, id_a, jaccard FROM pr),
+       |rk AS (SELECT anchor, positive, sim,
+       |         ROW_NUMBER() OVER (PARTITION BY anchor
+       |           ORDER BY sim DESC, positive)::BIGINT AS pos_rank
+       |       FROM bo)
+       |SELECT anchor, positive, sim, pos_rank FROM rk
+       |WHERE pos_rank <= 2 ORDER BY anchor, pos_rank""".stripMargin)
+
+  /** Decile lift of order status 'F' against total price — exact
+    * midrank bands over the descending distinct-score spine. */
+  private val x135: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Eval.decileLift(t(s, d, "orders"), floor($"o_totalprice"),
+          $"o_orderstatus" === "F", buckets = 10)
+        .orderBy($"bucket")
+    },
+    """WITH r AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS s,
+      |             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |           FROM orders),
+      |sp AS (SELECT s, COUNT(*)::BIGINT AS c, SUM(y)::BIGINT AS p
+      |       FROM r GROUP BY s),
+      |rk AS (SELECT s, c, p, SUM(c) OVER (ORDER BY s DESC)::BIGINT AS cum
+      |       FROM sp),
+      |tt AS (SELECT SUM(c)::BIGINT AS n, SUM(p)::BIGINT AS np FROM sp),
+      |bb AS (SELECT ((10 * (2 * (cum - c) + c)) // (2 * tt.n)) AS bucket,
+      |         c, p FROM rk, tt)
+      |SELECT bucket::BIGINT AS bucket, SUM(c)::BIGINT AS n,
+      |  SUM(p)::BIGINT AS n_pos,
+      |  ((SUM(p) * 1000000) // SUM(c))::BIGINT AS rate_ppm,
+      |  (CASE WHEN tt.np > 0
+      |    THEN (SUM(p) * tt.n * 1000000) // (SUM(c) * tt.np) END)::BIGINT
+      |    AS lift_ppm
+      |FROM bb, tt GROUP BY bucket, tt.n, tt.np ORDER BY bucket""".stripMargin)
+
+  /** Quantile mapping of returned-flag quantities onto the 'R'
+    * reference distribution — histogram matching by integer
+    * cross-multiplied CDF merge. */
+  private val x136: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      Profile.quantileMap(li.filter($"l_returnflag" === "R"),
+          li.filter($"l_returnflag" === "A"), $"l_quantity")
+        .orderBy($"v_src")
+    },
+    """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*)::BIGINT AS c
+      |           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      |b AS (SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*)::BIGINT AS c
+      |      FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      |ac AS (SELECT v, c, SUM(c) OVER (ORDER BY v)::BIGINT AS cum FROM a),
+      |bc AS (SELECT v, c, SUM(c) OVER (ORDER BY v)::BIGINT AS cum FROM b),
+      |na AS (SELECT SUM(c)::BIGINT AS n FROM a),
+      |nb AS (SELECT SUM(c)::BIGINT AS n FROM b)
+      |SELECT bc.v AS v_src,
+      |  ((1000000 * (2 * (bc.cum - bc.c) + bc.c)) // (2 * nb.n))::BIGINT
+      |    AS pct_ppm,
+      |  (SELECT MIN(ac.v) FROM ac, na
+      |   WHERE 2 * ac.cum * nb.n >= (2 * (bc.cum - bc.c) + bc.c) * na.n)
+      |    ::BIGINT AS v_mapped
+      |FROM bc, nb ORDER BY v_src""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -3961,5 +4038,8 @@ object ExtQ {
     "x131_rolling_mad" -> (x131._1, Some(x131._2)),
     "x132_component_sizes" -> (x132._1, Some(x132._2)),
     "x133_percentile_rank" -> (x133._1, Some(x133._2)),
+    "x134_mine_positives" -> (x134._1, Some(x134._2)),
+    "x135_decile_lift" -> (x135._1, Some(x135._2)),
+    "x136_quantile_map" -> (x136._1, Some(x136._2)),
   )
 }

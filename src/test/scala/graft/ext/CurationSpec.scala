@@ -84,6 +84,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Set(3L, 500L, 999L))
   }
 
+  test("minePositives: both orientations anchor, strongest first") {
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 3L, 0.95))
+      .toDF("id_a", "id_b", "jaccard").repartition(2)
+    val got = Dedup.minePositives(pairs, "id_a", "id_b", col("jaccard"), 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 0.9, 1L), (1L, 3L, 0.8, 2L),
+      (2L, 3L, 0.95, 1L), (2L, 1L, 0.9, 2L),
+      (3L, 2L, 0.95, 1L), (3L, 1L, 0.8, 2L)))
+  }
+
   test("normalizeText: controls, runs, edges, case") {
     val df = Seq("  A\tB\u0001C  ", "x   y", "", "\u0000\u007f").toDF("t")
     val got = df.select(TextAnalysis.normalizeText($"t").as("n"))

@@ -155,4 +155,24 @@ class EvalSpec extends AnyFunSuite {
     val tiny = Sampling.fixedKPerGroup(df.filter($"id" < 3), "g", "id", 10, "s")
     assert(tiny.count() == 3)
   }
+
+  test("decileLift: hand bands, perfect separation, tie cohesion") {
+    // scores desc (10,9,8,7) labels (1,1,0,0), 2 bands → top band all
+    // positive (lift 2×), bottom band zero
+    val df = Seq((10L, 1), (9L, 1), (8L, 0), (7L, 0)).toDF("s", "y")
+      .repartition(3)
+    val got = Eval.decileLift(df, col("s"), col("y") === 1, buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 1000000L, 2000000L),
+      (1L, 2L, 0L, 0L, 0L)))
+    // tied scores stay in ONE band: (5,5,5,1) → band0 gets all three 5s
+    val tied = Seq((5L, 1), (5L, 0), (5L, 1), (1L, 0)).toDF("s", "y")
+    val g2 = Eval.decileLift(tied, col("s"), col("y") === 1, buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(g2.toSeq == Seq((0L, 3L, 2L, 1333333L), (1L, 1L, 0L, 0L)))
+  }
 }

@@ -160,6 +160,21 @@ class StatsSpec extends AnyFunSuite {
       ("a", 20L, 500000L), ("a", 30L, 875000L), ("b", 7L, 500000L)))
   }
 
+  test("quantileMap: hand-matched CDFs, ties, self-map identity") {
+    val ref = Seq(1L, 2L, 3L, 4L).toDF("v").repartition(2)
+    val src = Seq(10L, 10L, 20L).toDF("v").repartition(3)
+    val got = Profile.quantileMap(ref, src, col("v")).orderBy("v_src")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // v=10 (midrank 1.5 of 3 → pct 1/3): first ref cum with 6·cum ≥ 8 → 2
+    // v=20 (midrank 3 of 3 → pct 5/6): 6·cum ≥ 20 → cum 4 → ref value 4
+    assert(got.toSeq == Seq((10L, 333333L, 2L), (20L, 833333L, 4L)))
+    // mapping a distribution onto itself reproduces it (monotone identity)
+    val self = Seq(5L, 6L, 6L, 9L).toDF("v")
+    val idm = Profile.quantileMap(self, self, col("v")).orderBy("v_src")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(idm.toSeq == Seq((5L, 5L), (6L, 6L), (9L, 9L)))
+  }
+
   test("klDriftBits of a corpus against itself is zero everywhere") {
     val c = Seq("p q q r", "r r s").toDF("text").repartition(2)
     val got = Drift.klDriftBits(c, c, "text").collect()
