@@ -181,6 +181,48 @@ object Temporal {
       .drop("_arr", "_v")
   }
 
+  /** Per-key lag autocorrelation of hourly activity, as exact Pearson
+    * components — the periodicity detector behind bot/crawler
+    * screening (a scripted client's 24h-lag autocorrelation of its
+    * hourly event counts is near 1; organic traffic decorrelates) and
+    * seasonality checks before drift alerts fire on a daily rhythm.
+    *
+    * Exact integers: hourly counts are integers; for each key the
+    * (count_h, count_{h−lag}) pairs over the OBSERVED-hour overlap
+    * feed r = num / √(den_x·den_y) with num = n·Σxy − Σx·Σy etc. —
+    * emitted as components (the caller takes one IEEE sqrt; every
+    * accumulation is exact). Missing hours are absent rows, not
+    * zeros — gap-fill upstream ([[gapFill]]) when silence should
+    * count as zero activity.
+    *
+    * Plan shape: one map-combined (key, hour) count, one equi-join of
+    * the hourly frame against itself shifted by `lagHours` (both
+    * sides shuffle on (key, hour) — no window at all), one map-
+    * combined per-key reduce. Keys with < 2 overlapping pairs or
+    * zero variance emit den 0 — undefined, surfaced not hidden. */
+  def lagAutocorr(events: DataFrame, key: String, ts: String,
+                  lagHours: Int): DataFrame = {
+    require(lagHours >= 1, "lagHours must be positive")
+    val hourly = events
+      .groupBy(col(key).as("_k"),
+        date_trunc("hour", col(ts).cast("timestamp")).as("_h"))
+      .agg(count(lit(1)).as("_c"))
+    val shifted = hourly.select(col("_k"),
+      (col("_h") + expr(s"INTERVAL $lagHours HOURS")).as("_h"),
+      col("_c").as("_cl"))
+    hourly.join(shifted, Seq("_k", "_h"))
+      .groupBy(col("_k").as(key))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_c")).as("_sx"), sum(col("_cl")).as("_sy"),
+        sum(col("_c") * col("_c")).as("_sxx"),
+        sum(col("_cl") * col("_cl")).as("_syy"),
+        sum(col("_c") * col("_cl")).as("_sxy"))
+      .select(col(key), col("n_pairs"),
+        (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")).as("r_num"),
+        (col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")).as("den_x"),
+        (col("n_pairs") * col("_syy") - col("_sy") * col("_sy")).as("den_y"))
+  }
+
   def sessionSpans(events: DataFrame, key: String, ts: String, gap: String)
       : DataFrame =
     events

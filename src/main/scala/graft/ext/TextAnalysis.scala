@@ -306,6 +306,42 @@ object TextAnalysis {
         IntMath.ppmDiv(col("f1"), col("n_tokens")).as("unseen_mass_ppm"))
   }
 
+  /** Quantized Zipf slope of the rank–frequency curve — "does this
+    * corpus have a natural vocabulary distribution": organic language
+    * sits near slope −1 in log₂rank/log₂freq space; templated or
+    * machine-generated corpora flatten (every page the same tokens)
+    * or cliff (tiny head, no tail). The regression runs over
+    * floor-log₂ BUCKETS of rank and frequency (binary digit counts —
+    * the same engine-exact quantization as the surprisal operators),
+    * so the least-squares slope is an exact integer fraction
+    * slope_num/slope_den, no float anywhere.
+    *
+    * Plan shape: one map-combined token count, ranks over the
+    * (freq desc, token) spine via [[Prefix.globalRunningSum]] (range
+    * exchange + offsets — never a single-reducer window), in-row
+    * log₂ bucketing, one 1-row regression reduce. Returns
+    * (v_obs, slope_num, slope_den) — slope ≈ −1 ⇔ num ≈ −den. */
+  def zipfSlope(df: DataFrame, text: String): DataFrame = {
+    val counts = df
+      .select(explode(filter(tokens(col(text)), t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = Prefix.globalRunningSum(counts,
+      order = Seq(col("freq").desc, col("tok")), value = lit(1L),
+      cumName = "rank")
+    def log2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    ranked
+      .select(log2(col("rank")).as("_x"), log2(col("freq")).as("_y"))
+      .agg(count(lit(1)).as("v_obs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+      .select(col("v_obs"),
+        (col("v_obs") * col("_sxy") - col("_sx") * col("_sy"))
+          .as("slope_num"),
+        (col("v_obs") * col("_sxx") - col("_sx") * col("_sx"))
+          .as("slope_den"))
+  }
+
   /** Per-document BIGRAM (conditional) surprisal — one step closer to
     * CCNet's LM signal than [[unigramSurprisal]]: each token is scored
     * against its predecessor, `floor(log2(cnt(prev) / cnt(prev,tok)))`

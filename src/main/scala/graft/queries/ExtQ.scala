@@ -3904,6 +3904,46 @@ object ExtQ {
       |    ::BIGINT AS v_mapped
       |FROM bc, nb ORDER BY v_src""".stripMargin)
 
+  /** 24h-lag autocorrelation of per-user hourly activity — exact
+    * Pearson components over the observed-hour overlap. */
+  private val x137: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.lagAutocorr(t(s, d, "events").filter($"user_id" < 50),
+          "user_id", "ts", lagHours = 24)
+        .orderBy($"user_id")
+    },
+    """WITH h AS (SELECT user_id AS k, date_trunc('hour', ts) AS hh,
+      |             COUNT(*)::BIGINT AS c
+      |           FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |j AS (SELECT a.k, a.c AS x, b.c AS y
+      |      FROM h a JOIN h b
+      |        ON b.k = a.k AND b.hh + INTERVAL 24 HOURS = a.hh)
+      |SELECT k AS user_id, COUNT(*)::BIGINT AS n_pairs,
+      |  (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS r_num,
+      |  (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS den_x,
+      |  (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))::BIGINT AS den_y
+      |FROM j GROUP BY k ORDER BY user_id""".stripMargin)
+
+  /** Quantized Zipf slope of the corpus rank–frequency curve — exact
+    * integer regression over floor-log₂ buckets. */
+  private val x138: (Fn, String) = (
+    (s, d) => TextAnalysis.zipfSlope(t(s, d, "documents"), "text"),
+    """WITH c AS (SELECT tok, COUNT(*)::BIGINT AS freq
+      |           FROM (SELECT unnest([w for w in string_split(text, ' ')
+      |                                if len(w) > 0]) AS tok
+      |                 FROM documents)
+      |           GROUP BY tok),
+      |r AS (SELECT freq,
+      |        ROW_NUMBER() OVER (ORDER BY freq DESC, tok)::BIGINT AS rnk
+      |      FROM c),
+      |b AS (SELECT (length(bin(rnk)) - 1)::BIGINT AS x,
+      |        (length(bin(freq)) - 1)::BIGINT AS y FROM r)
+      |SELECT COUNT(*)::BIGINT AS v_obs,
+      |  (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS slope_num,
+      |  (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS slope_den
+      |FROM b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4041,5 +4081,7 @@ object ExtQ {
     "x134_mine_positives" -> (x134._1, Some(x134._2)),
     "x135_decile_lift" -> (x135._1, Some(x135._2)),
     "x136_quantile_map" -> (x136._1, Some(x136._2)),
+    "x137_lag_autocorr" -> (x137._1, Some(x137._2)),
+    "x138_zipf_slope" -> (x138._1, Some(x138._2)),
   )
 }

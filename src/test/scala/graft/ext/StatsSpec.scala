@@ -175,6 +175,17 @@ class StatsSpec extends AnyFunSuite {
     assert(idm.toSeq == Seq((5L, 5L), (6L, 6L), (9L, 9L)))
   }
 
+  test("zipfSlope: hand-computed log2-bucket regression") {
+    // tokens: a×8, b×4, c×2, d×1 → ranks 1..4, buckets:
+    // (x=log2 rank, y=log2 freq) = (0,3), (1,2), (1,1), (2,0)
+    // n=4, Σx=4, Σy=6, Σxx=6, Σxy=3 → num = 4·3−24 = −12, den = 4·6−16 = 8
+    // slope = −3/2 (steeper than −1: tiny head-heavy corpus)
+    val df = Seq(Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).map(_.mkString(" ")).toDF("text")
+    val r = TextAnalysis.zipfSlope(df, "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, -12L, 8L)))
+  }
+
   test("klDriftBits of a corpus against itself is zero everywhere") {
     val c = Seq("p q q r", "r r s").toDF("text").repartition(2)
     val got = Drift.klDriftBits(c, c, "text").collect()

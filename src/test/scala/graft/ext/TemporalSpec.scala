@@ -293,6 +293,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 1L, 60000000L)))   // the containing minute
   }
 
+  test("lagAutocorr: perfectly periodic key vs alternating key") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hour: Int, i: Int) =
+      new java.sql.Timestamp(t0.getTime + hour * 3600000L + i * 1000L)
+    // key 1: identical count every hour over 2 "days" of 2h → lag-2
+    //   pairs all equal → zero variance (den 0)
+    // key 2: counts 1,2,1,2 with lag 2 → x=y exactly → r_num == den
+    val ev = (
+      (for (h <- 0 until 4; i <- 0 until 3) yield (1L, at(h, i))) ++
+      (for (h <- 0 until 4; i <- 0 until (if (h % 2 == 0) 1 else 2))
+        yield (2L, at(h, i)))
+    ).toDF("k", "ts")
+    val got = Temporal.lagAutocorr(ev, "k", "ts", lagHours = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((2L, 0L, 0L, 0L)))  // constant → undefined, den 0
+    // key 2 pairs: (x=c(2)=1, y=c(0)=1), (x=c(3)=2, y=c(1)=2)
+    // n=2: num = 2·5 − 3·3 = 1, den_x = 2·5 − 9 = 1, den_y = 1 → r = 1
+    assert(got(2L) == ((2L, 1L, 1L, 1L)))
+  }
+
   test("rollingMadFlags: spike flagged against its own trailing window") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
