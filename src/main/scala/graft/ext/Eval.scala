@@ -27,6 +27,40 @@ object Eval {
 
   import IntMath.{floorDiv, ppmDiv}
 
+  /** Exact 2×2 chi-square — the A/B significance primitive ("did the
+    * new ingest filter change the purchase rate") as one integer
+    * fraction: χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) over the
+    * condition × outcome contingency table. DECIMAL(38,0) cross-
+    * multiplication end-to-end — the χ² statistic is exact, rendered
+    * in milli-units by floor division; compare against 3.841
+    * (α = 0.05, 1 dof) off-engine.
+    *
+    * Plan shape: ONE map-combined conditional aggregate produces all
+    * four cells — the corpus is scanned once and only a 1-row frame
+    * ever leaves the scan stage. Degenerate margins (an empty row or
+    * column) emit null χ². */
+  def chiSquare2x2(df: DataFrame, cond: Column, outcome: Column)
+      : DataFrame = {
+    val cells = df.select(
+        when(cond, 1L).otherwise(0L).as("_c"),
+        when(outcome, 1L).otherwise(0L).as("_o"))
+      .agg(sum(when(col("_c") === 1 && col("_o") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("_c") === 1 && col("_o") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("_c") === 0 && col("_o") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("_c") === 0 && col("_o") === 0, 1L).otherwise(0L)).as("d"))
+    def dec(n: String) = col(n).cast("decimal(38,0)")
+    val n = dec("a") + dec("b") + dec("c") + dec("d")
+    val diff = dec("a") * dec("d") - dec("b") * dec("c")
+    val den = (dec("a") + dec("b")) * (dec("c") + dec("d")) *
+      (dec("a") + dec("c")) * (dec("b") + dec("d"))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      (n * diff * diff).cast("decimal(38,0)").as("chi2_num"),
+      den.cast("decimal(38,0)").as("chi2_den"),
+      when(den > 0,
+        floorDiv((n * diff * diff).cast("decimal(38,0)") * lit(1000L), den))
+        .as("chi2_milli"))
+  }
+
   /** Decile (or any-k) lift table: rows ranked by score DESCENDING,
     * cut into `buckets` equal-population bands by midrank, with each
     * band's positive rate compared against the base rate — the

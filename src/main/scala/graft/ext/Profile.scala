@@ -304,6 +304,47 @@ object Profile {
       .drop("_g", "_v")
   }
 
+  /** Exact trimmed mean per group: drop the k = ⌊α·n⌋ smallest and
+    * largest ROWS of each group, average the rest — the robust
+    * central tendency between mean (α = 0) and median (α → 0.5),
+    * standard for latency/price/length profiles where a handful of
+    * garbage rows would drag a plain mean. Integer-exact: values are
+    * longs (cents/counts), and a tied value straddling the trim
+    * boundary contributes exactly its surviving multiplicity via
+    * integer interval intersection — kept(v) = max(0,
+    * min(cum, n−k) − max(cum−cnt, k)) — no row sampling, no floats.
+    *
+    * Plan shape: ties collapse through a map-combined (group, value)
+    * count, the cumulative is a per-group partitioned window over
+    * DISTINCT values ([[weightedMedian]]'s shape — groups spread
+    * across reducers), totals join from their own tiny aggregate.
+    * Returns (group, n, n_trimmed_each, n_kept, sum_kept,
+    * mean_floor); groups where 2k ≥ n emit null mean. */
+  def trimmedMean(df: DataFrame, group: String, value: Column,
+                  alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm < 500000,
+      "alphaPpm must be in [0, 500000) — trimming half from each end leaves nothing")
+    val byv = df.select(col(group).as("_g"), value.cast("long").as("_v"))
+      .groupBy("_g", "_v").agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byv.withColumn("_cum", sum(col("_cnt")).over(w))
+    val tot = byv.groupBy("_g").agg(sum(col("_cnt")).as("_n"))
+    cum.join(tot, Seq("_g"))
+      .withColumn("_k", IntMath.floorDiv(col("_n") * alphaPpm, lit(1000000L)))
+      .withColumn("_kept", greatest(lit(0L),
+        least(col("_cum"), col("_n") - col("_k")) -
+          greatest(col("_cum") - col("_cnt"), col("_k"))))
+      .groupBy(col("_g").as(group))
+      .agg(min(col("_n")).as("n"), min(col("_k")).as("n_trimmed_each"),
+        sum(col("_kept")).as("n_kept"),
+        sum(col("_kept").cast("decimal(38,0)") * col("_v")).as("_sum"))
+      .select(col(group), col("n"), col("n_trimmed_each"), col("n_kept"),
+        col("_sum").cast("decimal(38,0)").as("sum_kept"),
+        when(col("n_kept") > 0,
+          IntMath.floorDiv(col("_sum"), col("n_kept"))).as("mean_floor"))
+  }
+
   /** Quantile mapping (histogram matching): every distinct value of a
     * SOURCE distribution mapped to the REFERENCE distribution's value
     * at the same quantile — the score-harmonization step when a

@@ -214,6 +214,40 @@ object TextAnalysis {
         col("term_df"), col("score_ppm"))
   }
 
+  /** Class-based TF-IDF (c-TF-IDF): the k most DISTINGUISHING terms
+    * per group — per-source/topic/language vocabulary signatures, the
+    * corpus-exploration report behind "what is actually in this
+    * slice" and the BERTopic-style cluster labeling step. Group term
+    * frequency × a Zipf-bucketed inverse GROUP frequency
+    * (⌊log₂(G / groups-containing-term)⌋ — exact integer, like every
+    * idf in this module). Deterministic: score desc, term asc.
+    *
+    * Plan shape: one map-combined (group, term) count, a group-
+    * frequency agg over it, the group count as a 1-row broadcast,
+    * and a per-GROUP ranking window — partitioned by group, and
+    * group cardinality (sources, topics, languages) is small by
+    * nature, so no single reducer ever sees more than one group's
+    * vocabulary. Returns (group, rank, term, tf, df_groups, score). */
+  def classTfidf(df: DataFrame, group: String, text: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, "k must be positive")
+    val tf = df.select(col(group).as("_g"),
+        explode(filter(tokens(col(text)), t => t =!= "")).as("term"))
+      .groupBy("_g", "term").agg(count(lit(1)).as("tf"))
+    val gf = tf.groupBy("term").agg(count(lit(1)).as("df_groups"))
+    val ng = tf.select(col("_g")).distinct().agg(count(lit(1)).as("_ng"))
+    val scored = tf.join(gf, "term").crossJoin(broadcast(ng))
+      .withColumn("score",
+        col("tf") * (length(bin(IntMath.floorDiv(col("_ng"),
+          col("df_groups")))) - 1).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_g").as(group), col("rank"), col("term"), col("tf"),
+        col("df_groups"), col("score"))
+  }
+
   /** Per-document unigram surprisal — the distributable analogue of
     * CCNet's LM-perplexity quality signal: rare-token-heavy documents
     * (gibberish, boilerplate IDs, OCR noise) score high, documents of

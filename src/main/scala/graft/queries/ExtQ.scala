@@ -3944,6 +3944,91 @@ object ExtQ {
       |  (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS slope_den
       |FROM b""".stripMargin)
 
+  /** 10%-each-end trimmed mean of line price cents per return flag —
+    * exact integer interval-intersection trimming. */
+  private val x139: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Profile.trimmedMean(t(s, d, "lineitem"), "l_returnflag",
+          floor($"l_extendedprice" * 100 + 0.5).cast("long"),
+          alphaPpm = 100000L)
+        .select($"l_returnflag", $"n", $"n_trimmed_each", $"n_kept",
+          $"sum_kept".cast("long").as("sum_kept"), $"mean_floor")
+        .orderBy($"l_returnflag")
+    },
+    """WITH b AS (SELECT l_returnflag AS g,
+      |             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |           FROM lineitem),
+      |byv AS (SELECT g, v, COUNT(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+      |cum AS (SELECT g, v, cnt,
+      |          SUM(cnt) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cm
+      |        FROM byv),
+      |kk AS (SELECT g, SUM(cnt)::BIGINT AS n,
+      |         (SUM(cnt) * 100000) // 1000000 AS k
+      |       FROM byv GROUP BY g),
+      |kept AS (SELECT cum.g, cum.v, kk.n, kk.k,
+      |           GREATEST(0, LEAST(cum.cm, kk.n - kk.k)
+      |             - GREATEST(cum.cm - cum.cnt, kk.k)) AS kp
+      |         FROM cum JOIN kk ON kk.g = cum.g)
+      |SELECT g AS l_returnflag, MIN(n)::BIGINT AS n,
+      |  MIN(k)::BIGINT AS n_trimmed_each,
+      |  SUM(kp)::BIGINT AS n_kept,
+      |  SUM(kp * v)::BIGINT AS sum_kept,
+      |  (SUM(kp * v) // SUM(kp))::BIGINT AS mean_floor
+      |FROM kept GROUP BY g ORDER BY g""".stripMargin)
+
+  /** c-TF-IDF: top-3 distinguishing terms per source — group term
+    * frequency × Zipf-bucketed inverse group frequency. */
+  private val x140: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.classTfidf(t(s, d, "documents"), "source", "text", k = 3)
+        .orderBy($"source", $"rank")
+    },
+    """WITH tf AS (SELECT g, term, COUNT(*)::BIGINT AS tf FROM
+      |             (SELECT source AS g,
+      |                unnest([w for w in string_split(text, ' ')
+      |                        if len(w) > 0]) AS term
+      |              FROM documents)
+      |            GROUP BY 1, 2),
+      |gf AS (SELECT term, COUNT(*)::BIGINT AS df_groups FROM tf
+      |       GROUP BY term),
+      |ng AS (SELECT COUNT(DISTINCT g)::BIGINT AS n FROM tf),
+      |sc AS (SELECT tf.g, tf.term, tf.tf, gf.df_groups,
+      |         (tf.tf * (length(bin(ng.n // gf.df_groups)) - 1))::BIGINT
+      |           AS score
+      |       FROM tf JOIN gf USING (term), ng),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+      |         ORDER BY score DESC, term)::BIGINT AS rank FROM sc)
+      |SELECT g AS source, rank, term, tf, df_groups, score
+      |FROM rk WHERE rank <= 3 ORDER BY source, rank""".stripMargin)
+
+  /** Exact 2×2 chi-square: does the even/odd user split move the
+    * purchase rate — cells + milli-χ², all integer floors. */
+  private val x141: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Eval.chiSquare2x2(t(s, d, "events"),
+          pmod($"user_id", lit(2)) === 0, $"event_type" === "purchase")
+        .select($"a", $"b", $"c", $"d", $"chi2_milli")
+    },
+    """WITH cells AS (SELECT
+      |  SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END)::HUGEINT AS a,
+      |  SUM(CASE WHEN user_id % 2 = 0 AND event_type <> 'purchase'
+      |      THEN 1 ELSE 0 END)::HUGEINT AS b,
+      |  SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END)::HUGEINT AS c,
+      |  SUM(CASE WHEN user_id % 2 = 1 AND event_type <> 'purchase'
+      |      THEN 1 ELSE 0 END)::HUGEINT AS d
+      |  FROM events)
+      |SELECT a::BIGINT AS a, b::BIGINT AS b, c::BIGINT AS c,
+      |  d::BIGINT AS d,
+      |  (CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) > 0
+      |    THEN ((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 1000)
+      |         // ((a+b)*(c+d)*(a+c)*(b+d)) END)::BIGINT AS chi2_milli
+      |FROM cells""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4083,5 +4168,8 @@ object ExtQ {
     "x136_quantile_map" -> (x136._1, Some(x136._2)),
     "x137_lag_autocorr" -> (x137._1, Some(x137._2)),
     "x138_zipf_slope" -> (x138._1, Some(x138._2)),
+    "x139_trimmed_mean" -> (x139._1, Some(x139._2)),
+    "x140_class_tfidf" -> (x140._1, Some(x140._2)),
+    "x141_ab_chisq" -> (x141._1, Some(x141._2)),
   )
 }

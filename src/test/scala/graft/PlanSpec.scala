@@ -163,7 +163,8 @@ class PlanSpec extends AnyFunSuite {
       "x122_kl_drift",           // 1-row (totals, vocab-size) broadcast
       "x127_mixture_quota",      // 1-row budget-minimum broadcast
       "x132_component_sizes",    // two 1-row counts crossed (singletons)
-      "x135_decile_lift")        // 1-row (n, n_pos) totals broadcast
+      "x135_decile_lift",        // 1-row (n, n_pos) totals broadcast
+      "x140_class_tfidf")        // 1-row group-count broadcast
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

@@ -186,6 +186,47 @@ class StatsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, -12L, 8L)))
   }
 
+  test("trimmedMean: clean trim, boundary ties trim partially") {
+    // 1..10, 20% → k=2, keep 3..8: sum 33, n 6, mean floor 5
+    val df = (1L to 10L).map(("g", _)).toDF("g", "v")
+    val r = Profile.trimmedMean(df, "g", col("v"), 200000L).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((10L, 2L, 6L)))
+    assert(r.getDecimal(4).longValue == 33L && r.getLong(5) == 5L)
+    // (1,5,5,5,9), k=1: the 1 and the 9 go, all three 5s survive
+    val tied = Seq(1L, 5L, 5L, 5L, 9L).map(("g", _)).toDF("g", "v")
+      .repartition(2)
+    val r2 = Profile.trimmedMean(tied, "g", col("v"), 200000L).collect().head
+    assert(r2.getLong(3) == 3L && r2.getDecimal(4).longValue == 15L &&
+      r2.getLong(5) == 5L)
+  }
+
+  test("chiSquare2x2: perfect association, independence, degenerate") {
+    val perfect = Seq((true, true), (true, true), (false, false),
+      (false, false)).toDF("c", "o")
+    val p = Eval.chiSquare2x2(perfect, col("c"), col("o")).collect().head
+    // a=2,d=2,b=c=0: χ² = 4·16/(2·2·2·2) = 4 → 4000 milli
+    assert(p.getAs[Long]("chi2_milli") == 4000L)
+    val indep = Seq((true, true), (true, false), (false, true),
+      (false, false)).toDF("c", "o")
+    val i = Eval.chiSquare2x2(indep, col("c"), col("o")).collect().head
+    assert(i.getAs[Long]("chi2_milli") == 0L)
+    // empty margin → undefined statistic (den 0 → null milli)
+    val degen = Seq((true, true), (true, true)).toDF("c", "o")
+    val g = Eval.chiSquare2x2(degen, col("c"), col("o")).collect().head
+    assert(g.isNullAt(g.fieldIndex("chi2_milli")))
+  }
+
+  test("classTfidf: group-exclusive terms outrank shared ones") {
+    val df = Seq(("A", "x x y"), ("B", "z y")).toDF("src", "text")
+    val got = TextAnalysis.classTfidf(df, "src", "text", k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(5)))
+      .toSet
+    // x exclusive to A (score 2·1), z exclusive to B (1·1), y shared (0)
+    assert(got == Set(("A", 1L, "x", 2L), ("A", 2L, "y", 0L),
+      ("B", 1L, "z", 1L), ("B", 2L, "y", 0L)))
+  }
+
   test("klDriftBits of a corpus against itself is zero everywhere") {
     val c = Seq("p q q r", "r r s").toDF("text").repartition(2)
     val got = Drift.klDriftBits(c, c, "text").collect()
