@@ -126,14 +126,18 @@ object Bpe {
     * occurrences), creates pairs involving the product ab whose
     * frequency is bounded by an old overlapping pair's, and — only if
     * ab already existed as a symbol — inflates pairs touching that
-    * symbol. All three classes conflict with the selection, so they
-    * rank at or below the first conflict and their post-merge
-    * frequency stays ≤ the cut; every kept pair is strictly above the
-    * cut and mutually invariant, so recomputing stats between merges
-    * would return the kept pairs in exactly this order (ties included:
-    * the scan follows the same total order sequential argmax uses).
-    * When truncation empties the batch, the single top pair is exact
-    * because stats are recomputed next round anyway. */
+    * symbol. With a ≠ b, every created pair contains an OLD adjacency
+    * sharing a symbol with the selection ((x,ab) ⊃ (x,a),
+    * (ab,ab) ⊃ (b,a)), so the conflict scan prices it into the cut.
+    * The one escape is a SELF-merge (a,a): its creations' bounding
+    * old pair is (a,a) itself — never a conflict — so selecting a
+    * self-pair additionally floors the cut at ⌊f/2⌋ (the creation
+    * bound; see the in-loop comment). Every kept pair is strictly
+    * above the cut and mutually invariant, so recomputing stats
+    * between merges would return the kept pairs in exactly this order
+    * (ties included: the scan follows the same total order sequential
+    * argmax uses). When truncation empties the batch, the single top
+    * pair is exact because stats are recomputed next round anyway. */
   private[graft] def selectBatch(top: IndexedSeq[(String, String, Long)],
                                  want: Int, sawAll: Boolean,
                                  priorProducts: Set[String])
@@ -150,6 +154,15 @@ object Bpe {
         cut = math.max(cut, f); stopped = true
       } else {
         sel :+= ((a, b, f)); used ++= Seq(a, b, prod)
+        // SELF-merge creation floor: merging (a, a) creates pairs the
+        // conflict scan cannot see coming — (aa, aa), (aa, a) — whose
+        // bounding old pair is (a, a) ITSELF, so the ordinary
+        // conflict cut never covers them. Per run of length L the
+        // creations number ≤ ⌊(L−1)/2⌋ against L−1 old adjacencies,
+        // so every created pair's frequency is ≤ ⌊f/2⌋; anything at
+        // or below that could be outranked by a creation in the
+        // sequential order and must wait for recomputed stats.
+        if (a == b) cut = math.max(cut, f / 2)
       }
       i += 1
     }
