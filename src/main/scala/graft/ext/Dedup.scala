@@ -525,10 +525,15 @@ object Dedup {
   def minePositives(pairs: DataFrame, idA: String, idB: String,
                     sim: Column, cap: Int): DataFrame = {
     require(cap >= 1, "cap must be positive")
-    val both = pairs
-      .select(col(idA).as("_anchor"), col(idB).as("_other"), sim.as("_s"))
-      .unionByName(pairs
-        .select(col(idB).as("_anchor"), col(idA).as("_other"), sim.as("_s")))
+    // materialize the (possibly expensive) pair plan ONCE — the
+    // orientation union is two projections of it, and a lazy plan
+    // would execute the upstream pair-verify join twice
+    val p = pairs.select(col(idA).as("_pa"), col(idB).as("_pb"),
+      sim.as("_s")).localCheckpoint()
+    val both = p
+      .select(col("_pa").as("_anchor"), col("_pb").as("_other"), col("_s"))
+      .unionByName(p
+        .select(col("_pb").as("_anchor"), col("_pa").as("_other"), col("_s")))
     both.groupBy(col("_anchor").as("anchor"))
       .agg(graft.functions.TopKAgg.topk(col("_s"), col("_other"), cap)
         .as("_top"))
