@@ -277,6 +277,87 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("spearmanComponents == BigInt brute force with average ranks") = {
+    val pairGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(-5, 5), Gen.choose(-5, 5)))
+    forAll(pairGen) { pts =>
+      val df = pts.toDF("x", "y").repartition(3)
+      val r = ext.Profile.spearmanComponents(df, col("x"), col("y"))
+        .collect().head
+      def rank2(vs: Seq[Int]): Seq[BigInt] = vs.map { v =>
+        BigInt(2 * vs.count(_ < v) + vs.count(_ == v) + 1)
+      }
+      val rx = rank2(pts.map(_._1)); val ry = rank2(pts.map(_._2))
+      val n = BigInt(pts.length)
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxx = rx.map(v => v * v).sum; val syy = ry.map(v => v * v).sum
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      BigInt(r.getDecimal(1).toBigInteger) == n * sxy - sx * sy &&
+        BigInt(r.getDecimal(2).toBigInteger) == n * sxx - sx * sx &&
+        BigInt(r.getDecimal(3).toBigInteger) == n * syy - sy * sy
+    }
+  }
+
+  property("trimmedMean == sorted-slice reference on random groups") = {
+    val gen = Gen.listOfN(12,
+      Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(-100L, 100L)))
+    forAll(gen, Gen.choose(0L, 400000L)) { (rows, alpha) =>
+      val df = rows.toDF("g", "v").repartition(3)
+      val got = ext.Profile.trimmedMean(df, "g", col("v"), alpha)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(3), r.getDecimal(4).longValue))).toMap
+      rows.groupBy(_._1).forall { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        val k = (sorted.length * alpha / 1000000L).toInt
+        val kept = sorted.slice(k, sorted.length - k)
+        got(g) == ((kept.length.toLong, kept.sum))
+      }
+    }
+  }
+
+  property("quantileMap: monotone and self-map is the identity") = {
+    val gen = Gen.listOfN(8, Gen.choose(-20L, 20L))
+      .suchThat(_.nonEmpty)
+    forAll(gen, gen) { (ref, src) =>
+      val rdf = ref.toDF("v"); val sdf = src.toDF("v")
+      val rows = ext.Profile.quantileMap(rdf, sdf, col("v"))
+        .orderBy("v_src").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      val monotone = rows.sliding(2).forall {
+        case Array((_, m1), (_, m2)) => m1 <= m2
+        case _ => true
+      }
+      val self = ext.Profile.quantileMap(rdf, rdf, col("v"))
+        .collect().forall(r => r.getLong(0) == r.getLong(2))
+      monotone && self && rows.forall { case (_, m) => ref.contains(m) }
+    }
+  }
+
+  property("decileLift conserves rows/positives; buckets in range") = {
+    val gen = Gen.listOfN(16,
+      Gen.zip(Gen.choose(0L, 6L), Gen.oneOf(true, false)))
+    forAll(gen) { rows =>
+      val df = rows.toDF("s", "y").repartition(4)
+      val got = ext.Eval.decileLift(df, col("s"), col("y"), buckets = 4)
+        .collect()
+      got.map(_.getLong(1)).sum == rows.length &&
+        got.map(_.getLong(2)).sum == rows.count(_._2) &&
+        got.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 4)
+    }
+  }
+
+  property("bloomSemiJoin == exact semi join under dense false positives") = {
+    val gen = Gen.listOfN(10, Gen.choose(0L, 300L))
+    forAll(gen) { keys =>
+      val big = spark.range(120).toDF("id")
+      val small = keys.toDF("k")
+      val got = ext.BloomJoin.bloomSemiJoin(big, small, "id", "k",
+          m = 64, h = 2)
+        .collect().map(_.getLong(0)).toSet
+      got == keys.filter(_ < 120).toSet
+    }
+  }
+
   property("Redact.scrub removes every planted PII occurrence") = {
     val piiGen = Gen.oneOf(
       Gen.alphaLowerStr.suchThat(_.nonEmpty).map(u => s"$u@example.org"),
