@@ -400,6 +400,45 @@ object Dedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /** LSH banding-quality audit: recall and precision of the banded
+    * MinHash CANDIDATE set against the exact Jaccard pair truth — the
+    * go/no-go check run before trusting a (bands × rowsPerBand)
+    * configuration at a new threshold or corpus ("are my bands wide
+    * enough that no real duplicate escapes, and how much verify work
+    * do false candidates cost"). One row:
+    * (n_exact, n_candidates, n_hits, recall_ppm, precision_ppm).
+    *
+    * The exact side is [[ngramJaccardPairs]]' LOSSLESS prefix filter —
+    * ground truth independent of any banding — so recall < 10⁶ ppm is
+    * a real banding miss, never a truth-side approximation. Scale
+    * shape: both pair sets are banded/prefix-filtered (never all
+    * pairs); the intersection is one equi-join on (id_a, id_b); the
+    * three counts cross as 1-row broadcasts. */
+  def lshBandingAudit(df: DataFrame, id: String, text: String, n: Int,
+                      threshold: Double, bands: Int = 64,
+                      rowsPerBand: Int = 2): DataFrame = {
+    val sets = docShingleSets(df, id, text, n).localCheckpoint()
+    val buckets = minhashBuckets(sets, bands, rowsPerBand)
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct().localCheckpoint()
+    val exact = ngramJaccardPairs(df, id, text, n, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val hits = candidates.join(exact, Seq("id_a", "id_b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(candidates.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_exact"), col("n_candidates"), col("n_hits"),
+        when(col("n_exact") > 0,
+          IntMath.ppmDiv(col("n_hits"), col("n_exact"))).as("recall_ppm"),
+        when(col("n_candidates") > 0,
+          IntMath.ppmDiv(col("n_hits"), col("n_candidates")))
+          .as("precision_ppm"))
+  }
+
   /** One row per (doc, band): bucket key hashes the band's slice of
     * the k-perm MinHash signature (slot order is positional → stable).
     * The signature aggregation is map-side partial — the shuffle

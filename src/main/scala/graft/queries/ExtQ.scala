@@ -4029,6 +4029,23 @@ object ExtQ {
       |         // ((a+b)*(c+d)*(a+c)*(b+d)) END)::BIGINT AS chi2_milli
       |FROM cells""".stripMargin)
 
+  /** LSH banding audit at the x03 configuration: the oracle pins the
+    * exact-pair truth AND perfect recall (at this corpus margin a
+    * missed pair means the banding broke — the row turns red). The
+    * engine's n_hits comes from candidates ∩ exact, so it can only
+    * equal n_exact when no true pair escaped the bands. */
+  private val x142: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.lshBandingAudit(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6, bands = 64, rowsPerBand = 2)
+        .select($"n_exact", $"n_hits", $"recall_ppm")
+    },
+    s"""WITH $shingleCte
+       |SELECT COUNT(*)::BIGINT AS n_exact, COUNT(*)::BIGINT AS n_hits,
+       |  1000000::BIGINT AS recall_ppm
+       |FROM jac WHERE jaccard >= 0.6""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4171,5 +4188,6 @@ object ExtQ {
     "x139_trimmed_mean" -> (x139._1, Some(x139._2)),
     "x140_class_tfidf" -> (x140._1, Some(x140._2)),
     "x141_ab_chisq" -> (x141._1, Some(x141._2)),
+    "x142_lsh_banding_audit" -> (x142._1, Some(x142._2)),
   )
 }

@@ -164,7 +164,8 @@ class PlanSpec extends AnyFunSuite {
       "x127_mixture_quota",      // 1-row budget-minimum broadcast
       "x132_component_sizes",    // two 1-row counts crossed (singletons)
       "x135_decile_lift",        // 1-row (n, n_pos) totals broadcast
-      "x140_class_tfidf")        // 1-row group-count broadcast
+      "x140_class_tfidf",        // 1-row group-count broadcast
+      "x142_lsh_banding_audit")  // three 1-row counts crossed
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

@@ -97,6 +97,26 @@ class CurationSpec extends AnyFunSuite {
       (3L, 2L, 0.95, 1L), (3L, 1L, 0.8, 2L)))
   }
 
+  test("lshBandingAudit: wide bands catch the planted pair, starved bands miss it") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i % 13 == 0) s"alt$i" else s"tok$i")
+      .mkString(" ") // 3 substitutions → 3-gram jaccard ≈ 0.62
+    val far = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    // 64 bands × 2 rows: collision probability at jaccard ≈ 0.7 is ~1
+    val wide = Dedup.lshBandingAudit(df, "doc_id", "text", n = 3,
+      threshold = 0.5, bands = 64, rowsPerBand = 2).collect().head
+    assert(wide.getLong(0) == 1L && wide.getLong(2) == 1L) // exact == hits
+    assert(wide.getAs[Long]("recall_ppm") == 1000000L)
+    assert(wide.getAs[Long]("precision_ppm") <= 1000000L)
+    // 1 band × 128 rows: ALL minhashes must agree — a 0.7-jaccard pair
+    // cannot collide; the audit must report the miss, not hide it
+    val starved = Dedup.lshBandingAudit(df, "doc_id", "text", n = 3,
+      threshold = 0.5, bands = 1, rowsPerBand = 128).collect().head
+    assert(starved.getLong(0) == 1L && starved.getLong(2) == 0L)
+    assert(starved.getAs[Long]("recall_ppm") == 0L)
+  }
+
   test("normalizeText: controls, runs, edges, case") {
     val df = Seq("  A\tB\u0001C  ", "x   y", "", "\u0000\u007f").toDF("t")
     val got = df.select(TextAnalysis.normalizeText($"t").as("n"))
