@@ -20,29 +20,34 @@ import org.apache.spark.sql.functions._
   * form of the runtime-filter/bloom-pushdown optimization in modern
   * engines, made explicit and engine-checkable.
   *
-  * Construction uses [[graft.io.BloomSkip]]'s md5-hex technique, but
-  * amortized: ONE digest per key, with the h bit positions read from
-  * h DISJOINT 6-hex-char slices of the 32-char digest (24 bits per
-  * draw ≥ the 17 needed at default m; md5 hex is engine-stable and
-  * 6 hex chars < 2²⁴ are exact in a long) — the probe side hashes
-  * each big-side row once, not h times, which is the scan-speed
-  * difference at 100 TB. The bitset is built DISTRIBUTIVELY as
-  * per-word bit_or aggregates — the driver materializes only the
-  * finished m/64-long word array (16 KiB at defaults, bounded
-  * metadata like a sketch, never the key stream). False positives
-  * cost only wasted shuffle rows, never correctness; false negatives
-  * cannot happen, so no matching row is ever lost.
+  * Hashing is Kirsch–Mitzenmacher double hashing over the codegen'd
+  * native xxhash64: pos_i = (h1 + i·h2) mod m with h1/h2 two
+  * independently-seeded xxhash64 draws — TWO cheap integer hashes per
+  * probed row for any h, not h string digests, which is the
+  * scan-speed difference at 100 TB (this filter lives and dies
+  * inside one query, so no cross-engine digest stability is needed —
+  * unlike [[graft.io.BloomSkip]]'s on-disk md5-hex sidecars; a hash
+  * choice can only move the false-positive rate, never the result).
+  * The bitset is built DISTRIBUTIVELY as per-word bit_or aggregates —
+  * the driver materializes only the finished m/64-long word array
+  * (16 KiB at defaults, bounded metadata like a sketch, never the
+  * key stream). False positives cost only wasted shuffle rows, never
+  * correctness; false negatives cannot happen, so no matching row is
+  * ever lost.
   */
 object BloomJoin {
 
   val DefaultBits = 1 << 17 // m = 131072 bits → 2048-word bitmap
   val DefaultHashes = 5
 
-  /** The i-th bit position of `value`: a disjoint 6-hex-char slice of
-    * the single md5 digest, mod m (i < 5 — 5·6 = 30 of 32 chars). */
-  private def posCol(digestHex: Column, i: Int, m: Int): Column =
-    (conv(substring(digestHex, 1 + 6 * i, 6), 16, 10).cast("long") % m)
-      .cast("int")
+  /** The i-th bit position of `value` (string column): double hashing
+    * (h1 + i·h2) mod m over two seeded xxhash64 draws. pmod of the
+    * possibly-negative 64-bit sum keeps the position in [0, m). */
+  private def posCol(value: Column, i: Int, m: Int): Column = {
+    val h1 = xxhash64(value)
+    val h2 = xxhash64(value, lit("km2"))
+    pmod(h1 + lit(i.toLong) * h2, lit(m.toLong)).cast("int")
+  }
 
   /** Exact semi join `big ⋉ small` with Bloom prefiltering on
     * `big`. Keys compare as their string rendering for hashing (the
@@ -62,8 +67,7 @@ object BloomJoin {
     // the shuffle carries ≤ m/64 words, not the key stream
     val one = lit(1L).cast("long")
     val words = keys
-      .select(md5(col("_v").cast("binary")).as("_d"))
-      .select(explode(array((0 until h).map(i => posCol(col("_d"), i, m)): _*))
+      .select(explode(array((0 until h).map(i => posCol(col("_v"), i, m)): _*))
         .as("_pos"))
       .select((col("_pos") / 64).cast("int").as("_w"),
         call_function("shiftleft", one, pmod(col("_pos"), lit(64))).as("_m"))
@@ -72,10 +76,11 @@ object BloomJoin {
     val bitmap = new Array[Long](m / 64)
     words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
     val bitsLit = typedLit(bitmap.toSeq)
-    // one digest per probed row; h slice-reads against the constant map
-    val dig = md5(col(bigKey).cast("string").cast("binary"))
+    // two integer hashes per probed row; h masked reads against the
+    // constant word array
+    val kv = col(bigKey).cast("string")
     val probe = (0 until h).map { i =>
-      val p = posCol(dig, i, m)
+      val p = posCol(kv, i, m)
       (element_at(bitsLit, (p / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", one, pmod(p, lit(64))))
         ) =!= 0L

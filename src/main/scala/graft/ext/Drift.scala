@@ -107,7 +107,7 @@ object Drift {
     val totals = joined.agg(sum(col("cnt_a")).as("tot_a"),
       sum(col("cnt_b")).as("tot_b"), count(lit(1)).as("v"))
     def bits(num: Column, den: Column): Column =
-      (length(bin(IntMath.floorDiv(num, den))) - 1).cast("long")
+      (length(bin(IntMath.truncDiv(num, den))) - 1).cast("long")
     joined.join(broadcast(totals))
       .withColumn("_num", (col("cnt_a") + 1).cast("decimal(38,0)") *
         (col("tot_b") + col("v")))

@@ -25,7 +25,116 @@ import org.apache.spark.sql.expressions.Window
   */
 object Eval {
 
-  import IntMath.{floorDiv, ppmDiv}
+  import IntMath.{truncDiv, ppmDiv}
+
+  /** Cumulative Poisson(1) pmf quantized to ppm — the deterministic
+    * bootstrap's resampling law. A row's multiplicity in replicate r
+    * is the count of thresholds ≤ its 24-bit digest draw mod 10⁶
+    * (weights 0–7; the truncated tail past 7 holds 84 ppm of mass). */
+  val PoissonCumPpm: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+
+  /** Deterministic Poisson-bootstrap confidence interval for a mean —
+    * "the average document length moved 3%: is that inside this
+    * corpus's sampling noise?" answered with NO random number
+    * generator: replicate r resamples each row with multiplicity
+    * drawn from the ppm-quantized Poisson(1) pmf ([[PoissonCumPpm]])
+    * evaluated on md5(salt:r:key), the standard streaming/distributed
+    * bootstrap approximation of multinomial resampling (independent
+    * per-row counts, E[w]=1). Same salt ⇒ same replicates on any
+    * engine, partitioning, or retry.
+    *
+    * Replicate means are exact integer fractions rendered in ppm of
+    * the value's unit (truncating division, the oracle's `//`); the interval is the EXACT
+    * order statistic at ranks ⌊reps·tail‰/1000⌋ and reps+1−that —
+    * no interpolation, no float quantiles.
+    *
+    * Scale shape: the explode is rows×reps but never leaves the scan
+    * stage — the groupBy(replicate) is map-side combined, so the
+    * shuffle carries parts×reps partial rows (reps ≤ 10⁴ bounded).
+    * Order statistics come from ONE collect_list over reps 2-long
+    * structs (bounded metadata, sketch-sized) — no global-sort
+    * window, no driver collect of data rows. */
+  def bootstrapCI(df: DataFrame, key: Column, value: Column, reps: Int,
+                  salt: String, tailPermille: Int = 25): DataFrame = {
+    require(reps >= 4 && reps <= 10000, "reps must be in [4, 10000]")
+    require(tailPermille >= 1 && tailPermille * 2 < 1000,
+      "tailPermille must be in [1, 499]")
+    val loRank = math.max(1, reps * tailPermille / 1000)
+    val hiRank = reps + 1 - loRank
+    val digest = md5(concat_ws(":", lit(salt), col("_r"), col("_k"))
+      .cast("binary"))
+    val u = pmod(conv(substring(digest, 1, 6), 16, 10).cast("long"),
+      lit(1000000L))
+    val w = PoissonCumPpm.map(c => when(u >= c, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val repMeans = df
+      .select(key.cast("string").as("_k"), value.cast("long").as("_x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("_r"))
+      .withColumn("_w", w)
+      .groupBy(col("_r"))
+      .agg(sum(col("_w") * col("_x")).as("_s"), sum(col("_w")).as("_n"))
+      .select(col("_r"), ppmDiv(col("_s"), col("_n")).as("_m"))
+    val stats = repMeans
+      .agg(sort_array(collect_list(struct(col("_m"), col("_r")))).as("_ms"))
+      .select(
+        element_at(col("_ms"), loRank).getField("_m").as("lo_ppm"),
+        element_at(col("_ms"), hiRank).getField("_m").as("hi_ppm"))
+    df.agg(count(lit(1)).as("n"),
+        ppmDiv(sum(value.cast("long")), count(lit(1))).as("mean_ppm"))
+      .crossJoin(broadcast(stats))
+      .select(lit(reps.toLong).as("reps"), col("n"), col("mean_ppm"),
+        col("lo_ppm"), col("hi_ppm"))
+  }
+
+  /** Rank-biased overlap (Webber/Moffat/Zobel) between two top-`k`
+    * rankings — "how much did the index rebuild / new embedding model
+    * actually change what retrieval surfaces", weighted so rank-1
+    * disagreement matters most: RBO = (1−p)·Σ_d p^(d−1)·|A_d∩B_d|/d.
+    *
+    * Exactly reproducible with NO float pow: the geometric weights
+    * are the integer recurrence w₁ = 10¹⁸, w_{d+1} = ⌊w_d·pNum/pDen⌋
+    * (computed once, k bounded values), each depth contributes
+    * ⌊w_d·inter_d/d⌋, and the final statistic is one truncating division —
+    * a ppm-quantized RBO whose spec is pure integer arithmetic, so
+    * both engines land on the identical number.
+    *
+    * Scale shape: the rankings are already top-k (build them with
+    * [[graft.functions.TopKAgg]], never a global window); everything
+    * here is k-bounded — one equi-join of two ≤ k-row frames, one
+    * explode to ≤ k² depth rows, map-combined counts, 1-row crossed
+    * broadcasts. Depth overlap counts come from exploding each joint
+    * item's depth range d ≥ max(rank_a, rank_b) — an equi-groupBy,
+    * NOT an inequality join (no nested-loop plan at any size). */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, item: String,
+                        rank: String, k: Int, pNum: Int = 9,
+                        pDen: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    require(pNum >= 1 && pNum < pDen && pDen <= 10,
+      "need 1 <= pNum < pDen <= 10")
+    val weights = Seq.iterate(1000000000000000000L, k)(w => w * pNum / pDen)
+    val wlit = typedLit(weights)
+    val ja = a.select(col(item).as("_i"), col(rank).cast("long").as("_ra"))
+      .filter(col("_ra") <= k)
+    val jb = b.select(col(item).as("_i"), col(rank).cast("long").as("_rb"))
+      .filter(col("_rb") <= k)
+    val joint = ja.join(jb, Seq("_i"))
+      .select(greatest(col("_ra"), col("_rb")).as("_m"))
+    val interByDepth = joint
+      .select(explode(sequence(col("_m"), lit(k.toLong))).as("_d"))
+      .groupBy(col("_d")).agg(count(lit(1)).as("_inter"))
+    val s = interByDepth
+      .select(truncDiv(
+          element_at(wlit, col("_d").cast("int")).cast("decimal(38,0)") *
+            col("_inter"), col("_d"))
+        .cast("decimal(38,0)").as("_c"))
+      .agg(coalesce(sum(col("_c")), lit(0L).cast("decimal(38,0)")).as("_s"))
+    joint.agg(count(lit(1)).as("n_joint"))
+      .crossJoin(broadcast(s))
+      .select(lit(k.toLong).as("k"), col("n_joint"),
+        truncDiv(col("_s") * lit((pDen - pNum).toLong),
+          lit(pDen.toLong * 1000000000000L)).as("rbo_ppm"))
+  }
 
   /** Exact 2×2 chi-square — the A/B significance primitive ("did the
     * new ingest filter change the purchase rate") as one integer
@@ -57,7 +166,7 @@ object Eval {
       (n * diff * diff).cast("decimal(38,0)").as("chi2_num"),
       den.cast("decimal(38,0)").as("chi2_den"),
       when(den > 0,
-        floorDiv((n * diff * diff).cast("decimal(38,0)") * lit(1000L), den))
+        truncDiv((n * diff * diff).cast("decimal(38,0)") * lit(1000L), den))
         .as("chi2_milli"))
   }
 
@@ -93,14 +202,14 @@ object Eval {
       // rank2 = 2·cumBefore + c + 1 (doubled midrank, score-desc)
       .withColumn("_r2", lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1)
       .withColumn("bucket",
-        floorDiv(lit(buckets.toLong) * (col("_r2") - 1), lit(2L) * col("_n")))
+        truncDiv(lit(buckets.toLong) * (col("_r2") - 1), lit(2L) * col("_n")))
       .groupBy(col("bucket"))
       .agg(sum(col("_c")).as("n"), sum(col("_p")).as("n_pos"),
         first(col("_n")).as("_tn"), first(col("_np")).as("_tp"))
       .select(col("bucket"), col("n"), col("n_pos"),
         ppmDiv(col("n_pos"), col("n")).as("rate_ppm"),
         when(col("_tp") > 0,
-          floorDiv(col("n_pos").cast("decimal(38,0)") * col("_tn")
+          truncDiv(col("n_pos").cast("decimal(38,0)") * col("_tn")
             * lit(1000000L), col("n").cast("decimal(38,0)") * col("_tp")))
           .as("lift_ppm"))
   }
@@ -175,7 +284,7 @@ object Eval {
         sum("_y").as("n_pos"),
         sum("_s").as("_ssum"))
       .select(col("bin"), col("n"), col("n_pos"),
-        floorDiv(col("_ssum"), col("n")).as("conf_ppm"),
+        truncDiv(col("_ssum"), col("n")).as("conf_ppm"),
         ppmDiv(col("n_pos"), col("n")).as("acc_ppm"),
         abs(col("n_pos") * lit(1000000L) - col("_ssum")).as("gap_num"))
   }

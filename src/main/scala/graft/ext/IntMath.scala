@@ -9,25 +9,35 @@ import org.apache.spark.sql.functions._
   * is DOUBLE division (silently rounds once the numerator passes
   * 2⁵³), and `floor(decimalA / decimalB)` rounds the quotient to the
   * result scale BEFORE the floor (a true quotient of x.9999996 at
-  * scale 6 floors to x+1). Subtracting the pmod first makes the
-  * division exact-integral, and pmod's sign convention makes this
-  * FLOOR division (not truncation toward zero) — the semantics of
-  * DuckDB's `//` and Python's `//` — which matters for negative
-  * numerators (κ, information gain, drift deltas can all go
-  * negative).
+  * scale 6 floors to x+1). Subtracting the `%` remainder first makes
+  * the division exact-integral.
+  *
+  * Sign convention: TRUNCATION toward zero, because that is what
+  * DuckDB's integer `//` actually does (`SELECT (-7) // 2` → −3, on
+  * BIGINT and HUGEINT alike — verified empirically; it is NOT floor
+  * division, despite `//` floor-dividing in Python). Spark's `%` on
+  * decimals takes the dividend's sign (Java remainder), so
+  * `(t − t % d) / d` is exactly trunc(t/d) for every sign
+  * combination — the identical number the oracle's `//` produces.
+  * Operators that need a different convention for negative
+  * numerators (e.g. the log-quantized drift bits) handle the sign
+  * explicitly before dividing.
   */
 object IntMath {
 
-  /** EXACT floor(num / den) over the full BIGINT range (DECIMAL(38,0)
-    * internally; result cast to long). */
-  def floorDiv(num: Column, den: Column): Column = {
+  /** EXACT trunc(num / den) — toward zero, DuckDB `//` semantics —
+    * over the full BIGINT range (DECIMAL(38,0) internally; result
+    * cast to long). */
+  def truncDiv(num: Column, den: Column): Column = {
     val t = num.cast("decimal(38,0)")
     val d = den.cast("decimal(38,0)")
-    ((t - pmod(t, d)) / d).cast("long")
+    ((t - t % d) / d).cast("long")
   }
 
-  /** floor(num·10⁶ / den), exact — the ppm rendering used across the
-    * metric operators. */
+  /** trunc(num·10⁶ / den), exact — the ppm rendering used across the
+    * metric operators (floor for the non-negative numerators almost
+    * every metric produces; toward zero like the oracle's `//`
+    * otherwise). */
   def ppmDiv(num: Column, den: Column): Column =
-    floorDiv(num.cast("decimal(38,0)") * lit(1000000L), den)
+    truncDiv(num.cast("decimal(38,0)") * lit(1000000L), den)
 }

@@ -252,7 +252,7 @@ object Profile {
   def informationGain(df: DataFrame, feature: String, label: String)
       : DataFrame = {
     def bits(n: Column, c: Column): Column =
-      (length(bin(IntMath.floorDiv(n, c))) - 1).cast("long")
+      (length(bin(IntMath.truncDiv(n, c))) - 1).cast("long")
     val xy = df.select(col(feature).cast("string").as("_x"),
         col(label).cast("string").as("_y"))
       .groupBy("_x", "_y").agg(count(lit(1)).as("_cxy"))
@@ -298,7 +298,7 @@ object Profile {
     val tot = byv.groupBy("_g").agg(sum(col("_cnt")).as("_ng"))
     val pct = ranked.join(tot, Seq("_g"))
       .select(col("_g"), col("_v"),
-        IntMath.floorDiv(lit(1000000L) * (col("_r2") - 1),
+        IntMath.truncDiv(lit(1000000L) * (col("_r2") - 1),
           lit(2L) * col("_ng")).as("pct_ppm"))
     df.join(pct, col(group) === col("_g") && value === col("_v"))
       .drop("_g", "_v")
@@ -331,7 +331,7 @@ object Profile {
     val cum = byv.withColumn("_cum", sum(col("_cnt")).over(w))
     val tot = byv.groupBy("_g").agg(sum(col("_cnt")).as("_n"))
     cum.join(tot, Seq("_g"))
-      .withColumn("_k", IntMath.floorDiv(col("_n") * alphaPpm, lit(1000000L)))
+      .withColumn("_k", IntMath.truncDiv(col("_n") * alphaPpm, lit(1000000L)))
       .withColumn("_kept", greatest(lit(0L),
         least(col("_cum"), col("_n") - col("_k")) -
           greatest(col("_cum") - col("_cnt"), col("_k"))))
@@ -342,7 +342,7 @@ object Profile {
       .select(col(group), col("n"), col("n_trimmed_each"), col("n_kept"),
         col("_sum").cast("decimal(38,0)").as("sum_kept"),
         when(col("n_kept") > 0,
-          IntMath.floorDiv(col("_sum"), col("n_kept"))).as("mean_floor"))
+          IntMath.truncDiv(col("_sum"), col("n_kept"))).as("mean_floor"))
   }
 
   /** Quantile mapping (histogram matching): every distinct value of a
@@ -399,7 +399,7 @@ object Profile {
       value = lit(0L) - col("_va"), name = "_negmin")
     merged.filter(col("_isA") === 0)
       .select(col("_vb").as("v_src"),
-        IntMath.floorDiv(lit(1000000L) * (col("_r2") - 1),
+        IntMath.truncDiv(lit(1000000L) * (col("_r2") - 1),
           lit(2L) * col("_tnb")).as("pct_ppm"),
         (lit(0L) - col("_negmin")).as("v_mapped"))
   }
@@ -439,7 +439,7 @@ object Profile {
       (col("_n") * col("_sx")).cast("decimal(38,0)").as("gini_den"),
       IntMath.ppmDiv(lit(2L) * col("_six") - (col("_n") + 1) * col("_sx"),
         col("_n") * col("_sx")).as("gini_ppm"),
-      IntMath.floorDiv(col("_sxx") * lit(1000000L),
+      IntMath.truncDiv(col("_sxx") * lit(1000000L),
         col("_sx") * col("_sx")).as("hhi_ppm"))
   }
 

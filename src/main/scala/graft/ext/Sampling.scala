@@ -317,11 +317,11 @@ object Sampling {
     // multiplications lift to DECIMAL(38,0) BEFORE scaling by 10⁶ —
     // a long multiply would overflow past ~9·10¹² source tokens
     val budget = joined.filter(col("target_ppm") > 0)
-      .select(IntMath.floorDiv(
+      .select(IntMath.truncDiv(
         col("avail_tokens").cast("decimal(38,0)") * lit(1000000L),
         col("target_ppm")).as("_b"))
       .agg(min(col("_b")).as("budget_total"))
-    val quota = IntMath.floorDiv(
+    val quota = IntMath.truncDiv(
       col("budget_total").cast("decimal(38,0)") * col("target_ppm"),
       lit(1000000L))
     joined.crossJoin(broadcast(budget))

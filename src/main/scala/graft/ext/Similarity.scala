@@ -83,6 +83,60 @@ object Similarity {
       graft.functions.VectorSumAgg.vecSum(outer, dims * dims).as("gram"))
   }
 
+  /** Dominant principal direction of the embedding corpus by EXACT
+    * integer power iteration on the [[int8Gram]] matrix — the
+    * whitening/ANN-rotation axis ("which way does this corpus point")
+    * without any float eigensolver, so the answer is bit-identical
+    * across engines, partitionings and hardware.
+    *
+    * v₀ = e₁; each round computes w = G·v as in-row HOFs over the
+    * 1-row Gram array (no shuffle — the corpus was already reduced to
+    * dims² longs by [[int8Gram]]) and renormalizes v ←
+    * trunc(w·10⁶ / max|w|) elementwise ([[IntMath.truncDiv]] —
+    * toward zero, the semantics DuckDB's integer `//` applies to
+    * negative numerators). The per-round renormalization is the
+    * overflow guard: entries stay ≤ 10⁶, so a round's products are
+    * ≤ |G|ₘₐₓ·10⁶·dims ≤ 127²·n·dims·10⁶ — exact in DECIMAL(38,0)
+    * for n·dims up to ~6·10²⁴ rows·dims, i.e. any corpus. Output is
+    * one (dim, v_ppm) row per dimension, v_ppm ∈ [−10⁶, 10⁶] with
+    * max|v_ppm| = 10⁶ (sign convention: whatever the iteration
+    * converged to — deterministic, since there is no randomness).
+    *
+    * Scale shape: one [[int8Gram]] scan-and-reduce; everything after
+    * runs on the dims²-cell Gram frame (materialized once —
+    * localCheckpoint — so the corpus is scanned exactly once), each
+    * round one broadcast equi-join + map-combined groupBy over ≤
+    * dims² rows with the renormalizer crossing as a 1-row broadcast.
+    * `iters` is fixed and small (power iteration converges
+    * geometrically in λ₂/λ₁; 3 rounds separate any non-degenerate
+    * spectrum's direction to ppm scale). */
+  def principalDirection(df: DataFrame, vec: String, dims: Int,
+                         iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters must be in [1, 8]")
+    val spark = df.sparkSession
+    val cells = int8Gram(df, vec, dims)
+      .select(posexplode(col("gram")).as(Seq("_idx", "_g")))
+      .select((col("_idx") / dims).cast("int").as("_i"),
+        pmod(col("_idx"), lit(dims)).cast("int").as("_j"), col("_g"))
+      .localCheckpoint()
+    val v0 = spark.range(dims).select(col("id").cast("int").as("_j"),
+      when(col("id") === 0, lit(1000000L)).otherwise(lit(0L)).as("_v"))
+    // w_i = Σ_j G[i,j]·v_j; G as DECIMAL(28,0) × v as DECIMAL(10,0)
+    // ppm units keeps every product exact inside DECIMAL(38,0) (see
+    // overflow bound above); then v ← trunc(w·10⁶ / max|w|)
+    val vFinal = (1 to iters).foldLeft(v0) { (v, _) =>
+      val w = cells.join(broadcast(v), Seq("_j"))
+        .groupBy(col("_i"))
+        .agg(sum(col("_g").cast("decimal(28,0)") *
+          col("_v").cast("decimal(10,0)")).as("_w"))
+      val mx = w.agg(max(abs(col("_w"))).as("_mx"))
+      w.crossJoin(broadcast(mx))
+        .select(col("_i").as("_j"),
+          IntMath.truncDiv(col("_w") * lit(1000000L), col("_mx")).as("_v"))
+    }
+    vFinal.select(col("_j").cast("long").as("dim"), col("_v").as("v_ppm"))
+  }
+
   /** Symmetric int8 quantization of an embedding — the standard
     * storage/compute compression step before ANN serving (4× smaller
     * than float32, SIMD-friendly dot products downstream). Returns a

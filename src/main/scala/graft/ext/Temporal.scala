@@ -384,6 +384,78 @@ object Temporal {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** CUSUM mean-shift scan per key — "WHEN did this user/feed/sensor
+    * change behaviour", the time-localized companion to the
+    * distribution-level drift tests ([[graft.ext.Drift]] says THAT
+    * two samples differ; this points at the moment). For each key the
+    * cumulative deviation from the key's own mean is
+    * S_t = Σ_{i≤t}(x_i − T/n); the reported statistic is the integer
+    * scaling n·S_t = n·cum_t − t·T (exact — no division at all), its
+    * max |·| over t, and the timestamp achieving it (earliest on
+    * ties) — the classic CUSUM changepoint estimate. Values are
+    * pinned to cents (DECIMAL(18,2)·100) so sums are exact integers.
+    *
+    * Plan shape: one map-combined per-key (n, T) aggregation; one
+    * running sum over a window PARTITIONED BY KEY (bounded per-key
+    * partitions — the honest cost of an ordered scan, never a global
+    * window); one max_by-style struct max per key. Scales per key,
+    * not per corpus. */
+  def cusumChangepoint(events: DataFrame, key: String, ts: String,
+                       tieBreak: String, value: Column): DataFrame = {
+    val x = (value.cast("decimal(18,2)") * 100).cast("long")
+    val base = events.select(col(key).as("k"),
+      unix_micros(col(ts).cast("timestamp")).as("us"),
+      col(tieBreak).as("tb"), x.as("x"))
+    val tot = base.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val w = Window.partitionBy(col("k")).orderBy(col("us"), col("tb"))
+    val dev = base
+      .select(col("k"), col("us"),
+        sum(col("x")).over(w).as("cum"),
+        count(lit(1)).over(w).as("i"))
+      .join(tot, "k")
+      .select(col("k"), col("us"), col("n"),
+        (col("n").cast("decimal(28,0)") * col("cum") -
+          col("i").cast("decimal(28,0)") * col("t"))
+          .cast("decimal(38,0)").as("dev"))
+    dev.groupBy("k")
+      .agg(first(col("n")).as("n"),
+        max(struct(abs(col("dev")).as("a"), (-col("us")).as("nu"),
+          col("dev").as("d"))).as("m"))
+      .select(col("k").as(key), col("n"),
+        col("m.d").cast("long").as("dev_scaled"),
+        (-col("m.nu")).cast("long").as("at_us"))
+  }
+
+  /** Conditional transition entropy H(next | current) per state —
+    * how PREDICTABLE behaviour is from each state, the
+    * information-theoretic summary of [[transitionCounts]] (bot/
+    * scripted traffic shows near-zero entropy; organic browsing is
+    * high). Same engine-portable Zipf-bucket quantization as
+    * [[graft.ext.TextAnalysis.tokenEntropy]]: a transition seen c
+    * times out of a state's s outgoing events contributes
+    * c·floor(log2(s div c)) bits, and `h_ppm` = 10⁶·Σbits div s
+    * (micro-bits per transition).
+    *
+    * Plan shape: [[transitionCounts]]' per-user lag window (bounded
+    * partitions), then two map-combined aggregations over the
+    * (from, to) count table — which is at most |states|² rows, tiny
+    * at any corpus size. */
+  def transitionEntropy(events: DataFrame, user: String, ts: String,
+                        typ: String, tieBreak: String): DataFrame = {
+    val tc = transitionCounts(events, user, ts, typ, tieBreak)
+    val out = tc.groupBy("from_type").agg(sum(col("n_transitions")).as("s"))
+    tc.join(out, "from_type")
+      .withColumn("bits",
+        (col("n_transitions") *
+          (length(bin(expr("s div n_transitions"))) - 1)).cast("long"))
+      .groupBy("from_type")
+      .agg(first(col("s")).as("out_total"),
+        count(lit(1)).as("n_next_states"),
+        sum(col("bits")).as("bits_sum"))
+      .withColumn("h_ppm", expr("bits_sum * 1000000 div out_total"))
+  }
+
   /** Dense time-grid gap filling: per-key hourly (count, exact sum)
     * buckets with MISSING HOURS MATERIALIZED AS ZERO ROWS between the
     * key's first and last active hour — the resample/regularize step

@@ -238,7 +238,7 @@ object TextAnalysis {
     val ng = tf.select(col("_g")).distinct().agg(count(lit(1)).as("_ng"))
     val scored = tf.join(gf, "term").crossJoin(broadcast(ng))
       .withColumn("score",
-        col("tf") * (length(bin(IntMath.floorDiv(col("_ng"),
+        col("tf") * (length(bin(IntMath.truncDiv(col("_ng"),
           col("df_groups")))) - 1).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_g").orderBy(col("score").desc, col("term"))
@@ -273,6 +273,43 @@ object TextAnalysis {
         (length(bin(expr("total div cnt"))) - 1).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("bits_sum"))
+      .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_toks"))
+  }
+
+  /** Cross-corpus unigram surprisal — the actual CCNet-style quality
+    * FILTER shape, where [[unigramSurprisal]] is the self-scored
+    * diagnostic: score every document of one corpus under the unigram
+    * model of a REFERENCE corpus (clean wiki-grade text), so
+    * gibberish, boilerplate and out-of-domain documents surface as
+    * high-surprisal outliers regardless of how self-consistent they
+    * are. Add-one (Laplace) smoothing over the reference vocabulary
+    * keeps out-of-vocabulary tokens finite and integer-exact: a token
+    * seen cnt times in the reference contributes
+    * floor(log2((total+V) / (cnt+1))) bits — the same engine-portable
+    * binary-digit-count quantization as [[unigramSurprisal]] — and
+    * each document also reports its raw OOV count (the sharpest
+    * single gibberish signal).
+    *
+    * Plan shape at scale: one map-combined reference token count, a
+    * 1-row (total, V) broadcast, one shuffle join of the scored token
+    * stream against the reference vocabulary (left join — OOV rows
+    * survive with cnt 0), one map-combined per-doc aggregation. */
+  def crossSurprisal(train: DataFrame, score: DataFrame, id: String,
+                     text: String): DataFrame = {
+    val tc = train
+      .select(explode(filter(tokens(col(text)), t => t =!= "")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val totals = tc.agg(sum(col("cnt")).as("total"), count(lit(1)).as("v"))
+    val toks = score.select(col(id).as("doc_id"),
+      explode(filter(tokens(col(text)), t => t =!= "")).as("t"))
+    toks.join(tc, Seq("t"), "left").na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(totals))
+      .withColumn("bits",
+        (length(bin(expr("(total + v) div (cnt + 1)"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("cnt") === 0L, 1L).otherwise(0L)).as("oov"),
+        sum(col("bits")).as("bits_sum"))
       .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_toks"))
   }
 
@@ -335,7 +372,7 @@ object TextAnalysis {
         sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"))
       .select(col("n_tokens"), col("v_obs"), col("f1"), col("f2"),
         (col("v_obs") * lit(1000000L) +
-          IntMath.floorDiv(lit(1000000L) * col("f1") * (col("f1") - 1),
+          IntMath.truncDiv(lit(1000000L) * col("f1") * (col("f1") - 1),
             lit(2L) * (col("f2") + 1))).as("chao1_ppm"),
         IntMath.ppmDiv(col("f1"), col("n_tokens")).as("unseen_mass_ppm"))
   }
@@ -581,5 +618,75 @@ object TextAnalysis {
     val grams = transform(sequence(lit(0), greatest(n - 5, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(5))))
     array_min(transform(grams, g => md5(g.cast("binary"))))
+  }
+
+  /** Per-term burstiness: the variance-to-mean ratio (index of
+    * dispersion) of a term's per-document counts over the WHOLE
+    * corpus (zero-count documents included) — the standard
+    * clumpiness signal separating topical content words (a doc that
+    * says "actuarial" once says it five times → D ≫ 1) from function
+    * words (spread evenly → D near 1). Filters topic-word candidates
+    * for indexing/stop-listing where raw frequency can't: "the" and
+    * "actuarial" may have similar totals at very different D.
+    *
+    * Exact integers end-to-end: with N docs, Σc and Σc² per term,
+    * D = Var/Mean = (N·Σc² − (Σc)²) / (N·Σc), rendered in ppm by
+    * floor division. Terms below `minTotal` occurrences are dropped
+    * (their D estimate is noise, and the cut bounds the output).
+    *
+    * Scale shape: one map-combined (doc, term) count, one
+    * map-combined per-term moment aggregation, and the corpus size
+    * crossing as a 1-row broadcast — no windows, no joins on the
+    * token stream. */
+  def burstiness(df: DataFrame, id: String, text: String,
+                 minTotal: Long): DataFrame = {
+    val tf = df
+      .select(col(id).as("_d"), explode(tokens(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("_d"), col("term")).agg(count(lit(1)).as("c"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .filter(col("total") >= minTotal)
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("n_docs"), col("total"),
+        IntMath.truncDiv(
+          (dec(col("_n")) * dec(col("sumsq")) -
+            dec(col("total")) * dec(col("total"))) * lit(1000000L),
+          dec(col("_n")) * dec(col("total"))).as("d_ppm"))
+  }
+
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): the LOCAL companion to [[fingerprint]]'s single
+    * global minimum. Every window of `w` consecutive token-`n`-gram
+    * hashes contributes its minimum; the per-document fingerprint set
+    * is the sorted distinct selected hashes. The winnowing guarantee:
+    * any shared run of ≥ w+n−1 tokens between two documents shares at
+    * least one fingerprint — so matching on fingerprints finds every
+    * sufficiently long verbatim overlap (the recall-guaranteed
+    * cousin of MinHash, which guarantees nothing per-document).
+    *
+    * Hashes are the leading 48 bits of the md5 of the space-joined
+    * gram (exact in a long; engine-stable, no seed). Documents
+    * shorter than one window still emit the minimum of whatever
+    * grams exist — never an empty set for non-empty text.
+    *
+    * Scale shape: pure in-row HOFs (two nested transform/slice
+    * passes, ~grams·w comparisons per doc) — scan speed, no shuffle,
+    * no state; the output set is ≤ grams/⌈w/2⌉ expected entries. */
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column = {
+    require(n >= 1 && w >= 1, "n and w must be positive")
+    val toks = tokens(text)
+    val nt = size(toks)
+    val hashes = transform(sequence(lit(0), greatest(nt - n, lit(0))),
+      i => conv(substring(md5(
+        concat_ws(" ", slice(toks, i + 1, lit(n))).cast("binary")),
+        1, 12), 16, 10).cast("long"))
+    val mins = transform(
+      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(w))))
+    array_sort(array_distinct(mins))
   }
 }

@@ -3382,7 +3382,7 @@ object ExtQ {
       val dims = 64
       Similarity.int8Gram(t(s, d, "embeddings"), "embedding", dims)
         .select($"n", posexplode($"gram").as(Seq("idx", "s")))
-        .select($"n", IntMath.floorDiv($"idx", lit(dims)).as("i"),
+        .select($"n", IntMath.truncDiv($"idx", lit(dims)).as("i"),
           pmod($"idx", lit(dims)).cast("long").as("j"), $"s")
         .orderBy($"i", $"j")
     },
@@ -4046,6 +4046,273 @@ object ExtQ {
        |  1000000::BIGINT AS recall_ppm
        |FROM jac WHERE jaccard >= 0.6""".stripMargin)
 
+  /** Dominant principal direction by exact integer power iteration on
+    * the int8 Gram matrix — 3 rounds, ppm renormalization each round;
+    * the oracle replays the identical integer recurrence, so the
+    * direction must match to the last ppm unit. */
+  private val x143: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Similarity.principalDirection(t(s, d, "embeddings"), "embedding",
+          dims = 64, iters = 3)
+        .orderBy($"dim")
+    },
+    """WITH m AS (
+      |  SELECT embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT CASE WHEN maxabs = 0
+      |    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(embedding,
+      |      x -> CAST(greatest(-127.0, least(127.0,
+      |        floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+      |        AS BIGINT)) END AS qv
+      |  FROM m),
+      |ij AS (SELECT ti.range AS i, tj.range AS j
+      |       FROM range(0, 64) ti, range(0, 64) tj),
+      |gram AS (SELECT ij.i, ij.j,
+      |           SUM(qv[ij.i + 1] * qv[ij.j + 1])::HUGEINT AS g
+      |         FROM q, ij GROUP BY ij.i, ij.j),
+      |w1 AS (SELECT i, g * 1000000 AS w FROM gram WHERE j = 0),
+      |v1 AS (SELECT i, (w * 1000000) // (SELECT MAX(ABS(w)) FROM w1) AS v
+      |       FROM w1),
+      |w2 AS (SELECT gram.i, SUM(gram.g * v1.v) AS w
+      |       FROM gram JOIN v1 ON gram.j = v1.i GROUP BY gram.i),
+      |v2 AS (SELECT i, (w * 1000000) // (SELECT MAX(ABS(w)) FROM w2) AS v
+      |       FROM w2),
+      |w3 AS (SELECT gram.i, SUM(gram.g * v2.v) AS w
+      |       FROM gram JOIN v2 ON gram.j = v2.i GROUP BY gram.i),
+      |v3 AS (SELECT i, (w * 1000000) // (SELECT MAX(ABS(w)) FROM w3) AS v
+      |       FROM w3)
+      |SELECT i::BIGINT AS dim, v::BIGINT AS v_ppm
+      |FROM v3 ORDER BY dim""".stripMargin)
+
+  /** Leading-`k`-hex-digit integer of an md5 expression — DuckDB
+    * mirror of `conv(substring(h, 1, k), 16, 10)` (k ≤ 15 stays
+    * exact in BIGINT). Emitted as nested nibble arithmetic, usable
+    * inside list lambdas. */
+  private def hexSql(h: String, k: Int): String = {
+    require(k >= 1 && k <= 15)
+    val terms = (1 to k).map(i =>
+      s"strpos('0123456789abcdef', substr($h, $i, 1)) - 1)")
+    ("(" * k) + terms.mkString(" * 16 + ")
+  }
+
+  private def hex6Sql(h: String): String = hexSql(h, 6)
+
+  /** Deterministic Poisson-bootstrap CI for mean document length —
+    * the oracle replays every replicate's hash-drawn multiplicities
+    * and the exact order-statistic interval. */
+  private val x144: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Eval.bootstrapCI(t(s, d, "documents"), $"doc_id", length($"text"),
+        reps = 200, salt = "ci1")
+    },
+    s"""WITH rws AS (SELECT CAST(doc_id AS VARCHAR) AS k,
+       |              length(text)::BIGINT AS x FROM documents),
+       |rs AS (SELECT range AS r FROM range(0, 200)),
+       |uu AS (SELECT r, x,
+       |  ${hex6Sql("md5('ci1:' || CAST(r AS VARCHAR) || ':' || k)")}
+       |    % 1000000 AS u
+       |  FROM rws, rs),
+       |ww AS (SELECT r, x,
+       |  ${Eval.PoissonCumPpm.map(c =>
+            s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")}
+       |    AS w FROM uu),
+       |rm AS (SELECT r, (SUM(w * x)::HUGEINT * 1000000) // SUM(w) AS m
+       |       FROM ww GROUP BY r),
+       |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM rm),
+       |base AS (SELECT COUNT(*)::BIGINT AS n,
+       |  ((SUM(length(text))::HUGEINT * 1000000) // COUNT(*))::BIGINT
+       |    AS mean_ppm FROM documents)
+       |SELECT 200::BIGINT AS reps, base.n, base.mean_ppm,
+       |  (SELECT m FROM rk WHERE rk = 5)::BIGINT AS lo_ppm,
+       |  (SELECT m FROM rk WHERE rk = 196)::BIGINT AS hi_ppm
+       |FROM base""".stripMargin)
+
+  /** Winnowing fingerprint sets (n=3-gram hashes, window w=8) —
+    * every selected hash of every document, replayed nibble-for-
+    * nibble by the oracle's list lambdas. */
+  private val x145: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          explode(TextAnalysis.winnowFingerprints($"text", n = 3, w = 8))
+            .as("fp"))
+        .orderBy($"doc_id", $"fp")
+    },
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |              FROM documents),
+       |g AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+       |    i -> md5(array_to_string(tk[i:i+2], ' '))) AS hs
+       |  FROM toks),
+       |h AS (SELECT doc_id,
+       |  list_transform(hs, x -> ${hexSql("x", 12)}) AS hv FROM g),
+       |m AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(len(hv) - 7, 1) + 1),
+       |    i -> list_min(hv[i:i+7])) AS mins FROM h)
+       |SELECT doc_id, unnest(list_sort(list_distinct(mins)))::BIGINT AS fp
+       |FROM m ORDER BY doc_id, fp""".stripMargin)
+
+  /** Term burstiness (index of dispersion over per-doc counts, zeros
+    * included) for terms with ≥ 100 corpus occurrences. */
+  private val x146: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.burstiness(t(s, d, "documents"), "doc_id", "text",
+          minTotal = 100L)
+        .orderBy($"term")
+    },
+    """WITH tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE len(term) > 0 GROUP BY doc_id, term),
+      |nn AS (SELECT COUNT(*)::HUGEINT AS n FROM documents),
+      |st AS (SELECT term, COUNT(*)::BIGINT AS n_docs,
+      |         SUM(c)::HUGEINT AS total, SUM(c * c)::HUGEINT AS sumsq
+      |       FROM tf GROUP BY term)
+      |SELECT term, n_docs, total::BIGINT AS total,
+      |  ((nn.n * sumsq - total * total) * 1000000
+      |    // (nn.n * total))::BIGINT AS d_ppm
+      |FROM st, nn WHERE total >= 100 ORDER BY term""".stripMargin)
+
+  /** RBO between parts-by-revenue-cents and parts-by-line-count
+    * top-50 rankings (p = 0.9, integer-recurrence weights) — both
+    * rankings built with TopKAgg, ranked on exact integer cents so
+    * the two engines' orderings cannot diverge on a float ulp. */
+  private val x147: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      def top50(keyed: DataFrame) = keyed
+        .agg(graft.functions.TopKAgg.topk($"c".cast("double"), $"i", 50)
+          .as("top"))
+        .select(posexplode($"top").as(Seq("p", "s")))
+        .select($"s.id".as("item"), ($"p" + 1).cast("long").as("rank"))
+      val byRev = top50(li.groupBy($"l_partkey".as("i"))
+        .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100)
+          .cast("long")).as("c")))
+      val byCnt = top50(li.groupBy($"l_partkey".as("i"))
+        .agg(count(lit(1)).as("c")))
+      Eval.rankBiasedOverlap(byRev, byCnt, "item", "rank", k = 50)
+    },
+    """WITH RECURSIVE
+      |rev AS (SELECT l_partkey AS i,
+      |          SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |            AS BIGINT))::HUGEINT AS c
+      |        FROM lineitem GROUP BY 1),
+      |ra AS (SELECT i, ROW_NUMBER() OVER (ORDER BY c DESC, i) AS r
+      |       FROM rev QUALIFY r <= 50),
+      |cnt AS (SELECT l_partkey AS i, COUNT(*)::HUGEINT AS c
+      |        FROM lineitem GROUP BY 1),
+      |rb AS (SELECT i, ROW_NUMBER() OVER (ORDER BY c DESC, i) AS r
+      |       FROM cnt QUALIFY r <= 50),
+      |wt(d, w) AS (SELECT 1, 1000000000000000000::HUGEINT
+      |             UNION ALL SELECT d + 1, (w * 9) // 10 FROM wt
+      |             WHERE d < 50),
+      |joint AS (SELECT greatest(ra.r, rb.r) AS m FROM ra JOIN rb USING (i)),
+      |inter AS (SELECT wt.d, COUNT(*)::HUGEINT AS x
+      |          FROM joint JOIN wt ON wt.d >= joint.m GROUP BY wt.d),
+      |s AS (SELECT COALESCE(SUM((wt.w * inter.x) // inter.d),
+      |        0)::HUGEINT AS s
+      |      FROM inter JOIN wt ON wt.d = inter.d)
+      |SELECT 50::BIGINT AS k,
+      |  (SELECT COUNT(*) FROM joint)::BIGINT AS n_joint,
+      |  (s.s // 10000000000000)::BIGINT AS rbo_ppm
+      |FROM s""".stripMargin)
+
+  /** Cross-corpus surprisal: every document scored under the English
+    * reference model with add-one smoothing — OOV counts and
+    * Zipf-bucket bits, replayed exactly by the oracle. */
+  private val x148: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      TextAnalysis.crossSurprisal(docs.filter($"lang" === "en"), docs,
+          "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    """WITH tr AS (SELECT unnest(string_split(text, ' ')) AS t
+      |            FROM documents WHERE lang = 'en'),
+      |tc AS (SELECT t, COUNT(*)::BIGINT AS cnt FROM tr
+      |       WHERE len(t) > 0 GROUP BY t),
+      |tot AS (SELECT SUM(cnt)::BIGINT AS total, COUNT(*)::BIGINT AS v
+      |        FROM tc),
+      |tk AS (SELECT doc_id, term FROM
+      |         (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |          FROM documents)
+      |       WHERE len(term) > 0),
+      |sc AS (SELECT tk.doc_id, COALESCE(tc.cnt, 0) AS cnt
+      |       FROM tk LEFT JOIN tc ON tc.t = tk.term)
+      |SELECT sc.doc_id, COUNT(*)::BIGINT AS n_toks,
+      |  SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END)::BIGINT AS oov,
+      |  SUM(length(bin((tot.total + tot.v) // (cnt + 1))) - 1)::BIGINT
+      |    AS bits_sum,
+      |  ((SUM(length(bin((tot.total + tot.v) // (cnt + 1))) - 1)
+      |    * 1000000) // COUNT(*))::BIGINT AS surprisal_ppm
+      |FROM sc, tot GROUP BY sc.doc_id ORDER BY sc.doc_id""".stripMargin)
+
+  /** CUSUM changepoint per user over event values (cents) — max
+    * scaled deviation and its timestamp, earliest on ties. */
+  private val x149: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.cusumChangepoint(t(s, d, "events").filter($"user_id" < 200),
+          "user_id", "ts", "event_id", $"value")
+        .orderBy($"user_id")
+    },
+    """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id,
+      |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |               AS x
+      |           FROM events WHERE user_id < 200),
+      |t AS (SELECT k, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS tot
+      |      FROM e GROUP BY k),
+      |c AS (SELECT k, us,
+      |        SUM(x) OVER (PARTITION BY k ORDER BY us, event_id
+      |          ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum,
+      |        ROW_NUMBER() OVER (PARTITION BY k ORDER BY us, event_id)
+      |          ::HUGEINT AS i
+      |      FROM e),
+      |d AS (SELECT c.k, c.us, (t.n * c.cum - c.i * t.tot) AS dev, t.n
+      |      FROM c JOIN t ON t.k = c.k),
+      |sel AS (SELECT k, us, dev, n, ROW_NUMBER() OVER (PARTITION BY k
+      |          ORDER BY abs(dev) DESC, us) AS r FROM d)
+      |SELECT k AS user_id, n::BIGINT AS n, dev::BIGINT AS dev_scaled,
+      |  us AS at_us
+      |FROM sel WHERE r = 1 ORDER BY user_id""".stripMargin)
+
+  /** Conditional transition entropy H(next | current) of the event
+    * chain — Zipf-bucket bits per from-state. */
+  private val x150: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.transitionEntropy(t(s, d, "events"), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy($"from_type")
+    },
+    """WITH o AS (SELECT user_id, ts, event_id, event_type,
+      |             LAG(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS from_type
+      |           FROM events),
+      |tc AS (SELECT from_type, event_type AS to_type,
+      |         COUNT(*)::BIGINT AS c
+      |       FROM o WHERE from_type IS NOT NULL
+      |       GROUP BY from_type, event_type),
+      |s AS (SELECT from_type, SUM(c)::BIGINT AS s FROM tc
+      |      GROUP BY from_type)
+      |SELECT tc.from_type, s.s AS out_total,
+      |  COUNT(*)::BIGINT AS n_next_states,
+      |  SUM(tc.c * (length(bin(s.s // tc.c)) - 1))::BIGINT AS bits_sum,
+      |  ((SUM(tc.c * (length(bin(s.s // tc.c)) - 1)) * 1000000)
+      |    // s.s)::BIGINT AS h_ppm
+      |FROM tc JOIN s USING (from_type)
+      |GROUP BY tc.from_type, s.s ORDER BY tc.from_type""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4189,5 +4456,13 @@ object ExtQ {
     "x140_class_tfidf" -> (x140._1, Some(x140._2)),
     "x141_ab_chisq" -> (x141._1, Some(x141._2)),
     "x142_lsh_banding_audit" -> (x142._1, Some(x142._2)),
+    "x143_principal_direction" -> (x143._1, Some(x143._2)),
+    "x144_bootstrap_ci" -> (x144._1, Some(x144._2)),
+    "x145_winnow_fingerprints" -> (x145._1, Some(x145._2)),
+    "x146_term_burstiness" -> (x146._1, Some(x146._2)),
+    "x147_rank_biased_overlap" -> (x147._1, Some(x147._2)),
+    "x148_cross_surprisal" -> (x148._1, Some(x148._2)),
+    "x149_cusum_changepoint" -> (x149._1, Some(x149._2)),
+    "x150_transition_entropy" -> (x150._1, Some(x150._2)),
   )
 }

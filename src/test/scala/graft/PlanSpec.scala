@@ -165,7 +165,12 @@ class PlanSpec extends AnyFunSuite {
       "x132_component_sizes",    // two 1-row counts crossed (singletons)
       "x135_decile_lift",        // 1-row (n, n_pos) totals broadcast
       "x140_class_tfidf",        // 1-row group-count broadcast
-      "x142_lsh_banding_audit")  // three 1-row counts crossed
+      "x142_lsh_banding_audit",  // three 1-row counts crossed
+      "x143_principal_direction", // 1-row renormalizer broadcast per round
+      "x144_bootstrap_ci",       // 1-row order-statistic frame crossed
+      "x146_term_burstiness",    // 1-row corpus-size broadcast
+      "x147_rank_biased_overlap", // two 1-row frames crossed (S × n_joint)
+      "x148_cross_surprisal")    // 1-row (total, V) broadcast
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

@@ -99,18 +99,23 @@ class EvalSpec extends AnyFunSuite {
     assert(nv.getAs[Long]("diag") == 2L)
   }
 
-  test("cohenKappa: negative kappa floors like DuckDB's // (not truncate)") {
+  test("cohenKappa: negative kappa truncates like DuckDB's // (not floor)") {
     // systematic disagreement: po=0, pe=1/2 → kappa = -1
     val rows = Seq(("y", "n"), ("n", "y")).toDF("a", "b")
     val r = Eval.cohenKappa(rows.toDF("a", "b"), $"a", $"b").collect().head
     assert(r.getAs[Long]("kappa_num") == -2L && r.getAs[Long]("kappa_den") == 2L)
     assert(r.getAs[Long]("kappa_ppm") == -1000000L)
-    // a non-divisible negative fraction must floor downward:
-    // 3 annotations, diag=1, pe via marginals → check floor(num*1e6/den)
-    val rows2 = Seq(("a", "a"), ("a", "b"), ("b", "a")).toDF("a", "b")
+    // a non-divisible negative fraction must truncate TOWARD ZERO —
+    // DuckDB's integer `//` truncates (SELECT (-7)//2 → -3), so the
+    // engine mirrors that, NOT Python-style floor
+    // num = 3·0 − 2 = −2, den = 9 − 2 = 7: −2·10⁶/7 = −285714.28…
+    // → trunc −285714 (floor would give −285715)
+    val rows2 = Seq(("a", "c"), ("a", "c"), ("b", "a")).toDF("a", "b")
     val r2 = Eval.cohenKappa(rows2, $"a", $"b").collect().head
     val num = r2.getAs[Long]("kappa_num"); val den = r2.getAs[Long]("kappa_den")
-    assert(r2.getAs[Long]("kappa_ppm") == Math.floorDiv(num * 1000000L, den))
+    assert(num == -2L && den == 7L)
+    assert(num * 1000000L % den != 0L) // the case where the two differ
+    assert(r2.getAs[Long]("kappa_ppm") == -285714L)
   }
 
   test("retrievalEval: MRR / hits@k / recall@k per query") {
@@ -174,5 +179,48 @@ class EvalSpec extends AnyFunSuite {
       .orderBy("bucket").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
     assert(g2.toSeq == Seq((0L, 3L, 2L, 1333333L), (1L, 1L, 0L, 0L)))
+  }
+
+  test("bootstrapCI: constant column degenerates to a point interval") {
+    val df = spark.range(100).selectExpr("id AS k", "7 AS x")
+    val r = Eval.bootstrapCI(df, col("k"), col("x"), reps = 40,
+      salt = "t").collect().head
+    assert(r.getAs[Long]("reps") == 40L && r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("mean_ppm") == 7000000L)
+    assert(r.getAs[Long]("lo_ppm") == 7000000L)
+    assert(r.getAs[Long]("hi_ppm") == 7000000L)
+  }
+
+  test("bootstrapCI: ordered interval brackets the mean, repartition-stable") {
+    val df = spark.range(200).selectExpr("id AS k", "id % 13 AS x")
+    def run(parts: Int) = Eval.bootstrapCI(df.repartition(parts),
+      col("k"), col("x"), reps = 80, salt = "s1").collect().head
+    val a = run(1); val b = run(7)
+    assert(a.toSeq == b.toSeq) // hash-deterministic under partitioning
+    val (lo, hi, m) = (a.getAs[Long]("lo_ppm"), a.getAs[Long]("hi_ppm"),
+      a.getAs[Long]("mean_ppm"))
+    assert(lo <= hi && lo <= m && m <= hi)
+    assert(lo > 0L && hi < 12L * 1000000L)
+  }
+
+  test("rankBiasedOverlap: identical, swapped and disjoint rankings") {
+    def ranked(items: Seq[Long]) = items.zipWithIndex
+      .map { case (i, p) => (i, (p + 1).toLong) }.toDF("item", "rank")
+    val k = 10
+    val weights = Seq.iterate(1000000000000000000L, k)(w => w * 9 / 10)
+    // identical lists: inter_d = d at every depth → S = Σ w_d
+    val same = Eval.rankBiasedOverlap(ranked(1L to 10L), ranked(1L to 10L),
+      "item", "rank", k).collect().head
+    assert(same.getAs[Long]("n_joint") == 10L)
+    assert(same.getAs[Long]("rbo_ppm") == weights.sum / 10000000000000L)
+    // two items, swapped order: inter = (0, 2) → S = w₂ → 0.09 → 90000
+    val ab = ranked(Seq(1L, 2L)); val ba = ranked(Seq(2L, 1L))
+    val sw = Eval.rankBiasedOverlap(ab, ba, "item", "rank", k = 2)
+      .collect().head
+    assert(sw.getAs[Long]("rbo_ppm") == 90000L)
+    // disjoint lists
+    val dj = Eval.rankBiasedOverlap(ranked(1L to 5L), ranked(11L to 15L),
+      "item", "rank", k = 5).collect().head
+    assert(dj.getAs[Long]("n_joint") == 0L && dj.getAs[Long]("rbo_ppm") == 0L)
   }
 }

@@ -1200,4 +1200,24 @@ class ExtSpec extends AnyFunSuite {
       ("s1", 1L, 2L, 1L),
       ("s2", 2L, 2L, 0L)))
   }
+
+  test("winnowFingerprints: shared run of w+n−1 tokens shares a fingerprint") {
+    // n=3, w=8 → any shared run of 10 tokens yields one full window of
+    // identical gram hashes in both docs, whose minimum is selected
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"x y z $shared"),
+      (3L, "nothing in common here at all")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+        TextAnalysis.winnowFingerprints($"text", n = 3, w = 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // sets are sorted-distinct and non-empty even below one window
+    val tiny = Seq((9L, "a b")).toDF("doc_id", "text")
+      .select(TextAnalysis.winnowFingerprints($"text", n = 3, w = 8).as("fp"))
+      .collect().head.getSeq[Long](0)
+    assert(tiny.size == 1) // single short gram → its own fingerprint
+  }
 }

@@ -232,4 +232,50 @@ class StatsSpec extends AnyFunSuite {
     val got = Drift.klDriftBits(c, c, "text").collect()
     assert(got.nonEmpty && got.forall(r => r.getLong(3) == 0L))
   }
+
+  test("crossSurprisal: add-one smoothing, OOV bits, hand-computed") {
+    // reference: a:3 b:1 → total 4, V 2 → smoothed denominator 6
+    val train = Seq("a a a b").toDF("text")
+    val score = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.crossSurprisal(train, score, "doc_id", "text")
+      .collect().head
+    // a: 6//4=1 → 0 bits; b: 6//2=3 → 1 bit; c OOV: 6//1=6 → 2 bits
+    assert(r.getAs[Long]("n_toks") == 3L && r.getAs[Long]("oov") == 1L)
+    assert(r.getAs[Long]("bits_sum") == 3L)
+    assert(r.getAs[Long]("surprisal_ppm") == 1000000L)
+  }
+
+  test("principalDirection replays the exact BigInt recurrence") {
+    // 8 copies of (1,2) plant the dominant axis toward dim 1; one
+    // (3,0) keeps the start vector e1 non-orthogonal to it
+    val df = (Seq.fill(8)(Seq(1.0f, 2.0f)) :+ Seq(3.0f, 0.0f))
+      .toDF("embedding").repartition(3)
+    // quantized: (1,2) → (64,127); (3,0) → (127,0)
+    val g = Array(
+      Array(BigInt(8 * 64 * 64 + 127 * 127), BigInt(8 * 64 * 127)),
+      Array(BigInt(8 * 64 * 127), BigInt(8 * 127 * 127)))
+    var v = Array(BigInt(1000000), BigInt(0))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(2)(i => (0 until 2).map(j => g(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = w.map(x => x.abs * 1000000 / mx * x.signum)
+    }
+    val got = Similarity.principalDirection(df, "embedding", dims = 2)
+      .orderBy("dim").collect().map(_.getLong(1))
+    assert(got.toSeq == v.map(_.toLong).toSeq)
+    // the planted (1,2)-ish axis dominates: |v| peaks at dim 1
+    assert(got(1) == 1000000L && math.abs(got(0)) < 1000000L)
+  }
+
+  test("burstiness: hand-computed dispersion with zero-count docs") {
+    val df = Seq((1L, "a a a"), (2L, "b"), (3L, "b"))
+      .toDF("doc_id", "text").repartition(2)
+    // a: N=3, Σc=3, Σc²=9 → D=(3·9−9)/(3·3)=2 → 2·10⁶ ppm
+    // b: Σc=2, Σc²=2 → (3·2−4)/(3·2)=1/3 → 333333 ppm (floored)
+    val m = TextAnalysis.burstiness(df, "doc_id", "text", minTotal = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("a") == ((1L, 3L, 2000000L)))
+    assert(m("b") == ((2L, 2L, 333333L)))
+  }
 }

@@ -337,4 +337,37 @@ class TemporalSpec extends AnyFunSuite {
     // eid 10: arr = [10,12,14,16] → med 12, mad 2; |18−12| = 6 ≤ 3·2
     assert(got(10L) == ((4L, Some(12L), Some(false))))
   }
+
+  test("cusumChangepoint pins the shift boundary, earliest on ties") {
+    import org.apache.spark.sql.functions.col
+    // mean shifts 0→10 after the 3rd event: max |n·cum − i·T| at i=3
+    val rows = (1 to 6).map(i =>
+      (7L, ts(f"2024-01-01 00:0$i:00"), i.toLong,
+        if (i <= 3) 0.0 else 10.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value").repartition(3)
+    val r = Temporal.cusumChangepoint(df, "user_id", "ts", "event_id",
+      col("value")).collect().head
+    assert(r.getAs[Long]("n") == 6L)
+    // cents: T = 3000; devs −3000,−6000,−9000,−6000,−3000,0
+    assert(r.getAs[Long]("dev_scaled") == -9000L)
+    assert(r.getAs[Long]("at_us") ==
+      ts("2024-01-01 00:03:00").getTime * 1000L)
+  }
+
+  test("transitionEntropy: hand-computed Zipf-bucket bits per state") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "A"),
+      (1L, ts("2024-01-01 00:02:00"), 2L, "B"),
+      (1L, ts("2024-01-01 00:03:00"), 3L, "A"),
+      (1L, ts("2024-01-01 00:04:00"), 4L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type").repartition(2)
+    val got = Temporal.transitionEntropy(df, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // from A: {B:1, C:1}, s=2 → bits 1+1=2, h = 10⁶·2/2
+    assert(got("A") == ((2L, 2L, 2L, 1000000L)))
+    // from B: {A:1}, s=1 → fully predictable, zero bits
+    assert(got("B") == ((1L, 1L, 0L, 0L)))
+  }
 }
