@@ -345,6 +345,52 @@ object Profile {
           IntMath.truncDiv(col("_sum"), col("n_kept"))).as("mean_floor"))
   }
 
+  /** Winsorized mean per group — [[trimmedMean]]'s robust sibling
+    * that CLIPS instead of discards: the k = ⌊n·α⌋ smallest values
+    * are replaced by the value at rank k+1 and the k largest by the
+    * value at rank n−k, so every row still votes (the estimator of
+    * choice when trimming would throw away real mass, e.g. heavy-
+    * tailed latency/length columns). Exact integers: winsorized sum =
+    * Σ(kept copies · value) + k·v_lo + k·v_hi over the distinct-value
+    * spine, mean = trunc(sum/n).
+    *
+    * Same scale shape as [[trimmedMean]]: ties collapse map-side to a
+    * per-group DISTINCT-value spine, one per-group cumulative window
+    * over that spine (bounded by distinct values, not rows), and the
+    * boundary values fall out of the same cumulative bracketing that
+    * does the trimming — no extra pass, no sort of raw rows. */
+  def winsorizedMean(df: DataFrame, group: String, value: Column,
+                     alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm < 500000,
+      "alphaPpm must be in [0, 500000) — clipping half from each end is degenerate")
+    val byv = df.select(col(group).as("_g"), value.cast("long").as("_v"))
+      .groupBy("_g", "_v").agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byv.withColumn("_cum", sum(col("_cnt")).over(w))
+    val tot = byv.groupBy("_g").agg(sum(col("_cnt")).as("_n"))
+    val lo = col("_cum") - col("_cnt") // exclusive cumulative before row
+    cum.join(tot, Seq("_g"))
+      .withColumn("_k", IntMath.truncDiv(col("_n") * alphaPpm, lit(1000000L)))
+      .withColumn("_kept", greatest(lit(0L),
+        least(col("_cum"), col("_n") - col("_k")) -
+          greatest(lo, col("_k"))))
+      .withColumn("_lo_mass", // this row holds rank k+1 → absorbs k copies
+        when(lo < col("_k") + 1 && col("_cum") >= col("_k") + 1,
+          col("_k")).otherwise(lit(0L)))
+      .withColumn("_hi_mass", // this row holds rank n−k
+        when(lo < col("_n") - col("_k") && col("_cum") >= col("_n") - col("_k"),
+          col("_k")).otherwise(lit(0L)))
+      .groupBy(col("_g").as(group))
+      .agg(min(col("_n")).as("n"), min(col("_k")).as("n_clipped_each"),
+        sum((col("_kept") + col("_lo_mass") + col("_hi_mass"))
+          .cast("decimal(38,0)") * col("_v")).as("_sum"))
+      .select(col(group), col("n"), col("n_clipped_each"),
+        col("_sum").cast("decimal(38,0)").as("sum_winsorized"),
+        when(col("n") > 0, IntMath.truncDiv(col("_sum"), col("n")))
+          .as("mean_floor"))
+  }
+
   /** Quantile mapping (histogram matching): every distinct value of a
     * SOURCE distribution mapped to the REFERENCE distribution's value
     * at the same quantile — the score-harmonization step when a

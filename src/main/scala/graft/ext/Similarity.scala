@@ -379,6 +379,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Mutual nearest-neighbour pairs between two embedding sets — the
+    * margin-free alignment criterion of bitext/parallel-data mining
+    * (LASER/CCMatrix-style): a is paired with b only when b is a's
+    * single nearest neighbour in B AND a is b's nearest in A. One-way
+    * nearest neighbours produce asymmetric junk pairs at corpus
+    * scale; mutuality is the cheap filter that makes mined pairs
+    * trainable. Returns (id_a, id_b, cosine) for each mutual pair.
+    *
+    * Shape: two [[bruteForceTopK]] passes at k = 1 (query side
+    * broadcasts, corpus streams and drives parallelism, per-query
+    * top-1 is a bounded window) and one equi-join on the pair key for
+    * the mutuality check. Exact — the correctness baseline; at
+    * 100 TB replace each pass's candidate generation with the banded
+    * [[lshTopK]] and keep the identical mutual join. */
+  def mutualNearestPairs(a: DataFrame, aId: String, aVec: String,
+                         b: DataFrame, bId: String, bVec: String)
+      : DataFrame = {
+    val ab = bruteForceTopK(a, aId, aVec, b, bId, bVec, k = 1)
+      .select(col("query_id").as("id_a"), col("neighbour_id").as("id_b"),
+        col("cosine"))
+    val ba = bruteForceTopK(b, bId, bVec, a, aId, aVec, k = 1)
+      .select(col("query_id").as("id_b"), col("neighbour_id").as("id_a"))
+    ab.join(ba, Seq("id_a", "id_b"))
+  }
+
   /** Hard-negative mining (contrastive-training data prep): for each
     * query vector, the k most cosine-similar corpus vectors carrying a
     * DIFFERENT label — the near-boundary negatives that make

@@ -384,6 +384,40 @@ object Temporal {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Rolling N-day active users (DAU/WAU-style) — for every day with
+    * any activity, the count of distinct users active in the
+    * `windowDays`-day window ENDING that day. The textbook hard case
+    * for sliding-window distinct counting: a plain GROUP BY cannot
+    * express it (a user active twice in the window must count once),
+    * and per-day re-scans are quadratic.
+    *
+    * Shape: the event stream first collapses to distinct (user, day)
+    * pairs (ONE map-combined distinct — the only aggregation
+    * proportional to event volume); each pair then covers its next
+    * `windowDays` days via an in-row `sequence` explode (bounded ×W
+    * blowup of the already-tiny user-day frame), a second distinct
+    * collapses multi-day users inside each window, and a count per
+    * day finishes. Days with no activity of their own are dropped by
+    * an equi-join against the active-day list (an "as of day X"
+    * readout for a day the system was dark is not meaningful). */
+  def rollingActiveUsers(events: DataFrame, ts: String, user: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      "windowDays must be in [1, 370]")
+    val ud = events.select(to_date(col(ts)).as("d"), col(user).as("u"))
+      .distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    val dau = ud.groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val cov = ud
+      .select(explode(sequence(col("d"),
+        date_add(col("d"), windowDays - 1))).as("day"), col("u"))
+      .join(days, "day")
+      .distinct()
+    val wau = cov.groupBy("day").agg(count(lit(1)).as("rolling_active"))
+    dau.join(wau, "day").orderBy("day")
+  }
+
   /** CUSUM mean-shift scan per key — "WHEN did this user/feed/sensor
     * change behaviour", the time-localized companion to the
     * distribution-level drift tests ([[graft.ext.Drift]] says THAT

@@ -4313,6 +4313,100 @@ object ExtQ {
       |FROM tc JOIN s USING (from_type)
       |GROUP BY tc.from_type, s.s ORDER BY tc.from_type""".stripMargin)
 
+  /** Rolling 7-day active users per active day, plus same-day DAU. */
+  private val x151: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.rollingActiveUsers(t(s, d, "events"), "ts", "user_id",
+        windowDays = 7)
+    },
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u
+      |            FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM ud),
+      |dau AS (SELECT d AS day, COUNT(*)::BIGINT AS dau FROM ud
+      |        GROUP BY 1),
+      |cov AS (SELECT DISTINCT CAST(t.day AS DATE) AS day, ud.u
+      |        FROM ud, unnest(generate_series(ud.d,
+      |          ud.d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS t(day)),
+      |wau AS (SELECT cov.day, COUNT(*)::BIGINT AS rolling_active
+      |        FROM cov JOIN days ON days.day = cov.day GROUP BY cov.day)
+      |SELECT dau.day, dau.dau, wau.rolling_active
+      |FROM dau JOIN wau ON wau.day = dau.day ORDER BY dau.day""".stripMargin)
+
+  /** Mutual nearest-neighbour pairs between the even- and odd-id
+    * embedding halves — bitext-mining's alignment criterion; the
+    * oracle replays both top-1 passes and the mutuality join. */
+  private val x152: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      Similarity.mutualNearestPairs(
+          emb.filter(pmod($"vec_id", lit(2)) === 0), "vec_id", "embedding",
+          emb.filter(pmod($"vec_id", lit(2)) === 1), "vec_id", "embedding")
+        .select($"id_a", $"id_b",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"id_a")
+    },
+    s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings
+       |      WHERE vec_id % 2 = 1),
+       |ab AS (SELECT id_a, id_b, cosine FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+       |      AS r
+       |  FROM a, b) WHERE r = 1),
+       |ba AS (SELECT id_b, id_a FROM (
+       |  SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |      ${cosineSql("b.embedding", "a.embedding")} DESC, a.vec_id)
+       |      AS r
+       |  FROM a, b) WHERE r = 1)
+       |SELECT ab.id_a, ab.id_b,
+       |  floor(ab.cosine * 1e6 + 0.5) / 1e6 AS cos6
+       |FROM ab JOIN ba ON ba.id_a = ab.id_a AND ba.id_b = ab.id_b
+       |ORDER BY ab.id_a""".stripMargin)
+
+  /** Winsorized mean of price cents per return flag (α = 10%) —
+    * clipped boundary masses replayed on the same distinct-value
+    * spine as the x139 trimmed mean. */
+  private val x153: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Profile.winsorizedMean(t(s, d, "lineitem"), "l_returnflag",
+          floor($"l_extendedprice" * 100 + 0.5).cast("long"),
+          alphaPpm = 100000L)
+        .select($"l_returnflag", $"n", $"n_clipped_each",
+          $"sum_winsorized".cast("long").as("sum_winsorized"),
+          $"mean_floor")
+        .orderBy($"l_returnflag")
+    },
+    """WITH b AS (SELECT l_returnflag AS g,
+      |             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |           FROM lineitem),
+      |byv AS (SELECT g, v, COUNT(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+      |cum AS (SELECT g, v, cnt,
+      |          SUM(cnt) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cm
+      |        FROM byv),
+      |kk AS (SELECT g, SUM(cnt)::BIGINT AS n,
+      |         (SUM(cnt) * 100000) // 1000000 AS k
+      |       FROM byv GROUP BY g),
+      |m AS (SELECT cum.g, cum.v, kk.n, kk.k,
+      |        GREATEST(0, LEAST(cum.cm, kk.n - kk.k)
+      |          - GREATEST(cum.cm - cum.cnt, kk.k)) AS kp,
+      |        CASE WHEN cum.cm - cum.cnt < kk.k + 1
+      |             AND cum.cm >= kk.k + 1 THEN kk.k ELSE 0 END AS lom,
+      |        CASE WHEN cum.cm - cum.cnt < kk.n - kk.k
+      |             AND cum.cm >= kk.n - kk.k THEN kk.k ELSE 0 END AS him
+      |      FROM cum JOIN kk ON kk.g = cum.g)
+      |SELECT g AS l_returnflag, MIN(n)::BIGINT AS n,
+      |  MIN(k)::BIGINT AS n_clipped_each,
+      |  SUM((kp + lom + him) * v)::BIGINT AS sum_winsorized,
+      |  (SUM((kp + lom + him) * v) // MIN(n))::BIGINT AS mean_floor
+      |FROM m GROUP BY g ORDER BY g""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4464,5 +4558,8 @@ object ExtQ {
     "x148_cross_surprisal" -> (x148._1, Some(x148._2)),
     "x149_cusum_changepoint" -> (x149._1, Some(x149._2)),
     "x150_transition_entropy" -> (x150._1, Some(x150._2)),
+    "x151_rolling_active" -> (x151._1, Some(x151._2)),
+    "x152_mutual_neighbors" -> (x152._1, Some(x152._2)),
+    "x153_winsorized_mean" -> (x153._1, Some(x153._2)),
   )
 }

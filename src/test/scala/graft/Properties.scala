@@ -315,6 +315,29 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("winsorizedMean == sorted-clip reference on random groups") = {
+    val gen = Gen.listOfN(12,
+      Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(-100L, 100L)))
+    forAll(gen, Gen.choose(0L, 400000L)) { (rows, alpha) =>
+      val df = rows.toDF("g", "v").repartition(3)
+      val got = ext.Profile.winsorizedMean(df, "g", col("v"), alpha)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDecimal(3).longValue, r.getLong(4)))).toMap
+      rows.groupBy(_._1).forall { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        val n = sorted.length
+        val k = (n * alpha / 1000000L).toInt
+        val clipped = sorted.zipWithIndex.map { case (v, i) =>
+          if (i < k) sorted(k)
+          else if (i >= n - k) sorted(n - k - 1)
+          else v
+        }
+        // Scala Long division truncates toward zero — same as truncDiv
+        got(g) == ((n.toLong, k.toLong, clipped.sum, clipped.sum / n))
+      }
+    }
+  }
+
   property("quantileMap: monotone and self-map is the identity") = {
     val gen = Gen.listOfN(8, Gen.choose(-20L, 20L))
       .suchThat(_.nonEmpty)

@@ -1201,6 +1201,19 @@ class ExtSpec extends AnyFunSuite {
       ("s2", 2L, 2L, 0L)))
   }
 
+  test("mutualNearestPairs keeps only reciprocal top-1 matches") {
+    val a = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualNearestPairs(a, "vec_id", "embedding",
+        b, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a0→b1 and b1→a0 (cos 1.0): mutual. a2→b1 (0.894 > 0.447) but
+    // b1 prefers a0; b3→a2 but a2 prefers b1 → only one pair survives
+    assert(got == Set((0L, 1L)))
+  }
+
   test("winnowFingerprints: shared run of w+n−1 tokens shares a fingerprint") {
     // n=3, w=8 → any shared run of 10 tokens yields one full window of
     // identical gram hashes in both docs, whose minimum is selected

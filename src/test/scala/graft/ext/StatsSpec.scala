@@ -233,6 +233,19 @@ class StatsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(r => r.getLong(3) == 0L))
   }
 
+  test("winsorizedMean: clips boundary mass, every row still counts") {
+    import org.apache.spark.sql.functions.col
+    val df = ((1L to 10L).map(("g", _)) ++ Seq(("h", 1L), ("h", 1L),
+      ("h", 1L), ("h", 100L))).toDF("grp", "v").repartition(3)
+    val got = Profile.winsorizedMean(df, "grp", col("v"), 250000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValue, r.getLong(4)))).toMap
+    // g: n=10, k=2 → 1,2→3 and 9,10→8: 55 −1−2−9−10 +3+3+8+8 = 55
+    assert(got("g") == ((10L, 2L, 55L, 5L)))
+    // h: n=4, k=1 → the 100 clips to 1 (rank n−k = 3 holds value 1)
+    assert(got("h") == ((4L, 1L, 4L, 1L)))
+  }
+
   test("crossSurprisal: add-one smoothing, OOV bits, hand-computed") {
     // reference: a:3 b:1 → total 4, V 2 → smoothed denominator 6
     val train = Seq("a a a b").toDF("text")

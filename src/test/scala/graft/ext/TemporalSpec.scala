@@ -354,6 +354,22 @@ class TemporalSpec extends AnyFunSuite {
       ts("2024-01-01 00:03:00").getTime * 1000L)
   }
 
+  test("rollingActiveUsers: window unions distinct users, DAU alongside") {
+    val df = Seq(
+      (1L, ts("2024-03-01 10:00:00")), (1L, ts("2024-03-01 11:00:00")),
+      (1L, ts("2024-03-03 10:00:00")),
+      (2L, ts("2024-03-02 09:00:00")))
+      .toDF("user_id", "ts").repartition(2)
+    val got = Temporal.rollingActiveUsers(df, "ts", "user_id",
+        windowDays = 2)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // day1: {1}; day2: {1 (from day1), 2}; day3: {1, 2 (from day2)}
+    assert(got("2024-03-01") == ((1L, 1L)))
+    assert(got("2024-03-02") == ((1L, 2L)))
+    assert(got("2024-03-03") == ((1L, 2L)))
+  }
+
   test("transitionEntropy: hand-computed Zipf-bucket bits per state") {
     val df = Seq(
       (1L, ts("2024-01-01 00:01:00"), 1L, "A"),
