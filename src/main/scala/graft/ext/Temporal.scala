@@ -384,6 +384,35 @@ object Temporal {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Out-of-orderness (watermark lateness) profile: for each event,
+    * how far its EVENT time lags the maximum event time already seen
+    * in ARRIVAL order within its key, bucketed by log₂ microseconds —
+    * the measurement that picks a Structured Streaming watermark
+    * (`withWatermark("ts", X)`): the profile's tail IS the
+    * late-data-loss curve for any candidate X. Bucket −1 counts
+    * exactly-in-order events; bucket b counts events late by
+    * [2^b, 2^(b+1)) µs; `max_late_us` per bucket pins the worst case.
+    * The log₂ bucket is the engine-portable binary-digit-count
+    * (`length(bin(x)) − 1`) used by every quantized operator here.
+    *
+    * Plan shape: one running-max window PARTITIONED BY KEY in arrival
+    * order (bounded per-key partitions), one map-combined bucket
+    * aggregation. */
+  def latenessProfile(events: DataFrame, key: String, ts: String,
+                      arrival: String): DataFrame = {
+    val us = unix_micros(col(ts).cast("timestamp"))
+    val w = Window.partitionBy(col(key)).orderBy(col(arrival))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(key), col(arrival), us.as("_us"))
+      .withColumn("_late", max(col("_us")).over(w) - col("_us"))
+      .withColumn("bucket",
+        when(col("_late") === 0L, lit(-1L))
+          .otherwise((length(bin(col("_late"))) - 1).cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max(col("_late")).as("max_late_us"))
+  }
+
   /** Rolling N-day active users (DAU/WAU-style) — for every day with
     * any activity, the count of distinct users active in the
     * `windowDays`-day window ENDING that day. The textbook hard case

@@ -62,8 +62,13 @@ object TextAnalysis {
     * its marker lexicon; highest count wins (ties broken by lexicon
     * order). N-gram-profile LID distilled to a deterministic,
     * SQL-expressible core. */
-  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val toks = tokens(text)
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    langIdTokens(tokens(text), markers)
+
+  /** [[langId]] over an already-tokenized array — the form
+    * [[langSegments]] applies per chunk. */
+  def langIdTokens(toks: Column, markers: Seq[(String, Seq[String])])
+      : Column = {
     // score each lexicon once; argmax = first index achieving the max
     // (equivalent to a first-wins fold, without the fold's O(n²)
     // duplication of score subtrees)
@@ -72,6 +77,45 @@ object TextAnalysis {
     }: _*)
     val langs = array(markers.map { case (lang, _) => lit(lang) }: _*)
     element_at(langs, array_position(scores, array_max(scores)).cast("int"))
+  }
+
+  /** Code-switching / language-mixing profile: chunk the document
+    * into fixed token windows, language-ID each chunk
+    * ([[langIdTokens]]), and report how MIXED the document is —
+    * (n_chunks, n_segments of contiguous same-language runs,
+    * majority_lang, majority share in ppm). Single-language prose
+    * gives 1 segment at 10⁶ ppm; interleaved translations / spam
+    * mashups fragment into many segments — a curation signal doc-
+    * level [[langId]] is structurally blind to (the majority vote
+    * hides the minority language entirely).
+    *
+    * Ties: per chunk, first lexicon in declared order (langId's
+    * convention); for the majority, lexicographically smallest
+    * language among the tied counts. Pure in-row HOFs — scan speed,
+    * no shuffle, no window. */
+  def langSegments(text: Column, chunkTokens: Int,
+                   markers: Seq[(String, Seq[String])]): Column = {
+    require(chunkTokens >= 1, "chunkTokens must be positive")
+    val toks = tokens(text)
+    val nch = greatest(
+      ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int"),
+      lit(1))
+    val lgs = transform(sequence(lit(0), nch - 1), i =>
+      langIdTokens(slice(toks, i * chunkTokens + 1, lit(chunkTokens)),
+        markers))
+    val segs = when(nch === 1, lit(1L)).otherwise(
+      aggregate(sequence(lit(1), nch - 1), lit(1L), (acc, i) =>
+        acc + when(element_at(lgs, i + 1) =!= element_at(lgs, i), 1L)
+          .otherwise(0L)))
+    val dls = array_sort(array_distinct(lgs))
+    val cnts = transform(dls, l => size(filter(lgs, x => x === l)))
+    val mx = array_max(cnts)
+    struct(
+      nch.cast("long").as("n_chunks"),
+      segs.as("n_segments"),
+      element_at(dls, array_position(cnts, mx).cast("int"))
+        .as("majority_lang"),
+      IntMath.truncDiv(mx.cast("long") * 1000000L, nch).as("majority_ppm"))
   }
 
   /** Intra-document repetition ratio: 1 − distinct/total tokens — the

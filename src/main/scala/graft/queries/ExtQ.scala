@@ -4407,6 +4407,76 @@ object ExtQ {
       |  (SUM((kp + lom + him) * v) // MIN(n))::BIGINT AS mean_floor
       |FROM m GROUP BY g ORDER BY g""".stripMargin)
 
+  /** Language-mixing segmentation over 8-token chunks with the x08
+    * marker lexicons (3 languages → the oracle's first-wins CASE
+    * chain mirrors langId's argmax exactly). */
+  private val x154: (Fn, String) = {
+    val mk = Seq("en" -> Seq("the", "a"), "de" -> Seq("table", "row"),
+      "fr" -> Seq("value", "data"))
+    def sc(ws: Seq[String]) =
+      s"len(list_filter(tk[(i*8+1):(i*8+8)], t -> t IN (${
+        ws.map(w => s"'$w'").mkString(", ")})))"
+    val (en, de, fr) = (sc(mk(0)._2), sc(mk(1)._2), sc(mk(2)._2))
+    ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          TextAnalysis.langSegments($"text", chunkTokens = 8, mk).as("ls"))
+        .select($"doc_id", $"ls.*")
+        .orderBy($"doc_id")
+    },
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |  greatest((len(string_split(text, ' ')) + 7) // 8, 1) AS nch
+       |  FROM documents),
+       |lg AS (SELECT doc_id, nch,
+       |  list_transform(range(0, nch), i ->
+       |    CASE WHEN $en >= $de AND $en >= $fr THEN 'en'
+       |         WHEN $de >= $fr THEN 'de' ELSE 'fr' END) AS lgs
+       |  FROM base),
+       |seg AS (SELECT doc_id, nch, lgs,
+       |  CASE WHEN nch = 1 THEN 1
+       |       ELSE 1 + len(list_filter(range(2, nch + 1),
+       |         i -> lgs[i] <> lgs[i-1])) END AS n_segments,
+       |  list_sort(list_distinct(lgs)) AS dls FROM lg),
+       |mj AS (SELECT doc_id, nch, n_segments, dls, lgs,
+       |  list_transform(dls, l -> len(list_filter(lgs, x -> x = l)))
+       |    AS cnts FROM seg)
+       |SELECT doc_id, nch::BIGINT AS n_chunks,
+       |  n_segments::BIGINT AS n_segments,
+       |  dls[list_position(cnts, list_max(cnts))] AS majority_lang,
+       |  (list_max(cnts)::BIGINT * 1000000) // nch AS majority_ppm
+       |FROM mj ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Watermark lateness profile under a deterministic hash-jittered
+    * arrival order (the driver data arrives perfectly sorted, so the
+    * gate synthesizes up-to-2h network delay: arrival = event time +
+    * 9-hex-digit md5 draw mod 7.2·10⁹ µs) — the log₂ lateness
+    * histogram that picks `withWatermark`. */
+  private val x155: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val jitter = pmod(
+        conv(substring(md5(concat(lit("lat:"),
+          $"event_id".cast("string")).cast("binary")), 1, 9), 16, 10)
+          .cast("long"),
+        lit(7200000000L))
+      val arr = t(s, d, "events")
+        .withColumn("arr", unix_micros($"ts".cast("timestamp")) + jitter)
+      Temporal.latenessProfile(arr, "user_id", "ts", "arr")
+        .orderBy($"bucket")
+    },
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+       |  epoch_us(ts) + ${hexSql("md5('lat:' || CAST(event_id AS VARCHAR))", 9)}
+       |    % 7200000000 AS arr
+       |  FROM events),
+       |r AS (SELECT us, MAX(us) OVER (PARTITION BY user_id ORDER BY arr
+       |        ROWS UNBOUNDED PRECEDING) - us AS late FROM e)
+       |SELECT (CASE WHEN late = 0 THEN -1
+       |         ELSE length(bin(late)) - 1 END)::BIGINT AS bucket,
+       |  COUNT(*)::BIGINT AS n, MAX(late)::BIGINT AS max_late_us
+       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4561,5 +4631,7 @@ object ExtQ {
     "x151_rolling_active" -> (x151._1, Some(x151._2)),
     "x152_mutual_neighbors" -> (x152._1, Some(x152._2)),
     "x153_winsorized_mean" -> (x153._1, Some(x153._2)),
+    "x154_lang_segments" -> (x154._1, Some(x154._2)),
+    "x155_lateness_profile" -> (x155._1, Some(x155._2)),
   )
 }

@@ -246,6 +246,22 @@ class StatsSpec extends AnyFunSuite {
     assert(got("h") == ((4L, 1L, 4L, 1L)))
   }
 
+  test("langSegments: mixed doc fragments, majority ties break low") {
+    import org.apache.spark.sql.functions.col
+    val mk = Seq("en" -> Seq("the"), "fr" -> Seq("value"))
+    val mixed = (Seq.fill(8)("the") ++ Seq.fill(8)("value")).mkString(" ")
+    val pure = Seq.fill(16)("the").mkString(" ")
+    val df = Seq((1L, mixed), (2L, pure)).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.langSegments(col("text"), 8, mk).as("ls"))
+      .select(col("doc_id"), col("ls.*"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))).toMap
+    // en chunk + fr chunk: 2 segments, 1:1 tie → 'en' (lexic. smallest)
+    assert(got(1L) == ((2L, 2L, "en", 500000L)))
+    assert(got(2L) == ((2L, 1L, "en", 1000000L)))
+  }
+
   test("crossSurprisal: add-one smoothing, OOV bits, hand-computed") {
     // reference: a:3 b:1 → total 4, V 2 → smoothed denominator 6
     val train = Seq("a a a b").toDF("text")

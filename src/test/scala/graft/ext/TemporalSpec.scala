@@ -354,6 +354,22 @@ class TemporalSpec extends AnyFunSuite {
       ts("2024-01-01 00:03:00").getTime * 1000L)
   }
 
+  test("latenessProfile: log2 buckets of event-time lag in arrival order") {
+    // arrival order 1..4 carries event times 10s, 5s, 20s, 19s:
+    // lateness 0, 5s, 0, 1s → buckets −1×2, 22 (4.19M ≤ 5e6µs), 19
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:10"), 1L),
+      (1L, ts("2024-01-01 00:00:05"), 2L),
+      (1L, ts("2024-01-01 00:00:20"), 3L),
+      (1L, ts("2024-01-01 00:00:19"), 4L))
+      .toDF("k", "ts", "arr").repartition(2)
+    val got = Temporal.latenessProfile(df, "k", "ts", "arr")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(-1L -> ((2L, 0L)), 22L -> ((1L, 5000000L)),
+      19L -> ((1L, 1000000L))))
+  }
+
   test("rollingActiveUsers: window unions distinct users, DAU alongside") {
     val df = Seq(
       (1L, ts("2024-03-01 10:00:00")), (1L, ts("2024-03-01 11:00:00")),
