@@ -101,9 +101,19 @@ object VectorExpressions {
 
   /** Register graft's native expressions in a session's function
     * registry (idempotent; GraftSession calls this). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sliding_min", exprs => SlidingMin(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+  }
+
+  /** Codegen'd O(n) sliding-window minimum over array<bigint>
+    * ([[SlidingMin]]); `w` must be a literal. */
+  def sliding_min(a: Column, w: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_sliding_min", a,
+      org.apache.spark.sql.functions.lit(w))
 
   /** Codegen'd dot product over array<float|double> columns (requires
     * a GraftSession-built or register()-ed session). */

@@ -315,6 +315,21 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("SlidingMin == brute-force window minima on random arrays") = {
+    val gen = Gen.zip(Gen.listOf(Gen.choose(-50L, 50L)), Gen.choose(1, 6))
+    forAll(gen) { case (xs, w) =>
+      val df = Seq(Tuple1(xs)).toDF("a")
+      val got = df.select(
+        graft.functions.VectorExpressions.sliding_min(col("a"), w))
+        .collect().head.getSeq[Long](0)
+      val expect =
+        if (xs.isEmpty) Seq.empty[Long]
+        else if (xs.length < w) Seq(xs.min)
+        else xs.sliding(w).map(_.min).toSeq
+      got == expect
+    }
+  }
+
   property("winsorizedMean == sorted-clip reference on random groups") = {
     val gen = Gen.listOfN(12,
       Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(-100L, 100L)))
