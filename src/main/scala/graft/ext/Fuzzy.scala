@@ -137,6 +137,40 @@ object Fuzzy {
       .select("id_a", "id_b", "score_db", "is_link")
   }
 
+  /** Golden-record survivorship — the step AFTER linkage
+    * ([[fellegiSunter]]/[[resolve]]) turns pairs into clusters: per
+    * (cluster, field), elect the surviving value by majority vote
+    * over non-null occurrences, ties to the lexicographically
+    * smallest value (total, engine-portable order). Output is long
+    * form — (cluster, field, golden_value, votes, n_variants,
+    * n_nonnull) — so one frame carries every field's election plus
+    * the conflict evidence (n_variants > 1 marks fields the merge
+    * actually had to decide).
+    *
+    * Scale shape: one in-row `stack` melt (no shuffle), one
+    * map-combined (cluster, field, value) count, one min(struct)
+    * argmax aggregation — no windows, no joins. */
+  def goldenRecord(df: DataFrame, cluster: String, fields: Seq[String])
+      : DataFrame = {
+    require(fields.nonEmpty, "at least one field to elect")
+    val stackArgs = fields
+      .map(f => s"'$f', CAST(`$f` AS STRING)").mkString(", ")
+    val melted = df
+      .select(col(cluster).as("cluster"),
+        expr(s"stack(${fields.length}, $stackArgs) AS (field, value)"))
+      .filter(col("value").isNotNull)
+    melted.groupBy("cluster", "field", "value")
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy("cluster", "field")
+      .agg(min(struct((-col("_cnt")).as("_nc"), col("value").as("_v")))
+          .as("_win"),
+        count(lit(1)).as("n_variants"), sum(col("_cnt")).as("n_nonnull"))
+      .select(col("cluster"), col("field"),
+        col("_win._v").as("golden_value"),
+        (-col("_win._nc")).as("votes"),
+        col("n_variants"), col("n_nonnull"))
+  }
+
   def resolve(df: DataFrame, keyCol: String, maxDist: Int,
               blockKey: Column => Column = firstToken): DataFrame = {
     val vals = df.select(col(keyCol).as("k")).distinct()

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{MapType, StringType}
 
 /** Numeric data profiling.
   *
@@ -344,6 +345,27 @@ object Profile {
         when(col("n_kept") > 0,
           IntMath.truncDiv(col("_sum"), col("n_kept"))).as("mean_floor"))
   }
+
+  /** JSON payload key profile — the schema-on-read census of a
+    * semi-structured column ("which keys actually occur, how often,
+    * how many distinct values"): the first question against any
+    * event/props/metadata blob lake, and the input to promotion
+    * decisions (a key present in 99% of rows with 3 distinct values
+    * wants to be a real column; one in 0.1% with a million values
+    * wants to stay JSON). Values compare as their unquoted string
+    * rendering (`map<string,string>` parse — numbers as digits,
+    * strings as contents), the form both engines produce.
+    *
+    * Scale shape: one in-row parse + map explode (scan speed), one
+    * map-combined (key, value) count, one per-key reduce. Malformed
+    * JSON rows parse to null maps and simply drop out. */
+  def jsonKeyProfile(df: DataFrame, json: Column): DataFrame =
+    df.select(explode(from_json(json, MapType(StringType, StringType)))
+        .as(Seq("key", "value")))
+      .groupBy("key", "value").agg(count(lit(1)).as("_cnt"))
+      .groupBy("key")
+      .agg(sum(col("_cnt")).as("n_present"),
+        count(lit(1)).as("n_distinct_values"))
 
   /** Winsorized mean per group — [[trimmedMean]]'s robust sibling
     * that CLIPS instead of discards: the k = ⌊n·α⌋ smallest values

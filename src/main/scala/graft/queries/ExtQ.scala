@@ -4477,6 +4477,64 @@ object ExtQ {
        |  COUNT(*)::BIGINT AS n, MAX(late)::BIGINT AS max_late_us
        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
 
+  /** Golden-record survivorship over synthetic customer clusters —
+    * per (cluster, field) majority vote with lexicographic ties. */
+  private val x156: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Fuzzy.goldenRecord(
+          t(s, d, "customer").withColumn("cl", pmod($"c_custkey", lit(300))),
+          "cl", Seq("c_mktsegment", "c_nationkey"))
+        .orderBy($"cluster", $"field")
+    },
+    """WITH m AS (
+      |  SELECT c_custkey % 300 AS cluster, 'c_mktsegment' AS field,
+      |    c_mktsegment AS value FROM customer
+      |  WHERE c_mktsegment IS NOT NULL
+      |  UNION ALL
+      |  SELECT c_custkey % 300, 'c_nationkey',
+      |    CAST(c_nationkey AS VARCHAR) FROM customer
+      |  WHERE c_nationkey IS NOT NULL),
+      |c AS (SELECT cluster, field, value, COUNT(*)::BIGINT AS cnt
+      |      FROM m GROUP BY 1, 2, 3),
+      |r AS (SELECT cluster, field, value, cnt,
+      |        ROW_NUMBER() OVER (PARTITION BY cluster, field
+      |          ORDER BY cnt DESC, value) AS rk,
+      |        COUNT(*) OVER (PARTITION BY cluster, field) AS nv,
+      |        SUM(cnt) OVER (PARTITION BY cluster, field) AS nn
+      |      FROM c)
+      |SELECT cluster, field, value AS golden_value, cnt AS votes,
+      |  nv::BIGINT AS n_variants, nn::BIGINT AS n_nonnull
+      |FROM r WHERE rk = 1 ORDER BY cluster, field""".stripMargin)
+
+  /** JSON key census over a payload synthesized with conditional
+    * keys (to_json drops nulls, so presence varies per row) — the
+    * oracle computes the identical profile from the source columns. */
+  private val x157: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val js = t(s, d, "events").select(to_json(struct(
+        $"event_type",
+        when($"value" > 50, $"user_id").as("heavy_user"),
+        get_json_object($"props", "$.k").cast("long").as("k"))).as("j"))
+      Profile.jsonKeyProfile(js, $"j").orderBy($"key")
+    },
+    """WITH src AS (SELECT event_type,
+      |    CASE WHEN value > 50 THEN user_id END AS heavy_user,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |m AS (
+      |  SELECT 'event_type' AS key, event_type AS value FROM src
+      |  WHERE event_type IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'heavy_user', CAST(heavy_user AS VARCHAR) FROM src
+      |  WHERE heavy_user IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'k', CAST(k AS VARCHAR) FROM src WHERE k IS NOT NULL)
+      |SELECT key, COUNT(*)::BIGINT AS n_present,
+      |  COUNT(DISTINCT value)::BIGINT AS n_distinct_values
+      |FROM m GROUP BY key ORDER BY key""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4633,5 +4691,7 @@ object ExtQ {
     "x153_winsorized_mean" -> (x153._1, Some(x153._2)),
     "x154_lang_segments" -> (x154._1, Some(x154._2)),
     "x155_lateness_profile" -> (x155._1, Some(x155._2)),
+    "x156_golden_record" -> (x156._1, Some(x156._2)),
+    "x157_json_key_profile" -> (x157._1, Some(x157._2)),
   )
 }

@@ -270,4 +270,20 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(m("acme holdings") == "acme holdings")
     assert(m("other inc") == "other inc")
   }
+
+  test("goldenRecord: majority wins, ties break low, nulls don't vote") {
+    val df = Seq(
+      (1L, Some("A"), Some(10L)), (1L, Some("A"), Some(20L)),
+      (1L, Some("B"), None),
+      (2L, Some("X"), Some(7L)), (2L, Some("Y"), Some(7L)))
+      .toDF("cl", "seg", "nk").repartition(3)
+    val got = graft.ext.Fuzzy.goldenRecord(df, "cl", Seq("seg", "nk"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got((1L, "seg")) == (("A", 2L, 2L, 3L))) // majority
+    assert(got((1L, "nk")) == (("10", 1L, 2L, 2L))) // 1-1 tie → low
+    assert(got((2L, "seg")) == (("X", 1L, 2L, 2L))) // tie → low
+    assert(got((2L, "nk")) == (("7", 2L, 1L, 2L)))  // consensus
+  }
 }

@@ -246,6 +246,16 @@ class StatsSpec extends AnyFunSuite {
     assert(got("h") == ((4L, 1L, 4L, 1L)))
   }
 
+  test("jsonKeyProfile: presence and distinct values, malformed dropped") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("""{"a": 1, "b": "x"}""", """{"a": 2}""", "not json")
+      .toDF("j")
+    val got = Profile.jsonKeyProfile(df, col("j"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((2L, 2L)), "b" -> ((1L, 1L))))
+  }
+
   test("langSegments: mixed doc fragments, majority ties break low") {
     import org.apache.spark.sql.functions.col
     val mk = Seq("en" -> Seq("the"), "fr" -> Seq("value"))
