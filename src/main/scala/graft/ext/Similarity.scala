@@ -404,6 +404,36 @@ object Similarity {
     ab.join(ba, Seq("id_a", "id_b"))
   }
 
+  /** k-NN label disagreement — confident-learning-style NOISY LABEL
+    * detection over a labeled embedding set: for each point, how many
+    * of its k nearest neighbours (cosine, self excluded) carry a
+    * DIFFERENT label. High disagreement marks probable mislabels /
+    * ambiguous items — the standard pruning signal before training a
+    * quality classifier on weak labels. Returns (id, label, k_used,
+    * n_disagree, disagree_ppm).
+    *
+    * Shape: one [[bruteForceTopK]] pass of the set against itself
+    * (query side broadcasts with labels, corpus streams; per-query
+    * top-k is a bounded window) + one map-combined per-id reduce.
+    * Exact baseline — at 100 TB generate candidates with the banded
+    * LSH instead and keep the same disagreement reduce. */
+  def knnLabelDisagreement(df: DataFrame, id: String, vec: String,
+                           label: String, k: Int): DataFrame = {
+    val labels = df.select(col(id).as("_lid"), col(label).as("_lab"))
+    val nn = bruteForceTopK(df, id, vec, df, id, vec, k)
+    nn.join(labels.withColumnRenamed("_lid", "query_id")
+        .withColumnRenamed("_lab", "_qlab"), Seq("query_id"))
+      .join(labels.withColumnRenamed("_lid", "neighbour_id")
+        .withColumnRenamed("_lab", "_nlab"), Seq("neighbour_id"))
+      .groupBy(col("query_id").as("id"))
+      .agg(first(col("_qlab")).as("label"),
+        count(lit(1)).as("k_used"),
+        sum(when(col("_qlab") === col("_nlab"), 0L).otherwise(1L))
+          .as("n_disagree"))
+      .withColumn("disagree_ppm",
+        IntMath.ppmDiv(col("n_disagree"), col("k_used")))
+  }
+
   /** Hard-negative mining (contrastive-training data prep): for each
     * query vector, the k most cosine-similar corpus vectors carrying a
     * DIFFERENT label — the near-boundary negatives that make

@@ -357,6 +357,64 @@ object TextAnalysis {
       .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_toks"))
   }
 
+  /** OOV-rate curve — "how big must the vocabulary be": for each
+    * candidate vocabulary size V, the exact out-of-vocabulary TOKEN
+    * mass if the vocab kept the top-V terms by frequency. The
+    * tokenizer-budget design table (diminishing-returns readout)
+    * computed WITHOUT ranking any individual term: coverage only
+    * depends on the count SPECTRUM — a V cutting through the
+    * count-c band covers (V − terms_above)·c tokens from that band
+    * regardless of which c-count terms are kept, so the whole curve
+    * falls out of cumulative sums over the ≤ max-count-row spectrum.
+    *
+    * Scale shape: one map-combined token count, one map-combined
+    * spectrum reduction (rows ≤ max term frequency), cumulative sums
+    * via [[Prefix.globalRunningSums]] over the spectrum spine (never
+    * a single-reducer window), and an in-row evaluation of each V.
+    * Output: (vocab_size, n_distinct_terms, covered_tokens,
+    * total_tokens, oov_ppm). */
+  def oovCurve(df: DataFrame, text: String, vocabSizes: Seq[Long])
+      : DataFrame = {
+    require(vocabSizes.nonEmpty && vocabSizes.forall(_ >= 1),
+      "vocab sizes must be positive")
+    val wc = df
+      .select(explode(filter(tokens(col(text)), t => t =!= "")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val spectrum = wc.groupBy("cnt").agg(count(lit(1)).as("nt"))
+    // cumulative terms/tokens over the spine in DESCENDING count
+    // order (the order a frequency-truncated vocab fills up)
+    val cum = Prefix.globalRunningSums(spectrum, Seq(col("cnt").desc),
+      Seq(col("nt") -> "cum_terms",
+        (col("nt") * col("cnt")) -> "cum_tokens"))
+    val totals = spectrum.agg(sum(col("nt")).as("n_terms"),
+      sum(col("nt") * col("cnt")).as("total_tokens"))
+    val sizes = vocabSizes.sorted
+    // for each V: bands with cum_terms ≤ V are fully kept (coverage =
+    // the largest such cum_tokens); the unique band straddling V
+    // contributes (V − terms_before)·cnt on top of its predecessor's
+    // cumulative
+    val rows = sizes.map { v =>
+      val before = col("cum_terms") - col("nt")
+      cum.filter(before < v)
+        .agg(max(when(col("cum_terms") <= v, col("cum_tokens"))).as("_full"),
+          min(when(col("cum_terms") > v,
+            col("cum_tokens") - col("nt") * col("cnt") +
+              (lit(v) - (col("cum_terms") - col("nt"))) * col("cnt")))
+            .as("_part"))
+        .select(lit(v).as("vocab_size"),
+          coalesce(col("_part"), col("_full"), lit(0L)).as("covered_tokens"))
+    }.reduce(_.union(_))
+    rows.crossJoin(broadcast(totals))
+      .select(col("vocab_size"),
+        least(col("n_terms"), col("vocab_size")).as("n_kept_terms"),
+        least(col("covered_tokens"), col("total_tokens"))
+          .as("covered_tokens"),
+        col("total_tokens"),
+        IntMath.ppmDiv(col("total_tokens") -
+          least(col("covered_tokens"), col("total_tokens")),
+          col("total_tokens")).as("oov_ppm"))
+  }
+
   /** Good–Turing frequency spectrum: N_r = how many distinct tokens
     * occur exactly r times, plus the Turing adjusted-count NUMERATOR
     * (r+1)·N_{r+1} — kept integer so the estimate r* = (r+1)N_{r+1}/N_r

@@ -4535,6 +4535,60 @@ object ExtQ {
       |  COUNT(DISTINCT value)::BIGINT AS n_distinct_values
       |FROM m GROUP BY key ORDER BY key""".stripMargin)
 
+  /** k-NN label disagreement over the first 500 embeddings (k = 10)
+    * — the noisy-label pruning signal, neighbour-for-neighbour. */
+  private val x158: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Similarity.knnLabelDisagreement(
+          t(s, d, "embeddings").filter($"vec_id" < 500),
+          "vec_id", "embedding", "label", k = 10)
+        .orderBy($"id")
+    },
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+       |           WHERE vec_id < 500),
+       |nn AS (SELECT q, qlab, nlab FROM (
+       |  SELECT a.vec_id AS q, a.label AS qlab, b.label AS nlab,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+       |      AS r
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE r <= 10)
+       |SELECT q AS id, MIN(qlab) AS label, COUNT(*)::BIGINT AS k_used,
+       |  SUM(CASE WHEN qlab = nlab THEN 0 ELSE 1 END)::BIGINT
+       |    AS n_disagree,
+       |  ((SUM(CASE WHEN qlab = nlab THEN 0 ELSE 1 END) * 1000000)
+       |    // COUNT(*))::BIGINT AS disagree_ppm
+       |FROM nn GROUP BY q ORDER BY id""".stripMargin)
+
+  /** OOV-rate curve at four vocabulary budgets — the engine computes
+    * coverage from the count spectrum alone; the oracle ranks terms
+    * directly. Identical by the tie-sharing argument (all terms in a
+    * count band contribute the same mass). */
+  private val x159: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.oovCurve(t(s, d, "documents"), "text",
+          Seq(10L, 100L, 1000L, 10000L))
+        .orderBy($"vocab_size")
+    },
+    """WITH wc AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM
+      |             (SELECT unnest(string_split(text, ' ')) AS term
+      |              FROM documents)
+      |           WHERE len(term) > 0 GROUP BY term),
+      |rk AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+      |         AS r FROM wc),
+      |tot AS (SELECT SUM(cnt)::BIGINT AS total,
+      |          COUNT(*)::BIGINT AS n_terms FROM wc),
+      |vs(v) AS (VALUES (10), (100), (1000), (10000)),
+      |cov AS (SELECT v, COALESCE(SUM(cnt), 0)::BIGINT AS covered
+      |        FROM vs LEFT JOIN rk ON rk.r <= vs.v GROUP BY v)
+      |SELECT v::BIGINT AS vocab_size,
+      |  LEAST(tot.n_terms, v)::BIGINT AS n_kept_terms,
+      |  cov.covered AS covered_tokens, tot.total AS total_tokens,
+      |  (((tot.total - cov.covered) * 1000000) // tot.total)::BIGINT
+      |    AS oov_ppm
+      |FROM cov, tot ORDER BY vocab_size""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4693,5 +4747,7 @@ object ExtQ {
     "x155_lateness_profile" -> (x155._1, Some(x155._2)),
     "x156_golden_record" -> (x156._1, Some(x156._2)),
     "x157_json_key_profile" -> (x157._1, Some(x157._2)),
+    "x158_knn_label_noise" -> (x158._1, Some(x158._2)),
+    "x159_oov_curve" -> (x159._1, Some(x159._2)),
   )
 }

@@ -171,7 +171,9 @@ class PlanSpec extends AnyFunSuite {
       "x146_term_burstiness",    // 1-row corpus-size broadcast
       "x147_rank_biased_overlap", // two 1-row frames crossed (S × n_joint)
       "x148_cross_surprisal",    // 1-row (total, V) broadcast
-      "x152_mutual_neighbors")   // exact baseline: both top-1 passes broadcast the query side
+      "x152_mutual_neighbors",   // exact baseline: both top-1 passes broadcast the query side
+      "x158_knn_label_noise",    // exact baseline: self-kNN broadcasts the query side
+      "x159_oov_curve")          // 1-row totals broadcast
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

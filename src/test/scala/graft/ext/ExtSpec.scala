@@ -1201,6 +1201,36 @@ class ExtSpec extends AnyFunSuite {
       ("s2", 2L, 2L, 0L)))
   }
 
+  test("knnLabelDisagreement flags the point inside the wrong cluster") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(9.0f, 1.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(1.0f, 9.0f), 0)) // 4 mislabeled
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelDisagreement(df, "vec_id", "embedding",
+        "label", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((0L, 0L)) && got(2L) == ((0L, 0L)))
+    // 4's neighbours: 3 (other label) and 2 → half disagree
+    assert(got(4L) == ((1L, 500000L)))
+    // 3 is outvoted by the mislabeled neighbourhood: full disagreement
+    assert(got(3L) == ((2L, 1000000L)))
+  }
+
+  test("oovCurve: exact coverage from the count spectrum, ties share mass") {
+    val df = Seq("x x x y y z").toDF("text")
+    val got = TextAnalysis.oovCurve(df, "text", Seq(1L, 2L, 5L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((1L, 3L, 6L, 500000L)))
+    assert(got(2L) == ((2L, 5L, 6L, 166666L)))
+    assert(got(5L) == ((3L, 6L, 6L, 0L)))
+    // tie band: either of the two 2-count terms covers the same mass
+    val tie = TextAnalysis.oovCurve(Seq("a a b b c").toDF("text"), "text",
+      Seq(1L)).collect().head
+    assert(tie.getLong(2) == 2L && tie.getLong(4) == 600000L)
+  }
+
   test("mutualNearestPairs keeps only reciprocal top-1 matches") {
     val a = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 1.0f)))
       .toDF("vec_id", "embedding")
