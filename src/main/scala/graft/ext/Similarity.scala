@@ -137,6 +137,34 @@ object Similarity {
     vFinal.select(col("_j").cast("long").as("dim"), col("_v").as("v_ppm"))
   }
 
+  /** Embedding isotropy diagnostic — the "anisotropy problem" check
+    * run before trusting cosine similarity on a new embedding model:
+    * mean_offset_ppm = 10⁶·‖Σq‖²/(n·Σ‖q‖²) measures how far the
+    * cloud's centroid sits from the origin relative to the vectors'
+    * own energy (Cauchy–Schwarz bounds it by 10⁶). Near 0 = centered,
+    * isotropic-friendly; large = a dominant common direction, where
+    * raw cosine degenerates toward 1 between everything and centering
+    * /whitening ([[principalDirection]]) is required. Exact integers
+    * in the int8-quantized domain — one number, any engine, same
+    * answer.
+    *
+    * Shape: one [[int8Gram]] scan-and-reduce, then in-row folds over
+    * the dims-long sums and the Gram diagonal. */
+  def embeddingIsotropy(df: DataFrame, vec: String, dims: Int)
+      : DataFrame = {
+    val g = int8Gram(df, vec, dims)
+    val sumsq = aggregate(col("sums"), lit(0L).cast("decimal(38,0)"),
+      (acc, s) => acc + s.cast("decimal(19,0)") * s.cast("decimal(18,0)"))
+    val trace = aggregate(sequence(lit(0), lit(dims - 1)),
+      lit(0L).cast("decimal(38,0)"),
+      (acc, i) => acc +
+        element_at(col("gram"), (i * (dims + 1) + 1).cast("int"))
+          .cast("decimal(38,0)"))
+    g.select(col("n"), sumsq.as("norm_sum_sq"), trace.as("trace"),
+      IntMath.truncDiv(sumsq * lit(1000000L),
+        col("n").cast("decimal(38,0)") * trace).as("mean_offset_ppm"))
+  }
+
   /** Symmetric int8 quantization of an embedding — the standard
     * storage/compute compression step before ANN serving (4× smaller
     * than float32, SIMD-friendly dot products downstream). Returns a

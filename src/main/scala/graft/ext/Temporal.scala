@@ -384,6 +384,64 @@ object Temporal {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Point-in-time (PIT) feature join — the feature-store operation
+    * that prevents training-serving skew: each fact row joins the
+    * dimension VERSION whose validity window [from, to) contained the
+    * fact's timestamp, never the current version (that leaks the
+    * future into training features). `to` null means the open current
+    * version. Facts with no valid version survive with null features
+    * (left join) — the honest representation of "this entity had no
+    * state yet".
+    *
+    * Plan shape: an EQUI-join on the entity key with the validity
+    * range as a residual filter — a hash/sort-merge join, never a
+    * nested loop, because the equality conjunct anchors it; per-key
+    * version counts are SCD2-bounded, so the residual scan per
+    * matched key is small. This is [[asofJoin]]'s interval-keyed
+    * sibling: as-of sorts and picks the latest ≤ ts; PIT trusts the
+    * SCD2 bookkeeping's non-overlapping windows. */
+  def pointInTimeJoin(facts: DataFrame, factKey: String, factTs: String,
+                      dims: DataFrame, dimKey: String, from: String,
+                      to: String): DataFrame =
+    facts.join(dims,
+      facts(factKey) === dims(dimKey) &&
+        facts(factTs) >= dims(from) &&
+        (dims(to).isNull || facts(factTs) < dims(to)),
+      "left")
+
+  /** Per-key sequence surprisal under the CORPUS transition model —
+    * "which users behave unlike everyone" ([[transitionEntropy]]
+    * summarizes the model; this scores each key against it): every
+    * observed transition from state s with model count c out of s's
+    * total outflow S contributes floor(log2(S div c)) Zipf-bucket
+    * bits; a key reports its transition count, bit sum, and
+    * bits-per-transition in ppm. Scripted/bot streams score near
+    * zero; erratic streams score high — the behavioural analogue of
+    * [[graft.ext.TextAnalysis.unigramSurprisal]].
+    *
+    * Plan shape: [[transitionCounts]]' bounded per-key lag window to
+    * enumerate the key's transitions, one join against the tiny
+    * (from, to) model table, one map-combined per-key reduce. */
+  def sequenceSurprisal(events: DataFrame, user: String, ts: String,
+                        typ: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(user)).orderBy(col(ts), col(tieBreak))
+    val trans = events
+      .select(col(user).as("_u"), col(typ).as("to_type"),
+        lag(col(typ), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+    val model = transitionCounts(events, user, ts, typ, tieBreak)
+    val out = model.groupBy("from_type").agg(sum(col("n_transitions")).as("_s"))
+    trans
+      .join(model, Seq("from_type", "to_type"))
+      .join(out, Seq("from_type"))
+      .withColumn("_bits",
+        (length(bin(expr("_s div n_transitions"))) - 1).cast("long"))
+      .groupBy(col("_u").as(user))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("_bits")).as("bits_sum"))
+      .withColumn("surprisal_ppm", expr("bits_sum * 1000000 div n_transitions"))
+  }
+
   /** Out-of-orderness (watermark lateness) profile: for each event,
     * how far its EVENT time lags the maximum event time already seen
     * in ARRIVAL order within its key, bucketed by log₂ microseconds —

@@ -4589,6 +4589,108 @@ object ExtQ {
       |    AS oov_ppm
       |FROM cov, tot ORDER BY vocab_size""".stripMargin)
 
+  /** Point-in-time feature join over synthetic SCD2 versions (each
+    * customer's orders become validity windows; facts probe 15 days
+    * after each order) — exactly one non-empty window matches. */
+  private val x160: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val o = t(s, d, "orders").filter($"o_custkey" < 500)
+        .select($"o_orderkey", $"o_custkey",
+          $"o_orderdate".cast("date").as("o_orderdate"),
+          ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val dims = o.select($"o_custkey".as("k"),
+        $"o_orderdate".as("valid_from"),
+        lead($"o_orderdate", 1).over(w).as("valid_to"),
+        $"cents".as("feature_cents"))
+      val facts = o.select($"o_orderkey".as("fid"), $"o_custkey".as("fk"),
+        date_add($"o_orderdate", 15).as("fact_date"))
+      Temporal.pointInTimeJoin(facts, "fk", "fact_date", dims, "k",
+          "valid_from", "valid_to")
+        .select($"fid", $"fk".as("custkey"), $"fact_date", $"valid_from",
+          $"feature_cents")
+        .orderBy($"fid")
+    },
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE o_custkey < 500),
+      |v AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS valid_from,
+      |        CAST(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate, o_orderkey) AS DATE) AS valid_to,
+      |        cents AS feature_cents
+      |      FROM o),
+      |f AS (SELECT o_orderkey AS fid, o_custkey AS fk,
+      |        CAST(o_orderdate AS DATE) + 15 AS fact_date FROM o)
+      |SELECT f.fid, f.fk AS custkey, f.fact_date, v.valid_from,
+      |  v.feature_cents
+      |FROM f LEFT JOIN v ON v.k = f.fk AND f.fact_date >= v.valid_from
+      |  AND (v.valid_to IS NULL OR f.fact_date < v.valid_to)
+      |ORDER BY f.fid""".stripMargin)
+
+  /** Per-user sequence surprisal under the corpus transition model —
+    * the behavioural anomaly score. */
+  private val x161: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.sequenceSurprisal(t(s, d, "events"), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy($"user_id")
+    },
+    """WITH o AS (SELECT user_id, event_type,
+      |             LAG(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS from_type
+      |           FROM events),
+      |tr AS (SELECT user_id, from_type, event_type AS to_type FROM o
+      |       WHERE from_type IS NOT NULL),
+      |tc AS (SELECT from_type, to_type, COUNT(*)::BIGINT AS c
+      |       FROM tr GROUP BY 1, 2),
+      |st AS (SELECT from_type, SUM(c)::BIGINT AS s FROM tc GROUP BY 1)
+      |SELECT tr.user_id, COUNT(*)::BIGINT AS n_transitions,
+      |  SUM(length(bin(st.s // tc.c)) - 1)::BIGINT AS bits_sum,
+      |  ((SUM(length(bin(st.s // tc.c)) - 1) * 1000000)
+      |    // COUNT(*))::BIGINT AS surprisal_ppm
+      |FROM tr JOIN tc USING (from_type, to_type)
+      |  JOIN st USING (from_type)
+      |GROUP BY tr.user_id ORDER BY tr.user_id""".stripMargin)
+
+  /** Embedding isotropy (mean-offset energy share) in the int8
+    * domain — one exact number from the Gram statistics. */
+  private val x162: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Similarity.embeddingIsotropy(t(s, d, "embeddings"), "embedding",
+          dims = 64)
+        .select($"n", $"norm_sum_sq".cast("long").as("norm_sum_sq"),
+          $"trace".cast("long").as("trace"), $"mean_offset_ppm")
+    },
+    """WITH m AS (
+      |  SELECT embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT CASE WHEN maxabs = 0
+      |    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(embedding,
+      |      x -> CAST(greatest(-127.0, least(127.0,
+      |        floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+      |        AS BIGINT)) END AS qv
+      |  FROM m),
+      |sums AS (SELECT i.range AS i, SUM(qv[i.range + 1])::HUGEINT AS s
+      |         FROM q, range(0, 64) i GROUP BY i.range),
+      |agg AS (SELECT (SELECT COUNT(*)::HUGEINT FROM q) AS n,
+      |          (SELECT SUM(s * s) FROM sums) AS nss,
+      |          (SELECT SUM(x * x)::HUGEINT FROM
+      |            (SELECT unnest(qv) AS x FROM q)) AS tr)
+      |SELECT n::BIGINT AS n, nss::BIGINT AS norm_sum_sq,
+      |  tr::BIGINT AS trace,
+      |  ((nss * 1000000) // (n * tr))::BIGINT AS mean_offset_ppm
+      |FROM agg""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4749,5 +4851,8 @@ object ExtQ {
     "x157_json_key_profile" -> (x157._1, Some(x157._2)),
     "x158_knn_label_noise" -> (x158._1, Some(x158._2)),
     "x159_oov_curve" -> (x159._1, Some(x159._2)),
+    "x160_pit_feature_join" -> (x160._1, Some(x160._2)),
+    "x161_sequence_surprisal" -> (x161._1, Some(x161._2)),
+    "x162_embedding_isotropy" -> (x162._1, Some(x162._2)),
   )
 }

@@ -246,6 +246,20 @@ class StatsSpec extends AnyFunSuite {
     assert(got("h") == ((4L, 1L, 4L, 1L)))
   }
 
+  test("embeddingIsotropy: opposed cloud scores 0, degenerate cloud 10^6") {
+    val opposed = Seq(Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f)).toDF("embedding")
+    val r0 = Similarity.embeddingIsotropy(opposed, "embedding", 2)
+      .collect().head
+    assert(r0.getAs[Long]("mean_offset_ppm") == 0L)
+    val same = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)).toDF("embedding")
+    val r1 = Similarity.embeddingIsotropy(same, "embedding", 2)
+      .collect().head
+    // sums = (254, 0) → ‖Σq‖² = 64516; trace = 2·127² = 32258; n = 2
+    assert(r1.getDecimal(1).longValue == 64516L)
+    assert(r1.getDecimal(2).longValue == 32258L)
+    assert(r1.getAs[Long]("mean_offset_ppm") == 1000000L)
+  }
+
   test("jsonKeyProfile: presence and distinct values, malformed dropped") {
     import org.apache.spark.sql.functions.col
     val df = Seq("""{"a": 1, "b": "x"}""", """{"a": 2}""", "not json")

@@ -354,6 +354,49 @@ class TemporalSpec extends AnyFunSuite {
       ts("2024-01-01 00:03:00").getTime * 1000L)
   }
 
+  test("pointInTimeJoin picks the version valid AT the fact ts, never later") {
+    import org.apache.spark.sql.functions.col
+    val dims = Seq(
+      (1L, "2024-01-01", Some("2024-02-01"), "v1"),
+      (1L, "2024-02-01", None, "v2"))
+      .toDF("k", "vf", "vt", "ver")
+      .select(col("k"), col("vf").cast("date").as("vf"),
+        col("vt").cast("date").as("vt"), col("ver"))
+    val facts = Seq((10L, 1L, "2023-12-15"), (11L, 1L, "2024-01-15"),
+      (12L, 1L, "2024-02-01"), (13L, 1L, "2024-12-31"), (14L, 2L, "2024-01-15"))
+      .toDF("fid", "fk", "ts")
+      .select(col("fid"), col("fk"), col("ts").cast("date").as("ts"))
+    val got = Temporal.pointInTimeJoin(facts, "fk", "ts", dims, "k",
+        "vf", "vt")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[String]("ver"))).toMap
+    assert(got(10L).isEmpty)          // before any version
+    assert(got(11L).contains("v1"))   // inside [v1, v2)
+    assert(got(12L).contains("v2"))   // boundary belongs to the new version
+    assert(got(13L).contains("v2"))   // open current version
+    assert(got(14L).isEmpty)          // unknown entity survives (left)
+  }
+
+  test("sequenceSurprisal scores rare transitions, zero for the norm") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "A"),
+      (1L, ts("2024-01-01 00:02:00"), 2L, "B"),
+      (1L, ts("2024-01-01 00:03:00"), 3L, "A"),
+      (1L, ts("2024-01-01 00:04:00"), 4L, "B"),
+      (2L, ts("2024-01-01 00:01:00"), 5L, "A"),
+      (2L, ts("2024-01-01 00:02:00"), 6L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type").repartition(2)
+    val got = Temporal.sequenceSurprisal(df, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // model: A→{B:2, C:1} (s=3), B→{A:1} (s=1)
+    // u1: A→B (3//2=1 → 0 bits), B→A (0), A→B (0)
+    assert(got(1L) == ((3L, 0L, 0L)))
+    // u2: A→C: 3//1=3 → 1 bit → 10⁶ ppm
+    assert(got(2L) == ((1L, 1L, 1000000L)))
+  }
+
   test("latenessProfile: log2 buckets of event-time lag in arrival order") {
     // arrival order 1..4 carries event times 10s, 5s, 20s, 19s:
     // lateness 0, 5s, 0, 1s → buckets −1×2, 22 (4.19M ≤ 5e6µs), 19
