@@ -65,4 +65,40 @@ object Chunk {
         count(lit(1)).as("n_occurrences"),
         first(col("n_tokens")).as("n_tokens"))
       .filter(col("n_docs") > 1)
+
+  /** RAG context assembly — merge a retriever's per-chunk hits into
+    * contiguous document SPANS before prompt construction: hits whose
+    * chunk indices are within `maxGap` missing chunks of each other
+    * fuse into one span (the standard "expand and merge overlapping
+    * retrieved windows" step; feeding adjacent chunks separately
+    * wastes context budget on duplicated boundaries and shreds
+    * coherent passages). Returns one row per span: (doc, span_start,
+    * span_end, n_hits, span_tokens) — span_tokens sums the HIT
+    * chunks' tokens (bridged-over missing chunks are not fetched
+    * here; the caller decides whether to hydrate them).
+    *
+    * Plan shape: one lag window per document (bounded partitions —
+    * a doc's hit count, never corpus-wide), one running-sum island
+    * labeling over the same window, one (doc, island) aggregation.
+    * The islands-and-gaps shape shared with sessionization, on chunk
+    * space instead of time. */
+  def mergeRetrievedChunks(hits: DataFrame, doc: String, chunkIdx: String,
+                           tokens: String, maxGap: Int): DataFrame = {
+    require(maxGap >= 0, "maxGap must be non-negative")
+    val w = Window.partitionBy(col("doc")).orderBy(col("_i"))
+    val cum = Window.partitionBy(col("doc")).orderBy(col("_i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .select(col(doc).as("doc"), col(chunkIdx).cast("long").as("_i"),
+        col(tokens).cast("long").as("_t"))
+      .withColumn("_prev", lag(col("_i"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_prev").isNull ||
+          col("_i") - col("_prev") > maxGap + 1, 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_brk")).over(cum))
+      .groupBy(col("doc"), col("_isl"))
+      .agg(min(col("_i")).as("span_start"), max(col("_i")).as("span_end"),
+        count(lit(1)).as("n_hits"), sum(col("_t")).as("span_tokens"))
+      .drop("_isl")
+  }
 }

@@ -87,6 +87,35 @@ object Eval {
         col("lo_ppm"), col("hi_ppm"))
   }
 
+  /** Majority-vote label merge with abstention — the weak-supervision
+    * baseline (Snorkel's starting label model) for fusing k noisy
+    * labelers into one training label: per row, the most-voted
+    * non-null label wins (ties to the lexicographically smallest —
+    * total, engine-portable order), and rows whose winning share
+    * misses `quorumPpm` get NULL (abstain) rather than a coin-flip
+    * label that would poison training. Returns a struct
+    * (n_votes, winner, share_ppm, label).
+    *
+    * Pure in-row Column expression — scan speed over any corpus, no
+    * shuffle; null labeler outputs simply don't vote. */
+  def majorityVote(labels: Seq[Column], quorumPpm: Long): Column = {
+    require(labels.nonEmpty, "at least one labeler")
+    require(quorumPpm >= 0 && quorumPpm <= 1000000L,
+      "quorumPpm must be in [0, 10^6]")
+    val votes = filter(array(labels.map(_.cast("string")): _*),
+      v => v.isNotNull)
+    val dts = array_sort(array_distinct(votes))
+    val cnts = transform(dts, l => size(filter(votes, x => x === l)))
+    val mx = array_max(cnts)
+    val winner = element_at(dts, array_position(cnts, mx).cast("int"))
+    val share = truncDiv(mx.cast("long") * lit(1000000L), size(votes))
+    struct(
+      size(votes).cast("long").as("n_votes"),
+      winner.as("winner"),
+      share.as("share_ppm"),
+      when(size(votes) > 0 && share >= quorumPpm, winner).as("label"))
+  }
+
   /** Rank-biased overlap (Webber/Moffat/Zobel) between two top-`k`
     * rankings — "how much did the index rebuild / new embedding model
     * actually change what retrieval surfaces", weighted so rank-1

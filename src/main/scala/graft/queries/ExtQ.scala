@@ -4691,6 +4691,87 @@ object ExtQ {
       |  ((nss * 1000000) // (n * tr))::BIGINT AS mean_offset_ppm
       |FROM agg""".stripMargin)
 
+  /** RAG context assembly: deterministic pseudo-retriever hits
+    * ((doc_id + idx) % 7 < 3 over each doc's 8-token chunk grid)
+    * merged into spans bridging ≤ 1 missing chunk. */
+  private val x163: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id",
+          size(split($"text", " ")).as("nt"))
+        .withColumn("nch",
+          greatest((($"nt" + 7) / 8).cast("int"), lit(1)))
+      val hits = docs
+        .select($"doc_id", explode(sequence(lit(0), $"nch" - 1)).as("idx"),
+          $"nch", $"nt")
+        .filter(pmod($"doc_id" + $"idx", lit(7)) < 3)
+        .withColumn("ctoks", when($"idx" < $"nch" - 1, 8L)
+          .otherwise($"nt" - ($"nch" - 1) * 8))
+      Chunk.mergeRetrievedChunks(hits, "doc_id", "idx", "ctoks",
+          maxGap = 1)
+        .orderBy($"doc", $"span_start")
+    },
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |    greatest((len(string_split(text, ' ')) + 7) // 8, 1) AS nch
+      |  FROM documents),
+      |h AS (SELECT doc_id, unnest(range(0, nch)) AS idx, nch, nt FROM d),
+      |hf AS (SELECT doc_id, idx,
+      |    CASE WHEN idx < nch - 1 THEN 8 ELSE nt - (nch - 1) * 8 END
+      |      AS ctoks
+      |  FROM h WHERE (doc_id + idx) % 7 < 3),
+      |lg AS (SELECT doc_id, idx, ctoks,
+      |    LAG(idx) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+      |  FROM hf),
+      |isl AS (SELECT doc_id, idx, ctoks,
+      |    SUM(CASE WHEN prev IS NULL OR idx - prev > 2 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY idx
+      |        ROWS UNBOUNDED PRECEDING) AS g
+      |  FROM lg)
+      |SELECT doc_id AS doc, MIN(idx)::BIGINT AS span_start,
+      |  MAX(idx)::BIGINT AS span_end, COUNT(*)::BIGINT AS n_hits,
+      |  SUM(ctoks)::BIGINT AS span_tokens
+      |FROM isl GROUP BY doc_id, g ORDER BY doc, span_start""".stripMargin)
+
+  /** Majority-vote label merge over three deterministic noisy
+    * labelers (one flips a stratum, one abstains on a stratum),
+    * quorum 60%. */
+  private val x164: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events").select($"event_id",
+          Eval.majorityVote(Seq(
+            $"event_type",
+            when(pmod($"user_id", lit(5)) === 0, lit("purchase"))
+              .otherwise($"event_type"),
+            when(pmod($"event_id", lit(11)) === 0,
+              lit(null).cast("string")).otherwise($"event_type")),
+            quorumPpm = 600000L).as("mv"))
+        .select($"event_id", $"mv.*")
+        .orderBy($"event_id")
+    },
+    """WITH v AS (SELECT event_id,
+      |    [x FOR x IN [event_type,
+      |       CASE WHEN user_id % 5 = 0 THEN 'purchase'
+      |            ELSE event_type END,
+      |       CASE WHEN event_id % 11 = 0 THEN NULL
+      |            ELSE event_type END]
+      |     IF x IS NOT NULL] AS l
+      |  FROM events),
+      |s AS (SELECT event_id, l, list_sort(list_distinct(l)) AS dts
+      |      FROM v),
+      |c AS (SELECT event_id, l, dts,
+      |    list_transform(dts, y -> len(list_filter(l, x -> x = y)))
+      |      AS cnts
+      |  FROM s)
+      |SELECT event_id, len(l)::BIGINT AS n_votes,
+      |  dts[list_position(cnts, list_max(cnts))] AS winner,
+      |  (list_max(cnts)::BIGINT * 1000000 // len(l))::BIGINT
+      |    AS share_ppm,
+      |  CASE WHEN len(l) > 0
+      |        AND list_max(cnts) * 1000000 // len(l) >= 600000
+      |       THEN dts[list_position(cnts, list_max(cnts))] END AS label
+      |FROM c ORDER BY event_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4854,5 +4935,7 @@ object ExtQ {
     "x160_pit_feature_join" -> (x160._1, Some(x160._2)),
     "x161_sequence_surprisal" -> (x161._1, Some(x161._2)),
     "x162_embedding_isotropy" -> (x162._1, Some(x162._2)),
+    "x163_merge_retrieved_chunks" -> (x163._1, Some(x163._2)),
+    "x164_majority_label" -> (x164._1, Some(x164._2)),
   )
 }

@@ -42,4 +42,17 @@ class ChunkSpec extends AnyFunSuite {
     assert(shared.nonEmpty, "common span must yield shared chunks")
     assert(shared.forall(_.getLong(1) == 2L)) // present in exactly docs 1 and 2
   }
+
+  test("mergeRetrievedChunks bridges maxGap missing chunks, splits beyond") {
+    val hits = Seq((1L, 0L, 10L), (1L, 1L, 10L), (1L, 3L, 10L),
+      (1L, 7L, 10L), (1L, 8L, 10L), (2L, 5L, 4L))
+      .toDF("doc_id", "idx", "toks").repartition(3)
+    val got = Chunk.mergeRetrievedChunks(hits, "doc_id", "idx", "toks",
+        maxGap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // 0,1,3 fuse (gap 2 ≤ maxGap+1); 7,8 are a second span (gap 4)
+    assert(got == Set((1L, 0L, 3L, 3L, 30L), (1L, 7L, 8L, 2L, 20L),
+      (2L, 5L, 5L, 1L, 4L)))
+  }
 }

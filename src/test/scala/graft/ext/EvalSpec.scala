@@ -203,6 +203,25 @@ class EvalSpec extends AnyFunSuite {
     assert(lo > 0L && hi < 12L * 1000000L)
   }
 
+  test("majorityVote: quorum gates the label, ties break low, nulls sit out") {
+    val df = Seq(
+      (1L, Some("a"), Some("a"), Some("b")),
+      (2L, Some("a"), Some("b"), Some("c")),
+      (3L, Some("a"), Some("b"), None),
+      (4L, Option.empty[String], None, None))
+      .toDF("id", "l1", "l2", "l3")
+    val got = df.select($"id",
+        Eval.majorityVote(Seq($"l1", $"l2", $"l3"), 600000L).as("mv"))
+      .select($"id", $"mv.*")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.getString(2)), Option(r.get(3)).map(_.toString.toLong),
+        Option(r.getString(4))))).toMap
+    assert(got(1L) == ((3L, Some("a"), Some(666666L), Some("a"))))
+    assert(got(2L) == ((3L, Some("a"), Some(333333L), None))) // 1-1-1 tie
+    assert(got(3L) == ((2L, Some("a"), Some(500000L), None))) // under quorum
+    assert(got(4L) == ((0L, None, None, None)))               // all abstain
+  }
+
   test("rankBiasedOverlap: identical, swapped and disjoint rankings") {
     def ranked(items: Seq[Long]) = items.zipWithIndex
       .map { case (i, p) => (i, (p + 1).toLong) }.toDF("item", "rank")
