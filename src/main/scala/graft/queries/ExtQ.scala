@@ -4772,6 +4772,54 @@ object ExtQ {
       |       THEN dts[list_position(cnts, list_max(cnts))] END AS label
       |FROM c ORDER BY event_id""".stripMargin)
 
+  /** End-to-end curation pipeline gate — Gopher quality filter →
+    * exact-dedup keep-first → stratified hash sample → per-language
+    * audit. One composed lazy plan; the oracle replays every stage,
+    * so a drift ANYWHERE in the chain turns the row red. */
+  private val x165: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val flagged = t(s, d, "documents").filter(
+        TextAnalysis.gopherFlags($"text", Seq("the", "a"),
+          minTokens = 20L).getField("pass_all"))
+      val dig = flagged.select($"doc_id", $"lang", $"text",
+        md5($"text".cast("binary")).as("digest"))
+      val keep = dig.groupBy($"digest").agg(min($"doc_id").as("doc_id"))
+      val deduped = dig.join(keep, Seq("digest", "doc_id"))
+      val sampled = Sampling.stratifiedSample(deduped, "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5),
+        salt = "pipe5")
+      sampled.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+        .orderBy($"lang")
+    },
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, text,
+       |    len(string_split(text, ' ')) AS n,
+       |    len(list_distinct(string_split(text, ' '))) AS nd,
+       |    len(list_filter(string_split(text, ' '),
+       |      t -> t = 'the' OR t = 'a')) AS stop,
+       |    length(text) AS chars
+       |  FROM documents),
+       |p AS (SELECT doc_id, lang, text FROM f
+       |      WHERE n BETWEEN 20 AND 100000
+       |        AND chars - n + 1 >= 3 * n AND chars - n + 1 <= 10 * n
+       |        AND stop * 20 >= n AND nd * 2 >= n),
+       |dg AS (SELECT doc_id, lang, text, md5(text) AS digest FROM p),
+       |kp AS (SELECT digest, MIN(doc_id) AS doc_id FROM dg
+       |       GROUP BY digest),
+       |dd AS (SELECT dg.doc_id, dg.lang, dg.text FROM dg
+       |       JOIN kp ON kp.digest = dg.digest
+       |              AND kp.doc_id = dg.doc_id),
+       |sm AS (SELECT * FROM dd
+       |       WHERE lang IN ('en', 'de', 'fr', 'es') -- unmapped strata drop
+       |         AND ${bucketSql("doc_id", "pipe5", 0)} < 128)
+       |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(doc_id)::BIGINT AS sum_ids,
+       |  SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+       |FROM sm GROUP BY lang ORDER BY lang""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4937,5 +4985,6 @@ object ExtQ {
     "x162_embedding_isotropy" -> (x162._1, Some(x162._2)),
     "x163_merge_retrieved_chunks" -> (x163._1, Some(x163._2)),
     "x164_majority_label" -> (x164._1, Some(x164._2)),
+    "x165_curation_pipeline" -> (x165._1, Some(x165._2)),
   )
 }
