@@ -384,6 +384,48 @@ object Temporal {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Mann–Kendall monotone-trend test per key — the nonparametric
+    * "is this really trending" companion to the least-squares slope
+    * (x103): S = Σ_{i<j} sign(v_j − v_i) over the time-ordered
+    * series, entirely in integers (no residuals, no float variance).
+    * Reported with the tie-corrected variance NUMERATOR
+    * var18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) (the classical
+    * variance is var18/18): the z-score S/√(var18/18) is one
+    * off-engine square root away, while everything the engines must
+    * agree on stays exact. |S| near its max n(n−1)/2 ⇒ strictly
+    * monotone; near 0 ⇒ no trend.
+    *
+    * Plan shape: the raw stream first collapses to per-(key, bucket)
+    * sums (the only event-volume aggregation); the pair enumeration
+    * is a per-key equi-self-join of that bucketed series — bounded
+    * by the time span (buckets²), never by event volume; ties reduce
+    * map-side. */
+  def mannKendall(events: DataFrame, key: String, ts: String,
+                  value: Column): DataFrame = {
+    val x = (value.cast("decimal(18,2)") * 100).cast("long")
+    val hourly = events
+      .select(col(key).as("_k"), date_trunc("hour", col(ts)).as("_h"),
+        x.as("_x"))
+      .groupBy("_k", "_h").agg(sum(col("_x")).as("_v"))
+    val pairs = hourly.as("a").join(hourly.as("b"),
+        col("a._k") === col("b._k") && col("a._h") < col("b._h"))
+      .select(col("a._k").as("_k"),
+        signum(col("b._v") - col("a._v")).cast("long").as("_sg"))
+    val s = pairs.groupBy("_k")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("_sg")).as("s_stat"))
+    val n = hourly.groupBy("_k").agg(count(lit(1)).as("n"))
+    val ties = hourly.groupBy("_k", "_v").agg(count(lit(1)).as("_t"))
+      .groupBy("_k")
+      .agg(sum(col("_t") * (col("_t") - 1) * (col("_t") * 2 + 5))
+        .as("_tie18"))
+    n.join(s, Seq("_k"), "left").join(ties, Seq("_k"))
+      .select(col("_k").as(key), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("_tie18"))
+          .as("var18"))
+  }
+
   /** Point-in-time (PIT) feature join — the feature-store operation
     * that prevents training-serving skew: each fact row joins the
     * dimension VERSION whose validity window [from, to) contained the

@@ -4820,6 +4820,37 @@ object ExtQ {
        |  SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
        |FROM sm GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** Mann–Kendall monotone-trend statistic per event type over the
+    * hourly value series — exact S and tie-corrected var18. */
+  private val x166: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.mannKendall(t(s, d, "events"), "event_type", "ts",
+          $"value")
+        .orderBy($"event_type")
+    },
+    """WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS hh,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      ::BIGINT AS v
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.k,
+      |        CASE WHEN b.v > a.v THEN 1
+      |             WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+      |      FROM h a JOIN h b ON a.k = b.k AND a.hh < b.hh),
+      |sp AS (SELECT k, COUNT(*)::BIGINT AS n_pairs,
+      |         SUM(sg)::BIGINT AS s_stat FROM p GROUP BY k),
+      |nn AS (SELECT k, COUNT(*)::BIGINT AS n FROM h GROUP BY k),
+      |tt AS (SELECT k, SUM(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+      |       FROM (SELECT k, v, COUNT(*)::BIGINT AS t FROM h
+      |             GROUP BY k, v) GROUP BY k)
+      |SELECT nn.k AS event_type, nn.n,
+      |  COALESCE(sp.n_pairs, 0)::BIGINT AS n_pairs,
+      |  COALESCE(sp.s_stat, 0)::BIGINT AS s_stat,
+      |  (nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tie18)::BIGINT
+      |    AS var18
+      |FROM nn LEFT JOIN sp ON sp.k = nn.k JOIN tt ON tt.k = nn.k
+      |ORDER BY event_type""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -4986,5 +5017,6 @@ object ExtQ {
     "x163_merge_retrieved_chunks" -> (x163._1, Some(x163._2)),
     "x164_majority_label" -> (x164._1, Some(x164._2)),
     "x165_curation_pipeline" -> (x165._1, Some(x165._2)),
+    "x166_mann_kendall" -> (x166._1, Some(x166._2)),
   )
 }

@@ -354,6 +354,24 @@ class TemporalSpec extends AnyFunSuite {
       ts("2024-01-01 00:03:00").getTime * 1000L)
   }
 
+  test("mannKendall: strict rise maxes S, constant series zeroes var18") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("A", ts("2024-01-01 00:10:00"), 0.01), // cents 1
+      ("A", ts("2024-01-01 01:10:00"), 0.02),
+      ("A", ts("2024-01-01 02:10:00"), 0.03),
+      ("B", ts("2024-01-01 00:05:00"), 0.05),
+      ("B", ts("2024-01-01 01:05:00"), 0.05))
+      .toDF("k", "ts", "value").repartition(2)
+    val got = Temporal.mannKendall(df, "k", "ts", col("value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // A: 3 rising hours → S = +3 of 3 pairs; var18 = 3·2·11 = 66
+    assert(got("A") == ((3L, 3L, 3L, 66L)))
+    // B: two equal hours → S = 0 and the tie kills the variance
+    assert(got("B") == ((2L, 1L, 0L, 0L)))
+  }
+
   test("pointInTimeJoin picks the version valid AT the fact ts, never later") {
     import org.apache.spark.sql.functions.col
     val dims = Seq(
