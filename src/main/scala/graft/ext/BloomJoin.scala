@@ -57,8 +57,11 @@ object BloomJoin {
                     bigKey: String, smallKey: String,
                     m: Int = DefaultBits, h: Int = DefaultHashes)
       : DataFrame = {
-    require(m >= 64 && m % 64 == 0 && h >= 1 && h <= 5,
-      "need m a positive multiple of 64, 1 <= h <= 5")
+    // double hashing imposes no structural limit on h (the old md5
+    // slicing capped it at 5 disjoint digest slices); 16 covers any
+    // sane false-positive target
+    require(m >= 64 && m % 64 == 0 && h >= 1 && h <= 16,
+      "need m a positive multiple of 64, 1 <= h <= 16")
     // no distinct: duplicate keys OR the same bits — a dedup shuffle
     // of the allowlist would be pure waste
     val keys = small.select(col(smallKey).cast("string").as("_v"))

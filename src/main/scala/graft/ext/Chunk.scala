@@ -91,6 +91,10 @@ object Chunk {
     hits
       .select(col(doc).as("doc"), col(chunkIdx).cast("long").as("_i"),
         col(tokens).cast("long").as("_t"))
+      // a chunk retrieved by several queries (rank fusion, the normal
+      // RAG case) is still ONE chunk of context: collapse duplicates
+      // before the island pass or n_hits/span_tokens double-count
+      .groupBy("doc", "_i").agg(max(col("_t")).as("_t"))
       .withColumn("_prev", lag(col("_i"), 1).over(w))
       .withColumn("_brk",
         when(col("_prev").isNull ||

@@ -74,6 +74,10 @@ object Eval {
       .withColumn("_w", w)
       .groupBy(col("_r"))
       .agg(sum(col("_w") * col("_x")).as("_s"), sum(col("_w")).as("_n"))
+      // a replicate that resampled NOTHING (all weights 0 — only
+      // plausible for tiny inputs) has no mean: drop it rather than
+      // let a NULL struct sort first and shift the order statistics
+      .filter(col("_n") > 0)
       .select(col("_r"), ppmDiv(col("_s"), col("_n")).as("_m"))
     val stats = repMeans
       .agg(sort_array(collect_list(struct(col("_m"), col("_r")))).as("_ms"))

@@ -153,11 +153,14 @@ object Fuzzy {
   def goldenRecord(df: DataFrame, cluster: String, fields: Seq[String])
       : DataFrame = {
     require(fields.nonEmpty, "at least one field to elect")
-    val stackArgs = fields
-      .map(f => s"'$f', CAST(`$f` AS STRING)").mkString(", ")
+    // typed Column construction, not SQL-string splicing — a field
+    // name containing quotes/backticks must not change the plan
     val melted = df
       .select(col(cluster).as("cluster"),
-        expr(s"stack(${fields.length}, $stackArgs) AS (field, value)"))
+        explode(array(fields.map(f => struct(lit(f).as("field"),
+          df(f).cast("string").as("value"))): _*)).as("_fv"))
+      .select(col("cluster"), col("_fv.field").as("field"),
+        col("_fv.value").as("value"))
       .filter(col("value").isNotNull)
     melted.groupBy("cluster", "field", "value")
       .agg(count(lit(1)).as("_cnt"))

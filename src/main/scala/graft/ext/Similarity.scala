@@ -389,17 +389,24 @@ object Similarity {
   }
 
   /** Exact top-k neighbours for each query vector (brute force).
-    * Queries are expected to be small → broadcast; corpus streams. */
+    * Queries are expected to be small → broadcast; corpus streams.
+    * `excludeSelf` drops candidates whose id EQUALS the query id —
+    * the self-kNN convention; pass false for CROSS-set searches
+    * where the two sides' id spaces are unrelated (two independently
+    * keyed corpora can share ids without being the same item, and
+    * the exclusion would silently drop true matches). */
   def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,
                      corpus: DataFrame, cId: String, cVec: String,
-                     k: Int): DataFrame = {
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
     val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv")))
     // corpus drives parallelism (queries broadcast): spread its rows
     // so per-pair scoring isn't bound to the scan's split count
     val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"))
       .repartition(parts)
-    val scored = c.join(q, col("query_id") =!= col("neighbour_id"))
+    val cond = if (excludeSelf) col("query_id") =!= col("neighbour_id")
+               else lit(true)
+    val scored = c.join(q, cond)
       .select(col("query_id"), col("neighbour_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
@@ -424,10 +431,15 @@ object Similarity {
   def mutualNearestPairs(a: DataFrame, aId: String, aVec: String,
                          b: DataFrame, bId: String, bVec: String)
       : DataFrame = {
-    val ab = bruteForceTopK(a, aId, aVec, b, bId, bVec, k = 1)
+    // excludeSelf = false: A and B are independently keyed sets — an
+    // id collision across them is NOT a self-match, and the self-kNN
+    // exclusion would silently drop true pairs
+    val ab = bruteForceTopK(a, aId, aVec, b, bId, bVec, k = 1,
+        excludeSelf = false)
       .select(col("query_id").as("id_a"), col("neighbour_id").as("id_b"),
         col("cosine"))
-    val ba = bruteForceTopK(b, bId, bVec, a, aId, aVec, k = 1)
+    val ba = bruteForceTopK(b, bId, bVec, a, aId, aVec, k = 1,
+        excludeSelf = false)
       .select(col("query_id").as("id_b"), col("neighbour_id").as("id_a"))
     ab.join(ba, Seq("id_a", "id_b"))
   }

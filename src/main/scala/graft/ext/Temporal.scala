@@ -467,11 +467,16 @@ object Temporal {
   def sequenceSurprisal(events: DataFrame, user: String, ts: String,
                         typ: String, tieBreak: String): DataFrame = {
     val w = Window.partitionBy(col(user)).orderBy(col(ts), col(tieBreak))
+    // ONE lag pass enumerates the transitions; the corpus model is a
+    // groupBy of the same frame (localCheckpoint so the event-volume
+    // window isn't executed twice — once for rows, once for the model)
     val trans = events
       .select(col(user).as("_u"), col(typ).as("to_type"),
         lag(col(typ), 1).over(w).as("from_type"))
       .filter(col("from_type").isNotNull)
-    val model = transitionCounts(events, user, ts, typ, tieBreak)
+      .localCheckpoint()
+    val model = trans.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
     val out = model.groupBy("from_type").agg(sum(col("n_transitions")).as("_s"))
     trans
       .join(model, Seq("from_type", "to_type"))

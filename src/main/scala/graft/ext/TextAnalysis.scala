@@ -773,7 +773,10 @@ object TextAnalysis {
     * Hashes are the leading 48 bits of the md5 of the space-joined
     * gram (exact in a long; engine-stable, no seed). Documents
     * shorter than one window still emit the minimum of whatever
-    * grams exist — never an empty set for non-empty text.
+    * grams exist — never an empty set for non-empty text — while
+    * documents with NO non-empty token emit the empty set (the
+    * degenerate "fingerprint of nothing" would otherwise make every
+    * blank document match every other as verbatim overlap).
     *
     * Scale shape: one in-row gram-hash transform, then the NATIVE
     * O(grams) monotonic-deque window pass
@@ -789,7 +792,9 @@ object TextAnalysis {
       i => conv(substring(md5(
         concat_ws(" ", slice(toks, i + 1, lit(n))).cast("binary")),
         1, 12), 16, 10).cast("long"))
-    array_sort(array_distinct(
-      graft.functions.VectorExpressions.sliding_min(hashes, w)))
+    when(size(filter(toks, t => t =!= "")) === 0,
+        array().cast("array<bigint>"))
+      .otherwise(array_sort(array_distinct(
+        graft.functions.VectorExpressions.sliding_min(hashes, w))))
   }
 }

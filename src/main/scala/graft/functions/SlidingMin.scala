@@ -50,25 +50,31 @@ case class SlidingMin(child: Expression, w: Int) extends UnaryExpression {
 object SlidingMin {
 
   /** Shared by interpreted eval and generated code. Empty in → empty
-    * out; n < w → one window over the whole array. */
+    * out; n < w → one window over the whole array. NULL elements
+    * (the declared element type may be nullable even when values
+    * never are) are treated as +∞ — they never win a window, and a
+    * window of only NULLs yields Long.MaxValue — so the pass is
+    * total instead of NPEing on a null entry. */
   def slidingMin(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Long])
+    def at(i: Int): Long =
+      if (arr.isNullAt(i)) Long.MaxValue else arr.getLong(i)
     val out = new Array[Long](math.max(n - w, 0) + 1)
     val deque = new Array[Int](n) // indices, values increasing
     var head = 0
     var tail = 0 // live range [head, tail)
     var i = 0
     while (i < n) {
-      val v = arr.getLong(i)
-      while (tail > head && arr.getLong(deque(tail - 1)) >= v) tail -= 1
+      val v = at(i)
+      while (tail > head && at(deque(tail - 1)) >= v) tail -= 1
       deque(tail) = i
       tail += 1
       if (deque(head) <= i - w) head += 1
-      if (i >= w - 1) out(i - w + 1) = arr.getLong(deque(head))
+      if (i >= w - 1) out(i - w + 1) = at(deque(head))
       i += 1
     }
-    if (n < w) out(0) = arr.getLong(deque(head))
+    if (n < w) out(0) = at(deque(head))
     new GenericArrayData(out)
   }
 }

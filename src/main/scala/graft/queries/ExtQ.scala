@@ -4123,7 +4123,7 @@ object ExtQ {
             s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")}
        |    AS w FROM uu),
        |rm AS (SELECT r, (SUM(w * x)::HUGEINT * 1000000) // SUM(w) AS m
-       |       FROM ww GROUP BY r),
+       |       FROM ww GROUP BY r HAVING SUM(w) > 0),
        |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM rm),
        |base AS (SELECT COUNT(*)::BIGINT AS n,
        |  ((SUM(length(text))::HUGEINT * 1000000) // COUNT(*))::BIGINT
@@ -4153,9 +4153,11 @@ object ExtQ {
        |  FROM toks),
        |h AS (SELECT doc_id,
        |  list_transform(hs, x -> ${hexSql("x", 12)}) AS hv FROM g),
-       |m AS (SELECT doc_id,
-       |  list_transform(range(1, greatest(len(hv) - 7, 1) + 1),
-       |    i -> list_min(hv[i:i+7])) AS mins FROM h)
+       |m AS (SELECT h.doc_id,
+       |  CASE WHEN len([w FOR w IN toks.tk IF len(w) > 0]) = 0 THEN []
+       |       ELSE list_transform(range(1, greatest(len(hv) - 7, 1) + 1),
+       |         i -> list_min(hv[i:i+7])) END AS mins
+       |  FROM h JOIN toks ON toks.doc_id = h.doc_id)
        |SELECT doc_id, unnest(list_sort(list_distinct(mins)))::BIGINT AS fp
        |FROM m ORDER BY doc_id, fp""".stripMargin)
 

@@ -330,6 +330,24 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("SlidingMin: null elements act as +infinity, never NPE") = {
+    val gen = Gen.zip(
+      Gen.listOf(Gen.option(Gen.choose(-50L, 50L))), Gen.choose(1, 4))
+    forAll(gen) { case (xs, w) =>
+      val df = Seq(Tuple1(xs)).toDF("a")
+      val got = df.select(
+        graft.functions.VectorExpressions.sliding_min(col("a"), w))
+        .collect().head.getSeq[Long](0)
+      def mn(win: Seq[Option[Long]]): Long =
+        win.flatten.minOption.getOrElse(Long.MaxValue)
+      val expect =
+        if (xs.isEmpty) Seq.empty[Long]
+        else if (xs.length < w) Seq(mn(xs))
+        else xs.sliding(w).map(mn).toSeq
+      got == expect
+    }
+  }
+
   property("winsorizedMean == sorted-clip reference on random groups") = {
     val gen = Gen.listOfN(12,
       Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(-100L, 100L)))

@@ -1242,6 +1242,16 @@ class ExtSpec extends AnyFunSuite {
     // a0→b1 and b1→a0 (cos 1.0): mutual. a2→b1 (0.894 > 0.447) but
     // b1 prefers a0; b3→a2 but a2 prefers b1 → only one pair survives
     assert(got == Set((0L, 1L)))
+    // independently-keyed sets: a COLLIDING id is not a self-match —
+    // id 7 in A must still pair with id 7 in B (regression: the
+    // self-kNN exclusion used to drop exactly these true pairs)
+    val a2 = Seq((7L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b2 = Seq((7L, Seq(1.0f, 0.0f)), (8L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got2 = Similarity.mutualNearestPairs(a2, "vec_id", "embedding",
+        b2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((7L, 7L)))
   }
 
   test("winnowFingerprints: shared run of w+n−1 tokens shares a fingerprint") {
