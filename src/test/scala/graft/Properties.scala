@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import org.apache.spark.sql.functions._
 
 /** Property-based invariants (SURVEY.md §5.2): profile partitioning,
@@ -311,6 +311,94 @@ object GraftProperties extends Properties("graft") {
         val k = (sorted.length * alpha / 1000000L).toInt
         val kept = sorted.slice(k, sorted.length - k)
         got(g) == ((kept.length.toLong, kept.sum))
+      }
+    }
+  }
+
+  property("mannKendall == BigInt brute force on random hourly series") = {
+    val gen = Gen.listOfN(8, Gen.choose(-30, 30))
+    forAll(gen) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:30:00"),
+          v / 100.0)
+      }
+      val df = rows.toDF("k", "ts", "value").repartition(3)
+      val r = ext.Temporal.mannKendall(df, "k", "ts", col("value"))
+        .collect().head
+      val s = (for (i <- vs.indices; j <- vs.indices if i < j)
+        yield (vs(j) compare vs(i)).sign).sum
+      val n = BigInt(vs.length)
+      val tie18 = vs.groupBy(identity).values
+        .map(g => BigInt(g.size) * (g.size - 1) * (2 * g.size + 5)).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie18
+      r.getLong(1) == vs.length.toLong &&
+        r.getLong(3) == s.toLong && r.getLong(4) == var18.toLong
+    }
+  }
+
+  property("rankBiasedOverlap == weighted replay; bounded in [0, 10^6]") = {
+    val listGen = Gen.listOfN(6, Gen.choose(1L, 12L)).map(_.distinct)
+    forAll(Gen.zip(listGen, listGen)) { case (la, lb) =>
+      (la.nonEmpty && lb.nonEmpty) ==> {
+        def ranked(items: Seq[Long]) = items.zipWithIndex
+          .map { case (it, p) => (it, (p + 1).toLong) }.toDF("item", "rank")
+        val k = 6
+        val r = ext.Eval.rankBiasedOverlap(ranked(la), ranked(lb),
+          "item", "rank", k).collect().head
+        val weights = Seq.iterate(1000000000000000000L, k)(w => w * 9 / 10)
+        val ra = la.zipWithIndex.toMap; val rb = lb.zipWithIndex.toMap
+        val ms = la.toSet.intersect(lb.toSet).toSeq
+          .map(i => math.max(ra(i), rb(i)) + 1)
+        val sRef = (1 to k).map { d =>
+          val inter = ms.count(_ <= d)
+          BigInt(weights(d - 1)) * inter / d
+        }.sum
+        val rbo = (sRef / BigInt(10000000000000L)).toLong
+        r.getAs[Long]("n_joint") == ms.size.toLong &&
+          r.getAs[Long]("rbo_ppm") == rbo &&
+          rbo >= 0L && rbo <= 1000000L
+      }
+    }
+  }
+
+  property("cusumChangepoint == BigInt replay of n*cum - i*T") = {
+    val gen = Gen.listOfN(6, Gen.choose(-40, 40))
+    forAll(gen) { vs =>
+      vs.nonEmpty ==> {
+        val rows = vs.zipWithIndex.map { case (v, i) =>
+          (3L, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"),
+            (i + 1).toLong, v / 100.0)
+        }
+        val df = rows.toDF("k", "ts", "eid", "value").repartition(2)
+        val r = ext.Temporal.cusumChangepoint(df, "k", "ts", "eid",
+          col("value")).collect().head
+        val n = BigInt(vs.length); val t = BigInt(vs.sum)
+        val devs = vs.scanLeft(BigInt(0))(_ + _).tail.zipWithIndex
+          .map { case (cum, i) => (n * cum - BigInt(i + 1) * t, i) }
+        val best = devs.maxBy { case (d, i) => (d.abs, -i) }
+        r.getAs[Long]("dev_scaled") == best._1.toLong
+      }
+    }
+  }
+
+  property("mergeRetrievedChunks == brute-force island partition") = {
+    val gen = Gen.zip(
+      Gen.listOf(Gen.choose(0L, 15L)).map(_.distinct), Gen.choose(0, 3))
+    forAll(gen) { case (idxs, maxGap) =>
+      idxs.nonEmpty ==> {
+        val df = idxs.map(i => (1L, i, 5L)).toDF("d", "i", "t")
+        val got = ext.Chunk.mergeRetrievedChunks(df, "d", "i", "t", maxGap)
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        val sorted = idxs.sorted
+        val spans = sorted.tail.foldLeft(List(List(sorted.head))) {
+          (acc, i) =>
+            if (i - acc.head.head <= maxGap + 1) (i :: acc.head) :: acc.tail
+            else List(i) :: acc
+        }.map(_.reverse)
+        val expect = spans.map(s =>
+          (s.head, s.last, s.size.toLong)).toSet
+        got == expect
       }
     }
   }
