@@ -109,6 +109,14 @@ object Dedup {
     // re-executes the full shingle plan (observed 2-4x bench swings);
     // checkpoint blocks spill to disk instead and lineage is truncated
     val sets = docShingleSets(df, id, text, n).localCheckpoint()
+    jaccardPairsFromSets(sets, threshold)
+  }
+
+  /** [[ngramJaccardPairs]] over ALREADY-materialized shingle sets —
+    * callers that need both an exact and an approximate pass on the
+    * same corpus ([[lshBandingAudit]]) share one shingle scan. */
+  private def jaccardPairsFromSets(sets: DataFrame, threshold: Double)
+      : DataFrame = {
     // exploded view is a pure map over the checkpointed sets (carries
     // sz for free — no extra sizes join)
     val rows = sets.select(col("_id"), col("sz"), explode(col("shs")).as("sh"))
@@ -425,7 +433,9 @@ object Dedup {
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct().localCheckpoint()
-    val exact = ngramJaccardPairs(df, id, text, n, threshold)
+    // exact truth from the SAME checkpointed sets — one shingle scan
+    // feeds both the banded candidates and the ground truth
+    val exact = jaccardPairsFromSets(sets, threshold)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     val hits = candidates.join(exact, Seq("id_a", "id_b"))
     exact.agg(count(lit(1)).as("n_exact"))
