@@ -426,6 +426,48 @@ object Temporal {
           .as("var18"))
   }
 
+  /** Theil–Sen robust slope per key — the estimator behind
+    * [[mannKendall]]'s test: the LOWER MEDIAN of all pairwise slopes
+    * (v_j−v_i)/(h_j−h_i) over the hourly series, insensitive to
+    * ~29% outliers where the least-squares slope (x103) is wrecked
+    * by one spike. The median element is selected by ordering on the
+    * IEEE-double ratio (a single correctly-rounded division — both
+    * engines produce the identical double) with the exact integer
+    * (num, den) pair as tiebreaker, and is REPORTED as that exact
+    * fraction (cents per hour: med_num/med_den) plus a milli
+    * rendering — so the gate compares integers, not floats.
+    *
+    * Plan shape: like [[mannKendall]] — event volume collapses to
+    * (key, hour) sums first; the pair self-join and the per-key
+    * median window are bounded by the time span, never by event
+    * volume. */
+  def theilSen(events: DataFrame, key: String, ts: String,
+               value: Column): DataFrame = {
+    val x = (value.cast("decimal(18,2)") * 100).cast("long")
+    val hourly = events
+      .select(col(key).as("_k"), date_trunc("hour", col(ts)).as("_h"),
+        x.as("_x"))
+      .groupBy("_k", "_h").agg(sum(col("_x")).as("_v"))
+      .withColumn("_e", (unix_micros(col("_h").cast("timestamp")) /
+        lit(3600000000L)).cast("long"))
+    val pairs = hourly.as("a").join(hourly.as("b"),
+        col("a._k") === col("b._k") && col("a._e") < col("b._e"))
+      .select(col("a._k").as("_k"),
+        (col("b._v") - col("a._v")).as("_num"),
+        (col("b._e") - col("a._e")).as("_den"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy((col("_num").cast("double") / col("_den")).asc,
+        col("_num").asc, col("_den").asc)
+    pairs
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(col("_k"))))
+      .filter(col("_rn") === floor((col("_m") + 1) / 2).cast("long"))
+      .select(col("_k").as(key), col("_m").as("n_pairs"),
+        col("_num").as("med_num"), col("_den").as("med_den"),
+        IntMath.truncDiv(col("_num") * lit(1000L), col("_den"))
+          .as("slope_milli"))
+  }
+
   /** Point-in-time (PIT) feature join — the feature-store operation
     * that prevents training-serving skew: each fact row joins the
     * dimension VERSION whose validity window [from, to) contained the

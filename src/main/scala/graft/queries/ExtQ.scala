@@ -4853,6 +4853,31 @@ object ExtQ {
       |FROM nn LEFT JOIN sp ON sp.k = nn.k JOIN tt ON tt.k = nn.k
       |ORDER BY event_type""".stripMargin)
 
+  /** Theil–Sen robust slope per event type — the lower-median
+    * pairwise slope in exact cents-per-hour fractions. */
+  private val x167: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Temporal.theilSen(t(s, d, "events"), "event_type", "ts", $"value")
+        .orderBy($"event_type")
+    },
+    """WITH h AS (SELECT event_type AS k,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS e,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      ::BIGINT AS v
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.k, (b.v - a.v)::BIGINT AS num,
+      |        (b.e - a.e)::BIGINT AS den
+      |      FROM h a JOIN h b ON a.k = b.k AND a.e < b.e),
+      |r AS (SELECT k, num, den,
+      |        ROW_NUMBER() OVER (PARTITION BY k ORDER BY
+      |          CAST(num AS DOUBLE) / den, num, den) AS rn,
+      |        COUNT(*) OVER (PARTITION BY k) AS m
+      |      FROM p)
+      |SELECT k AS event_type, m::BIGINT AS n_pairs, num AS med_num,
+      |  den AS med_den, (num * 1000 // den)::BIGINT AS slope_milli
+      |FROM r WHERE rn = (m + 1) // 2 ORDER BY event_type""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5020,5 +5045,6 @@ object ExtQ {
     "x164_majority_label" -> (x164._1, Some(x164._2)),
     "x165_curation_pipeline" -> (x165._1, Some(x165._2)),
     "x166_mann_kendall" -> (x166._1, Some(x166._2)),
+    "x167_theil_sen" -> (x167._1, Some(x167._2)),
   )
 }

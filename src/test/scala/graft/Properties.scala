@@ -361,6 +361,28 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("theilSen == brute-force lower-median pairwise slope") = {
+    val gen = Gen.listOfN(6, Gen.choose(-40, 40))
+    forAll(gen) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:15:00"),
+          v / 100.0)
+      }
+      val df = rows.toDF("k", "ts", "value").repartition(3)
+      val r = ext.Temporal.theilSen(df, "k", "ts", col("value"))
+        .collect().head
+      val slopes = (for (i <- vs.indices; j <- vs.indices if i < j)
+        yield ((vs(j) - vs(i)).toLong, (j - i).toLong))
+        .sortBy { case (n, d) => (n.toDouble / d, n, d) }
+      val (mn, md) = slopes((slopes.size + 1) / 2 - 1)
+      r.getLong(1) == slopes.size.toLong && r.getLong(2) == mn &&
+        r.getLong(3) == md && r.getLong(4) == {
+          val q = BigInt(mn) * 1000 / md // BigInt / truncates toward zero
+          q.toLong
+        }
+    }
+  }
+
   property("cusumChangepoint == BigInt replay of n*cum - i*T") = {
     val gen = Gen.listOfN(6, Gen.choose(-40, 40))
     forAll(gen) { vs =>
