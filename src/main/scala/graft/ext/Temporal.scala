@@ -426,6 +426,46 @@ object Temporal {
           .as("var18"))
   }
 
+  /** Exact overlap between two interval SETS per key — "how much of
+    * each user's session time fell inside maintenance windows",
+    * "downtime ∩ business hours" — via a boundary SWEEP, not an
+    * interval pair join: both sets melt to ±1 boundary deltas,
+    * per-(key, t) deltas collapse map-side, two running sums give
+    * each set's active depth, and a segment [t, next_t) counts when
+    * BOTH depths are positive. Intervals are half-open [from, to);
+    * overlapping intervals WITHIN a set are handled correctly
+    * (depth > 0 is membership, not depth arithmetic). Returns one
+    * row per key with any overlap: (key, overlap_units,
+    * n_segments) — n_segments counts boundary-delimited active
+    * segments, so two abutting windows report as their subdivided
+    * parts.
+    *
+    * A pair range-join computes the same thing in O(|A|·|B|) per hot
+    * key and needs overlap-dedup for nested intervals; the sweep is
+    * O((|A|+|B|) log) per key with no pair blowup — the windows are
+    * KEY-partitioned (bounded per key, never global). */
+  def intervalOverlap(a: DataFrame, b: DataFrame, key: String,
+                      from: String, to: String): DataFrame = {
+    def melt(df: DataFrame, sa: Long, sb: Long, at: String) =
+      df.select(col(key).as("_k"), col(at).cast("long").as("_t"),
+        lit(sa).as("_da"), lit(sb).as("_db"))
+    val bounds = melt(a, 1L, 0L, from).unionAll(melt(a, -1L, 0L, to))
+      .unionAll(melt(b, 0L, 1L, from)).unionAll(melt(b, 0L, -1L, to))
+      .groupBy(col("_k"), col("_t"))
+      .agg(sum(col("_da")).as("_da"), sum(col("_db")).as("_db"))
+    val run = Window.partitionBy(col("_k")).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nxt = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    bounds
+      .withColumn("_ca", sum(col("_da")).over(run))
+      .withColumn("_cb", sum(col("_db")).over(run))
+      .withColumn("_next", lead(col("_t"), 1).over(nxt))
+      .filter(col("_next").isNotNull && col("_ca") > 0 && col("_cb") > 0)
+      .groupBy(col("_k").as(key))
+      .agg(sum(col("_next") - col("_t")).as("overlap_units"),
+        count(lit(1)).as("n_segments"))
+  }
+
   /** Theil–Sen robust slope per key — the estimator behind
     * [[mannKendall]]'s test: the LOWER MEDIAN of all pairwise slopes
     * (v_j−v_i)/(h_j−h_i) over the hourly series, insensitive to

@@ -4878,6 +4878,45 @@ object ExtQ {
       |  den AS med_den, (num * 1000 // den)::BIGINT AS slope_milli
       |FROM r WHERE rn = (m + 1) // 2 ORDER BY event_type""".stripMargin)
 
+  /** Interval-set overlap per customer: 30-day windows from each
+    * order vs the same windows shifted 15 days — exact overlapping
+    * days from the boundary sweep, no pair join. */
+  private val x168: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders").filter($"o_custkey" < 300)
+        .select($"o_custkey".as("k"),
+          datediff($"o_orderdate".cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d0"))
+      val a = o.select($"k", $"d0".as("ivl_from"),
+        ($"d0" + 30).as("ivl_to"))
+      val b = o.select($"k", ($"d0" + 15).as("ivl_from"),
+        ($"d0" + 45).as("ivl_to"))
+      Temporal.intervalOverlap(a, b, "k", "ivl_from", "ivl_to")
+        .orderBy($"k")
+    },
+    """WITH o AS (SELECT o_custkey AS k,
+      |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01')::BIGINT AS d0
+      |  FROM orders WHERE o_custkey < 300),
+      |bounds AS (
+      |  SELECT k, d0 AS t, 1 AS da, 0 AS db FROM o
+      |  UNION ALL SELECT k, d0 + 30, -1, 0 FROM o
+      |  UNION ALL SELECT k, d0 + 15, 0, 1 FROM o
+      |  UNION ALL SELECT k, d0 + 45, 0, -1 FROM o),
+      |g AS (SELECT k, t, SUM(da)::BIGINT AS da, SUM(db)::BIGINT AS db
+      |      FROM bounds GROUP BY k, t),
+      |r AS (SELECT k, t,
+      |        SUM(da) OVER (PARTITION BY k ORDER BY t
+      |          ROWS UNBOUNDED PRECEDING) AS ca,
+      |        SUM(db) OVER (PARTITION BY k ORDER BY t
+      |          ROWS UNBOUNDED PRECEDING) AS cb,
+      |        LEAD(t) OVER (PARTITION BY k ORDER BY t) AS nxt
+      |      FROM g)
+      |SELECT k, SUM(nxt - t)::BIGINT AS overlap_units,
+      |  COUNT(*)::BIGINT AS n_segments
+      |FROM r WHERE nxt IS NOT NULL AND ca > 0 AND cb > 0
+      |GROUP BY k ORDER BY k""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5046,5 +5085,6 @@ object ExtQ {
     "x165_curation_pipeline" -> (x165._1, Some(x165._2)),
     "x166_mann_kendall" -> (x166._1, Some(x166._2)),
     "x167_theil_sen" -> (x167._1, Some(x167._2)),
+    "x168_interval_overlap" -> (x168._1, Some(x168._2)),
   )
 }

@@ -354,6 +354,23 @@ class TemporalSpec extends AnyFunSuite {
       ts("2024-01-01 00:03:00").getTime * 1000L)
   }
 
+  test("intervalOverlap: sweep counts membership, not depth") {
+    val a = Seq((1L, 0L, 10L), (1L, 2L, 4L), (2L, 0L, 10L), (3L, 0L, 5L))
+      .toDF("k", "f", "t")
+    val b = Seq((1L, 0L, 10L), (2L, 0L, 5L), (2L, 5L, 10L), (3L, 7L, 9L))
+      .toDF("k", "f", "t")
+    val got = Temporal.intervalOverlap(a, b, "k", "f", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // k1: nested [2,4) inside [0,10) must NOT double-count → 10, and
+    // its boundaries subdivide the active run into 3 segments
+    assert(got(1L) == ((10L, 3L)))
+    // k2: abutting B windows cover A fully → 10 across 2 segments
+    assert(got(2L) == ((10L, 2L)))
+    // k3: disjoint sets → no row
+    assert(!got.contains(3L))
+  }
+
   test("mannKendall: strict rise maxes S, constant series zeroes var18") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
