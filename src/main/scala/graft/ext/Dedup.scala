@@ -557,6 +557,13 @@ object Dedup {
     * — that lower bound is the output size itself, not banding waste.
     * Chunks are extracted with unsigned shifts — float division would
     * lose bits beyond 2^53 on 64-bit signatures. */
+  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int)
+      : DataFrame =
+    simhashCandidates(
+      df.select(col(id).as("_id"), simhash64(col(text)).as("sig")), maxHamming)
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+
   /** Contrastive positive mining from a near-dup pair list: for every
     * document that appears in at least one pair, its `cap` STRONGEST
     * partners — the (anchor, positive) training-pair extraction for
@@ -590,13 +597,6 @@ object Dedup {
       .select(col("anchor"), col("_kv.id").as("positive"),
         col("_kv.v").as("sim"), (col("_pos") + 1).cast("long").as("pos_rank"))
   }
-
-  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int)
-      : DataFrame =
-    simhashCandidates(
-      df.select(col(id).as("_id"), simhash64(col(text)).as("sig")), maxHamming)
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
 
   /** The banded candidate join of [[simhashPairs]] before hamming
     * verification, over a precomputed `(_id, sig)` frame — exposed so

@@ -60,8 +60,6 @@ object Eval {
     require(reps >= 4 && reps <= 10000, "reps must be in [4, 10000]")
     require(tailPermille >= 1 && tailPermille * 2 < 1000,
       "tailPermille must be in [1, 499]")
-    val loRank = math.max(1, reps * tailPermille / 1000)
-    val hiRank = reps + 1 - loRank
     val digest = md5(concat_ws(":", lit(salt), col("_r"), col("_k"))
       .cast("binary"))
     val u = pmod(conv(substring(digest, 1, 6), 16, 10).cast("long"),
@@ -79,11 +77,21 @@ object Eval {
       // let a NULL struct sort first and shift the order statistics
       .filter(col("_n") > 0)
       .select(col("_r"), ppmDiv(col("_s"), col("_n")).as("_m"))
+    // rank against the SURVIVING replicate count (== reps except on
+    // tiny inputs where zero-weight replicates were dropped): with
+    // the nominal reps-based ranks, a shorter list made element_at
+    // return a NULL hi_ppm and shifted the tail coverage
     val stats = repMeans
       .agg(sort_array(collect_list(struct(col("_m"), col("_r")))).as("_ms"))
       .select(
-        element_at(col("_ms"), loRank).getField("_m").as("lo_ppm"),
-        element_at(col("_ms"), hiRank).getField("_m").as("hi_ppm"))
+        greatest(lit(1),
+          size(col("_ms")) * lit(tailPermille) / lit(1000)).cast("int")
+          .as("_lo"),
+        col("_ms"))
+      .select(
+        element_at(col("_ms"), col("_lo")).getField("_m").as("lo_ppm"),
+        element_at(col("_ms"), (size(col("_ms")) + 1 - col("_lo")).cast("int"))
+          .getField("_m").as("hi_ppm"))
     df.agg(count(lit(1)).as("n"),
         ppmDiv(sum(value.cast("long")), count(lit(1))).as("mean_ppm"))
       .crossJoin(broadcast(stats))

@@ -543,9 +543,14 @@ object Graph {
       .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
     val totals = universe.select(col(id)).agg(count(lit(1)).as("_nu"))
       .crossJoin(broadcast(comp.agg(count(lit(1)).as("_nin"))))
+    // PRECONDITION: every id in `pairs` must appear in `universe`.
+    // A violation makes the singleton count NEGATIVE; the row is
+    // emitted (not filtered) so the caller's Σ csize·n_components ==
+    // |universe| assertion catches it instead of silently passing a
+    // smaller universe.
     val singles = totals.select(lit(1L).as("csize"),
         (col("_nu") - col("_nin")).as("n_components"))
-      .filter(col("n_components") > 0)
+      .filter(col("n_components") =!= 0)
     // pair-derived components always have csize >= 2 — the buckets
     // cannot collide with the singleton row
     hist.unionByName(singles)

@@ -287,10 +287,16 @@ object Profile {
     * per group (groups spread across reducers — no global order),
     * group totals join from their own tiny aggregate, and rows pull
     * their percentile back via one (group, value) equi-join. Adds
-    * `pct_ppm`. */
+    * `pct_ppm`.
+    *
+    * NULL handling: rows whose group or value is NULL are EXCLUDED
+    * from the output (a NULL has no rank position) — filtered
+    * explicitly up front rather than silently dropped by the
+    * null-rejecting equi-join. */
   def percentileRank(df: DataFrame, group: String, value: Column)
       : DataFrame = {
-    val byv = df.select(col(group).as("_g"), value.as("_v"))
+    val in = df.filter(col(group).isNotNull && value.isNotNull)
+    val byv = in.select(col(group).as("_g"), value.as("_v"))
       .groupBy("_g", "_v").agg(count(lit(1)).as("_cnt"))
     val w = Window.partitionBy("_g").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -301,7 +307,7 @@ object Profile {
       .select(col("_g"), col("_v"),
         IntMath.truncDiv(lit(1000000L) * (col("_r2") - 1),
           lit(2L) * col("_ng")).as("pct_ppm"))
-    df.join(pct, col(group) === col("_g") && value === col("_v"))
+    in.join(pct, col(group) === col("_g") && value === col("_v"))
       .drop("_g", "_v")
   }
 
