@@ -414,22 +414,81 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Banded candidate pairs between two embedding frames: each vector
+    * gets `bands` bucket ids (sign pattern of `bitsPerBand`
+    * deterministic md5-derived hyperplanes per band, [[Planes]] — the
+    * [[Dedup.embeddingNearDups]] generator); a pair is a candidate
+    * iff it shares at least one (band, bucket) key. Band rows carry
+    * ONLY (id, band, bucket), so the banded shuffle never moves the
+    * embedding payload, and the join is an equi-join on the bucket
+    * key — near-linear in corpus size, never a broadcast of either
+    * side. Returns distinct (id_a, id_b). Deterministic planes ⇒ the
+    * candidate set is exactly reproducible by the DuckDB oracle. */
+  private def bandedCrossCandidates(a: DataFrame, b: DataFrame,
+                                    bands: Int, bitsPerBand: Int,
+                                    dim: Int): DataFrame = {
+    val planes = Planes.components(bands * bitsPerBand, dim)
+    def bandRows(df: DataFrame, out: String) = df.select(col("_id").as(out),
+      posexplode(Planes.bandBuckets(col("v"), planes, bands, bitsPerBand))
+        .as(Seq("band", "bucket")))
+    bandRows(a, "id_a").join(bandRows(b, "id_b"), Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** Mutual nearest-neighbour pairs between two embedding sets — the
     * margin-free alignment criterion of bitext/parallel-data mining
     * (LASER/CCMatrix-style): a is paired with b only when b is a's
-    * single nearest neighbour in B AND a is b's nearest in A. One-way
-    * nearest neighbours produce asymmetric junk pairs at corpus
-    * scale; mutuality is the cheap filter that makes mined pairs
-    * trainable. Returns (id_a, id_b, cosine) for each mutual pair.
+    * single nearest CANDIDATE neighbour in B AND a is b's nearest in
+    * A. One-way nearest neighbours produce asymmetric junk pairs at
+    * corpus scale; mutuality is the cheap filter that makes mined
+    * pairs trainable. Returns (id_a, id_b, cosine) per mutual pair.
     *
-    * Shape: two [[bruteForceTopK]] passes at k = 1 (query side
-    * broadcasts, corpus streams and drives parallelism, per-query
-    * top-1 is a bounded window) and one equi-join on the pair key for
-    * the mutuality check. Exact — the correctness baseline; at
-    * 100 TB replace each pass's candidate generation with the banded
-    * [[lshTopK]] and keep the identical mutual join. */
+    * THE 100 TB PATH: candidates come from the deterministic
+    * hyperplane banding ([[bandedCrossCandidates]]) — the shuffles
+    * are (band, bucket) and id equi-joins, neither side is ever
+    * broadcast, and per-side top-1 is a bounded partitioned window
+    * over candidates only. Cosines are computed ONCE per candidate
+    * pair and reused by both directions of the mutuality check.
+    * Semantics are LSH-kNN: a true neighbour sharing no bucket is
+    * unseen (recall governed by bands × bitsPerBand; measured by
+    * [[mutualBandingAudit]]) — but because the planes are
+    * md5-deterministic the output is exactly reproducible, engine to
+    * engine. [[mutualNearestPairsExact]] is the brute-force
+    * small-input baseline. */
   def mutualNearestPairs(a: DataFrame, aId: String, aVec: String,
-                         b: DataFrame, bId: String, bVec: String)
+                         b: DataFrame, bId: String, bVec: String,
+                         bands: Int = 16, bitsPerBand: Int = 4,
+                         dim: Int = 64): DataFrame = {
+    val parts = a.sparkSession.sessionState.conf.numShufflePartitions
+    val va = a.select(col(aId).as("_id"), col(aVec).as("v"))
+      .repartition(parts).localCheckpoint()
+    val vb = b.select(col(bId).as("_id"), col(bVec).as("v"))
+      .repartition(parts).localCheckpoint()
+    val cand = bandedCrossCandidates(va, vb, bands, bitsPerBand, dim)
+    val scored = cand
+      .join(va.select(col("_id").as("id_a"), col("v").as("_va")), Seq("id_a"))
+      .join(vb.select(col("_id").as("id_b"), col("v").as("_vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("_va"), col("_vb")).as("cosine"))
+      .localCheckpoint()  // both direction windows read it — score once
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_b").orderBy(col("cosine").desc, col("id_a"))
+    val ab = scored.withColumn("_r", row_number().over(wa))
+      .filter(col("_r") === 1).select(col("id_a"), col("id_b"), col("cosine"))
+    val ba = scored.withColumn("_r", row_number().over(wb))
+      .filter(col("_r") === 1).select(col("id_a"), col("id_b"))
+    ab.join(ba, Seq("id_a", "id_b"))
+  }
+
+  /** Brute-force-exact mutual nearest neighbours — the small-input /
+    * ground-truth baseline ([[mutualBandingAudit]] compares the
+    * banded default against it). Broadcasts each side in turn: NOT
+    * for corpus-sized inputs. */
+  def mutualNearestPairsExact(a: DataFrame, aId: String, aVec: String,
+                              b: DataFrame, bId: String, bVec: String)
       : DataFrame = {
     // excludeSelf = false: A and B are independently keyed sets — an
     // id collision across them is NOT a self-match, and the self-kNN
@@ -444,21 +503,77 @@ object Similarity {
     ab.join(ba, Seq("id_a", "id_b"))
   }
 
+  /** Self-banded candidate pairs (both orientations) for a single
+    * embedding frame: the [[bandedCrossCandidates]] self-join with
+    * `id_a < id_b` dedup, then mirrored so every member anchors —
+    * per-query neighbour lists without ever pairing a vector with
+    * itself. */
+  private def bandedSelfCandidates(v: DataFrame, bands: Int,
+                                   bitsPerBand: Int, dim: Int): DataFrame = {
+    val planes = Planes.components(bands * bitsPerBand, dim)
+    val banded = v.select(col("_id"),
+      posexplode(Planes.bandBuckets(col("v"), planes, bands, bitsPerBand))
+        .as(Seq("band", "bucket")))
+    val half = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    half.unionByName(
+      half.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+  }
+
   /** k-NN label disagreement — confident-learning-style NOISY LABEL
     * detection over a labeled embedding set: for each point, how many
-    * of its k nearest neighbours (cosine, self excluded) carry a
-    * DIFFERENT label. High disagreement marks probable mislabels /
-    * ambiguous items — the standard pruning signal before training a
-    * quality classifier on weak labels. Returns (id, label, k_used,
-    * n_disagree, disagree_ppm).
+    * of its k nearest CANDIDATE neighbours (cosine, self excluded)
+    * carry a DIFFERENT label. High disagreement marks probable
+    * mislabels / ambiguous items — the standard pruning signal before
+    * training a quality classifier on weak labels. Returns (id,
+    * label, k_used, n_disagree, disagree_ppm); `k_used` < k when the
+    * banding yields fewer candidates, and a point sharing no bucket
+    * with anyone is absent (it has no neighbour evidence either way).
     *
-    * Shape: one [[bruteForceTopK]] pass of the set against itself
-    * (query side broadcasts with labels, corpus streams; per-query
-    * top-k is a bounded window) + one map-combined per-id reduce.
-    * Exact baseline — at 100 TB generate candidates with the banded
-    * LSH instead and keep the same disagreement reduce. */
+    * THE 100 TB PATH: candidates from the deterministic hyperplane
+    * self-banding ([[bandedSelfCandidates]]) — (band, bucket) and id
+    * equi-joins only, the corpus is NEVER broadcast, per-query top-k
+    * is a bounded partitioned window over candidates. LSH-kNN
+    * semantics, exactly engine-reproducible (md5 planes); recall vs
+    * exact kNN is measured by [[knnBandingAudit]].
+    * [[knnLabelDisagreementExact]] is the brute-force baseline. */
   def knnLabelDisagreement(df: DataFrame, id: String, vec: String,
-                           label: String, k: Int): DataFrame = {
+                           label: String, k: Int, bands: Int = 16,
+                           bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val v = df.select(col(id).as("_id"), col(vec).as("v"),
+        col(label).as("_lab"))
+      .repartition(parts).localCheckpoint()
+    val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim)
+    val scored = cand
+      .join(v.select(col("_id").as("id_a"), col("v").as("_va"),
+        col("_lab").as("_qlab")), Seq("id_a"))
+      .join(v.select(col("_id").as("id_b"), col("v").as("_vb"),
+        col("_lab").as("_nlab")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("_va"), col("_vb")).as("cosine"),
+        col("_qlab"), col("_nlab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
+    scored.withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
+      .groupBy(col("id_a").as("id"))
+      .agg(first(col("_qlab")).as("label"),
+        count(lit(1)).as("k_used"),
+        sum(when(col("_qlab") === col("_nlab"), 0L).otherwise(1L))
+          .as("n_disagree"))
+      .withColumn("disagree_ppm",
+        IntMath.ppmDiv(col("n_disagree"), col("k_used")))
+  }
+
+  /** Brute-force-exact k-NN label disagreement — the small-input /
+    * ground-truth baseline (broadcasts the query side: NOT for
+    * corpus-sized inputs; [[knnBandingAudit]] compares the banded
+    * default against it). */
+  def knnLabelDisagreementExact(df: DataFrame, id: String, vec: String,
+                                label: String, k: Int): DataFrame = {
     val labels = df.select(col(id).as("_lid"), col(label).as("_lab"))
     val nn = bruteForceTopK(df, id, vec, df, id, vec, k)
     nn.join(labels.withColumnRenamed("_lid", "query_id")
@@ -472,6 +587,68 @@ object Similarity {
           .as("n_disagree"))
       .withColumn("disagree_ppm",
         IntMath.ppmDiv(col("n_disagree"), col("k_used")))
+  }
+
+  /** Self-verifying recall audit for the banded [[mutualNearestPairs]]
+    * (x142's pattern applied to ANN): runs the exact brute-force
+    * mutual-pair miner as ground truth, the banded miner as the
+    * candidate under test, and reports n_exact / n_banded / n_hits /
+    * recall_ppm in ONE row. Both sides are deterministic, so the
+    * DuckDB oracle reproduces every number — a Spark-side banding
+    * bug (candidate set deviating from the md5-plane spec) turns the
+    * gate red, and a parameter regression shows up as a recall drop
+    * (spec-gated). Ground truth broadcasts the fixture — audit-only,
+    * never the production path. */
+  def mutualBandingAudit(a: DataFrame, aId: String, aVec: String,
+                         b: DataFrame, bId: String, bVec: String,
+                         bands: Int = 16, bitsPerBand: Int = 4,
+                         dim: Int = 64): DataFrame = {
+    val exact = mutualNearestPairsExact(a, aId, aVec, b, bId, bVec)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val banded = mutualNearestPairs(a, aId, aVec, b, bId, bVec,
+        bands, bitsPerBand, dim)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nB = banded.agg(count(lit(1)).as("n_banded"))
+    val nH = exact.join(banded, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hits"))
+    nE.crossJoin(broadcast(nB)).crossJoin(broadcast(nH))
+      .withColumn("recall_ppm",
+        IntMath.ppmDiv(col("n_hits"), col("n_exact")))
+  }
+
+  /** Self-verifying recall audit for the banded
+    * [[knnLabelDisagreement]]: exact top-k neighbour pairs (brute
+    * force) vs the banded top-k pairs, as (n_exact, n_banded,
+    * n_hits, recall_ppm) — one row, every number oracle-reproducible.
+    * Ground truth broadcasts the fixture — audit-only. */
+  def knnBandingAudit(df: DataFrame, id: String, vec: String, k: Int,
+                      bands: Int = 16, bitsPerBand: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val exact = bruteForceTopK(df, id, vec, df, id, vec, k)
+      .select(col("query_id"), col("neighbour_id")).localCheckpoint()
+    val v = df.select(col(id).as("_id"), col(vec).as("v"))
+      .repartition(parts).localCheckpoint()
+    val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim)
+    val scored = cand
+      .join(v.select(col("_id").as("id_a"), col("v").as("_va")), Seq("id_a"))
+      .join(v.select(col("_id").as("id_b"), col("v").as("_vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("_va"), col("_vb")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
+    val banded = scored.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbour_id"))
+      .localCheckpoint()
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nB = banded.agg(count(lit(1)).as("n_banded"))
+    val nH = exact.join(banded, Seq("query_id", "neighbour_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    nE.crossJoin(broadcast(nB)).crossJoin(broadcast(nH))
+      .withColumn("recall_ppm",
+        IntMath.ppmDiv(col("n_hits"), col("n_exact")))
   }
 
   /** Hard-negative mining (contrastive-training data prep): for each

@@ -4336,36 +4336,51 @@ object ExtQ {
       |FROM dau JOIN wau ON wau.day = dau.day ORDER BY dau.day""".stripMargin)
 
   /** Mutual nearest-neighbour pairs between the even- and odd-id
-    * embedding halves — bitext-mining's alignment criterion; the
-    * oracle replays both top-1 passes and the mutuality join. */
+    * embedding halves — bitext-mining's alignment criterion, run on
+    * THE BANDED 100 TB PATH (deterministic hyperplane LSH candidates,
+    * no side broadcast). The oracle replays the md5-plane banding
+    * bit-for-bit (x05's trick), both top-1-over-candidates passes and
+    * the mutuality join — so the LSH-kNN output is identical by
+    * construction. Recall vs exact is gated separately by x169. */
   private val x152: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
       Similarity.mutualNearestPairs(
           emb.filter(pmod($"vec_id", lit(2)) === 0), "vec_id", "embedding",
-          emb.filter(pmod($"vec_id", lit(2)) === 1), "vec_id", "embedding")
+          emb.filter(pmod($"vec_id", lit(2)) === 1), "vec_id", "embedding",
+          bands = 16, bitsPerBand = 4, dim = 64)
         .select($"id_a", $"id_b",
           (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
         .orderBy($"id_a")
     },
-    s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
-       |           WHERE vec_id % 2 = 0),
-       |b AS (SELECT vec_id, embedding FROM embeddings
-       |      WHERE vec_id % 2 = 1),
+    s"""WITH ${Planes.planesCteSql(64, 64)},
+       |${Planes.dotsCteSql("embeddings", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sk a JOIN sk b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |    ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+       |  JOIN embeddings eb ON eb.vec_id = cand.id_b),
        |ab AS (SELECT id_a, id_b, cosine FROM (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    ${cosineSql("a.embedding", "b.embedding")} AS cosine,
-       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-       |      ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id)
-       |      AS r
-       |  FROM a, b) WHERE r = 1),
-       |ba AS (SELECT id_b, id_a FROM (
-       |  SELECT b.vec_id AS id_b, a.vec_id AS id_a,
-       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-       |      ${cosineSql("b.embedding", "a.embedding")} DESC, a.vec_id)
-       |      AS r
-       |  FROM a, b) WHERE r = 1)
+       |  SELECT id_a, id_b, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a
+       |      ORDER BY cosine DESC, id_b) AS r
+       |  FROM sc) WHERE r = 1),
+       |ba AS (SELECT id_a, id_b FROM (
+       |  SELECT id_a, id_b,
+       |    ROW_NUMBER() OVER (PARTITION BY id_b
+       |      ORDER BY cosine DESC, id_a) AS r
+       |  FROM sc) WHERE r = 1)
        |SELECT ab.id_a, ab.id_b,
        |  floor(ab.cosine * 1e6 + 0.5) / 1e6 AS cos6
        |FROM ab JOIN ba ON ba.id_a = ab.id_a AND ba.id_b = ab.id_b
@@ -4538,23 +4553,41 @@ object ExtQ {
       |FROM m GROUP BY key ORDER BY key""".stripMargin)
 
   /** k-NN label disagreement over the first 500 embeddings (k = 10)
-    * — the noisy-label pruning signal, neighbour-for-neighbour. */
+    * — the noisy-label pruning signal, run on THE BANDED 100 TB PATH
+    * (deterministic hyperplane LSH self-candidates, corpus never
+    * broadcast). The oracle replays the md5-plane banding and the
+    * top-k-over-candidates window, so the LSH-kNN output is identical
+    * by construction. Recall vs exact is gated separately by x170. */
   private val x158: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       Similarity.knnLabelDisagreement(
           t(s, d, "embeddings").filter($"vec_id" < 500),
-          "vec_id", "embedding", "label", k = 10)
+          "vec_id", "embedding", "label", k = 10,
+          bands = 16, bitsPerBand = 4, dim = 64)
         .orderBy($"id")
     },
     s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
        |           WHERE vec_id < 500),
+       |${Planes.planesCteSql(64, 64)},
+       |${Planes.dotsCteSql("e", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sk a JOIN sk b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id),
        |nn AS (SELECT q, qlab, nlab FROM (
-       |  SELECT a.vec_id AS q, a.label AS qlab, b.label AS nlab,
-       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-       |      ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+       |  SELECT cand.id_a AS q, ea.label AS qlab, eb.label AS nlab,
+       |    ROW_NUMBER() OVER (PARTITION BY cand.id_a ORDER BY
+       |      ${cosineSql("ea.embedding", "eb.embedding")} DESC, cand.id_b)
        |      AS r
-       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE r <= 10)
+       |  FROM cand
+       |  JOIN e ea ON ea.vec_id = cand.id_a
+       |  JOIN e eb ON eb.vec_id = cand.id_b) WHERE r <= 10)
        |SELECT q AS id, MIN(qlab) AS label, COUNT(*)::BIGINT AS k_used,
        |  SUM(CASE WHEN qlab = nlab THEN 0 ELSE 1 END)::BIGINT
        |    AS n_disagree,
@@ -4917,6 +4950,126 @@ object ExtQ {
       |FROM r WHERE nxt IS NOT NULL AND ca > 0 AND cb > 0
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Self-verifying recall audit for the banded mutual-NN miner
+    * (x152's scale path): the exact brute-force mutual pairs are the
+    * ground truth, the banded pairs the candidate under test; the
+    * oracle recomputes BOTH sides, so a Spark banding bug turns the
+    * row red and the recall value itself is engine-verified. Runs on
+    * the 500-vector fixture slice (the exact side is O(n²) by
+    * definition — audit-only). */
+  private val x169: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").filter($"vec_id" < 500)
+      Similarity.mutualBandingAudit(
+          emb.filter(pmod($"vec_id", lit(2)) === 0), "vec_id", "embedding",
+          emb.filter(pmod($"vec_id", lit(2)) === 1), "vec_id", "embedding",
+          bands = 16, bitsPerBand = 4, dim = 64)
+    },
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id < 500),
+       |ha AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |hb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+       |xab AS (SELECT id_a, id_b FROM (
+       |  SELECT ha.vec_id AS id_a, hb.vec_id AS id_b,
+       |    ROW_NUMBER() OVER (PARTITION BY ha.vec_id ORDER BY
+       |      ${cosineSql("ha.embedding", "hb.embedding")} DESC, hb.vec_id)
+       |      AS r
+       |  FROM ha, hb) WHERE r = 1),
+       |xba AS (SELECT id_a, id_b FROM (
+       |  SELECT hb.vec_id AS id_b, ha.vec_id AS id_a,
+       |    ROW_NUMBER() OVER (PARTITION BY hb.vec_id ORDER BY
+       |      ${cosineSql("hb.embedding", "ha.embedding")} DESC, ha.vec_id)
+       |      AS r
+       |  FROM ha, hb) WHERE r = 1),
+       |xm AS (SELECT xab.id_a, xab.id_b FROM xab
+       |       JOIN xba ON xba.id_a = xab.id_a AND xba.id_b = xab.id_b),
+       |${Planes.planesCteSql(64, 64)},
+       |${Planes.dotsCteSql("e", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sk a JOIN sk b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |    ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN e ea ON ea.vec_id = cand.id_a
+       |  JOIN e eb ON eb.vec_id = cand.id_b),
+       |bab AS (SELECT id_a, id_b FROM (
+       |  SELECT id_a, id_b,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a
+       |      ORDER BY cosine DESC, id_b) AS r
+       |  FROM sc) WHERE r = 1),
+       |bba AS (SELECT id_a, id_b FROM (
+       |  SELECT id_a, id_b,
+       |    ROW_NUMBER() OVER (PARTITION BY id_b
+       |      ORDER BY cosine DESC, id_a) AS r
+       |  FROM sc) WHERE r = 1),
+       |bm AS (SELECT bab.id_a, bab.id_b FROM bab
+       |       JOIN bba ON bba.id_a = bab.id_a AND bba.id_b = bab.id_b),
+       |hits AS (SELECT COUNT(*)::BIGINT AS h FROM xm
+       |         JOIN bm ON bm.id_a = xm.id_a AND bm.id_b = xm.id_b)
+       |SELECT (SELECT COUNT(*) FROM xm)::BIGINT AS n_exact,
+       |  (SELECT COUNT(*) FROM bm)::BIGINT AS n_banded,
+       |  hits.h AS n_hits,
+       |  ((hits.h * 1000000) // (SELECT COUNT(*) FROM xm))::BIGINT
+       |    AS recall_ppm
+       |FROM hits""".stripMargin)
+
+  /** Self-verifying recall audit for the banded k-NN path (x158's
+    * scale path): exact brute-force top-k neighbour pairs vs the
+    * banded top-k pairs on the 500-vector fixture slice, every
+    * number oracle-recomputed. */
+  private val x170: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Similarity.knnBandingAudit(
+          t(s, d, "embeddings").filter($"vec_id" < 500),
+          "vec_id", "embedding", k = 10,
+          bands = 16, bitsPerBand = 4, dim = 64)
+    },
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id < 500),
+       |xnn AS (SELECT q, nb FROM (
+       |  SELECT a.vec_id AS q, b.vec_id AS nb,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+       |      AS r
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE r <= 10),
+       |${Planes.planesCteSql(64, 64)},
+       |${Planes.dotsCteSql("e", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sk a JOIN sk b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id),
+       |bnn AS (SELECT q, nb FROM (
+       |  SELECT cand.id_a AS q, cand.id_b AS nb,
+       |    ROW_NUMBER() OVER (PARTITION BY cand.id_a ORDER BY
+       |      ${cosineSql("ea.embedding", "eb.embedding")} DESC, cand.id_b)
+       |      AS r
+       |  FROM cand
+       |  JOIN e ea ON ea.vec_id = cand.id_a
+       |  JOIN e eb ON eb.vec_id = cand.id_b) WHERE r <= 10),
+       |hits AS (SELECT COUNT(*)::BIGINT AS h FROM xnn
+       |         JOIN bnn ON bnn.q = xnn.q AND bnn.nb = xnn.nb)
+       |SELECT (SELECT COUNT(*) FROM xnn)::BIGINT AS n_exact,
+       |  (SELECT COUNT(*) FROM bnn)::BIGINT AS n_banded,
+       |  hits.h AS n_hits,
+       |  ((hits.h * 1000000) // (SELECT COUNT(*) FROM xnn))::BIGINT
+       |    AS recall_ppm
+       |FROM hits""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5086,5 +5239,7 @@ object ExtQ {
     "x166_mann_kendall" -> (x166._1, Some(x166._2)),
     "x167_theil_sen" -> (x167._1, Some(x167._2)),
     "x168_interval_overlap" -> (x168._1, Some(x168._2)),
+    "x169_mutual_banding_audit" -> (x169._1, Some(x169._2)),
+    "x170_knn_banding_audit" -> (x170._1, Some(x170._2)),
   )
 }

@@ -171,9 +171,9 @@ class PlanSpec extends AnyFunSuite {
       "x146_term_burstiness",    // 1-row corpus-size broadcast
       "x147_rank_biased_overlap", // two 1-row frames crossed (S × n_joint)
       "x148_cross_surprisal",    // 1-row (total, V) broadcast
-      "x152_mutual_neighbors",   // exact baseline: both top-1 passes broadcast the query side
-      "x158_knn_label_noise",    // exact baseline: self-kNN broadcasts the query side
-      "x159_oov_curve")          // 1-row totals broadcast
+      "x159_oov_curve",          // 1-row totals broadcast
+      "x169_mutual_banding_audit", // exact ground-truth side broadcasts the fixture slice + 1-row counts crossed
+      "x170_knn_banding_audit")  // exact ground-truth side broadcasts the fixture slice + 1-row counts crossed
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -206,6 +206,68 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"single-partition windows found:\n${offenders.mkString("\n")}")
+  }
+
+  test("no query explicitly broadcasts an unbounded corpus-sized frame") {
+    // The x152/x158 class of round 5: a library operator that
+    // broadcast()s a corpus table works on the fixture and OOMs the
+    // executors at 100 TB. With autoBroadcastJoinThreshold disabled,
+    // every surviving broadcast join is an EXPLICIT library decision —
+    // each one must either never scan a corpus table, or reduce it
+    // through an aggregate / limit before broadcasting (1-row totals,
+    // ≤k centroid tables, top-k seeds). Whitelisted: brute-force
+    // ground-truth baselines whose broadcast side is a documented
+    // fixture-bounded query set.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val corpus = Seq("lineitem", "orders", "events", "documents",
+      "embeddings", "customer", "part", "partsupp", "supplier")
+    val whitelist = Set(
+      "q04_broadcast_join_brand",  // the broadcast-join demonstrator itself: an explicit user
+                                   // choice to broadcast a dimension (2-col part projection)
+      "x23_decontamination",       // benchmark-suite shingles broadcast: the eval set is
+                                   // definitionally small relative to the training corpus
+      "x06_ann_bruteforce_topk",   // exact baseline: ≤5-row query set broadcast (vec_id < 5)
+      "x14_ann_ivf_topk",          // ≤5-row query set + ≤k centroid probes broadcast
+      "x15_ann_lsh_topk",          // exact-sketch baseline: ≤5-row query set broadcast
+      "x77_hard_negatives",        // exact baseline: ≤5-row labeled query set broadcast
+      "x116_retrieval_eval",       // eval harness: ≤5-row query set broadcast
+      "x169_mutual_banding_audit", // audit: exact ground truth broadcasts the 500-row fixture slice
+      "x170_knn_banding_audit")    // audit: exact ground truth broadcasts the 500-row fixture slice
+    def scansCorpus(p: SparkPlan): Boolean = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(rp =>
+            corpus.exists(t => rp.toString.contains(s"$t.parquet"))) => f
+    }.nonEmpty
+    def reduced(p: SparkPlan): Boolean = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a.nodeName
+      case l: org.apache.spark.sql.execution.GlobalLimitExec => l.nodeName
+      case l: org.apache.spark.sql.execution.LocalLimitExec => l.nodeName
+      case l: org.apache.spark.sql.execution.CollectLimitExec => l.nodeName
+    }.nonEmpty
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) if whitelist.contains(name) => None
+        case (name, fn) =>
+          val plan = fn(spark, "/root/testdata/sf0.001")
+            .queryExecution.sparkPlan
+          val builds = plan.collect {
+            case j: BroadcastHashJoinExec =>
+              if (j.buildSide == BuildLeft) j.left else j.right
+            case j: BroadcastNestedLoopJoinExec =>
+              if (j.buildSide == BuildLeft) j.left else j.right
+          }
+          val bad = builds.filter(b => scansCorpus(b) && !reduced(b))
+          if (bad.nonEmpty)
+            Some(s"$name: broadcasts unreduced corpus scan:\n${bad.head}")
+          else None
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n\n"))
+    } finally spark.conf.set(key, saved)
   }
 
   test("deterministic sampling is a pure narrow plan (scan + filter only)") {

@@ -1206,7 +1206,7 @@ class ExtSpec extends AnyFunSuite {
       (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(9.0f, 1.0f), 0),
       (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(1.0f, 9.0f), 0)) // 4 mislabeled
       .toDF("vec_id", "embedding", "label")
-    val got = Similarity.knnLabelDisagreement(df, "vec_id", "embedding",
+    val got = Similarity.knnLabelDisagreementExact(df, "vec_id", "embedding",
         "label", k = 2)
       .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
       .toMap
@@ -1236,7 +1236,7 @@ class ExtSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val b = Seq((1L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
-    val got = Similarity.mutualNearestPairs(a, "vec_id", "embedding",
+    val got = Similarity.mutualNearestPairsExact(a, "vec_id", "embedding",
         b, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // a0→b1 and b1→a0 (cos 1.0): mutual. a2→b1 (0.894 > 0.447) but
@@ -1248,10 +1248,49 @@ class ExtSpec extends AnyFunSuite {
     val a2 = Seq((7L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val b2 = Seq((7L, Seq(1.0f, 0.0f)), (8L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
-    val got2 = Similarity.mutualNearestPairs(a2, "vec_id", "embedding",
+    val got2 = Similarity.mutualNearestPairsExact(a2, "vec_id", "embedding",
         b2, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((7L, 7L)))
+  }
+
+  test("banded ANN paths: recall gates on the embeddings fixture") {
+    // The banded mutualNearestPairs / knnLabelDisagreement are the
+    // 100 TB defaults (no corpus broadcast); their recall vs the
+    // exact brute-force baselines is a PARAMETER property (bands ×
+    // bitsPerBand) that a hash gate cannot see — both engines replay
+    // the same banding. This spec pins it: a parameter or Planes
+    // regression that drops recall below 85% on the fixture fails
+    // here. (Measured at 16 bands × 4 bits: knn ≈ 0.88, mutual
+    // ≈ 0.88–0.94 across sf0.001–0.1.)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val knn = Similarity.knnBandingAudit(emb.filter($"vec_id" < 500),
+        "vec_id", "embedding", k = 10).collect().head
+    assert(knn.getAs[Long]("n_exact") == 5000L)
+    assert(knn.getAs[Long]("recall_ppm") >= 850000L,
+      s"knn banding recall regressed: $knn")
+    val mut = Similarity.mutualBandingAudit(
+        emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+        emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+      .collect().head
+    assert(mut.getAs[Long]("n_exact") > 0L)
+    assert(mut.getAs[Long]("recall_ppm") >= 850000L,
+      s"mutual banding recall regressed: $mut")
+  }
+
+  test("banded mutual pairs: degenerate-dim inputs fall back to all-candidates") {
+    // DotProduct returns NULL on a plane/vector length mismatch, so a
+    // non-64-dim vector buckets to 0 in every band — ALL pairs become
+    // candidates and the banded result equals the exact one. Pin that
+    // fallback (it is what makes the tiny-dim unit fixtures exact).
+    val a = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val banded = Similarity.mutualNearestPairs(a, "vec_id", "embedding",
+        b, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == Set((0L, 1L)))
   }
 
   test("winnowFingerprints: shared run of w+n−1 tokens shares a fingerprint") {
