@@ -396,10 +396,17 @@ object Temporal {
     * monotone; near 0 ⇒ no trend.
     *
     * Plan shape: the raw stream first collapses to per-(key, bucket)
-    * sums (the only event-volume aggregation); the pair enumeration
-    * is a per-key equi-self-join of that bucketed series — bounded
-    * by the time span (buckets²), never by event volume; ties reduce
-    * map-side. */
+    * sums (the only event-volume aggregation). S itself is NOT a
+    * pair join: among the non-null time-ordered values,
+    * S = C(nn,2) − ties − 2·inversions, so one per-key sort +
+    * merge-sort inversion count ([[graft.functions.InversionCount]],
+    * O(H log H)) replaces the O(H²) pair enumeration — a 3-year
+    * hourly key is ~26k points ⇒ ~350M pairs under the join,
+    * ~470k comparisons here. Ties reduce map-side; the per-key
+    * series collect is bounded by the time span (hour buckets),
+    * never by event volume. Pairs with a NULL bucket sum compare as
+    * 0 (they count in n_pairs, not in S; the NULL group ties into
+    * var18), matching the pairwise definition. */
   def mannKendall(events: DataFrame, key: String, ts: String,
                   value: Column): DataFrame = {
     val x = (value.cast("decimal(18,2)") * 100).cast("long")
@@ -407,21 +414,33 @@ object Temporal {
       .select(col(key).as("_k"), date_trunc("hour", col(ts)).as("_h"),
         x.as("_x"))
       .groupBy("_k", "_h").agg(sum(col("_x")).as("_v"))
-    val pairs = hourly.as("a").join(hourly.as("b"),
-        col("a._k") === col("b._k") && col("a._h") < col("b._h"))
-      .select(col("a._k").as("_k"),
-        signum(col("b._v") - col("a._v")).cast("long").as("_sg"))
-    val s = pairs.groupBy("_k")
-      .agg(count(lit(1)).as("n_pairs"), sum(col("_sg")).as("s_stat"))
-    val n = hourly.groupBy("_k").agg(count(lit(1)).as("n"))
+    // (n, #nulls, inversion count of the time-ordered values): the
+    // struct sort orders by _h (distinct per key), so the transform
+    // yields the series in time order; nn := n − nulls
+    val series = hourly.groupBy("_k")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_v").isNull, 1L).otherwise(0L)).as("_nulls"),
+        sort_array(collect_list(struct(col("_h"), col("_v")))).as("_sv"))
+      .withColumn("_inv", graft.functions.VectorExpressions.inversions(
+        transform(col("_sv"), s => s.getField("_v"))))
+      .drop("_sv")
+    // tie18 keeps the NULL group (it ties in the variance, exactly as
+    // the pairwise CASE yields 0); tie2 is the S-correction and counts
+    // only ties among comparable (non-null) values
     val ties = hourly.groupBy("_k", "_v").agg(count(lit(1)).as("_t"))
       .groupBy("_k")
       .agg(sum(col("_t") * (col("_t") - 1) * (col("_t") * 2 + 5))
-        .as("_tie18"))
-    n.join(s, Seq("_k"), "left").join(ties, Seq("_k"))
+        .as("_tie18"),
+        sum(when(col("_v").isNull, lit(0L)).otherwise(
+          IntMath.truncDiv(col("_t") * (col("_t") - 1), lit(2L))))
+          .as("_tie2"))
+    val nn = col("n") - col("_nulls")
+    series.join(ties, Seq("_k"))
       .select(col("_k").as(key), col("n"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        IntMath.truncDiv(col("n") * (col("n") - 1), lit(2L))
+          .as("n_pairs"),
+        (IntMath.truncDiv(nn * (nn - 1), lit(2L)) - col("_tie2") -
+          col("_inv") * 2).as("s_stat"),
         (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("_tie18"))
           .as("var18"))
   }

@@ -107,6 +107,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sliding_min", exprs => SlidingMin(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_inversions", exprs => InversionCount(exprs(0)), "built-in")
   }
 
   /** Codegen'd O(n) sliding-window minimum over array<bigint>
@@ -119,4 +121,9 @@ object VectorExpressions {
     * a GraftSession-built or register()-ed session). */
   def dot_product(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  /** Codegen'd O(n log n) merge-sort inversion count over
+    * array<bigint> ([[InversionCount]]; nulls skipped). */
+  def inversions(a: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_inversions", a)
 }

@@ -336,6 +336,19 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("inversions == brute-force pair count, nulls skipped") = {
+    val gen = Gen.listOfN(40, Gen.oneOf(
+      Gen.const(None), Gen.choose(-5L, 5L).map(Some(_))))
+    forAll(gen) { vs =>
+      val df = Seq(Tuple1(vs)).toDF("a")
+        .select(graft.functions.VectorExpressions.inversions(col("a")))
+      val nn = vs.flatten
+      val expect = (for (i <- nn.indices; j <- nn.indices
+        if i < j && nn(i) > nn(j)) yield 1).size.toLong
+      df.collect().head.getLong(0) == expect
+    }
+  }
+
   property("rankBiasedOverlap == weighted replay; bounded in [0, 10^6]") = {
     val listGen = Gen.listOfN(6, Gen.choose(1L, 12L)).map(_.distinct)
     forAll(Gen.zip(listGen, listGen)) { case (la, lb) =>
