@@ -88,10 +88,16 @@ object Eval {
           size(col("_ms")) * lit(tailPermille) / lit(1000)).cast("int")
           .as("_lo"),
         col("_ms"))
+      // an empty replicate list (empty input, or every replicate
+      // dropped above) has no order statistics: emit NULL bounds
+      // rather than let element_at(_ms, 0) throw on the hi index
       .select(
-        element_at(col("_ms"), col("_lo")).getField("_m").as("lo_ppm"),
-        element_at(col("_ms"), (size(col("_ms")) + 1 - col("_lo")).cast("int"))
-          .getField("_m").as("hi_ppm"))
+        when(size(col("_ms")) > 0,
+          element_at(col("_ms"), col("_lo")).getField("_m")).as("lo_ppm"),
+        when(size(col("_ms")) > 0,
+          element_at(col("_ms"),
+            (size(col("_ms")) + 1 - col("_lo")).cast("int"))
+            .getField("_m")).as("hi_ppm"))
     df.agg(count(lit(1)).as("n"),
         ppmDiv(sum(value.cast("long")), count(lit(1))).as("mean_ppm"))
       .crossJoin(broadcast(stats))

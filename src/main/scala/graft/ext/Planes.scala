@@ -39,21 +39,44 @@ object Planes {
   private def planeDot(vec: Column, plane: Array[Double]): Column =
     graft.functions.VectorExpressions.dot_product(vec, typedLit(plane.toSeq))
 
-  /** Full sign-bit sketch over all planes, as one long. */
-  def sketch(vec: Column, planes: Array[Array[Double]]): Column =
+  /** Full sign-bit sketch over all planes, as one long. Vector length
+    * is validated like [[bandBuckets]] — a mismatch would sketch
+    * everything to 0 and collapse every LSH bucket into one. */
+  def sketch(vec: Column, planes: Array[Array[Double]]): Column = {
+    val dim = planes.head.length
+    val v = when(size(vec) === dim, vec).otherwise(raise_error(
+      concat(lit("Planes.sketch: vector length "),
+        coalesce(size(vec).cast("string"), lit("NULL")),
+        lit(s" != plane dim $dim"))))
     planes.zipWithIndex.map { case (pl, j) =>
-      when(planeDot(vec, pl) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(planeDot(v, pl) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Per-band bucket ids (array of `bands` longs): band b's bucket is
-    * the `bitsPerBand`-bit sign pattern of its plane slice. */
+    * the `bitsPerBand`-bit sign pattern of its plane slice.
+    *
+    * The vector length is VALIDATED against the plane dim at execution
+    * time: on a mismatch (or a NULL vector) every plane dot would be
+    * NULL and every bucket 0, so the downstream (band, bucket)
+    * equi-join would silently degenerate to the full n×n cross product
+    * on a single hot key — the exact quadratic blowup banding exists
+    * to avoid, invisible on small fixtures and catastrophic at corpus
+    * scale. Fail loudly instead; callers that tolerate NULL embeddings
+    * must filter them out before banding. */
   def bandBuckets(vec: Column, planes: Array[Array[Double]],
                   bands: Int, bitsPerBand: Int): Column = {
     require(planes.length == bands * bitsPerBand,
       s"need ${bands * bitsPerBand} planes, got ${planes.length}")
+    val dim = planes.head.length
+    val v = when(size(vec) === dim, vec).otherwise(raise_error(
+      concat(lit("Planes.bandBuckets: vector length "),
+        coalesce(size(vec).cast("string"), lit("NULL")),
+        lit(s" != banding dim $dim — pass the actual embedding dim " +
+          "(the dim parameter) or fix the vector column"))))
     array((0 until bands).map { b =>
       (0 until bitsPerBand).map { j =>
-        when(planeDot(vec, planes(b * bitsPerBand + j)) > 0, lit(1L << j))
+        when(planeDot(v, planes(b * bitsPerBand + j)) > 0, lit(1L << j))
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)

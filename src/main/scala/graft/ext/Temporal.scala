@@ -413,6 +413,12 @@ object Temporal {
     val hourly = events
       .select(col(key).as("_k"), date_trunc("hour", col(ts)).as("_h"),
         x.as("_x"))
+      // rows with a NULL timestamp have no hour bucket: the pairwise
+      // definition (hh_a < hh_b) never pairs them, so they are
+      // excluded from the series, ties, n and n_pairs alike — keeping
+      // the null-_h group would let it sort first in the series and
+      // silently bias S vs the pairwise oracle
+      .filter(col("_h").isNotNull)
       .groupBy("_k", "_h").agg(sum(col("_x")).as("_v"))
     // (n, #nulls, inversion count of the time-ordered values): the
     // struct sort orders by _h (distinct per key), so the transform

@@ -203,6 +203,18 @@ class EvalSpec extends AnyFunSuite {
     assert(lo > 0L && hi < 12L * 1000000L)
   }
 
+  test("bootstrapCI: empty input yields NULL bounds, not an index error") {
+    // all replicates drop when the input is empty — element_at must
+    // not be reached with index 0 (r6 advisor finding)
+    val df = spark.range(10).filter($"id" < 0)
+      .selectExpr("id AS k", "id AS x")
+    val r = Eval.bootstrapCI(df, col("k"), col("x"), reps = 20,
+      salt = "e").collect().head
+    assert(r.getAs[Long]("n") == 0L)
+    assert(r.isNullAt(r.fieldIndex("lo_ppm")))
+    assert(r.isNullAt(r.fieldIndex("hi_ppm")))
+  }
+
   test("majorityVote: quorum gates the label, ties break low, nulls sit out") {
     val df = Seq(
       (1L, Some("a"), Some("a"), Some("b")),

@@ -1278,19 +1278,30 @@ class ExtSpec extends AnyFunSuite {
       s"mutual banding recall regressed: $mut")
   }
 
-  test("banded mutual pairs: degenerate-dim inputs fall back to all-candidates") {
-    // DotProduct returns NULL on a plane/vector length mismatch, so a
-    // non-64-dim vector buckets to 0 in every band — ALL pairs become
-    // candidates and the banded result equals the exact one. Pin that
-    // fallback (it is what makes the tiny-dim unit fixtures exact).
+  test("banded paths: a vector/dim mismatch fails loudly, never degenerates") {
+    // Before round 7 a non-64-dim vector made every plane dot NULL and
+    // every bucket 0, silently degenerating the banded equi-join to the
+    // full cross product on one hot (band, bucket) key. Now the length
+    // is validated at execution time: small-dim fixtures must pass the
+    // real dim, and a mismatch raises instead of going quadratic.
     val a = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 1.0f)))
       .toDF("vec_id", "embedding")
     val b = Seq((1L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.mutualNearestPairs(a, "vec_id", "embedding",
+        b, "vec_id", "embedding").collect() // default dim = 64, vecs are 2
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("banding dim")), ex.toString)
+    // with the REAL dim the banded path works on tiny fixtures too:
+    // identical vectors share every band bucket, so the (0,1) mutual
+    // pair survives banding
     val banded = Similarity.mutualNearestPairs(a, "vec_id", "embedding",
-        b, "vec_id", "embedding")
+        b, "vec_id", "embedding", dim = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(banded == Set((0L, 1L)))
+    assert(banded.contains((0L, 1L)))
   }
 
   test("winnowFingerprints: shared run of w+n−1 tokens shares a fingerprint") {

@@ -389,6 +389,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(got("B") == ((2L, 1L, 0L, 0L)))
   }
 
+  test("mannKendall: NULL timestamps sit out of the series entirely") {
+    import org.apache.spark.sql.functions.col
+    // the pairwise definition (hh_a < hh_b) never pairs a NULL hour:
+    // rows with a null ts must not count in n, n_pairs, S or var18
+    // (r6 advisor finding — the null-_h struct used to sort first and
+    // bias the inversion count)
+    val withNull = Seq(
+      ("A", Some(ts("2024-01-01 00:10:00")), 0.01),
+      ("A", Some(ts("2024-01-01 01:10:00")), 0.02),
+      ("A", Option.empty[java.sql.Timestamp], 99.99),
+      ("A", Some(ts("2024-01-01 02:10:00")), 0.03))
+      .toDF("k", "ts", "value").repartition(2)
+    val got = Temporal.mannKendall(withNull, "k", "ts", col("value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // identical to the 3-row series without the null-ts row
+    assert(got("A") == ((3L, 3L, 3L, 66L)))
+  }
+
   test("pointInTimeJoin picks the version valid AT the fact ts, never later") {
     import org.apache.spark.sql.functions.col
     val dims = Seq(
