@@ -34,7 +34,7 @@ object Bench {
     }
     val results = qs.map { case (name, fn) =>
       var failed = false
-      val times = (1 to runs).map { _ =>
+      val times: Seq[Double] = (1 to runs).map { _ =>
         // isolate every TIMED RUN (not just every query) from leaked
         // state — all of it outside the timer:
         // 1. table-cache entries: 50+ queries × per-call caches
@@ -64,14 +64,21 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> (if (failed) -1.0 else times(times.length / 2))
+      name -> (if (failed) Seq(-1.0, -1.0, -1.0)
+               else Seq(times(times.length / 2), times.head, times.last))
     }
-    val failures = results.count(_._2 < 0)
-    val qsJson = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val failures = results.count(_._2.head < 0)
+    // "queries" stays a plain name→median map (the driver's contract);
+    // "spread" carries [min, max] per query so a noisy run is visible
+    // in the artifact itself instead of needing a second run to detect
+    val qsJson = results.map { case (k, v) => f""""$k":${v.head}%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val spreadJson = results
+      .map { case (k, v) => f""""$k":[${v(1)}%.3f,${v(2)}%.3f]""" }
+      .mkString("{", ",", "}")
+    val total = results.filter(_._2.head >= 0).map(_._2.head).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"failures":$failures,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"spread":$spreadJson,"failures":$failures,"sf":"$sfDir"}"""
     println(line)
     try {
       val w = new java.io.PrintWriter(outPath)
