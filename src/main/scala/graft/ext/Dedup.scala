@@ -421,11 +421,40 @@ object Dedup {
     * a real banding miss, never a truth-side approximation. Scale
     * shape: both pair sets are banded/prefix-filtered (never all
     * pairs); the intersection is one equi-join on (id_a, id_b); the
-    * three counts cross as 1-row broadcasts. */
+    * three counts cross as 1-row broadcasts.
+    *
+    * `truthSampleBits > 0` switches to SAMPLED-TRUTH mode for routine
+    * monitoring: the audit runs on a deterministic STRATIFIED
+    * sub-corpus (strata = log2 buckets of shingle count; within each
+    * stratum docs rank by (xxhash64, id) and every 2^bits-th rank
+    * survives, so every size class stays represented). Because a
+    * MinHash signature depends only on its own doc, banding candidacy
+    * for a pair depends only on its two endpoints — the sub-corpus
+    * audit is EXACTLY the full audit restricted to sampled-doc pairs,
+    * an unbiased recall/precision estimate at ~1/4^bits of the pair
+    * cost. `recall_lo_ppm`/`recall_hi_ppm` carry the Wilson 95%
+    * interval on the recall estimate (degenerate at the point value
+    * when bits = 0 — exhaustive truth has no sampling error). The
+    * correctness GATE always runs bits = 0. */
   def lshBandingAudit(df: DataFrame, id: String, text: String, n: Int,
                       threshold: Double, bands: Int = 64,
-                      rowsPerBand: Int = 2): DataFrame = {
-    val sets = docShingleSets(df, id, text, n).localCheckpoint()
+                      rowsPerBand: Int = 2,
+                      truthSampleBits: Int = 0): DataFrame = {
+    require(truthSampleBits >= 0 && truthSampleBits <= 16,
+      "truthSampleBits must be in [0, 16]")
+    val all = docShingleSets(df, id, text, n)
+    val sub = if (truthSampleBits == 0) all else {
+      val wst = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_stratum"))
+        .orderBy(xxhash64(col("_id").cast("string")), col("_id"))
+      all
+        .withColumn("_stratum",
+          floor(log(2.0, col("sz").cast("double") + 1.0)).cast("long"))
+        .withColumn("_rk", row_number().over(wst))
+        .filter(pmod(col("_rk"), lit(1L << truthSampleBits)) === 1)
+        .drop("_stratum", "_rk")
+    }
+    val sets = sub.localCheckpoint()
     val buckets = minhashBuckets(sets, bands, rowsPerBand)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") &&
@@ -438,6 +467,17 @@ object Dedup {
     val exact = jaccardPairsFromSets(sets, threshold)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     val hits = candidates.join(exact, Seq("id_a", "id_b"))
+    // Wilson 95% interval on recall: exact in-row arithmetic over the
+    // 1-row counts; degenerate (lo = hi = recall) when the truth is
+    // exhaustive (truthSampleBits = 0)
+    val nD = col("n_exact").cast("double")
+    val p = col("n_hits").cast("double") / nD
+    val z2 = lit(1.959964 * 1.959964)
+    val center = (p + z2 / (nD * 2)) / (z2 / nD + 1)
+    val half = sqrt(p * (lit(1.0) - p) / nD + z2 / (nD * nD * 4)) *
+      lit(1.959964) / (z2 / nD + 1)
+    def ppm(c: Column) = (c * 1000000).cast("long")
+    val exhaustive = truthSampleBits == 0
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(candidates.agg(count(lit(1)).as("n_candidates"))))
       .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
@@ -446,7 +486,14 @@ object Dedup {
           IntMath.ppmDiv(col("n_hits"), col("n_exact"))).as("recall_ppm"),
         when(col("n_candidates") > 0,
           IntMath.ppmDiv(col("n_hits"), col("n_candidates")))
-          .as("precision_ppm"))
+          .as("precision_ppm"),
+        when(col("n_exact") > 0,
+          if (exhaustive) IntMath.ppmDiv(col("n_hits"), col("n_exact"))
+          else ppm(greatest(lit(0.0), center - half))).as("recall_lo_ppm"),
+        when(col("n_exact") > 0,
+          if (exhaustive) IntMath.ppmDiv(col("n_hits"), col("n_exact"))
+          else ppm(least(lit(1.0), center + half))).as("recall_hi_ppm"),
+        lit(truthSampleBits.toLong).as("truth_sample_bits"))
   }
 
   /** One row per (doc, band): bucket key hashes the band's slice of

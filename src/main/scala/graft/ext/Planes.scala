@@ -82,6 +82,33 @@ object Planes {
     }: _*)
   }
 
+  /** Deterministic md5-derived sub-bucket hash for oversized-bucket
+    * splitting: the first 6 hex digits of md5(id) as a long in
+    * [0, 16^6). Engine-portable like the plane components — the
+    * DuckDB side ([[cappedSkCteSql]]) derives the identical integer.
+    * Splitting keys on the ID (not the vector), so a flood of
+    * IDENTICAL vectors — the realistic pathological bucket — still
+    * spreads uniformly across sub-buckets. */
+  def subHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** DuckDB CTEs `bsz` + `skb` mirroring the oversized-bucket
+    * sub-split over an existing `sk(vec_id, band, bucket)` CTE:
+    * ns = ceil(members / cap) per (band, bucket), sub =
+    * md5-int(id) % ns — exactly [[subHash]] and the Spark-side
+    * candidate generators. Join candidates on
+    * (band, bucket, sub) from `skb`. */
+  def cappedSkCteSql(cap: Int): String =
+    s"""bsz AS (SELECT band, bucket,
+       |    ((COUNT(*) + ${cap - 1}) // $cap) AS ns
+       |  FROM sk GROUP BY band, bucket),
+       |skb AS (SELECT sk.vec_id, sk.band, sk.bucket,
+       |    CAST(list_reduce([ (strpos('0123456789abcdef',
+       |        substr(md5(sk.vec_id::VARCHAR), j, 1)) - 1)
+       |        * pow(16, 6 - j) for j in range(1, 7) ], (x, y) -> x + y)
+       |      AS BIGINT) % bsz.ns AS sub
+       |  FROM sk JOIN bsz ON bsz.band = sk.band AND bsz.bucket = sk.bucket)""".stripMargin
+
   /** DuckDB CTE `pl(p, comp)` deriving the identical plane matrix:
     * same md5 input strings, same first-6-hex-digit integer, same
     * division — exact integer arithmetic below 2^53 keeps every

@@ -418,20 +418,49 @@ object Similarity {
     * gets `bands` bucket ids (sign pattern of `bitsPerBand`
     * deterministic md5-derived hyperplanes per band, [[Planes]] — the
     * [[Dedup.embeddingNearDups]] generator); a pair is a candidate
-    * iff it shares at least one (band, bucket) key. Band rows carry
-    * ONLY (id, band, bucket), so the banded shuffle never moves the
-    * embedding payload, and the join is an equi-join on the bucket
-    * key — near-linear in corpus size, never a broadcast of either
-    * side. Returns distinct (id_a, id_b). Deterministic planes ⇒ the
-    * candidate set is exactly reproducible by the DuckDB oracle. */
-  private def bandedCrossCandidates(a: DataFrame, b: DataFrame,
+    * iff it shares at least one (band, bucket, sub) key. Band rows
+    * carry ONLY (id, band, bucket), so the banded shuffle never moves
+    * the embedding payload, and the join is an equi-join on the
+    * bucket key — near-linear in corpus size, never a broadcast of
+    * either side. Returns distinct (id_a, id_b). Deterministic
+    * planes ⇒ the candidate set is exactly reproducible by the
+    * DuckDB oracle.
+    *
+    * OVERSIZED-BUCKET CAP: a hot (band, bucket) key — all-identical
+    * embeddings, or a mass of near-parallel vectors — would otherwise
+    * fan out quadratically inside its bucket. Buckets with more than
+    * `maxBucket` members (counted across BOTH sides) are
+    * deterministically sub-split into ceil(m / maxBucket) sub-buckets
+    * by [[Planes.subHash]] on the ID (identical vectors spread
+    * uniformly), and candidates form only within a sub-bucket. This
+    * caps candidate volume at ~bands · n · maxBucket — provably
+    * linear in corpus size — at the cost of ~1/ns of that band's
+    * recall contribution for the hot key (the other bands still vote;
+    * the recall audits x169/x170 measure the effect). Buckets at or
+    * under the cap keep ns = 1, sub = 0: the candidate set is
+    * byte-identical to the uncapped one. */
+  private[ext] def bandedCrossCandidates(a: DataFrame, b: DataFrame,
                                     bands: Int, bitsPerBand: Int,
-                                    dim: Int): DataFrame = {
+                                    dim: Int, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be positive")
     val planes = Planes.components(bands * bitsPerBand, dim)
     def bandRows(df: DataFrame, out: String) = df.select(col("_id").as(out),
       posexplode(Planes.bandBuckets(col("v"), planes, bands, bitsPerBand))
         .as(Seq("band", "bucket")))
-    bandRows(a, "id_a").join(bandRows(b, "id_b"), Seq("band", "bucket"))
+    val ra = bandRows(a, "id_a")
+    val rb = bandRows(b, "id_b")
+    // ns per (band, bucket) from the TOTAL member count; ≤ bands·2^bits
+    // rows after the map-combined count — always broadcastable
+    val ns = ra.select(col("band"), col("bucket"))
+      .unionByName(rb.select(col("band"), col("bucket")))
+      .groupBy("band", "bucket")
+      .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
+        lit(maxBucket.toLong)).as("_ns"))
+    def sub(rows: DataFrame, idc: String) =
+      rows.join(broadcast(ns), Seq("band", "bucket"))
+        .withColumn("sub", pmod(Planes.subHash(col(idc)), col("_ns")))
+        .select(col(idc), col("band"), col("bucket"), col("sub"))
+    sub(ra, "id_a").join(sub(rb, "id_b"), Seq("band", "bucket", "sub"))
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
@@ -459,13 +488,14 @@ object Similarity {
   def mutualNearestPairs(a: DataFrame, aId: String, aVec: String,
                          b: DataFrame, bId: String, bVec: String,
                          bands: Int = 16, bitsPerBand: Int = 4,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val parts = a.sparkSession.sessionState.conf.numShufflePartitions
     val va = a.select(col(aId).as("_id"), col(aVec).as("v"))
       .repartition(parts).localCheckpoint()
     val vb = b.select(col(bId).as("_id"), col(bVec).as("v"))
       .repartition(parts).localCheckpoint()
-    val cand = bandedCrossCandidates(va, vb, bands, bitsPerBand, dim)
+    val cand = bandedCrossCandidates(va, vb, bands, bitsPerBand, dim,
+      maxBucket)
     val scored = cand
       .join(va.select(col("_id").as("id_a"), col("v").as("_va")), Seq("id_a"))
       .join(vb.select(col("_id").as("id_b"), col("v").as("_vb")), Seq("id_b"))
@@ -507,16 +537,26 @@ object Similarity {
     * embedding frame: the [[bandedCrossCandidates]] self-join with
     * `id_a < id_b` dedup, then mirrored so every member anchors —
     * per-query neighbour lists without ever pairing a vector with
-    * itself. */
-  private def bandedSelfCandidates(v: DataFrame, bands: Int,
-                                   bitsPerBand: Int, dim: Int): DataFrame = {
+    * itself. Oversized buckets sub-split exactly like
+    * [[bandedCrossCandidates]] (same cap semantics, same
+    * [[Planes.subHash]]). */
+  private[ext] def bandedSelfCandidates(v: DataFrame, bands: Int,
+                                   bitsPerBand: Int, dim: Int,
+                                   maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be positive")
     val planes = Planes.components(bands * bitsPerBand, dim)
     val banded = v.select(col("_id"),
       posexplode(Planes.bandBuckets(col("v"), planes, bands, bitsPerBand))
         .as(Seq("band", "bucket")))
-    val half = banded.as("a").join(banded.as("b"),
+    val ns = banded.groupBy("band", "bucket")
+      .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
+        lit(maxBucket.toLong)).as("_ns"))
+    val rows = banded.join(broadcast(ns), Seq("band", "bucket"))
+      .withColumn("sub", pmod(Planes.subHash(col("_id")), col("_ns")))
+      .select(col("_id"), col("band"), col("bucket"), col("sub"))
+    val half = rows.as("a").join(rows.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a._id") < col("b._id"))
+          col("a.sub") === col("b.sub") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     half.unionByName(
@@ -542,12 +582,13 @@ object Similarity {
     * [[knnLabelDisagreementExact]] is the brute-force baseline. */
   def knnLabelDisagreement(df: DataFrame, id: String, vec: String,
                            label: String, k: Int, bands: Int = 16,
-                           bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+                           bitsPerBand: Int = 4, dim: Int = 64,
+                           maxBucket: Int = 4096): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val v = df.select(col(id).as("_id"), col(vec).as("v"),
         col(label).as("_lab"))
       .repartition(parts).localCheckpoint()
-    val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim)
+    val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim, maxBucket)
     val scored = cand
       .join(v.select(col("_id").as("id_a"), col("v").as("_va"),
         col("_lab").as("_qlab")), Seq("id_a"))
@@ -602,11 +643,11 @@ object Similarity {
   def mutualBandingAudit(a: DataFrame, aId: String, aVec: String,
                          b: DataFrame, bId: String, bVec: String,
                          bands: Int = 16, bitsPerBand: Int = 4,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val exact = mutualNearestPairsExact(a, aId, aVec, b, bId, bVec)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     val banded = mutualNearestPairs(a, aId, aVec, b, bId, bVec,
-        bands, bitsPerBand, dim)
+        bands, bitsPerBand, dim, maxBucket)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     val nE = exact.agg(count(lit(1)).as("n_exact"))
     val nB = banded.agg(count(lit(1)).as("n_banded"))
@@ -624,13 +665,13 @@ object Similarity {
     * Ground truth broadcasts the fixture — audit-only. */
   def knnBandingAudit(df: DataFrame, id: String, vec: String, k: Int,
                       bands: Int = 16, bitsPerBand: Int = 4,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val exact = bruteForceTopK(df, id, vec, df, id, vec, k)
       .select(col("query_id"), col("neighbour_id")).localCheckpoint()
     val v = df.select(col(id).as("_id"), col(vec).as("v"))
       .repartition(parts).localCheckpoint()
-    val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim)
+    val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim, maxBucket)
     val scored = cand
       .join(v.select(col("_id").as("id_a"), col("v").as("_va")), Seq("id_a"))
       .join(v.select(col("_id").as("id_b"), col("v").as("_vb")), Seq("id_b"))

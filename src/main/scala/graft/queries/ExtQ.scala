@@ -4033,12 +4033,20 @@ object ExtQ {
     * exact-pair truth AND perfect recall (at this corpus margin a
     * missed pair means the banding broke — the row turns red). The
     * engine's n_hits comes from candidates ∩ exact, so it can only
-    * equal n_exact when no true pair escaped the bands. */
+    * equal n_exact when no true pair escaped the bands.
+    *
+    * Bench runs set the `graft.bench.truthSampleBits` JVM property
+    * (see [[graft.Bench]]) to run the audit in SAMPLED-truth mode —
+    * same plan shape at ~1/4^bits the standing pair cost. The
+    * correctness gate (Verify) never sets it, so the oracle always
+    * compares against the exhaustive truth. */
   private val x142: (Fn, String) = (
     (s, d) => {
       import s.implicits._
+      val bits = sys.props.getOrElse("graft.bench.truthSampleBits", "0").toInt
       Dedup.lshBandingAudit(t(s, d, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.6, bands = 64, rowsPerBand = 2)
+          n = 3, threshold = 0.6, bands = 64, rowsPerBand = 2,
+          truthSampleBits = bits)
         .select($"n_exact", $"n_hits", $"recall_ppm")
     },
     s"""WITH $shingleCte
@@ -4361,9 +4369,11 @@ object ExtQ {
        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
        |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkCteSql(4096)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM sk a JOIN sk b ON a.band = b.band AND a.bucket = b.bucket
+       |  FROM skb a JOIN skb b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.sub = b.sub
        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
        |sc AS (
        |  SELECT id_a, id_b,
@@ -4576,10 +4586,11 @@ object ExtQ {
        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
        |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkCteSql(4096)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM sk a JOIN sk b ON a.band = b.band AND a.bucket = b.bucket
-       |    AND a.vec_id <> b.vec_id),
+       |  FROM skb a JOIN skb b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.sub = b.sub AND a.vec_id <> b.vec_id),
        |nn AS (SELECT q, qlab, nlab FROM (
        |  SELECT cand.id_a AS q, ea.label AS qlab, eb.label AS nlab,
        |    ROW_NUMBER() OVER (PARTITION BY cand.id_a ORDER BY
@@ -4991,9 +5002,11 @@ object ExtQ {
        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
        |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkCteSql(4096)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM sk a JOIN sk b ON a.band = b.band AND a.bucket = b.bucket
+       |  FROM skb a JOIN skb b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.sub = b.sub
        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
        |sc AS (
        |  SELECT id_a, id_b,
@@ -5049,10 +5062,11 @@ object ExtQ {
        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
        |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkCteSql(4096)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM sk a JOIN sk b ON a.band = b.band AND a.bucket = b.bucket
-       |    AND a.vec_id <> b.vec_id),
+       |  FROM skb a JOIN skb b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.sub = b.sub AND a.vec_id <> b.vec_id),
        |bnn AS (SELECT q, nb FROM (
        |  SELECT cand.id_a AS q, cand.id_b AS nb,
        |    ROW_NUMBER() OVER (PARTITION BY cand.id_a ORDER BY

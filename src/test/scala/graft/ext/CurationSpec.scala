@@ -115,6 +115,35 @@ class CurationSpec extends AnyFunSuite {
       threshold = 0.5, bands = 1, rowsPerBand = 128).collect().head
     assert(starved.getLong(0) == 1L && starved.getLong(2) == 0L)
     assert(starved.getAs[Long]("recall_ppm") == 0L)
+    // exhaustive truth ⇒ CI degenerates to the point estimate
+    assert(wide.getAs[Long]("recall_lo_ppm") == 1000000L)
+    assert(wide.getAs[Long]("recall_hi_ppm") == 1000000L)
+    assert(wide.getAs[Long]("truth_sample_bits") == 0L)
+  }
+
+  test("lshBandingAudit sampled-truth mode: deterministic sub-corpus, honest CI") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(bits: Int) = Dedup.lshBandingAudit(docs, "doc_id", "text",
+      n = 3, threshold = 0.6, bands = 64, rowsPerBand = 2,
+      truthSampleBits = bits).collect().head
+    val exact = run(0)
+    val sampled = run(1)
+    val sampled2 = run(1)
+    // deterministic: identical row on re-run (hash-ranked sample)
+    assert(sampled.toSeq == sampled2.toSeq)
+    // the sub-corpus truth is a subset of the exhaustive truth
+    assert(sampled.getAs[Long]("n_exact") <= exact.getAs[Long]("n_exact"))
+    assert(sampled.getAs[Long]("n_exact") > 0L,
+      s"fixture too small for a 1-bit sampled audit: $sampled")
+    // banding candidacy is per-pair, so sub-corpus recall is exact on
+    // its pairs: at this corpus the banding catches everything, and
+    // the Wilson interval brackets the estimate
+    val (r, lo, hi) = (sampled.getAs[Long]("recall_ppm"),
+      sampled.getAs[Long]("recall_lo_ppm"),
+      sampled.getAs[Long]("recall_hi_ppm"))
+    assert(lo <= r && r <= hi)
+    assert(lo < r || sampled.getAs[Long]("n_exact") == 0L) // real interval
+    assert(sampled.getAs[Long]("truth_sample_bits") == 1L)
   }
 
   test("normalizeText: controls, runs, edges, case") {

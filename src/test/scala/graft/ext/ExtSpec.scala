@@ -1304,6 +1304,43 @@ class ExtSpec extends AnyFunSuite {
     assert(banded.contains((0L, 1L)))
   }
 
+  test("oversized-bucket cap: hot buckets sub-split, small buckets inert") {
+    // Planes.subHash must match the engine-portable md5 spec: constants
+    // are int(md5(decimal_id)[0:6 hex], 16), cross-checked against the
+    // DuckDB mirror (Planes.cappedSkCteSql) and python hashlib
+    val h = spark.range(1).select(
+      Planes.subHash(lit(42L)).as("a"), Planes.subHash(lit(7L)).as("b"),
+      Planes.subHash(lit(123456L)).as("c")).collect().head
+    assert((h.getLong(0), h.getLong(1), h.getLong(2)) ==
+      ((10604742L, 9376996L, 14748380L)))
+    // 600 IDENTICAL vectors — the pathological bucket: every band
+    // agrees, so uncapped candidates are all 2·C(600,2) = 359400
+    // ordered pairs. cap=100 → ns=6 sub-buckets (~100 members each):
+    // candidate volume must drop to ~ 2·Σ C(m_s,2) ≈ 1/6 of that.
+    val hot = spark.range(600).select(col("id").as("_id"),
+      typedLit(Seq(1.0f, 0.5f, -0.25f, 0.125f)).as("v"))
+    val capped = Similarity.bandedSelfCandidates(hot, bands = 4,
+      bitsPerBand = 2, dim = 4, maxBucket = 100).count()
+    val uncapped = Similarity.bandedSelfCandidates(hot, bands = 4,
+      bitsPerBand = 2, dim = 4, maxBucket = 100000).count()
+    assert(uncapped == 359400L)
+    assert(capped > 0L && capped < uncapped / 4,
+      s"cap did not bound the hot bucket: $capped vs $uncapped")
+    // determinism: the sub-split is hash-ranked, not random
+    assert(capped == Similarity.bandedSelfCandidates(hot, bands = 4,
+      bitsPerBand = 2, dim = 4, maxBucket = 100).count())
+    // below the cap ns = 1 everywhere: candidates byte-identical to
+    // the uncapped generator (the correctness-gate regime)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 200)
+      .select($"vec_id".as("_id"), $"embedding".as("v"))
+    val a = Similarity.bandedSelfCandidates(emb, 16, 4, 64, 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.bandedSelfCandidates(emb, 16, 4, 64, 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("winnowFingerprints: shared run of w+n−1 tokens shares a fingerprint") {
     // n=3, w=8 → any shared run of 10 tokens yields one full window of
     // identical gram hashes in both docs, whose minimum is selected
