@@ -447,8 +447,12 @@ object Similarity {
     def bandRows(df: DataFrame, out: String) = df.select(col("_id").as(out),
       posexplode(Planes.bandBuckets(col("v"), planes, bands, bitsPerBand))
         .as(Seq("band", "bucket")))
-    val ra = bandRows(a, "id_a")
-    val rb = bandRows(b, "id_b")
+    // band rows are ids-only and read THREE times (the ns count + both
+    // join probes): materialize them so the 64-plane sketch runs once
+    // per row instead of once per consumer (measured 1.8x on x152
+    // without this)
+    val ra = bandRows(a, "id_a").localCheckpoint()
+    val rb = bandRows(b, "id_b").localCheckpoint()
     // ns per (band, bucket) from the TOTAL member count; ≤ bands·2^bits
     // rows after the map-combined count — always broadcastable
     val ns = ra.select(col("band"), col("bucket"))
@@ -545,9 +549,12 @@ object Similarity {
                                    maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, "maxBucket must be positive")
     val planes = Planes.components(bands * bitsPerBand, dim)
+    // ids-only band rows feed the ns count AND both self-join sides:
+    // materialize so the 64-plane sketch runs once per row
     val banded = v.select(col("_id"),
       posexplode(Planes.bandBuckets(col("v"), planes, bands, bitsPerBand))
         .as(Seq("band", "bucket")))
+      .localCheckpoint()
     val ns = banded.groupBy("band", "bucket")
       .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
         lit(maxBucket.toLong)).as("_ns"))
