@@ -218,10 +218,12 @@ object Similarity {
     val cents = sums.groupBy(col("grp").as("cluster"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
         x => x("c")).as("cvec"))
-    q.crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(
-        zip_with(col("q8"), col("cvec"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    q.withColumn("_qq", dotL(col("q8"), col("q8")))
+      .crossJoin(broadcast(
+        cents.withColumn("_cc", dotL(col("cvec"), col("cvec")))))
+      .withColumn("d2",
+        col("_qq") - dotL(col("q8"), col("cvec")) * 2 + col("_cc"))
       .groupBy(col("vid"))
       .agg(min(struct(col("d2"), col("cluster").cast("long").as("cluster")))
         .as("m"))
@@ -264,15 +266,23 @@ object Similarity {
   /** Nearest-centroid assignment in the integer domain: exact int d2,
     * argmin ties to the smallest cluster id. `q` is (vid, q8); `c` is
     * (cluster, cvec) and broadcasts. */
-  private def int8AssignTo(q: DataFrame, c: DataFrame): DataFrame =
-    q.crossJoin(broadcast(c))
-      .withColumn("d2", aggregate(
-        zip_with(col("q8"), col("cvec"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+  private def int8AssignTo(q: DataFrame, c: DataFrame): DataFrame = {
+    // d2 = |q|² − 2·q·c + |c|² over the codegen'd native long dot
+    // ([[graft.functions.DotProductLong]]): same integers as the
+    // interpreted aggregate(zip_with((a−b)²)) it replaces (exact
+    // algebra in the int8 domain), without two lambdas per element —
+    // |q|² hoists out of the per-centroid loop entirely
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    q.withColumn("_qq", dotL(col("q8"), col("q8")))
+      .crossJoin(broadcast(
+        c.withColumn("_cc", dotL(col("cvec"), col("cvec")))))
+      .withColumn("d2",
+        col("_qq") - dotL(col("q8"), col("cvec")) * 2 + col("_cc"))
       .groupBy(col("vid"))
       .agg(min(struct(col("d2"), col("cluster"))).as("m"))
       .select(col("vid"), col("m.cluster").as("cluster"),
         col("m.d2").as("d2"))
+  }
 
   /** The Lloyd's E/M loop over a quantized (vid, q8) frame; returns
     * the trained (cluster, cvec) codebook. Seeds are the k smallest-id
@@ -859,13 +869,15 @@ object Similarity {
       .select(col("vid"), col("cluster"))
       .join(cq.select(col("vid"), col("cv")), "vid")
       .select(col("vid").as("neighbour_id"), col("cluster"), col("cv"))
+    val dotL = graft.functions.VectorExpressions.dot_long _
     val probes = queries
       .select(col(qId).as("query_id"), col(qVec).as("qv"),
         int8Quantize(col(qVec)).getField("q").as("qq8"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(
-        zip_with(col("qq8"), col("cvec"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("_qq", dotL(col("qq8"), col("qq8")))
+      .crossJoin(broadcast(
+        cents.withColumn("_cc", dotL(col("cvec"), col("cvec")))))
+      .withColumn("d2",
+        col("_qq") - dotL(col("qq8"), col("cvec")) * 2 + col("_cc"))
       .withColumn("pr", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("d2"), col("cluster"))))

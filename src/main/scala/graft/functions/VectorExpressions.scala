@@ -97,6 +97,73 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[DotProduct]] for the int8-quantized domain:
+  * array<bigint> inputs, LONG accumulator, LongType output — the
+  * products and sums are exact (no double round-trip), so integer
+  * k-means distances computed as |a|² − 2·a·b + |b|² are bit-identical
+  * to the interpreted `aggregate(zip_with((a−b)²))` form they replace
+  * (same algebra, exact arithmetic; callers guarantee the int8 domain
+  * where no overflow is possible). Length mismatch yields NULL, like
+  * [[DotProduct]]. */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_long expects array<bigint>, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Register graft's native expressions in a session's function
@@ -104,6 +171,9 @@ object VectorExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_long", exprs => DotProductLong(exprs(0), exprs(1)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sliding_min", exprs => SlidingMin(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
@@ -121,6 +191,11 @@ object VectorExpressions {
     * a GraftSession-built or register()-ed session). */
   def dot_product(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  /** Codegen'd exact-integer dot product over array<bigint> columns
+    * ([[DotProductLong]] — the int8-domain hot path). */
+  def dot_long(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot_long", a, b)
 
   /** Codegen'd O(n log n) merge-sort inversion count over
     * array<bigint> ([[InversionCount]]; nulls skipped). */

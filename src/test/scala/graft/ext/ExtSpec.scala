@@ -331,6 +331,21 @@ class ExtSpec extends AnyFunSuite {
       .select(graft.functions.VectorExpressions.dot_product($"a", $"b").as("d"))
       .first()
     assert(mism.isNullAt(0))
+    // long sibling: exact-integer == HOF form across random int8 vectors
+    val rnd = new scala.util.Random(7)
+    val li = (1 to 50).map { _ =>
+      (Array.fill(16)(rnd.nextInt(255) - 127L),
+        Array.fill(16)(rnd.nextInt(255) - 127L))
+    }.toDF("a", "b")
+    val both = li.select(
+      graft.functions.VectorExpressions.dot_long($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val lmism = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+      .select(graft.functions.VectorExpressions.dot_long($"a", $"b").as("d"))
+      .first()
+    assert(lmism.isNullAt(0))
   }
 
   test("multimodal: payload attach, stub decode batching, frame sampling") {
