@@ -84,12 +84,23 @@ object Rules {
       case TDatetime =>
         if (!r.coerce) lit("must be of datetime type")
         else {
+          // bind the parsed date ONCE through a single-element
+          // transform lambda: referencing `d` directly in the three
+          // CaseWhen branches inlines the whole parse tree (hyphen
+          // count + to_date) three times per row, and lazily-evaluated
+          // branches sit outside codegen subexpression elimination
+          // (measured 2x on the p05 scan). SimplifyExtractValueOps
+          // would inline a struct-field binding away; a HOF lambda
+          // variable survives optimization, and its interpreted body
+          // is three cheap date comparisons over the already-parsed
+          // value.
           val d = multiFormatDate(c)
-          when(d.isNull, lit("field cannot be coerced to datetime"))
-            .when(r.minDate.map(m => d < lit(m).cast("date")).getOrElse(lit(false)),
-              lit("min value violated"))
-            .when(r.maxDate.map(m => d > lit(m).cast("date")).getOrElse(lit(false)),
-              lit("max value violated"))
+          element_at(transform(array(d), dd =>
+            when(dd.isNull, lit("field cannot be coerced to datetime"))
+              .when(r.minDate.map(m => dd < lit(m).cast("date"))
+                .getOrElse(lit(false)), lit("min value violated"))
+              .when(r.maxDate.map(m => dd > lit(m).cast("date"))
+                .getOrElse(lit(false)), lit("max value violated"))), 1)
         }
     }
     when(c.isNull, nullErr).otherwise(nonNullErr)
