@@ -662,15 +662,16 @@ object Similarity {
                          bands: Int = 16, bitsPerBand: Int = 4,
                          dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val exact = mutualNearestPairsExact(a, aId, aVec, b, bId, bVec)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+      .select(col("id_a"), col("id_b"), lit(1L).as("_e"))
     val banded = mutualNearestPairs(a, aId, aVec, b, bId, bVec,
         bands, bitsPerBand, dim, maxBucket)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
-    val nE = exact.agg(count(lit(1)).as("n_exact"))
-    val nB = banded.agg(count(lit(1)).as("n_banded"))
-    val nH = exact.join(banded, Seq("id_a", "id_b"))
-      .agg(count(lit(1)).as("n_hits"))
-    nE.crossJoin(broadcast(nB)).crossJoin(broadcast(nH))
+      .select(col("id_a"), col("id_b"), lit(1L).as("_b"))
+    // one full-outer join carries all three counts in a single pass
+    // (each side is consumed once, so neither needs a checkpoint)
+    exact.join(banded, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_b")).as("n_banded"),
+        count(when(col("_e").isNotNull && col("_b").isNotNull, lit(1)))
+          .as("n_hits"))
       .withColumn("recall_ppm",
         IntMath.ppmDiv(col("n_hits"), col("n_exact")))
   }
@@ -685,7 +686,7 @@ object Similarity {
                       dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val exact = bruteForceTopK(df, id, vec, df, id, vec, k)
-      .select(col("query_id"), col("neighbour_id")).localCheckpoint()
+      .select(col("query_id"), col("neighbour_id"), lit(1L).as("_e"))
     val v = df.select(col(id).as("_id"), col(vec).as("v"))
       .repartition(parts).localCheckpoint()
     val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim, maxBucket)
@@ -698,13 +699,14 @@ object Similarity {
       .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
     val banded = scored.withColumn("_r", row_number().over(w))
       .filter(col("_r") <= k)
-      .select(col("id_a").as("query_id"), col("id_b").as("neighbour_id"))
-      .localCheckpoint()
-    val nE = exact.agg(count(lit(1)).as("n_exact"))
-    val nB = banded.agg(count(lit(1)).as("n_banded"))
-    val nH = exact.join(banded, Seq("query_id", "neighbour_id"))
-      .agg(count(lit(1)).as("n_hits"))
-    nE.crossJoin(broadcast(nB)).crossJoin(broadcast(nH))
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbour_id"),
+        lit(1L).as("_b"))
+    // one full-outer join carries all three counts in a single pass
+    // (each side is consumed once, so neither needs a checkpoint)
+    exact.join(banded, Seq("query_id", "neighbour_id"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_b")).as("n_banded"),
+        count(when(col("_e").isNotNull && col("_b").isNotNull, lit(1)))
+          .as("n_hits"))
       .withColumn("recall_ppm",
         IntMath.ppmDiv(col("n_hits"), col("n_exact")))
   }

@@ -404,7 +404,9 @@ object Temporal {
     * hourly key is ~26k points ⇒ ~350M pairs under the join,
     * ~470k comparisons here. Ties reduce map-side; the per-key
     * series collect is bounded by the time span (hour buckets),
-    * never by event volume. Pairs with a NULL bucket sum compare as
+    * never by event volume — a 10-year hourly key is ~88k structs
+    * (~2 MB executor-side), so no span cap is needed where the
+    * pairwise [[theilSen]] must coarsen. Pairs with a NULL bucket sum compare as
     * 0 (they count in n_pairs, not in S; the NULL group ties into
     * var18), matching the pairwise definition. */
   def mannKendall(events: DataFrame, key: String, ts: String,
@@ -505,21 +507,51 @@ object Temporal {
     * Plan shape: like [[mannKendall]] — event volume collapses to
     * (key, hour) sums first; the pair self-join and the per-key
     * median window are bounded by the time span, never by event
-    * volume. */
+    * volume.
+    *
+    * SPAN CAP: the estimator is inherently pairwise — a 3-year hourly
+    * key is ~26k buckets ⇒ ~350M pairs on ONE key if left unguarded.
+    * Keys whose hour span exceeds `maxBuckets` are deterministically
+    * COARSENED before pairing: per-key stride s = ceil(span /
+    * maxBuckets), hours re-bucket to floor((e − min_e) / s) (the
+    * hourly sums add — the same collapse the hourly step already
+    * applies to raw events, one level up), so the distinct buckets
+    * per key are provably ≤ maxBuckets and the per-key pair volume
+    * is capped at C(maxBuckets, 2). Slopes stay in per-HOUR units
+    * (den carries coarse-steps × s); within-cap keys take s = 1,
+    * where the coarsening is the identity and the output is
+    * bit-identical to the uncapped estimator. The capped estimate is
+    * the Theil–Sen slope of the stride-aggregated series — a
+    * documented approximation for pathological spans, not a silent
+    * truncation. */
   def theilSen(events: DataFrame, key: String, ts: String,
-               value: Column): DataFrame = {
+               value: Column, maxBuckets: Int = 4096): DataFrame = {
+    require(maxBuckets >= 2, "maxBuckets must be at least 2")
     val x = (value.cast("decimal(18,2)") * 100).cast("long")
+    // hourly feeds the span probe AND the coarse re-bucket:
+    // materialize so raw events are scanned once
     val hourly = events
       .select(col(key).as("_k"), date_trunc("hour", col(ts)).as("_h"),
         x.as("_x"))
       .groupBy("_k", "_h").agg(sum(col("_x")).as("_v"))
       .withColumn("_e", (unix_micros(col("_h").cast("timestamp")) /
         lit(3600000000L)).cast("long"))
-    val pairs = hourly.as("a").join(hourly.as("b"),
-        col("a._k") === col("b._k") && col("a._e") < col("b._e"))
+      .localCheckpoint()
+    // stride: ceil((max−min+1) / maxBuckets) = (max−min+maxBuckets)
+    // div maxBuckets; one tiny row per key, equi-joined back
+    val spans = hourly.groupBy("_k")
+      .agg(min(col("_e")).as("_e0"),
+        IntMath.truncDiv(max(col("_e")) - min(col("_e")) + maxBuckets,
+          lit(maxBuckets.toLong)).as("_s"))
+    val coarse = hourly.join(spans, Seq("_k"))
+      .groupBy(col("_k"), col("_s"),
+        IntMath.truncDiv(col("_e") - col("_e0"), col("_s")).as("_ce"))
+      .agg(sum(col("_v")).as("_v"))
+    val pairs = coarse.as("a").join(coarse.as("b"),
+        col("a._k") === col("b._k") && col("a._ce") < col("b._ce"))
       .select(col("a._k").as("_k"),
         (col("b._v") - col("a._v")).as("_num"),
-        (col("b._e") - col("a._e")).as("_den"))
+        ((col("b._ce") - col("a._ce")) * col("a._s")).as("_den"))
     val w = Window.partitionBy(col("_k"))
       .orderBy((col("_num").cast("double") / col("_den")).asc,
         col("_num").asc, col("_den").asc)

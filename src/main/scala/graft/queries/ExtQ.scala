@@ -4910,9 +4910,17 @@ object ExtQ {
       |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |      ::BIGINT AS v
       |  FROM events GROUP BY 1, 2),
+      |-- span cap mirror: stride s = ceil(span / 4096); inert (s = 1,
+      |-- identity re-bucket) when the key's hour span fits the cap
+      |sp AS (SELECT k, MIN(e) AS e0,
+      |        (MAX(e) - MIN(e) + 4096) // 4096 AS s
+      |      FROM h GROUP BY k),
+      |c AS (SELECT h.k AS k, sp.s AS s,
+      |        (h.e - sp.e0) // sp.s AS ce, SUM(h.v)::BIGINT AS v
+      |      FROM h JOIN sp ON sp.k = h.k GROUP BY 1, 2, 3),
       |p AS (SELECT a.k, (b.v - a.v)::BIGINT AS num,
-      |        (b.e - a.e)::BIGINT AS den
-      |      FROM h a JOIN h b ON a.k = b.k AND a.e < b.e),
+      |        ((b.ce - a.ce) * a.s)::BIGINT AS den
+      |      FROM c a JOIN c b ON a.k = b.k AND a.ce < b.ce),
       |r AS (SELECT k, num, den,
       |        ROW_NUMBER() OVER (PARTITION BY k ORDER BY
       |          CAST(num AS DOUBLE) / den, num, den) AS rn,

@@ -172,8 +172,8 @@ class PlanSpec extends AnyFunSuite {
       "x147_rank_biased_overlap", // two 1-row frames crossed (S × n_joint)
       "x148_cross_surprisal",    // 1-row (total, V) broadcast
       "x159_oov_curve",          // 1-row totals broadcast
-      "x169_mutual_banding_audit", // exact ground-truth side broadcasts the fixture slice + 1-row counts crossed
-      "x170_knn_banding_audit")  // exact ground-truth side broadcasts the fixture slice + 1-row counts crossed
+      "x169_mutual_banding_audit", // exact ground-truth side broadcasts the fixture slice
+      "x170_knn_banding_audit")  // exact ground-truth side broadcasts the fixture slice
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

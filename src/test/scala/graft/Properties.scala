@@ -396,6 +396,35 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("theilSen span cap == brute force over the coarsened series") = {
+    // 10 hourly buckets, maxBuckets = 4 ⇒ stride s = ceil(10/4) = 3:
+    // coarse buckets {0,1,2,3}, sums within, den in HOURS (steps × 3)
+    val gen = Gen.listOfN(10, Gen.choose(-40, 40))
+    forAll(gen) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:15:00"),
+          v / 100.0)
+      }
+      val df = rows.toDF("k", "ts", "value").repartition(3)
+      val r = ext.Temporal.theilSen(df, "k", "ts", col("value"),
+        maxBuckets = 4).collect().head
+      val s = 3L
+      val cv = vs.grouped(3).map(_.map(_.toLong).sum).toIndexedSeq
+      val slopes = (for (i <- cv.indices; j <- cv.indices if i < j)
+        yield (cv(j) - cv(i), (j - i) * s))
+        .sortBy { case (n, d) => (n.toDouble / d, n, d) }
+      val (mn, md) = slopes((slopes.size + 1) / 2 - 1)
+      val inert = ext.Temporal.theilSen(df, "k", "ts", col("value"),
+        maxBuckets = 16).collect().head
+      val dflt = ext.Temporal.theilSen(df, "k", "ts", col("value"))
+        .collect().head
+      r.getLong(1) == slopes.size.toLong && r.getLong(2) == mn &&
+        r.getLong(3) == md &&
+        r.getLong(4) == (BigInt(mn) * 1000 / md).toLong &&
+        inert.toSeq == dflt.toSeq // above-span caps are the identity
+    }
+  }
+
   property("cusumChangepoint == BigInt replay of n*cum - i*T") = {
     val gen = Gen.listOfN(6, Gen.choose(-40, 40))
     forAll(gen) { vs =>
