@@ -417,4 +417,115 @@ object Eval {
         coalesce(col("hits_k"), lit(0L)).as("hits_k"))
       .withColumn("recall_ppm", ppmDiv(col("hits_k"), col("n_rel")))
   }
+
+  /** Discount table for [[ndcgAtK]]: `⌊10⁶ / log₂(r+1)⌋` for ranks
+    * 1..k. Computed ONCE here and embedded as integer literals in both
+    * the Spark plan and the DuckDB oracle (via [[ndcgWeightsSqlValues]]),
+    * so the gate never compares live transcendental evaluations — the
+    * classic cross-engine half-ulp trap. */
+  def ndcgWeightsPpm(k: Int): Seq[Long] =
+    (1 to k).map(r => (1e6 / (Math.log(r + 1.0) / Math.log(2.0))).toLong)
+
+  /** The same table as a SQL VALUES list `(rank, w_ppm)` for oracle
+    * interpolation. */
+  def ndcgWeightsSqlValues(k: Int): String =
+    ndcgWeightsPpm(k).zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")
+
+  /** NDCG@k per query, integer-exact. `ranked` is (query, doc, rank)
+    * (rank 1 = best); `rels` is (query, doc, gain) with non-negative
+    * integer gains (graded relevance; absent docs have gain 0).
+    *
+    *   dcg_scaled  = Σ_{rank ≤ k} gain · w(rank)
+    *   idcg_scaled = Σ_{i ≤ k}   gain_(i) · w(i)   (gains sorted desc)
+    *   ndcg_ppm    = 10⁶·dcg div idcg               (null if idcg = 0)
+    *
+    * with w the precomputed [[ndcgWeightsPpm]] discount — every term
+    * an integer product, every sum order-independent, so the result
+    * is bit-identical on any partitioning and any engine.
+    *
+    * Plan shape: one equi-join of the top-k ranked rows against the
+    * relevance set (both key-partitioned; the relevance set typically
+    * broadcast-sized), one map-combined per-query sum for DCG; the
+    * ideal ordering is a per-QUERY window over the relevance set
+    * (bounded by judgments per query, never global). No collects. */
+  def ndcgAtK(ranked: DataFrame, query: String, doc: String, rank: String,
+              rels: DataFrame, rQuery: String, rDoc: String, gain: String,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val wMap = typedLit(ndcgWeightsPpm(k).zipWithIndex
+      .map { case (w, i) => (i + 1).toLong -> w }.toMap)
+    val rel = rels.select(col(rQuery).as("query_id"), col(rDoc).as("_d"),
+      col(gain).cast("long").as("_g"))
+    val r = ranked.select(col(query).as("query_id"), col(doc).as("_d"),
+        col(rank).cast("long").as("_rk"))
+      .filter(col("_rk") <= k)
+    val dcg = r.join(rel, Seq("query_id", "_d"))
+      .groupBy("query_id")
+      .agg(sum(col("_g") * element_at(wMap, col("_rk"))).as("dcg_scaled"))
+    val iw = Window.partitionBy("query_id")
+      .orderBy(col("_g").desc, col("_d").asc)
+    val idcg = rel
+      .withColumn("_ir", row_number().over(iw).cast("long"))
+      .filter(col("_ir") <= k)
+      .groupBy("query_id")
+      .agg(sum(col("_g") * element_at(wMap, col("_ir"))).as("idcg_scaled"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("idcg_scaled"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_scaled") > 0,
+          ppmDiv(col("dcg_scaled"), col("idcg_scaled"))))
+  }
+
+  /** Fleiss' κ — chance-corrected agreement among a FIXED number of
+    * raters per item (the multi-annotator generalization of
+    * [[cohenKappa]]; label-audit staple when every document gets n
+    * independent ratings). Input is one row per (item, rater
+    * assignment) with a categorical label; items that do not have
+    * exactly `n` ratings are dropped (and counted), per the
+    * estimator's definition.
+    *
+    * Exact integer form: with N items, n raters, n_ic the per-item
+    * label counts, m_c = Σ_i n_ic and A = Σ_i Σ_c n_ic²,
+    *
+    *   P̄  = (A − Nn) / (Nn(n−1))        P_e = Σ_c m_c² / (Nn)²
+    *   κ   = (P̄ − P_e) / (1 − P_e)
+    *       = ((A − Nn)(Nn)² − Nn(n−1)·Σm²) /
+    *         (((Nn)² − Σm²)·Nn(n−1))
+    *
+    * computed in DECIMAL(38,0) (the 10⁶-scaled numerator of a
+    * 3e4-rating corpus needs ~10²⁰ — past BIGINT, inside 128-bit on
+    * both engines) and rendered as kappa_ppm = trunc toward zero.
+    *
+    * Plan shape: one (item, label) count aggregation, one per-item
+    * collapse, two 1-row global sums — all map-combined; nothing is
+    * ever keyed finer than (item, label). */
+  def fleissKappa(ratings: DataFrame, item: String, label: String,
+                  n: Int): DataFrame = {
+    require(n >= 2, "Fleiss' kappa needs at least 2 raters per item")
+    val cnt = ratings.groupBy(col(item).as("_i"), col(label).as("_c"))
+      .agg(count(lit(1)).as("_nic"))
+    val per = cnt.groupBy("_i")
+      .agg(sum(col("_nic")).as("_ni"),
+        sum(col("_nic") * col("_nic")).as("_sq"))
+    val kept = per.filter(col("_ni") === n.toLong)
+    val mc = cnt.join(kept.select("_i"), Seq("_i"))
+      .groupBy("_c").agg(sum(col("_nic")).as("_mc"))
+    val tot = kept.agg(count(lit(1)).as("n_items"),
+        sum(col("_sq")).as("_a"))
+      .crossJoin(broadcast(
+        mc.agg(sum(col("_mc") * col("_mc")).as("_m2"))))
+      .crossJoin(broadcast(
+        per.agg(count(lit(1)).as("_all"))))
+    val nn = col("n_items").cast("decimal(38,0)") * n
+    val a = col("_a").cast("decimal(38,0)")
+    val m2 = col("_m2").cast("decimal(38,0)")
+    val num = (a - nn) * nn * nn - nn * (n - 1) * m2
+    val den = (nn * nn - m2) * nn * (n - 1)
+    tot.select(col("n_items"),
+      (col("_all") - col("n_items")).as("n_dropped_items"),
+      col("_a").as("sum_sq_counts"), col("_m2").as("sum_sq_marginals"),
+      when(den =!= 0, truncDiv(num * 1000000L, den)).as("kappa_ppm"))
+  }
 }

@@ -890,6 +890,56 @@ object Temporal {
     *
     * Scale shape: one 1-row max broadcast + one map-combined sum per
     * group — scan speed. */
+  /** Per-interval concurrency: for each interval, the EXACT count of
+    * other intervals it overlaps — "how many sessions were live while
+    * this one ran", capacity planning, contention audits — WITHOUT
+    * ever enumerating overlap pairs. Intervals are half-open
+    * [from, to); empty/null intervals are dropped.
+    *
+    * The pair-free identity: with all intervals non-empty,
+    * {j : e_j ≤ s_i} ⊆ {j : s_j < e_i}, so
+    *
+    *   overlaps(i) = #{j : s_j < e_i} − #{j : e_j ≤ s_i} − 1
+    *
+    * — two GLOBAL order statistics, no join. Both ranks come from one
+    * boundary sweep: every interval melts to a start-count row, an
+    * end-count row and two query rows; the union is globally ordered
+    * by (t, kind) with end-counts < queries < start-counts so that
+    * ties realize exactly "< e_i" and "≤ s_i"; two running counts are
+    * computed with [[Prefix.globalRunningSums]] (range-partitioned
+    * two-phase cumsum — NO single-reducer window); the per-interval
+    * subtraction is a final map-combined aggregate.
+    *
+    * Scale shape: O(n log n) sort-shuffle on 4n skinny rows, output
+    * exactly n rows. The naive formulations melt down at 100 TB in
+    * two different ways — a pair range-join is O(n²) work on dense
+    * data, and even a bucketed pair join has inherently quadratic
+    * OUTPUT when everything overlaps (every row online at peak hour
+    * overlaps every other). Counting via rank arithmetic sidesteps
+    * both: hot spots cost nothing extra because no pair ever
+    * materializes. */
+  def concurrentIntervals(ivls: DataFrame, id: String, from: String,
+                          to: String): DataFrame = {
+    val base = ivls.select(col(id).as("_id"),
+        col(from).cast("long").as("_s"), col(to).cast("long").as("_e"))
+      .filter(col("_s").isNotNull && col("_e").isNotNull &&
+        col("_s") < col("_e"))
+    def row(t: Column, knd: Int, w: Int, ds: Int, de: Int) =
+      base.select(t.as("_t"), lit(knd).as("_knd"), col("_id"),
+        lit(w).as("_w"), lit(ds.toLong).as("_ds"), lit(de.toLong).as("_de"))
+    val melted = row(col("_e"), 0, 0, 0, 1)          // end-count
+      .unionAll(row(col("_s"), 1, 1, 0, 0))          // query: ends ≤ s_i
+      .unionAll(row(col("_e"), 1, 2, 0, 0))          // query: starts < e_i
+      .unionAll(row(col("_s"), 2, 0, 1, 0))          // start-count
+    val summed = Prefix.globalRunningSums(melted,
+      Seq(col("_t"), col("_knd"), col("_id"), col("_w")),
+      Seq(col("_ds") -> "_cs", col("_de") -> "_ce"))
+    summed.filter(col("_knd") === 1)
+      .groupBy(col("_id").as(id))
+      .agg((sum(when(col("_w") === 2, col("_cs"))
+          .otherwise(-col("_ce"))) - 1L).as("n_overlapping"))
+  }
+
   def decayedScore(events: DataFrame, group: String, ts: String,
                    value: String, periodSec: Long = 86400L,
                    horizon: Int = 20): DataFrame = {

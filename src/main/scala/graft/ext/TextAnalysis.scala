@@ -797,4 +797,43 @@ object TextAnalysis {
       .otherwise(array_sort(array_distinct(
         graft.functions.VectorExpressions.sliding_min(hashes, w))))
   }
+
+  /** Heaps'-law vocabulary-growth curve: reading the corpus in
+    * `order` (deterministic doc order), the cumulative token count
+    * and cumulative DISTINCT vocabulary size after each document —
+    * the V(n) ~ K·n^β curve whose flattening tells you when more of
+    * the same source stops buying new vocabulary (crawl-budget and
+    * source-saturation decisions). Complements [[oovCurve]] (x159),
+    * which fixes the corpus and sweeps vocab-size cutoffs; this
+    * fixes the vocabulary rule and sweeps corpus size.
+    *
+    * The non-obvious part is cumulative-DISTINCT, which naively needs
+    * a growing state. Exact pair of prefix sums instead: a type's
+    * first occurrence is attributable to exactly ONE document
+    * (min(order) over its postings), so V(after doc d) = Σ_{d' ≤ d}
+    * newTypes(d') — and both curves become [[Prefix.globalRunningSums]]
+    * over per-doc integers (range-partitioned two-phase cumsum, no
+    * single-reducer window, no growing state).
+    *
+    * Returns one row per document: (ord, n_tokens, n_new_types,
+    * cum_tokens, cum_vocab); empty-token docs contribute zeros.
+    * Whitespace token convention matches [[tokens]] (empty strings
+    * dropped). `order` must be unique per document. */
+  def vocabGrowth(docs: DataFrame, order: String, text: String)
+      : DataFrame = {
+    val base = docs.select(col(order).cast("long").as("ord"),
+      filter(tokens(col(text)), t => t =!= "").as("_tk"))
+    val perDoc = base.select(col("ord"),
+      size(col("_tk")).cast("long").as("n_tokens"))
+    val firsts = base
+      .select(col("ord"), explode(col("_tk")).as("_t"))
+      .groupBy("_t").agg(min(col("ord")).as("ord"))
+      .groupBy("ord").agg(count(lit(1)).as("n_new_types"))
+    val joined = perDoc.join(firsts, Seq("ord"), "left")
+      .select(col("ord"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+    Prefix.globalRunningSums(joined, Seq(col("ord")),
+      Seq(col("n_tokens") -> "cum_tokens",
+        col("n_new_types") -> "cum_vocab"))
+  }
 }

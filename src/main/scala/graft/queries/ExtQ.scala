@@ -5092,6 +5092,234 @@ object ExtQ {
        |    AS recall_ppm
        |FROM hits""".stripMargin)
 
+  /** Per-interval concurrency WITHOUT pair enumeration: every event
+    * opens a 60–300 s interval; the operator reports how many other
+    * intervals each one overlaps via two global order statistics
+    * (rank arithmetic over a boundary sweep) — the oracle recomputes
+    * it as the naive theta-join count. */
+  private val x171: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val iv = t(s, d, "events").select($"event_id",
+        unix_timestamp($"ts").as("ivl_from"),
+        (unix_timestamp($"ts") + 60L + $"event_id" % 240).as("ivl_to"))
+      Temporal.concurrentIntervals(iv, "event_id", "ivl_from", "ivl_to")
+        .orderBy($"event_id")
+    },
+    """WITH iv AS (SELECT event_id,
+      |    (epoch_us(ts) // 1000000)::BIGINT AS s,
+      |    (epoch_us(ts) // 1000000)::BIGINT + 60 + (event_id % 240) AS e
+      |  FROM events)
+      |SELECT a.event_id, COUNT(b.event_id)::BIGINT AS n_overlapping
+      |FROM iv a LEFT JOIN iv b
+      |  ON b.s < a.e AND b.e > a.s AND b.event_id <> a.event_id
+      |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)
+
+  /** Shared int8-quantization CTE over `embeddings` (the x30
+    * formula, list form). */
+  private val q8Cte =
+    """q8 AS (
+      |  SELECT vec_id, label, CASE WHEN maxabs = 0
+      |    THEN list_transform(embedding, x -> 0::BIGINT)
+      |    ELSE list_transform(embedding,
+      |      x -> CAST(greatest(-127.0, least(127.0,
+      |        floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+      |        AS BIGINT)) END AS q
+      |  FROM (SELECT vec_id, label, embedding,
+      |          list_max(list_transform(embedding,
+      |            x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |        FROM embeddings))""".stripMargin
+
+  /** Product-quantization ANN with asymmetric distance: 8 subspaces ×
+    * 16 codes from an md5-sampled codebook, corpus scanned as codes
+    * only, per-query integer distance tables; the oracle replays the
+    * identical quantize → sample → encode → reconstruct arithmetic. */
+  private val x172: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        subspaces = 8, ksub = 16, dim = 64)
+      Similarity.pqTopK(emb.filter($"vec_id" % 97 === 0), "vec_id",
+          "embedding", emb, "vec_id", "embedding", cb, k = 10)
+        .orderBy($"query_id", $"rank")
+    },
+    s"""WITH $q8Cte,
+       |sel AS (SELECT vec_id, q,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT vec_id, q FROM q8
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+       |cb AS (SELECT ms.m, sel.code,
+       |    list_slice(sel.q, ms.m * 8 + 1, ms.m * 8 + 8) AS cvec
+       |  FROM sel, (SELECT unnest(range(8)) AS m) ms),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |  SELECT c.vec_id, cb.m, cb.code,
+       |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, cb.m
+       |      ORDER BY list_sum(list_transform(range(1, 9),
+       |        i -> (c.q[cb.m * 8 + i] - cb.cvec[i])
+       |           * (c.q[cb.m * 8 + i] - cb.cvec[i]))), cb.code) AS r
+       |  FROM q8 c, cb) WHERE r = 1),
+       |qs AS (SELECT vec_id, q FROM q8 WHERE vec_id % 97 = 0),
+       |dist AS (
+       |  SELECT qs.vec_id AS query_id, enc.vec_id AS corpus_id,
+       |    SUM(list_sum(list_transform(range(1, 9),
+       |      i -> (qs.q[enc.m * 8 + i] - cb.cvec[i])
+       |         * (qs.q[enc.m * 8 + i] - cb.cvec[i]))))::BIGINT AS d2
+       |  FROM qs, enc JOIN cb ON cb.m = enc.m AND cb.code = enc.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, r AS rank, corpus_id, d2 AS adc_d2 FROM (
+       |  SELECT query_id, corpus_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2, corpus_id) AS r
+       |  FROM dist) WHERE r <= 10 ORDER BY query_id, rank""".stripMargin)
+
+  /** Resource-allocation link prediction over the sparse 9973-bucket
+    * modulo graph (997 is ~26%-dense at sf0.1 — avg deg 260 ⇒ 67M
+    * wedges; 9973 keeps the wedge volume deg²-honest): top-100
+    * suggested (non-adjacent) pairs by Σ ⌊10⁶/deg(w)⌋ over common
+    * neighbors w. */
+  private val x173: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "orders").select(
+        ($"o_custkey" % 9973).as("src"), ($"o_orderkey" % 9973).as("dst"))
+      Graph.resourceAllocation(edges, "src", "dst")
+        .orderBy($"ra_scaled".desc, $"u", $"v").limit(100)
+    },
+    """WITH raw AS (
+      |  SELECT o_custkey % 9973 AS src, o_orderkey % 9973 AS dst FROM orders),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |        FROM raw WHERE src <> dst),
+      |dir AS (SELECT u AS w, v AS n FROM und UNION ALL SELECT v, u FROM und),
+      |wp AS (SELECT w, (1000000 // COUNT(*))::BIGINT AS w_ppm
+      |       FROM dir GROUP BY w HAVING COUNT(*) <= 10000),
+      |adj AS (SELECT dir.w, dir.n, wp.w_ppm FROM dir JOIN wp USING (w)),
+      |agg AS (SELECT a.n AS u, b.n AS v, SUM(a.w_ppm)::BIGINT AS ra_scaled,
+      |          COUNT(*)::BIGINT AS n_common
+      |        FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
+      |        GROUP BY 1, 2)
+      |SELECT u, v, ra_scaled, n_common FROM agg
+      |WHERE NOT EXISTS (SELECT 1 FROM und
+      |                  WHERE und.u = agg.u AND und.v = agg.v)
+      |ORDER BY ra_scaled DESC, u, v LIMIT 100""".stripMargin)
+
+  /** NDCG@10 per query over a REAL ranking (brute-force cosine
+    * top-20) against graded relevance (same-label docs, gain
+    * 1 + id mod 3); the log₂ discounts are a shared integer literal
+    * table on both engines, so the gate compares exact integers. */
+  private val x174: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter($"vec_id" % 97 === 0)
+      val ranked = Similarity.bruteForceTopK(qs, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 20)
+      val rels = qs.select($"vec_id".as("q"), $"label".as("ql"))
+        .join(emb.select($"vec_id".as("dc"), $"label"),
+          col("label") === col("ql") && col("dc") =!= col("q"))
+        .select($"q", $"dc", (lit(1L) + $"dc" % 3).as("gain"))
+      Eval.ndcgAtK(ranked, "query_id", "neighbour_id", "rank",
+          rels, "q", "dc", "gain", k = 10)
+        .orderBy($"query_id")
+    },
+    s"""WITH qs AS (SELECT vec_id, label, embedding FROM embeddings
+       |            WHERE vec_id % 97 = 0),
+       |ranked AS (SELECT q, nb, r FROM (
+       |  SELECT a.vec_id AS q, b.vec_id AS nb,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+       |      AS r
+       |  FROM qs a JOIN embeddings b ON a.vec_id <> b.vec_id)
+       |  WHERE r <= 20),
+       |rels AS (SELECT qs.vec_id AS q, e.vec_id AS dc,
+       |    (1 + e.vec_id % 3)::BIGINT AS gain
+       |  FROM qs JOIN embeddings e
+       |    ON e.label = qs.label AND e.vec_id <> qs.vec_id),
+       |wt(rank, w_ppm) AS (VALUES ${Eval.ndcgWeightsSqlValues(10)}),
+       |dcg AS (SELECT ranked.q, SUM(rels.gain * wt.w_ppm)::BIGINT AS dcg
+       |        FROM ranked JOIN rels ON rels.q = ranked.q
+       |          AND rels.dc = ranked.nb
+       |        JOIN wt ON wt.rank = ranked.r
+       |        WHERE ranked.r <= 10 GROUP BY ranked.q),
+       |ideal AS (SELECT q, gain,
+       |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY gain DESC, dc) AS ir
+       |  FROM rels),
+       |idcg AS (SELECT q, SUM(gain * wt.w_ppm)::BIGINT AS idcg
+       |         FROM ideal JOIN wt ON wt.rank = ideal.ir
+       |         WHERE ir <= 10 GROUP BY q)
+       |SELECT idcg.q AS query_id, idcg.idcg AS idcg_scaled,
+       |  COALESCE(dcg.dcg, 0)::BIGINT AS dcg_scaled,
+       |  CASE WHEN idcg.idcg > 0 THEN
+       |    ((COALESCE(dcg.dcg, 0) * 1000000) // idcg.idcg)::BIGINT
+       |  END AS ndcg_ppm
+       |FROM idcg LEFT JOIN dcg ON dcg.q = idcg.q
+       |ORDER BY query_id""".stripMargin)
+
+  /** Heaps'-law vocabulary growth: cumulative tokens and cumulative
+    * DISTINCT vocabulary after each document, both as distributed
+    * prefix sums (first occurrences attribute each type to exactly
+    * one doc). */
+  private val x175: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.vocabGrowth(t(s, d, "documents"), "doc_id", "text")
+        .orderBy($"ord")
+    },
+    """WITH tk AS (SELECT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) WHERE len(term) > 0),
+      |perdoc AS (SELECT d.doc_id, COUNT(tk.term)::BIGINT AS n_tokens
+      |           FROM documents d LEFT JOIN tk USING (doc_id)
+      |           GROUP BY d.doc_id),
+      |nnew AS (SELECT doc_id, COUNT(*)::BIGINT AS n_new FROM
+      |           (SELECT MIN(doc_id) AS doc_id FROM tk GROUP BY term)
+      |         GROUP BY doc_id)
+      |SELECT doc_id AS ord, n_tokens,
+      |  COALESCE(n_new, 0)::BIGINT AS n_new_types,
+      |  SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+      |  SUM(COALESCE(n_new, 0)) OVER (ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_vocab
+      |FROM perdoc LEFT JOIN nnew USING (doc_id)
+      |ORDER BY ord""".stripMargin)
+
+  /** Fleiss' κ over three synthetic raters (click/view/purchase event
+    * streams vote a 5-way label per user); exact 128-bit integer
+    * fraction on both engines. */
+  private val x176: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val r = t(s, d, "events")
+        .filter($"event_type".isin("click", "view", "purchase"))
+        .groupBy($"user_id", $"event_type")
+        .agg((sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+          % 5).as("label"))
+      Eval.fleissKappa(r, "user_id", "label", n = 3)
+    },
+    """WITH r AS (SELECT user_id, event_type,
+      |    (SUM((CAST(value AS DECIMAL(18,2)) * 100)::BIGINT) % 5) AS label
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+      |  GROUP BY user_id, event_type),
+      |cnt AS (SELECT user_id AS i, label AS c, COUNT(*)::BIGINT AS nic
+      |        FROM r GROUP BY 1, 2),
+      |per AS (SELECT i, SUM(nic)::BIGINT AS ni,
+      |          SUM(nic * nic)::BIGINT AS sq FROM cnt GROUP BY i),
+      |kept AS (SELECT * FROM per WHERE ni = 3),
+      |mc AS (SELECT c, SUM(nic)::BIGINT AS mcnt
+      |       FROM cnt JOIN kept USING (i) GROUP BY c),
+      |tot AS (SELECT (SELECT COUNT(*) FROM kept)::HUGEINT AS n_items,
+      |               (SELECT COUNT(*) FROM per)::BIGINT AS n_all,
+      |               (SELECT SUM(sq) FROM kept)::HUGEINT AS a,
+      |               (SELECT SUM(mcnt * mcnt) FROM mc)::HUGEINT AS m2),
+      |f AS (SELECT *, n_items * 3 AS nn FROM tot)
+      |SELECT n_items::BIGINT AS n_items,
+      |  (n_all - n_items)::BIGINT AS n_dropped_items,
+      |  a::BIGINT AS sum_sq_counts, m2::BIGINT AS sum_sq_marginals,
+      |  CASE WHEN ((nn * nn - m2) * nn * 2) <> 0 THEN
+      |    ((((a - nn) * nn * nn - nn * 2 * m2) * 1000000) //
+      |     ((nn * nn - m2) * nn * 2))::BIGINT END AS kappa_ppm
+      |FROM f""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5263,5 +5491,11 @@ object ExtQ {
     "x168_interval_overlap" -> (x168._1, Some(x168._2)),
     "x169_mutual_banding_audit" -> (x169._1, Some(x169._2)),
     "x170_knn_banding_audit" -> (x170._1, Some(x170._2)),
+    "x171_concurrent_intervals" -> (x171._1, Some(x171._2)),
+    "x172_pq_adc_topk" -> (x172._1, Some(x172._2)),
+    "x173_ra_link_prediction" -> (x173._1, Some(x173._2)),
+    "x174_ndcg_at_k" -> (x174._1, Some(x174._2)),
+    "x175_vocab_growth" -> (x175._1, Some(x175._2)),
+    "x176_fleiss_kappa" -> (x176._1, Some(x176._2)),
   )
 }

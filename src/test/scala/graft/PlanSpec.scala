@@ -173,7 +173,10 @@ class PlanSpec extends AnyFunSuite {
       "x148_cross_surprisal",    // 1-row (total, V) broadcast
       "x159_oov_curve",          // 1-row totals broadcast
       "x169_mutual_banding_audit", // exact ground-truth side broadcasts the fixture slice
-      "x170_knn_banding_audit")  // exact ground-truth side broadcasts the fixture slice
+      "x170_knn_banding_audit",  // exact ground-truth side broadcasts the fixture slice
+      "x172_pq_adc_topk",        // ≤6-row query distance tables crossed with the codes scan
+      "x174_ndcg_at_k",          // exact-ranking baseline: ≤6-row query set broadcast
+      "x176_fleiss_kappa")       // three 1-row sufficient-statistic frames crossed
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -234,7 +237,9 @@ class PlanSpec extends AnyFunSuite {
       "x77_hard_negatives",        // exact baseline: ≤5-row labeled query set broadcast
       "x116_retrieval_eval",       // eval harness: ≤5-row query set broadcast
       "x169_mutual_banding_audit", // audit: exact ground truth broadcasts the 500-row fixture slice
-      "x170_knn_banding_audit")    // audit: exact ground truth broadcasts the 500-row fixture slice
+      "x170_knn_banding_audit",    // audit: exact ground truth broadcasts the 500-row fixture slice
+      "x172_pq_adc_topk",          // ≤6-row query set broadcast (vec_id % 97); corpus side scans CODES
+      "x174_ndcg_at_k")            // eval harness: ≤6-row query set broadcast (vec_id % 97)
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

@@ -254,4 +254,45 @@ class EvalSpec extends AnyFunSuite {
       "item", "rank", k = 5).collect().head
     assert(dj.getAs[Long]("n_joint") == 0L && dj.getAs[Long]("rbo_ppm") == 0L)
   }
+
+  test("ndcgAtK: hand-computed graded example") {
+    // w(1)=1000000, w(2)=630929, w(3)=500000 (⌊10⁶/log₂(r+1)⌋)
+    val w = Eval.ndcgWeightsPpm(3)
+    assert(w == Seq(1000000L, 630929L, 500000L))
+    // query 1: ranked docs a,b,c; gains a=1, c=2 (b unjudged → 0)
+    val ranked = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L))
+      .toDF("q", "doc", "rank")
+    val rels = Seq((1L, "a", 1L), (1L, "c", 2L), (1L, "d", 3L))
+      .toDF("q", "doc", "gain")
+    val r = Eval.ndcgAtK(ranked, "q", "doc", "rank", rels, "q", "doc",
+      "gain", k = 3).collect().head
+    // dcg = 1·w1 + 2·w3 = 2000000
+    // ideal order d(3), c(2), a(1): idcg = 3·w1 + 2·w2 + 1·w3 = 4761858
+    assert(r.getAs[Long]("dcg_scaled") == 2000000L)
+    assert(r.getAs[Long]("idcg_scaled") == 4761858L)
+    assert(r.getAs[Long]("ndcg_ppm") == 2000000L * 1000000L / 4761858L)
+    // query with judged rels but nothing ranked: dcg 0, ndcg 0
+    val r2 = Eval.ndcgAtK(ranked.filter(lit(false)), "q", "doc", "rank",
+      rels, "q", "doc", "gain", k = 3).collect().head
+    assert(r2.getAs[Long]("dcg_scaled") == 0L &&
+      r2.getAs[Long]("ndcg_ppm") == 0L)
+  }
+
+  test("fleissKappa: hand-computed 2-rater case + drop accounting") {
+    // items A:(1,1) B:(1,2) C:(2,2) → κ = 1/3; item D has 3 ratings
+    // (≠ n=2) and must be dropped and counted
+    val df = Seq(("A", 1), ("A", 1), ("B", 1), ("B", 2), ("C", 2),
+      ("C", 2), ("D", 1), ("D", 1), ("D", 2)).toDF("item", "label")
+    val r = Eval.fleissKappa(df, "item", "label", n = 2).collect().head
+    assert(r.getAs[Long]("n_items") == 3L)
+    assert(r.getAs[Long]("n_dropped_items") == 1L)
+    assert(r.getAs[Long]("sum_sq_counts") == 10L)     // 4 + 2 + 4
+    assert(r.getAs[Long]("sum_sq_marginals") == 18L)  // 3² + 3²
+    assert(r.getAs[Long]("kappa_ppm") == 333333L)     // (2/3−1/2)/(1/2)
+    // perfect agreement → κ undefined only when Pe=1; here κ=1
+    val perfect = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2))
+      .toDF("item", "label")
+    val p = Eval.fleissKappa(perfect, "item", "label", n = 2).collect().head
+    assert(p.getAs[Long]("kappa_ppm") == 1000000L)
+  }
 }

@@ -1375,4 +1375,51 @@ class ExtSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(tiny.size == 1) // single short gram → its own fingerprint
   }
+
+  test("pqEncode/pqTopK: codebook members round-trip, ADC = reconstruct") {
+    // dim 4, 2 subspaces of 2 dims; maxabs 127 ⇒ quantization is the
+    // identity on these integer-valued vectors
+    def v(a: Float, b: Float, c: Float, dd: Float) = Array(a, b, c, dd)
+    val corpus = Seq(
+      (1L, v(127, 0, 0, 127)), (2L, v(0, 127, 127, 0)),
+      (3L, v(127, 10, 0, 127)), (4L, v(5, 127, 127, 9)),
+      (5L, v(60, 60, 60, 127))).toDF("id", "vec")
+    val cb = Similarity.pqCodebook(corpus, "id", "vec",
+      subspaces = 2, ksub = 2, dim = 4)
+    assert(cb.length == 2 && cb.forall(_.length == 2))
+    // every codebook source vector encodes to its own entries with
+    // zero reconstruction error ⇒ its ADC self-distance is 0
+    val enc = Similarity.pqEncode(corpus, "id", "vec", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc.size == 5 && enc.values.forall(_.forall(c => c >= 0 && c < 2)))
+    val top = Similarity.pqTopK(corpus, "id", "vec", corpus, "id", "vec",
+        cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // brute-force ADC oracle: distance to the RECONSTRUCTED corpus
+    val recon = enc.map { case (id, codes) =>
+      id -> codes.zipWithIndex.flatMap { case (c, m) => cb(m)(c) }
+    }
+    val qs = Map(1L -> Seq(127L, 0L, 0L, 127L), 2L -> Seq(0L, 127L, 127L, 0L),
+      3L -> Seq(127L, 10L, 0L, 127L), 4L -> Seq(5L, 127L, 127L, 9L),
+      5L -> Seq(60L, 60L, 60L, 127L))
+    for ((q, qv) <- qs; (cid, rv) <- recon) {
+      val d2 = qv.zip(rv).map { case (x, y) => (x - y) * (x - y) }.sum
+      val rank = top.collectFirst {
+        case ((`q`, r), (c, _)) if c == cid => r }.get
+      assert(top((q, rank)) == ((cid, d2)))
+    }
+  }
+
+  test("vocabGrowth: cumulative tokens and distinct vocab per doc") {
+    val df = Seq((1L, "a b a"), (2L, ""), (3L, "b c"), (4L, "c d a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((3L, 2L, 3L, 2L)))   // a,b new
+    assert(got(2L) == ((0L, 0L, 3L, 2L)))   // empty doc: zeros carry
+    assert(got(3L) == ((2L, 1L, 5L, 3L)))   // c new
+    assert(got(4L) == ((3L, 1L, 8L, 4L)))   // d new
+  }
 }

@@ -314,4 +314,27 @@ class GraphSpec extends AnyFunSuite {
     assert(m(1L) == Some(333333L) && m(2L) == Some(1000000L) &&
       m(3L) == Some(1000000L) && m(4L) == None) // deg-1 → null
   }
+
+  test("resourceAllocation: hand-computed scores, adjacency + hub cap") {
+    // path 1−3−2 plus hub 10 touching 1,2,4; edge (1,2) NOT present:
+    //   RA(1,2) via 3 (deg 2 → 500000) and via 10 (deg 3 → 333333)
+    //   RA(1,4) and RA(2,4) via 10 only
+    //   (1,3) etc. are edges → excluded
+    val e = Seq((1L, 3L), (3L, 2L), (10L, 1L), (10L, 2L), (10L, 4L))
+      .toDF("a", "b")
+    val got = Graph.resourceAllocation(e, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (3,10) is predicted through BOTH deg-2 endpoints 1 and 2
+    assert(got == Map((1L, 2L) -> ((833333L, 2L)),
+      (1L, 4L) -> ((333333L, 1L)), (2L, 4L) -> ((333333L, 1L)),
+      (3L, 10L) -> ((1000000L, 2L))))
+    // hub cap: with maxHubDegree=2 the deg-3 hub drops as a WEDGE
+    // CENTER — pairs it alone connected disappear; scores through
+    // surviving centers are unchanged
+    val capped = Graph.resourceAllocation(e, "a", "b", maxHubDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(capped == Map((1L, 2L) -> 500000L, (3L, 10L) -> 1000000L))
+  }
 }

@@ -499,4 +499,27 @@ class TemporalSpec extends AnyFunSuite {
     // from B: {A:1}, s=1 → fully predictable, zero bits
     assert(got("B") == ((1L, 1L, 0L, 0L)))
   }
+
+  test("concurrentIntervals: hand case + brute-force equivalence") {
+    // [0,10) [5,15) [14,20) [30,40): 0↔1 overlap, 1↔2 overlap,
+    // 0↔2 touch only (half-open: 10 ≤ 14 no), 3 isolated
+    val hand = Seq((0L, 0L, 10L), (1L, 5L, 15L), (2L, 14L, 20L),
+      (3L, 30L, 40L)).toDF("id", "f", "tt")
+    val got = Temporal.concurrentIntervals(hand, "id", "f", "tt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 0L))
+    // dense random-ish fixture vs the naive pair count, incl. exact
+    // ties on boundaries and duplicate intervals
+    val ivs = (0 until 200).map { i =>
+      val s = (i * 37 % 50).toLong
+      (i.toLong, s, s + 1 + (i * 13 % 9))
+    }
+    val df = ivs.toDF("id", "f", "tt").repartition(7)
+    val brute = ivs.map { case (i, s, e) =>
+      i -> ivs.count { case (j, s2, e2) => j != i && s2 < e && e2 > s }.toLong
+    }.toMap
+    val dist = Temporal.concurrentIntervals(df, "id", "f", "tt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == brute)
+  }
 }
