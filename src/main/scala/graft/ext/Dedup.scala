@@ -727,7 +727,19 @@ object Dedup {
     * candidates; scoring is a codegen'd integer loop. Overflow bound:
     * `den·dotq² ≤ den·(127²·dim)²` — safe in Long for dim·√den up to
     * ~6×10⁵ (dim 64 × den ≤ 4 used here is 10⁴× inside the bound).
-    * Returns (id_a, id_b, dotq, na, nb) for passing pairs. */
+    * Returns (id_a, id_b, dotq, na, nb) for passing pairs.
+    *
+    * TUNING IS CORPUS-SIZE-DEPENDENT BY LSH'S NATURE (measured on the
+    * sf1 ramp, SCALING.md round 7): candidate volume is
+    * ~bands·n²/2^bits, so `bitsPerBand` must grow ~log₂ of corpus
+    * growth to keep bucket occupancy (and wall time) linear, and
+    * `bands` must rise with it to hold recall (per-band collision =
+    * (1−θ/π)^bits). Banding earns its shape at TIGHT thresholds
+    * (cos ≥ ~0.85) on corpora too big for [[embeddingNearDupsExact]]'s
+    * broadcast side; below a few million vectors, or at loose
+    * thresholds, the exact path is both faster and complete. Measure
+    * any retune's recall with the banding-audit pattern
+    * (x142/x169/x170/x178). */
   def semanticDupPairsInt8(df: DataFrame, id: String, vec: String,
                            cos2Num: Long = 1, cos2Den: Long = 4,
                            bands: Int = 8, bitsPerBand: Int = 4,

@@ -87,6 +87,19 @@ object Prefix {
                        cumName: String, partitions: Int = 0): DataFrame =
     globalRunningSums(df, order, Seq(value -> cumName), partitions)
 
+  /** Stable dense row ids 0..n−1 over a TOTAL `order` — the corpus
+    * primitive behind contiguous doc ids, shard-stable training
+    * indices, and array-backed serving layouts. zipWithIndex on the
+    * RDD gives the same thing but pins a physical partitioning and
+    * drops out of the Dataset optimizer; `row_number() OVER (ORDER
+    * BY …)` is the single-reducer cliff. This is just a running count
+    * through the two-phase scheme: range exchange + per-partition
+    * offsets, fully parallel, deterministic for a total order. */
+  def denseIds(df: DataFrame, order: Seq[Column], name: String,
+               partitions: Int = 0): DataFrame =
+    globalRunningSum(df, order, lit(1L), name, partitions)
+      .withColumn(name, col(name) - 1L)
+
   /** EXCLUSIVE running max over a total `order`: for each row,
     * max(`value`) over all strictly-preceding rows — null for the
     * global first row. The Pareto-frontier / envelope primitive

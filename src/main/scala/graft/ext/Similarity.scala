@@ -1021,4 +1021,40 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("corpus_id"), (-col("col.v")).cast("long").as("adc_d2"))
   }
+
+  /** Self-verifying recall audit for [[pqTopK]], the x169/x170
+    * pattern: ground truth is the EXACT top-k by int8-lattice L2
+    * (brute force over the query set — audit-bounded by contract),
+    * candidate is the PQ-ADC top-k with the same codebook; one row
+    * of engine-verifiable counts:
+    * (n_queries, n_truth, n_hits, recall_ppm). The oracle recomputes
+    * BOTH sides, so a quantizer/encoder/ADC bug on the Spark side
+    * turns the row red rather than silently shifting recall. */
+  def pqRecallAudit(queries: DataFrame, qId: String, qVec: String,
+                    corpus: DataFrame, cId: String, cVec: String,
+                    codebook: Seq[Seq[Seq[Long]]], k: Int): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      int8Quantize(col(qVec)).getField("q").as("_qq")))
+    val c = corpus.select(col(cId).as("_cid"),
+      int8Quantize(col(cVec)).getField("q").as("_cq"))
+    val d2 = dotL(col("_qq"), col("_qq")) -
+      dotL(col("_qq"), col("_cq")) * 2 + dotL(col("_cq"), col("_cq"))
+    val exact = c.crossJoin(q)
+      .select(col("query_id"), col("_cid"), d2.as("_d2"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(-col("_d2"), col("_cid"), k).as("t"))
+      .select(col("query_id"), explode(col("t")).as("e"))
+      .select(col("query_id"), col("e.id").as("corpus_id"))
+    val approx = pqTopK(queries, qId, qVec, corpus, cId, cVec, codebook, k)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+    exact.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .crossJoin(broadcast(
+        queries.agg(count(lit(1)).as("n_queries"))))
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+        when(col("n_truth") > 0,
+          IntMath.ppmDiv(col("n_hits"), col("n_truth"))).as("recall_ppm"))
+  }
 }

@@ -283,6 +283,46 @@ object Temporal {
       .drop("_pb", "_ik", "_is", "_ie", "_ip", "_ib")
   }
 
+  /** Interval×interval PAIR join, bucketed: all overlapping
+    * (a, b) interval pairs of the same key, half-open [from, to) —
+    * the enumerating sibling of [[concurrentIntervals]] (use THAT
+    * when only counts are needed: pair output is inherently quadratic
+    * on dense keys, counts are always linear).
+    *
+    * A raw `a.from < b.to AND b.from < a.to` theta-join has no
+    * equi-key and plans a nested-loop. Here both sides explode to the
+    * fixed-width time buckets they span — [s, e) touches buckets
+    * ⌊s/w⌋..⌊(e−1)/w⌋ — and the match becomes an equi-join on
+    * (key, bucket) + the exact overlap residual. A pair sharing many
+    * buckets would duplicate, so each pair is emitted ONLY in its
+    * OWNER bucket ⌊max(a_from, b_from)/w⌋ — the first bucket where
+    * both are live, which both sides provably carry — an exact
+    * dedup with no distinct() pass.
+    *
+    * Scale: shuffle volume is Σ span/w + n per side (choose `w` near
+    * the typical interval length); matching is per-(key, bucket).
+    * Returns (key, aId, bId, overlap_units). */
+  def intervalJoin(a: DataFrame, aId: String, b: DataFrame, bId: String,
+                   key: String, from: String, to: String,
+                   bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, "bucket width must be positive")
+    def bucket(c: Column): Column = floor(c / bucketWidthSec).cast("long")
+    def prep(df: DataFrame, id: String, ps: String, pe: String) =
+      df.select(col(key).as("_k"), col(id),
+          col(from).cast("long").as(ps), col(to).cast("long").as(pe))
+        .filter(col(ps) < col(pe))
+        .withColumn("_b", explode(sequence(bucket(col(ps)),
+          bucket(col(pe) - 1))))
+    val ea = prep(a, aId, "_as", "_ae")
+    val eb = prep(b, bId, "_bs", "_be")
+    ea.join(eb, Seq("_k", "_b"))
+      .filter(col("_as") < col("_be") && col("_bs") < col("_ae") &&
+        col("_b") === bucket(greatest(col("_as"), col("_bs"))))
+      .select(col("_k").as(key), col(aId), col(bId),
+        (least(col("_ae"), col("_be")) -
+          greatest(col("_as"), col("_bs"))).as("overlap_units"))
+  }
+
   /** Ordered multi-stage funnel: for each user, the earliest time of
     * stage 1, then the earliest stage-2 event STRICTLY after it, then
     * the earliest stage-3 event strictly after that, … — the product

@@ -5320,6 +5320,105 @@ object ExtQ {
       |     ((nn * nn - m2) * nn * 2))::BIGINT END AS kappa_ppm
       |FROM f""".stripMargin)
 
+  /** Bucketed interval×interval pair join with owner-bucket dedup:
+    * co-active view/purchase 15-minute windows per user. */
+  private val x177: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      def win(tp: String, idn: String) = ev.filter($"event_type" === tp)
+        .select($"user_id", $"event_id".as(idn),
+          unix_timestamp($"ts").as("ivl_from"),
+          (unix_timestamp($"ts") + 900L).as("ivl_to"))
+      Temporal.intervalJoin(win("view", "view_id"), "view_id",
+          win("purchase", "purchase_id"), "purchase_id",
+          "user_id", "ivl_from", "ivl_to", bucketWidthSec = 900L)
+        .orderBy($"user_id", $"view_id", $"purchase_id")
+    },
+    """WITH a AS (SELECT user_id, event_id AS view_id,
+      |    (epoch_us(ts) // 1000000)::BIGINT AS s,
+      |    (epoch_us(ts) // 1000000)::BIGINT + 900 AS e
+      |  FROM events WHERE event_type = 'view'),
+      |b AS (SELECT user_id, event_id AS purchase_id,
+      |    (epoch_us(ts) // 1000000)::BIGINT AS s,
+      |    (epoch_us(ts) // 1000000)::BIGINT + 900 AS e
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT a.user_id AS user_id, a.view_id, b.purchase_id,
+      |  (least(a.e, b.e) - greatest(a.s, b.s))::BIGINT AS overlap_units
+      |FROM a JOIN b ON b.user_id = a.user_id
+      |  AND a.s < b.e AND b.s < a.e
+      |ORDER BY user_id, view_id, purchase_id""".stripMargin)
+
+  /** Self-verifying PQ recall audit (the x169/x170 pattern over
+    * x172): exact int8-lattice top-10 as ground truth vs the PQ-ADC
+    * top-10 under the same sampled codebook; the oracle recomputes
+    * both sides. */
+  private val x178: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        subspaces = 8, ksub = 16, dim = 64)
+      Similarity.pqRecallAudit(emb.filter($"vec_id" % 97 === 0), "vec_id",
+        "embedding", emb, "vec_id", "embedding", cb, k = 10)
+    },
+    s"""WITH $q8Cte,
+       |qs AS (SELECT vec_id, q FROM q8 WHERE vec_id % 97 = 0),
+       |xt AS (SELECT qv, cid FROM (
+       |  SELECT qs.vec_id AS qv, c.vec_id AS cid,
+       |    ROW_NUMBER() OVER (PARTITION BY qs.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> (qs.q[i] - c.q[i]) * (qs.q[i] - c.q[i]))),
+       |      c.vec_id) AS r
+       |  FROM qs, q8 c) WHERE r <= 10),
+       |sel AS (SELECT vec_id, q,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT vec_id, q FROM q8
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+       |cb AS (SELECT ms.m, sel.code,
+       |    list_slice(sel.q, ms.m * 8 + 1, ms.m * 8 + 8) AS cvec
+       |  FROM sel, (SELECT unnest(range(8)) AS m) ms),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |  SELECT c.vec_id, cb.m, cb.code,
+       |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, cb.m
+       |      ORDER BY list_sum(list_transform(range(1, 9),
+       |        i -> (c.q[cb.m * 8 + i] - cb.cvec[i])
+       |           * (c.q[cb.m * 8 + i] - cb.cvec[i]))), cb.code) AS r
+       |  FROM q8 c, cb) WHERE r = 1),
+       |dist AS (
+       |  SELECT qs.vec_id AS qv, enc.vec_id AS cid,
+       |    SUM(list_sum(list_transform(range(1, 9),
+       |      i -> (qs.q[enc.m * 8 + i] - cb.cvec[i])
+       |         * (qs.q[enc.m * 8 + i] - cb.cvec[i]))))::BIGINT AS d2
+       |  FROM qs, enc JOIN cb ON cb.m = enc.m AND cb.code = enc.code
+       |  GROUP BY 1, 2),
+       |pq AS (SELECT qv, cid FROM (
+       |  SELECT qv, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY qv ORDER BY d2, cid) AS r
+       |  FROM dist) WHERE r <= 10),
+       |h AS (SELECT COUNT(*)::BIGINT AS n_hits FROM xt
+       |      JOIN pq ON pq.qv = xt.qv AND pq.cid = xt.cid)
+       |SELECT (SELECT COUNT(*) FROM qs)::BIGINT AS n_queries,
+       |  (SELECT COUNT(*) FROM xt)::BIGINT AS n_truth,
+       |  h.n_hits,
+       |  ((h.n_hits * 1000000) // (SELECT COUNT(*) FROM xt))::BIGINT
+       |    AS recall_ppm
+       |FROM h""".stripMargin)
+
+  /** Stable dense ids over (source, doc_id) via the two-phase range
+    * exchange — never a single-reducer ROW_NUMBER. */
+  private val x179: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Prefix.denseIds(t(s, d, "documents").select($"doc_id", $"source"),
+          Seq($"source", $"doc_id"), "stable_id")
+        .orderBy($"stable_id")
+    },
+    """SELECT doc_id, source,
+      |  (ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1)::BIGINT
+      |    AS stable_id
+      |FROM documents ORDER BY stable_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5497,5 +5596,8 @@ object ExtQ {
     "x174_ndcg_at_k" -> (x174._1, Some(x174._2)),
     "x175_vocab_growth" -> (x175._1, Some(x175._2)),
     "x176_fleiss_kappa" -> (x176._1, Some(x176._2)),
+    "x177_interval_pair_join" -> (x177._1, Some(x177._2)),
+    "x178_pq_recall_audit" -> (x178._1, Some(x178._2)),
+    "x179_stable_dense_ids" -> (x179._1, Some(x179._2)),
   )
 }

@@ -176,7 +176,8 @@ class PlanSpec extends AnyFunSuite {
       "x170_knn_banding_audit",  // exact ground-truth side broadcasts the fixture slice
       "x172_pq_adc_topk",        // ≤6-row query distance tables crossed with the codes scan
       "x174_ndcg_at_k",          // exact-ranking baseline: ≤6-row query set broadcast
-      "x176_fleiss_kappa")       // three 1-row sufficient-statistic frames crossed
+      "x176_fleiss_kappa",       // three 1-row sufficient-statistic frames crossed
+      "x178_pq_recall_audit")    // audit: exact side crosses the ≤6-row query set; 1-row counts
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -239,7 +240,8 @@ class PlanSpec extends AnyFunSuite {
       "x169_mutual_banding_audit", // audit: exact ground truth broadcasts the 500-row fixture slice
       "x170_knn_banding_audit",    // audit: exact ground truth broadcasts the 500-row fixture slice
       "x172_pq_adc_topk",          // ≤6-row query set broadcast (vec_id % 97); corpus side scans CODES
-      "x174_ndcg_at_k")            // eval harness: ≤6-row query set broadcast (vec_id % 97)
+      "x174_ndcg_at_k",            // eval harness: ≤6-row query set broadcast (vec_id % 97)
+      "x178_pq_recall_audit")      // audit: ≤6-row query set broadcast on both sides
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

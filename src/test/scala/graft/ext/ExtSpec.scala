@@ -1411,6 +1411,23 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pqRecallAudit: full-corpus codebook reconstructs exactly -> recall 1e6") {
+    // ksub = corpus size: every vector IS a codebook entry in every
+    // subspace, so reconstruction error is 0 and ADC == exact L2
+    def v(a: Float, b: Float, c: Float, dd: Float) = Array(a, b, c, dd)
+    val corpus = Seq(
+      (1L, v(127, 0, 3, 127)), (2L, v(0, 127, 127, 2)),
+      (3L, v(127, 10, 0, 127)), (4L, v(5, 127, 127, 9))).toDF("id", "vec")
+    val cb = Similarity.pqCodebook(corpus, "id", "vec",
+      subspaces = 2, ksub = 4, dim = 4)
+    val r = Similarity.pqRecallAudit(corpus, "id", "vec", corpus, "id",
+      "vec", cb, k = 2).collect().head
+    assert(r.getAs[Long]("n_queries") == 4L)
+    assert(r.getAs[Long]("n_truth") == 8L)
+    assert(r.getAs[Long]("n_hits") == 8L)
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+  }
+
   test("vocabGrowth: cumulative tokens and distinct vocab per doc") {
     val df = Seq((1L, "a b a"), (2L, ""), (3L, "b c"), (4L, "c d a"))
       .toDF("doc_id", "text")

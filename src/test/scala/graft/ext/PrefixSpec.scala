@@ -82,4 +82,13 @@ class PrefixSpec extends AnyFunSuite {
     assert(a == b)
     assert(out.filter($"cum" < 0).isEmpty)
   }
+
+  test("denseIds: contiguous 0..n-1 in order, any input partitioning") {
+    val df = (0 until 2000).map(i => ((i * 911) % 2000).toLong)
+      .toDF("id").repartition(13)
+    val got = Prefix.denseIds(df, Seq(col("id")), "sid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 2000)
+    assert((0 until 2000).forall(i => got(i.toLong) == i.toLong))
+  }
 }

@@ -522,4 +522,28 @@ class TemporalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == brute)
   }
+
+  test("intervalJoin: owner-bucket dedup matches the naive theta join") {
+    // spans crossing many buckets (width 10), exact boundary ties,
+    // same-key only
+    val as = (0 until 60).map { i =>
+      (i.toLong % 3, i.toLong, (i * 7 % 40).toLong,
+        (i * 7 % 40 + 1 + i % 25).toLong)
+    }
+    val bs = (0 until 60).map { i =>
+      (i.toLong % 3, 100L + i, (i * 11 % 45).toLong,
+        (i * 11 % 45 + 2 + i % 18).toLong)
+    }
+    val a = as.toDF("k", "aid", "f", "tt").repartition(5)
+    val b = bs.toDF("k", "bid", "f", "tt").repartition(4)
+    val got = Temporal.intervalJoin(a, "aid", b, "bid", "k", "f", "tt",
+        bucketWidthSec = 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val brute = (for {
+      (ka, ia, sa, ea) <- as; (kb, ib, sb, eb) <- bs
+      if ka == kb && sa < eb && sb < ea
+    } yield (ia, ib) -> (math.min(ea, eb) - math.max(sa, sb))).toMap
+    assert(got == brute)            // exactly once per pair, right units
+  }
 }
