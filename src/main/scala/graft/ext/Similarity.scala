@@ -1022,6 +1022,185 @@ object Similarity {
         col("col.id").as("corpus_id"), (-col("col.v")).cast("long").as("adc_d2"))
   }
 
+  /** IVF-PQ ANN — the full production serving shape: queries route to
+    * the `nProbe` nearest coarse centroids (integer Lloyd codebook,
+    * bit-deterministic like [[ivfTopKInt8]]), and only the probed
+    * lists are scored, by PQ ASYMMETRIC DISTANCE over codes — the
+    * corpus's float vectors are read exactly once at index-build time
+    * (quantize + assign + encode) and never again at query time.
+    * Compared to [[ivfTopKInt8]] (exact rerank inside probed lists),
+    * this trades rank fidelity for a probed-list scan that touches
+    * `subspaces` small ints per candidate instead of `dim` floats —
+    * the memory-bandwidth regime that decides ANN throughput at
+    * 100 TB. Exact for its codebooks, so the oracle replays it
+    * bit-for-bit; recall is the codebooks' problem, measured by
+    * [[pqRecallAudit]].
+    *
+    * Plan shape: coarse centroids broadcast (≤nCentroids rows);
+    * corpus shuffles once on cluster id; per-query distance tables
+    * (subspaces·ksub longs) ride the probe rows; per-query top-k is
+    * the bounded native heap. Returns (query_id, rank, corpus_id,
+    * adc_d2). */
+  def ivfPqTopK(queries: DataFrame, qId: String, qVec: String,
+                corpus: DataFrame, cId: String, cVec: String,
+                codebook: Seq[Seq[Seq[Long]]], k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                rounds: Int = 2): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    val ksub = codebook.head.length
+    val dsub = codebook.head.head.length
+    val cq = corpus.select(col(cId).as("vid"),
+        int8Quantize(col(cVec)).getField("q").as("q8"))
+      .localCheckpoint()
+    val cents = lloydLoop(cq, nCentroids, rounds)
+    val assigned = int8AssignTo(cq, cents)
+      .select(col("vid"), col("cluster"))
+    val enc = cq.select(col("vid"),
+      graft.functions.VectorExpressions.pq_encode(col("q8"),
+        codebook.flatten, ksub).as("codes"))
+    val bucketed = assigned.join(enc, "vid")
+      .select(col("cluster"), col("vid").as("_cid"), col("codes"))
+    val qBase = queries.select(col(qId).as("query_id"),
+      int8Quantize(col(qVec)).getField("q").as("_q"))
+    val qSubs = codebook.indices.foldLeft(qBase) { (acc, m) =>
+      acc.withColumn(s"_s$m", slice(col("_q"), m * dsub + 1, dsub))
+        .withColumn(s"_d$m", dotL(col(s"_s$m"), col(s"_s$m")))
+    }
+    val dtab = array(codebook.indices.map { m =>
+      array(codebook(m).map { cv =>
+        val cc = cv.map(x => x * x).sum
+        col(s"_d$m") - dotL(col(s"_s$m"), typedLit(cv)) * 2 + cc
+      }: _*)
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("_d2c"), col("cluster"))
+    val probes = qSubs
+      .withColumn("_qq", dotL(col("_q"), col("_q")))
+      .withColumn("_dtab", dtab)
+      .crossJoin(broadcast(
+        cents.withColumn("_cc", dotL(col("cvec"), col("cvec")))))
+      .withColumn("_d2c",
+        col("_qq") - dotL(col("_q"), col("cvec")) * 2 + col("_cc"))
+      .withColumn("_pr", row_number().over(w))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_dtab"), col("cluster"))
+    val dist = codebook.indices.map(m =>
+      element_at(element_at(col("_dtab"), m + 1),
+        element_at(col("codes"), m + 1).cast("int") + 1)).reduce(_ + _)
+    probes.join(bucketed, Seq("cluster"))
+      .select(col("query_id"), col("_cid"), dist.as("_d2"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(-col("_d2"), col("_cid"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("corpus_id"),
+        (-col("col.v")).cast("long").as("adc_d2"))
+  }
+
+  /** Farthest-point (k-center greedy) sampling in the int8 domain —
+    * the diversity-selection primitive behind coreset curation,
+    * "pick k maximally-different exemplars per cluster", and k-means++
+    * -style seeding without RNG. Round 1 picks the smallest id; each
+    * later round picks the vector MAXIMIZING its distance to the
+    * chosen set (exact integer L2, ties to the smallest id) — the
+    * classic 2-approximation to the k-center optimum.
+    *
+    * Returns (rank 1..k, vec_id, radius) where radius is the point's
+    * distance-to-chosen-set AT SELECTION — a decreasing sequence
+    * whose tail says when additional exemplars stop buying coverage
+    * (the elbow read).
+    *
+    * Scale shape: the quantized corpus materializes ONCE
+    * (localCheckpoint) and each of the k−1 rounds is one narrow scan
+    * + a TakeOrdered(1) reduce — no shuffle of the corpus, ever; the
+    * chosen set rides the plan as k·dim literal longs (same
+    * driver-bounded class as [[centroids]]). Round i evaluates i
+    * distance terms per row, so total work is O(k²·n·dim/2) — k is
+    * small by contract (exemplars, not clustering; use
+    * [[kmeansLloyd]] past k ≈ 100). */
+  def farthestPointSample(df: DataFrame, id: String, vec: String,
+                          k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, "k must be in [1, 256]")
+    val spark = df.sparkSession
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    val q = df.select(col(id).cast("long").as("_id"),
+        int8Quantize(col(vec)).getField("q").as("_q"))
+      .localCheckpoint()
+    val first = q.orderBy(col("_id")).limit(1).collect()
+    require(first.nonEmpty, "corpus is empty")
+    var chosen = Vector[(Long, IndexedSeq[Long], Option[Long])](
+      (first.head.getLong(0), first.head.getSeq[Long](1).toIndexedSeq, None))
+    for (_ <- 2 to k) {
+      val minD = chosen.map { case (_, cv, _) =>
+        dotL(col("_q"), col("_q")) - dotL(col("_q"), typedLit(cv)) * 2 +
+          cv.map(x => x * x).sum
+      }.reduce(least(_, _))
+      val ids = chosen.map(_._1)
+      val next = q.filter(!col("_id").isInCollection(ids))
+        .select(col("_id"), col("_q"), minD.as("_md"))
+        .orderBy(col("_md").desc, col("_id")).limit(1).collect()
+      if (next.nonEmpty)
+        chosen :+= ((next.head.getLong(0),
+          next.head.getSeq[Long](1).toIndexedSeq,
+          Some(next.head.getLong(2))))
+    }
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((vid, _, rad), i) => ((i + 1).toLong, vid, rad) }
+      .toDF("rank", "vec_id", "radius")
+  }
+
+  /** [[farthestPointSample]]'s DuckDB oracle: the identical greedy
+    * unrolled as k−1 CTE rounds over the shared int8-quantize chain. */
+  def farthestPointSampleSql(table: String, k: Int): String = {
+    require(k >= 1)
+    def d2(a: String, b: String) =
+      s"""list_sum([ ($a[j] - $b[j]) * ($a[j] - $b[j])
+         |           for j in range(1, len($a) + 1) ])::BIGINT""".stripMargin
+    val header =
+      s"""m AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |  FROM $table),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN maxabs = 0
+         |      THEN list_transform(embedding, x -> 0::BIGINT)
+         |      ELSE list_transform(embedding,
+         |        x -> CAST(greatest(-127.0, least(127.0,
+         |          floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+         |          AS BIGINT))
+         |    END AS q8
+         |  FROM m),
+         |c1 AS MATERIALIZED (
+         |  SELECT vec_id, q8 FROM q ORDER BY vec_id LIMIT 1),
+         |m1 AS MATERIALIZED (
+         |  SELECT v.vec_id, v.q8, ${d2("v.q8", "c.q8")} AS md
+         |  FROM q v CROSS JOIN c1 c)""".stripMargin
+    val rounds = (2 to k).map { i =>
+      val prev = i - 1
+      val notIn = (1 until i).map(j => s"SELECT vec_id FROM c$j")
+        .mkString(" UNION ALL ")
+      s"""c$i AS MATERIALIZED (
+         |  SELECT vec_id, q8, md FROM m$prev
+         |  WHERE vec_id NOT IN ($notIn)
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT p.vec_id, p.q8,
+         |    least(p.md, ${d2("p.q8", "c.q8")}) AS md
+         |  FROM m$prev p CROSS JOIN c$i c)""".stripMargin
+    }
+    val sel = (s"SELECT 1::BIGINT AS rank, vec_id, NULL::BIGINT AS radius FROM c1" +:
+      (2 to k).map(i =>
+        s"SELECT $i::BIGINT AS rank, vec_id, md::BIGINT AS radius FROM c$i"))
+      .mkString("\nUNION ALL ")
+    s"""WITH ${(Seq(header) ++ rounds).mkString(",\n")}
+       |$sel
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Self-verifying recall audit for [[pqTopK]], the x169/x170
     * pattern: ground truth is the EXACT top-k by int8-lattice L2
     * (brute force over the query set — audit-bounded by contract),

@@ -5419,6 +5419,80 @@ object ExtQ {
       |    AS stable_id
       |FROM documents ORDER BY stable_id""".stripMargin)
 
+  /** Farthest-point (k-center greedy) diversity sample over the
+    * embedding corpus; the oracle unrolls the identical greedy
+    * rounds. */
+  private val x180: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Similarity.farthestPointSample(t(s, d, "embeddings"), "vec_id",
+          "embedding", k = 8)
+        .orderBy($"rank")
+    },
+    Similarity.farthestPointSampleSql("embeddings", 8))
+
+  /** IVF-PQ ANN: Lloyd routing + ADC-over-codes scoring — the full
+    * production serving shape; the oracle stacks the PQ chain on the
+    * shared Lloyd CTEs and replays routing + encode + table lookups
+    * bit-for-bit. */
+  private val x181: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        subspaces = 8, ksub = 16, dim = 64)
+      Similarity.ivfPqTopK(emb.filter($"vec_id" % 97 === 0), "vec_id",
+          "embedding", emb, "vec_id", "embedding", cb, k = 10,
+          nCentroids = 16, nProbe = 4, rounds = 2)
+        .orderBy($"query_id", $"rank")
+    }, {
+      val (ctes, asgRel, centRel) =
+        Similarity.kmeansLloydCtes("embeddings", k = 16, rounds = 2)
+      s"""WITH $ctes,
+         |psel AS (SELECT vec_id, q8,
+         |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+         |  FROM (SELECT vec_id, q8 FROM q
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+         |pcb AS (SELECT ms.mm, psel.code,
+         |    list_slice(psel.q8, ms.mm * 8 + 1, ms.mm * 8 + 8) AS cvec
+         |  FROM psel, (SELECT unnest(range(8)) AS mm) ms),
+         |penc AS (SELECT vec_id, mm, code FROM (
+         |  SELECT c.vec_id, pcb.mm, pcb.code,
+         |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, pcb.mm
+         |      ORDER BY list_sum(list_transform(range(1, 9),
+         |        i -> (c.q8[pcb.mm * 8 + i] - pcb.cvec[i])
+         |           * (c.q8[pcb.mm * 8 + i] - pcb.cvec[i]))), pcb.code)
+         |      AS r
+         |  FROM q c, pcb) WHERE r = 1),
+         |qsel AS (SELECT vec_id AS query_id, q8 FROM q
+         |         WHERE vec_id % 97 = 0),
+         |qdq AS (SELECT qs.query_id, c.cluster,
+         |    list_sum([ (qs.q8[j] - c.cvec[j]) * (qs.q8[j] - c.cvec[j])
+         |               for j in range(1, len(qs.q8) + 1) ])::BIGINT
+         |      AS d2c
+         |  FROM qsel qs CROSS JOIN $centRel c),
+         |qpr AS (SELECT query_id, cluster FROM (
+         |  SELECT query_id, cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY d2c, cluster) AS pr
+         |  FROM qdq) WHERE pr <= 4),
+         |pdist AS (SELECT qpr.query_id, a.vec_id AS corpus_id,
+         |    SUM(list_sum(list_transform(range(1, 9),
+         |      i -> (qs.q8[penc.mm * 8 + i] - pcb.cvec[i])
+         |         * (qs.q8[penc.mm * 8 + i] - pcb.cvec[i]))))::BIGINT AS d2
+         |  FROM qpr
+         |  JOIN $asgRel a ON a.cluster = qpr.cluster
+         |  JOIN penc ON penc.vec_id = a.vec_id
+         |  JOIN pcb ON pcb.mm = penc.mm AND pcb.code = penc.code
+         |  JOIN qsel qs ON qs.query_id = qpr.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, r AS rank, corpus_id, d2 AS adc_d2 FROM (
+         |  SELECT query_id, corpus_id, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY d2, corpus_id) AS r
+         |  FROM pdist) WHERE r <= 10 ORDER BY query_id, rank""".stripMargin
+    })
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5599,5 +5673,7 @@ object ExtQ {
     "x177_interval_pair_join" -> (x177._1, Some(x177._2)),
     "x178_pq_recall_audit" -> (x178._1, Some(x178._2)),
     "x179_stable_dense_ids" -> (x179._1, Some(x179._2)),
+    "x180_farthest_point_sample" -> (x180._1, Some(x180._2)),
+    "x181_ivf_pq_topk" -> (x181._1, Some(x181._2)),
   )
 }

@@ -177,7 +177,8 @@ class PlanSpec extends AnyFunSuite {
       "x172_pq_adc_topk",        // ≤6-row query distance tables crossed with the codes scan
       "x174_ndcg_at_k",          // exact-ranking baseline: ≤6-row query set broadcast
       "x176_fleiss_kappa",       // three 1-row sufficient-statistic frames crossed
-      "x178_pq_recall_audit")    // audit: exact side crosses the ≤6-row query set; 1-row counts
+      "x178_pq_recall_audit",    // audit: exact side crosses the ≤6-row query set; 1-row counts
+      "x181_ivf_pq_topk")        // ≤16-row coarse-centroid table crossed with the query set
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -241,7 +242,8 @@ class PlanSpec extends AnyFunSuite {
       "x170_knn_banding_audit",    // audit: exact ground truth broadcasts the 500-row fixture slice
       "x172_pq_adc_topk",          // ≤6-row query set broadcast (vec_id % 97); corpus side scans CODES
       "x174_ndcg_at_k",            // eval harness: ≤6-row query set broadcast (vec_id % 97)
-      "x178_pq_recall_audit")      // audit: ≤6-row query set broadcast on both sides
+      "x178_pq_recall_audit",      // audit: ≤6-row query set broadcast on both sides
+      "x181_ivf_pq_topk")          // ≤16-row centroid broadcast; queries scan reduces via probe top-n
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

@@ -1428,6 +1428,40 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("recall_ppm") == 1000000L)
   }
 
+  test("ivfPqTopK: probing every list reproduces flat pqTopK exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 300)
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+      subspaces = 8, ksub = 8, dim = 64)
+    val qs = emb.filter($"vec_id" % 50 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val flat = key(Similarity.pqTopK(qs, "vec_id", "embedding", emb,
+      "vec_id", "embedding", cb, k = 5))
+    val ivf = key(Similarity.ivfPqTopK(qs, "vec_id", "embedding", emb,
+      "vec_id", "embedding", cb, k = 5, nCentroids = 8, nProbe = 8,
+      rounds = 1))
+    assert(ivf == flat) // exhaustive probing ⇒ identical ADC top-k
+  }
+
+  test("farthestPointSample: hand-computed greedy order and radii") {
+    def v(a: Float, b: Float, c: Float, dd: Float) = Array(a, b, c, dd)
+    val corpus = Seq(
+      (1L, v(0, 0, 0, 127)), (2L, v(127, 0, 0, 127)),
+      (3L, v(64, 0, 0, 127)), (4L, v(127, 127, 0, 127))).toDF("id", "vec")
+    val got = Similarity.farthestPointSample(corpus, "id", "vec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    // seed 1; then 4 (d2 32258), then 2 (16129), then 3 (3969)
+    assert(got.toSeq == Seq((1L, 1L, None), (2L, 4L, Some(32258L)),
+      (3L, 2L, Some(16129L)), (4L, 3L, Some(3969L))))
+    // k larger than the corpus: returns every point once, no repeat
+    val all5 = Similarity.farthestPointSample(corpus, "id", "vec", k = 9)
+      .collect().map(_.getLong(1))
+    assert(all5.length == 4 && all5.toSet.size == 4)
+  }
+
   test("vocabGrowth: cumulative tokens and distinct vocab per doc") {
     val df = Seq((1L, "a b a"), (2L, ""), (3L, "b c"), (4L, "c d a"))
       .toDF("doc_id", "text")
