@@ -351,4 +351,38 @@ object Sampling {
       .select(col("_u").as(user), col("_i").as(s"neg_$item"),
         col("neg_rank").cast("long").as("neg_rank"))
   }
+
+  /** Per-group top-p (nucleus) truncation: within each group, keep
+    * the smallest prefix of items — ordered by weight desc, id asc —
+    * whose cumulative weight reaches `pPpm` millionths of the group
+    * total. The vocabulary/domain-curation primitive ("the terms
+    * carrying 90% of each language's token mass", "the sources
+    * covering 99% of a domain's documents"); the boundary item that
+    * CROSSES the threshold is kept, so coverage ≥ p exactly.
+    *
+    * The keep decision is the exact integer cross-multiplication
+    * `cum_before · 10⁶ < pPpm · total` — no float shares, engine-
+    * identical. Returns kept rows as (group, id, weight, cum_weight,
+    * rank). Plan shape: one map-combined total per group equi-joined
+    * back, one per-GROUP window (bounded by group size, key-
+    * partitioned — never global); groups at power-law scale are
+    * exactly the case where the kept prefix is tiny relative to the
+    * tail this drops. */
+  def topPByGroup(df: DataFrame, group: String, id: String,
+                  weight: Column, pPpm: Long): DataFrame = {
+    require(pPpm >= 0 && pPpm <= 1000000L, "pPpm must be in [0, 1e6]")
+    val base = df.select(col(group).as("_g"), col(id).as("_id"),
+      weight.cast("long").as("_w"))
+    val totals = base.groupBy("_g").agg(sum(col("_w")).as("_tot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_g")
+      .orderBy(col("_w").desc, col("_id").asc)
+    base.join(totals, Seq("_g"))
+      .withColumn("_cum", sum(col("_w")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("_rank", row_number().over(w))
+      .filter((col("_cum") - col("_w")) * 1000000L < lit(pPpm) * col("_tot"))
+      .select(col("_g").as(group), col("_id").as(id), col("_w").as("weight"),
+        col("_cum").as("cum_weight"), col("_rank").cast("long").as("rank"))
+  }
 }

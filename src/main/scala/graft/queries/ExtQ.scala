@@ -5493,6 +5493,37 @@ object ExtQ {
          |  FROM pdist) WHERE r <= 10 ORDER BY query_id, rank""".stripMargin
     })
 
+  /** Per-language nucleus vocabulary: the terms carrying 80% of each
+    * language's token mass (top-p truncation, exact integer keep
+    * rule). */
+  private val x182: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val terms = t(s, d, "documents")
+        .select($"lang", explode(split($"text", " ")).as("term"))
+        .filter(length($"term") > 0)
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("cnt"))
+      Sampling.topPByGroup(terms, "lang", "term", $"cnt", pPpm = 800000L)
+        .orderBy($"lang", $"rank")
+    },
+    """WITH tc AS (
+      |  SELECT lang, term, COUNT(*)::BIGINT AS cnt FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE len(term) > 0 GROUP BY lang, term),
+      |tot AS (SELECT lang, SUM(cnt)::BIGINT AS tot FROM tc GROUP BY lang),
+      |r AS (SELECT tc.lang, tc.term, tc.cnt, tot.tot,
+      |    SUM(tc.cnt) OVER (PARTITION BY tc.lang
+      |      ORDER BY tc.cnt DESC, tc.term
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+      |    ROW_NUMBER() OVER (PARTITION BY tc.lang
+      |      ORDER BY tc.cnt DESC, tc.term) AS rank
+      |  FROM tc JOIN tot USING (lang))
+      |SELECT lang, term, cnt AS weight, cum AS cum_weight,
+      |  rank::BIGINT AS rank
+      |FROM r WHERE (cum - cnt) * 1000000 < 800000 * tot
+      |ORDER BY lang, rank""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5675,5 +5706,6 @@ object ExtQ {
     "x179_stable_dense_ids" -> (x179._1, Some(x179._2)),
     "x180_farthest_point_sample" -> (x180._1, Some(x180._2)),
     "x181_ivf_pq_topk" -> (x181._1, Some(x181._2)),
+    "x182_nucleus_vocab" -> (x182._1, Some(x182._2)),
   )
 }

@@ -1428,6 +1428,22 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("recall_ppm") == 1000000L)
   }
 
+  test("topPByGroup: exact boundary keep rule, ties by id") {
+    val df = Seq(("g", "a", 5L), ("g", "b", 3L), ("g", "c", 2L),
+      ("h", "x", 1L), ("h", "y", 1L)).toDF("grp", "item", "w")
+    def run(p: Long) = Sampling.topPByGroup(df, "grp", "item",
+        col("w"), p).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    // p=0.8 of g's total 10: a (cum 5), b (cum 8); c's cum-before 8
+    // is NOT < 8 — boundary excluded exactly
+    assert(run(800000L) == Set(("g", "a", 5L, 1L), ("g", "b", 8L, 2L),
+      ("h", "x", 1L, 1L), ("h", "y", 2L, 2L)))
+    // p=0.81 admits c; equal weights in h order by item id
+    assert(run(810000L).contains(("g", "c", 10L, 3L)))
+    assert(run(500000L) == Set(("g", "a", 5L, 1L), ("h", "x", 1L, 1L)))
+  }
+
   test("ivfPqTopK: probing every list reproduces flat pqTopK exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter($"vec_id" < 300)
