@@ -142,14 +142,23 @@ object PipelineQ {
 
   /** #13/#14 validation profile: number-coerce, bounded datetime and
     * enum rules over stringified lineitem columns; failed-rule columns
-    * reported per row class. */
+    * reported per row class.
+    *
+    * The repartition decouples the CPU-heavy per-row rule evaluation
+    * (~2 µs/row for the 3-format datetime parse) from the SCAN's
+    * split granularity: a 12 MB single file yields 3 input tasks
+    * under the default maxPartitionBytes, which serializes the parse
+    * on a 32-core box (measured: 6 M rows in 27 natural splits beat
+    * 600 k rows in 3). On a real cluster the file count provides this
+    * parallelism; the explicit exchange states the intent. */
   private val p05: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       val base = t(s, d, "lineitem").select(
-        $"l_returnflag".as("flag_s"),
-        $"l_quantity".cast("string").as("qty_s"),
-        to_date($"l_shipdate").cast("string").as("ship_s"))
+          $"l_returnflag".as("flag_s"),
+          $"l_quantity".cast("string").as("qty_s"),
+          to_date($"l_shipdate").cast("string").as("ship_s"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
       val schema = Map(
         "flag_s" -> ColumnRule(TString, allowed = Some(Seq("A", "N"))),
         "qty_s" -> ColumnRule(TNumber, coerce = true),

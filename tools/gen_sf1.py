@@ -22,6 +22,12 @@ unrelated:
   are quasi-random). vec_id offset by 10^7 per replica; label kept.
 - lineitem: straight replication with l_orderkey offset (p05 reads
   value columns only).
+- events: replicas shifted +600 days apart (and user/event ids
+  offset), so intervals from different replicas never overlap —
+  per-interval concurrency counts and interval-join outputs are
+  EXACTLY 10 disjoint copies of the sf0.1 answers, which is the
+  property a clean ramp needs (naive replication would multiply
+  interval density 10x and square the pair-join output instead).
 
 Replica 0 is the untouched sf0.1 data, so sf0.1 results embed in sf1.
 """
@@ -38,6 +44,7 @@ con = duckdb.connect()
 con.execute(f"CREATE VIEW docs AS SELECT * FROM '{src}/documents.parquet'")
 con.execute(f"CREATE VIEW embs AS SELECT * FROM '{src}/embeddings.parquet'")
 con.execute(f"CREATE VIEW li AS SELECT * FROM '{src}/lineitem.parquet'")
+con.execute(f"CREATE VIEW ev AS SELECT * FROM '{src}/events.parquet'")
 
 print("documents ...", flush=True)
 con.execute(f"""
@@ -73,7 +80,18 @@ COPY (
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
 """)
 
-for t in ["documents", "embeddings", "lineitem"]:
+print("events ...", flush=True)
+con.execute(f"""
+COPY (
+  SELECT e.event_id + r.r * 10000000 AS event_id,
+         e.ts + INTERVAL (r.r * 600) DAY AS ts,
+         e.user_id + r.r * 1000000 AS user_id,
+         e.* EXCLUDE (event_id, ts, user_id)
+  FROM ev e CROSS JOIN (SELECT unnest(range(0, 10)) AS r) r
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+
+for t in ["documents", "embeddings", "lineitem", "events"]:
     n = con.sql(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(t, n)
 print("done ->", out)
