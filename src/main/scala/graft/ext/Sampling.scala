@@ -385,4 +385,46 @@ object Sampling {
       .select(col("_g").as(group), col("_id").as(id), col("_w").as("weight"),
         col("_cum").as("cum_weight"), col("_rank").cast("long").as("rank"))
   }
+
+  /** √-temperature mixture quotas: per-source sampling targets
+    * ∝ supply^(1/2) — the "unigram^τ" practice that upweights scarce
+    * domains relative to proportional sampling without letting any
+    * one domain dominate (τ = 0.5, the common pretraining-mix
+    * default). Unlike [[mixtureQuota]] (which takes HAND-PICKED
+    * target weights), the weights here derive from the corpus itself.
+    *
+    * Exactness argument for the square root, the one float in sight:
+    * isqrt(n) is computed as `floor(sqrt(double(n)))`, which is
+    * EXACTLY ⌊√n⌋ on every IEEE754 engine for n < 2⁵² — sqrt is
+    * correctly rounded, so an error requires (k+1)² − n <
+    * (k+1)²·2⁻⁵³, impossible for an integer gap ≥ 1 below 2⁵³, and
+    * perfect squares are exact — so the gate compares integers even
+    * though a root was taken. Everything downstream is DECIMAL(38,0)
+    * cross-multiplication: target_ppm = w·10⁶ div Σw, quota =
+    * min(avail, budget·w div Σw), accept_ppm = quota·10⁶ div avail —
+    * feed accept_ppm into [[hashBucket256]] acceptance.
+    *
+    * Plan shape: one map-combined per-source token sum (sources are
+    * few by nature), one 1-row Σw broadcast. */
+  def sqrtTemperatureQuota(df: DataFrame, source: String, tokens: Column,
+                           budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    import graft.ext.IntMath.truncDiv
+    val avail = df.groupBy(col(source).as(source))
+      .agg(sum(tokens.cast("long")).as("avail_tokens"))
+      .withColumn("sqrt_weight",
+        floor(sqrt(col("avail_tokens").cast("double"))).cast("long"))
+    val tot = avail.agg(sum(col("sqrt_weight")).as("_tw"))
+    avail.crossJoin(broadcast(tot))
+      .select(col(source), col("avail_tokens"), col("sqrt_weight"),
+        truncDiv(col("sqrt_weight").cast("decimal(38,0)") * 1000000L,
+          col("_tw")).as("target_ppm"),
+        least(col("avail_tokens"),
+          truncDiv(col("sqrt_weight").cast("decimal(38,0)") * budgetTokens,
+            col("_tw"))).as("quota_tokens"))
+      .withColumn("accept_ppm",
+        when(col("avail_tokens") > 0,
+          truncDiv(col("quota_tokens").cast("decimal(38,0)") * 1000000L,
+            col("avail_tokens"))).otherwise(lit(0L)))
+  }
 }

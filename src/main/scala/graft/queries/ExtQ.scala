@@ -5524,6 +5524,36 @@ object ExtQ {
       |FROM r WHERE (cum - cnt) * 1000000 < 800000 * tot
       |ORDER BY lang, rank""".stripMargin)
 
+  /** √-temperature mixture quotas per source over whitespace token
+    * supply; the one square root is provably exact below 2⁵² on both
+    * engines. */
+  private val x183: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Sampling.sqrtTemperatureQuota(t(s, d, "documents"), "source",
+          TextAnalysis.tokenCount($"text"), budgetTokens = 20000L)
+        .orderBy($"source")
+    },
+    """WITH avail AS (
+      |  SELECT source, SUM(len(string_split(text, ' ')))::BIGINT
+      |      AS avail_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, avail_tokens,
+      |        CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT)
+      |          AS sqrt_weight
+      |      FROM avail),
+      |tot AS (SELECT SUM(sqrt_weight)::HUGEINT AS tw FROM w)
+      |SELECT source, avail_tokens, sqrt_weight,
+      |  ((sqrt_weight::HUGEINT * 1000000) // tw)::BIGINT AS target_ppm,
+      |  least(avail_tokens,
+      |    ((sqrt_weight::HUGEINT * 20000) // tw)::BIGINT) AS quota_tokens,
+      |  CASE WHEN avail_tokens > 0 THEN
+      |    ((least(avail_tokens,
+      |        ((sqrt_weight::HUGEINT * 20000) // tw)::BIGINT)::HUGEINT
+      |      * 1000000) // avail_tokens)::BIGINT
+      |  ELSE 0 END AS accept_ppm
+      |FROM w, tot ORDER BY source""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5707,5 +5737,6 @@ object ExtQ {
     "x180_farthest_point_sample" -> (x180._1, Some(x180._2)),
     "x181_ivf_pq_topk" -> (x181._1, Some(x181._2)),
     "x182_nucleus_vocab" -> (x182._1, Some(x182._2)),
+    "x183_sqrt_temperature_mix" -> (x183._1, Some(x183._2)),
   )
 }

@@ -178,7 +178,8 @@ class PlanSpec extends AnyFunSuite {
       "x174_ndcg_at_k",          // exact-ranking baseline: ≤6-row query set broadcast
       "x176_fleiss_kappa",       // three 1-row sufficient-statistic frames crossed
       "x178_pq_recall_audit",    // audit: exact side crosses the ≤6-row query set; 1-row counts
-      "x181_ivf_pq_topk")        // ≤16-row coarse-centroid table crossed with the query set
+      "x181_ivf_pq_topk",        // ≤16-row coarse-centroid table crossed with the query set
+      "x183_sqrt_temperature_mix") // 1-row Σw total crossed with the per-source frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

@@ -1428,6 +1428,27 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("recall_ppm") == 1000000L)
   }
 
+  test("sqrtTemperatureQuota: hand-computed quotas; isqrt edge cases") {
+    // supplies 100 / 400 / 10000 → weights 10 / 20 / 100 (Σ 130)
+    val df = (1 to 100).map(i => ("a", 1L)) ++
+      (1 to 4).map(i => ("b", 100L)) ++ Seq(("c", 10000L))
+    val got = Sampling.sqrtTemperatureQuota(df.toDF("src", "n"), "src",
+        col("n"), budgetTokens = 1300L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // quotas: 1300·10/130=100 (== avail), 1300·20/130=200, 100·13=1000
+    assert(got("a") == ((100L, 10L, 76923L, 100L)))
+    assert(got("b") == ((400L, 20L, 153846L, 200L)))
+    assert(got("c") == ((10000L, 100L, 769230L, 1000L)))
+    // isqrt boundary: k²−1 floors to k−1, k² to k (the 2⁵²-safety
+    // argument in the scaladoc, exercised at the spec scale)
+    val edge = Sampling.sqrtTemperatureQuota(
+        Seq(("p", 2499L), ("q", 2500L)).toDF("src", "n"), "src",
+        col("n"), budgetTokens = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(edge == Map("p" -> 49L, "q" -> 50L))
+  }
+
   test("topPByGroup: exact boundary keep rule, ties by id") {
     val df = Seq(("g", "a", 5L), ("g", "b", 3L), ("g", "c", 2L),
       ("h", "x", 1L), ("h", "y", 1L)).toDF("grp", "item", "w")
