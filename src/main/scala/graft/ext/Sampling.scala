@@ -360,9 +360,12 @@ object Sampling {
     * covering 99% of a domain's documents"); the boundary item that
     * CROSSES the threshold is kept, so coverage ≥ p exactly.
     *
-    * The keep decision is the exact integer cross-multiplication
-    * `cum_before · 10⁶ < pPpm · total` — no float shares, engine-
-    * identical. Returns kept rows as (group, id, weight, cum_weight,
+    * The keep decision is the exact cross-multiplication
+    * `cum_before · 10⁶ < pPpm · total`, lifted to DECIMAL(38,0)
+    * BEFORE scaling (a raw Long multiply overflows past ~9·10¹²
+    * group-total weight — well inside a multi-TB corpus's token
+    * mass) — no float shares, engine-identical at any scale.
+    * Returns kept rows as (group, id, weight, cum_weight,
     * rank). Plan shape: one map-combined total per group equi-joined
     * back, one per-GROUP window (bounded by group size, key-
     * partitioned — never global); groups at power-law scale are
@@ -381,7 +384,8 @@ object Sampling {
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)))
       .withColumn("_rank", row_number().over(w))
-      .filter((col("_cum") - col("_w")) * 1000000L < lit(pPpm) * col("_tot"))
+      .filter((col("_cum") - col("_w")).cast("decimal(38,0)") * 1000000L <
+        lit(pPpm) * col("_tot").cast("decimal(38,0)"))
       .select(col("_g").as(group), col("_id").as(id), col("_w").as("weight"),
         col("_cum").as("cum_weight"), col("_rank").cast("long").as("rank"))
   }

@@ -988,11 +988,13 @@ object Similarity {
     * Accuracy is the codebook's problem (train with [[kmeansLloyd]]
     * per subspace); the operator is exact FOR its codebook, which is
     * what the oracle pins. */
-  def pqTopK(queries: DataFrame, qId: String, qVec: String,
-             corpus: DataFrame, cId: String, cVec: String,
-             codebook: Seq[Seq[Seq[Long]]], k: Int): DataFrame = {
-    require(k >= 1, "k must be positive")
-    val subspaces = codebook.length
+  /** Query-side PQ precompute shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * (query_id, _q quantized vector, _dtab per-subspace integer
+    * distance table over `codebook`). Kept in ONE place so the two
+    * ADC paths can never drift apart (the exhaustive-probe ==
+    * flat-PQ equivalence their spec pins). */
+  private def pqQueryFrame(queries: DataFrame, qId: String, qVec: String,
+                           codebook: Seq[Seq[Seq[Long]]]): DataFrame = {
     val dsub = codebook.head.head.length
     val dotL = graft.functions.VectorExpressions.dot_long _
     val qBase = queries.select(col(qId).as("query_id"),
@@ -1007,12 +1009,25 @@ object Similarity {
         col(s"_d$m") - dotL(col(s"_s$m"), typedLit(cv)) * 2 + cc
       }: _*)
     }: _*)
-    val q = broadcast(qSubs.select(col("query_id"), dtab.as("_dtab")))
-    val enc = pqEncode(corpus, cId, cVec, codebook)
-      .select(col(cId).as("_cid"), col("codes"))
-    val dist = codebook.indices.map(m =>
+    qSubs.select(col("query_id"), col("_q"), dtab.as("_dtab"))
+  }
+
+  /** The ADC lookup: Σ_m _dtab[m][codes[m]] — shared by both PQ
+    * paths. */
+  private def pqAdcDistance(codebook: Seq[Seq[Seq[Long]]]): Column =
+    codebook.indices.map(m =>
       element_at(element_at(col("_dtab"), m + 1),
         element_at(col("codes"), m + 1).cast("int") + 1)).reduce(_ + _)
+
+  def pqTopK(queries: DataFrame, qId: String, qVec: String,
+             corpus: DataFrame, cId: String, cVec: String,
+             codebook: Seq[Seq[Seq[Long]]], k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val q = broadcast(pqQueryFrame(queries, qId, qVec, codebook)
+      .select(col("query_id"), col("_dtab")))
+    val enc = pqEncode(corpus, cId, cVec, codebook)
+      .select(col(cId).as("_cid"), col("codes"))
+    val dist = pqAdcDistance(codebook)
     enc.crossJoin(q)
       .select(col("query_id"), col("_cid"), dist.as("_d2"))
       .groupBy("query_id")
@@ -1049,7 +1064,6 @@ object Similarity {
     require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
     val dotL = graft.functions.VectorExpressions.dot_long _
     val ksub = codebook.head.length
-    val dsub = codebook.head.head.length
     val cq = corpus.select(col(cId).as("vid"),
         int8Quantize(col(cVec)).getField("q").as("q8"))
       .localCheckpoint()
@@ -1061,23 +1075,10 @@ object Similarity {
         codebook.flatten, ksub).as("codes"))
     val bucketed = assigned.join(enc, "vid")
       .select(col("cluster"), col("vid").as("_cid"), col("codes"))
-    val qBase = queries.select(col(qId).as("query_id"),
-      int8Quantize(col(qVec)).getField("q").as("_q"))
-    val qSubs = codebook.indices.foldLeft(qBase) { (acc, m) =>
-      acc.withColumn(s"_s$m", slice(col("_q"), m * dsub + 1, dsub))
-        .withColumn(s"_d$m", dotL(col(s"_s$m"), col(s"_s$m")))
-    }
-    val dtab = array(codebook.indices.map { m =>
-      array(codebook(m).map { cv =>
-        val cc = cv.map(x => x * x).sum
-        col(s"_d$m") - dotL(col(s"_s$m"), typedLit(cv)) * 2 + cc
-      }: _*)
-    }: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("_d2c"), col("cluster"))
-    val probes = qSubs
+    val probes = pqQueryFrame(queries, qId, qVec, codebook)
       .withColumn("_qq", dotL(col("_q"), col("_q")))
-      .withColumn("_dtab", dtab)
       .crossJoin(broadcast(
         cents.withColumn("_cc", dotL(col("cvec"), col("cvec")))))
       .withColumn("_d2c",
@@ -1085,9 +1086,7 @@ object Similarity {
       .withColumn("_pr", row_number().over(w))
       .filter(col("_pr") <= nProbe)
       .select(col("query_id"), col("_dtab"), col("cluster"))
-    val dist = codebook.indices.map(m =>
-      element_at(element_at(col("_dtab"), m + 1),
-        element_at(col("codes"), m + 1).cast("int") + 1)).reduce(_ + _)
+    val dist = pqAdcDistance(codebook)
     probes.join(bucketed, Seq("cluster"))
       .select(col("query_id"), col("_cid"), dist.as("_d2"))
       .groupBy("query_id")

@@ -930,6 +930,25 @@ object Temporal {
     *
     * Scale shape: one 1-row max broadcast + one map-combined sum per
     * group — scan speed. */
+  def decayedScore(events: DataFrame, group: String, ts: String,
+                   value: String, periodSec: Long = 86400L,
+                   horizon: Int = 20): DataFrame = {
+    require(periodSec >= 1 && horizon >= 1 && horizon <= 60,
+      "need periodSec >= 1 and 1 <= horizon <= 60")
+    val mx = events.agg(max(unix_timestamp(col(ts))).as("mx"))
+    events
+      .select(col(group).as("grp"), unix_timestamp(col(ts)).as("e"),
+        floor(col(value) * 100 + 0.5).cast("long").as("cents"))
+      .crossJoin(broadcast(mx))
+      .withColumn("k",
+        least(lit(horizon.toLong), expr(s"(mx - e) div ${periodSec}L")))
+      .withColumn("w",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($horizon - k AS INT))"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * col("w")).as("score_scaled"))
+  }
+
   /** Per-interval concurrency: for each interval, the EXACT count of
     * other intervals it overlaps — "how many sessions were live while
     * this one ran", capacity planning, contention audits — WITHOUT
@@ -980,22 +999,4 @@ object Temporal {
           .otherwise(-col("_ce"))) - 1L).as("n_overlapping"))
   }
 
-  def decayedScore(events: DataFrame, group: String, ts: String,
-                   value: String, periodSec: Long = 86400L,
-                   horizon: Int = 20): DataFrame = {
-    require(periodSec >= 1 && horizon >= 1 && horizon <= 60,
-      "need periodSec >= 1 and 1 <= horizon <= 60")
-    val mx = events.agg(max(unix_timestamp(col(ts))).as("mx"))
-    events
-      .select(col(group).as("grp"), unix_timestamp(col(ts)).as("e"),
-        floor(col(value) * 100 + 0.5).cast("long").as("cents"))
-      .crossJoin(broadcast(mx))
-      .withColumn("k",
-        least(lit(horizon.toLong), expr(s"(mx - e) div ${periodSec}L")))
-      .withColumn("w",
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($horizon - k AS INT))"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("cents") * col("w")).as("score_scaled"))
-  }
 }

@@ -816,13 +816,16 @@ object TextAnalysis {
     * single-reducer window, no growing state).
     *
     * Returns one row per document: (ord, n_tokens, n_new_types,
-    * cum_tokens, cum_vocab); empty-token docs contribute zeros.
-    * Whitespace token convention matches [[tokens]] (empty strings
-    * dropped). `order` must be unique per document. */
+    * cum_tokens, cum_vocab); empty-token AND null-text docs
+    * contribute zeros (the null coalesce matters: `size(NULL)` is −1
+    * under non-ANSI Spark and would silently shift every later
+    * cum_tokens). Whitespace token convention matches [[tokens]]
+    * (empty strings dropped). `order` must be unique per document. */
   def vocabGrowth(docs: DataFrame, order: String, text: String)
       : DataFrame = {
     val base = docs.select(col(order).cast("long").as("ord"),
-      filter(tokens(col(text)), t => t =!= "").as("_tk"))
+      coalesce(filter(tokens(col(text)), t => t =!= ""),
+        array().cast("array<string>")).as("_tk"))
     val perDoc = base.select(col("ord"),
       size(col("_tk")).cast("long").as("n_tokens"))
     val firsts = base

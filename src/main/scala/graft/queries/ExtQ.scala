@@ -5521,7 +5521,7 @@ object ExtQ {
       |  FROM tc JOIN tot USING (lang))
       |SELECT lang, term, cnt AS weight, cum AS cum_weight,
       |  rank::BIGINT AS rank
-      |FROM r WHERE (cum - cnt) * 1000000 < 800000 * tot
+      |FROM r WHERE (cum - cnt)::HUGEINT * 1000000 < 800000::HUGEINT * tot
       |ORDER BY lang, rank""".stripMargin)
 
   /** √-temperature mixture quotas per source over whitespace token

@@ -1500,8 +1500,8 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("vocabGrowth: cumulative tokens and distinct vocab per doc") {
-    val df = Seq((1L, "a b a"), (2L, ""), (3L, "b c"), (4L, "c d a"))
-      .toDF("doc_id", "text")
+    val df = Seq((1L, "a b a"), (2L, null: String), (3L, "b c"),
+      (4L, "c d a")).toDF("doc_id", "text")
     val got = TextAnalysis.vocabGrowth(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap

@@ -81,9 +81,13 @@ COPY (
 """)
 
 print("events ...", flush=True)
+# the event_id offset must be a MULTIPLE OF 240: ramp queries derive
+# interval lengths from event_id % 240, so a non-multiple offset would
+# change replica interval durations and break the 10-disjoint-copies
+# invariant (10,000,080 = 240 * 41,667)
 con.execute(f"""
 COPY (
-  SELECT e.event_id + r.r * 10000000 AS event_id,
+  SELECT e.event_id + r.r * 10000080 AS event_id,
          e.ts + INTERVAL (r.r * 600) DAY AS ts,
          e.user_id + r.r * 1000000 AS user_id,
          e.* EXCLUDE (event_id, ts, user_id)
