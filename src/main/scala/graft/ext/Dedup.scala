@@ -393,17 +393,24 @@ object Dedup {
     * the shuffle carries one k-long signature per doc, not k rows per
     * shingle), b bands of r rows (k = b*r), bucket join per band, then
     * EXACT Jaccard verification at `threshold` — LSH only prunes;
-    * verified similarity decides. */
+    * verified similarity decides.
+    *
+    * A hot bucket — a flood of byte-identical documents sharing every
+    * band — would otherwise pair quadratically; buckets over
+    * `maxBucket` members are deterministically sub-split by
+    * [[Planes.cappedSelfPairs]] (candidate volume bounded at
+    * ~bands · n · maxBucket). MinHash bucket ids live in a 64-bit
+    * hash space, so only the oversized minority (≤ n/maxBucket keys)
+    * is ever broadcast — the census never materializes the
+    * corpus-sized bucket domain. */
   def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
-                      threshold: Double, bands: Int = 64, rowsPerBand: Int = 2)
-      : DataFrame = {
+                      threshold: Double, bands: Int = 64, rowsPerBand: Int = 2,
+                      maxBucket: Int = 4096): DataFrame = {
     val sets = docShingleSets(df, id, text, n).localCheckpoint()
-    val buckets = minhashBuckets(sets, bands, rowsPerBand)
-    val candidates = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
+    // materialized: the capped generator reads the bucket rows three
+    // times, and each read would otherwise re-run the MinHash agg
+    val buckets = minhashBuckets(sets, bands, rowsPerBand).localCheckpoint()
+    val candidates = Planes.cappedSelfPairs(buckets, maxBucket)
     // exact verify on candidates only
     verifyJaccard(candidates, sets, threshold)
   }
@@ -455,13 +462,10 @@ object Dedup {
         .drop("_stratum", "_rk")
     }
     val sets = sub.localCheckpoint()
-    val buckets = minhashBuckets(sets, bands, rowsPerBand)
-    val candidates = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct().localCheckpoint()
+    // same capped generator as the production [[minhashLshPairs]] —
+    // the audit measures the shipping candidate path, cap included
+    val buckets = minhashBuckets(sets, bands, rowsPerBand).localCheckpoint()
+    val candidates = Planes.cappedSelfPairs(buckets, 4096).localCheckpoint()
     // exact truth from the SAME checkpointed sets — one shingle scan
     // feeds both the banded candidates and the ground truth
     val exact = jaccardPairsFromSets(sets, threshold)
@@ -530,11 +534,15 @@ object Dedup {
                             rowsPerBand: Int = 2): DataFrame = {
     val setsA = docShingleSets(newDf, id, text, n).localCheckpoint()
     val setsB = docShingleSets(histDf, id, text, n).localCheckpoint()
-    val candidates = minhashBuckets(setsA, bands, rowsPerBand).as("a")
-      .join(minhashBuckets(setsB, bands, rowsPerBand).as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
+    // capped cross generator: a hot bucket (a crawl re-fetching one
+    // boilerplate page a million times) is sub-split instead of
+    // pairing batch × history quadratically on one key
+    val candidates = Planes.cappedCrossPairs(
+      minhashBuckets(setsA, bands, rowsPerBand)
+        .withColumnRenamed("_id", "id_a").localCheckpoint(),
+      minhashBuckets(setsB, bands, rowsPerBand)
+        .withColumnRenamed("_id", "id_b").localCheckpoint(),
+      maxBucket = 4096)
     candidates
       .join(setsA.as("sa"), col("id_a") === col("sa._id"))
       .join(setsB.as("sb"), col("id_b") === col("sb._id"))
@@ -682,25 +690,38 @@ object Dedup {
     * corpus instead of O(n²). Recall is governed by bands ×
     * bitsPerBand in the usual LSH OR/AND way; because the planes are
     * deterministic, the candidate set (and thus the output) is exactly
-    * reproducible by the DuckDB oracle (x05 mirrors the banding). */
+    * reproducible by the DuckDB oracle (x05 mirrors the banding,
+    * including the oversized-bucket sub-split,
+    * [[Planes.cappedSkCteSql]]).
+    *
+    * `bands`/`bitsPerBand` default to 0 = CORPUS-AWARE: bits from
+    * [[Planes.bitsFor]] (one cheap ids-only count keeps expected
+    * bucket occupancy ~constant as n grows), bands from
+    * [[Planes.bandsFor]] (design-point recall held as bits rise) —
+    * the sf1-ramp lesson that fixed knobs go quadratic (SCALING.md).
+    * Oversized buckets — hot keys the occupancy target can't see —
+    * are additionally sub-split at `maxBucket` by
+    * [[Planes.cappedSelfPairs]], bounding candidate volume at
+    * ~bands · n · maxBucket even under an all-identical-vector
+    * flood. */
   def embeddingNearDups(df: DataFrame, id: String, vec: String,
-                        threshold: Double, bands: Int = 8,
-                        bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+                        threshold: Double, bands: Int = 0,
+                        bitsPerBand: Int = 0, dim: Int = 64,
+                        maxBucket: Int = 4096): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val planes = Planes.components(bands * bitsPerBand, dim)
     val v = df.select(col(id).as("_id"), col(vec).as("v"))
       .repartition(parts).localCheckpoint()
+    val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, v.count())
+    val planes = Planes.components(nBands * nBits, dim)
     // band rows carry only (id, band, bucket) — the vectors join back
     // on candidates only, so the banded shuffle is tiny even when the
-    // embedding payload is wide
+    // embedding payload is wide; materialized because the capped
+    // generator reads them three times (bucket census + both probes)
     val banded = v.select(col("_id"),
-      posexplode(Planes.bandBuckets(col("v"), planes, bands, bitsPerBand))
+      posexplode(Planes.bandBuckets(col("v"), planes, nBands, nBits))
         .as(Seq("band", "bucket")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
+      .localCheckpoint()
+    val cand = Planes.cappedSelfPairs(banded, maxBucket)
     cand
       .join(v.as("va"), col("id_a") === col("va._id"))
       .join(v.as("vb"), col("id_b") === col("vb._id"))
@@ -734,18 +755,25 @@ object Dedup {
     * ~bands·n²/2^bits, so `bitsPerBand` must grow ~log₂ of corpus
     * growth to keep bucket occupancy (and wall time) linear, and
     * `bands` must rise with it to hold recall (per-band collision =
-    * (1−θ/π)^bits). Banding earns its shape at TIGHT thresholds
-    * (cos ≥ ~0.85) on corpora too big for [[embeddingNearDupsExact]]'s
-    * broadcast side; below a few million vectors, or at loose
-    * thresholds, the exact path is both faster and complete. Measure
-    * any retune's recall with the banding-audit pattern
-    * (x142/x169/x170/x178). */
+    * (1−θ/π)^bits). That retune is now the DEFAULT:
+    * `bands`/`bitsPerBand` = 0 derive from one cheap corpus count via
+    * [[Planes.bitsFor]] (occupancy) + [[Planes.bandsFor]]
+    * (design-point recall), and oversized hot buckets are sub-split
+    * at `maxBucket` by [[Planes.cappedSelfPairs]] — candidate volume
+    * is bounded by ~bands · n · maxBucket no matter how adversarial
+    * the vector distribution. Banding earns its shape at TIGHT
+    * thresholds (cos ≥ ~0.85) on corpora too big for
+    * [[embeddingNearDupsExact]]'s broadcast side; below a few million
+    * vectors, or at loose thresholds, the exact path is both faster
+    * and complete. Measure any retune's recall with the banding-audit
+    * pattern (x142/x169/x170/x178 and the x184 semantic-banding
+    * audit). */
   def semanticDupPairsInt8(df: DataFrame, id: String, vec: String,
                            cos2Num: Long = 1, cos2Den: Long = 4,
-                           bands: Int = 8, bitsPerBand: Int = 4,
-                           dim: Int = 64): DataFrame = {
+                           bands: Int = 0, bitsPerBand: Int = 0,
+                           dim: Int = 64, maxBucket: Int = 4096)
+      : DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val planes = Planes.components(bands * bitsPerBand, dim)
     val q = df.select(col(id).as("_id"), col(vec).as("fv"))
       // deliberate up-front shuffle: quantization + 32-plane banding
       // dominate this plan, and the source parquet arrives in a
@@ -756,14 +784,15 @@ object Dedup {
       .select(col("_id"), col("fv"),
         Similarity.int8Quantize(col("fv")).getField("q").as("qv"))
       .localCheckpoint()
+    val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, q.count())
+    val planes = Planes.components(nBands * nBits, dim)
+    // materialized: the capped generator reads the band rows three
+    // times (bucket census + both probes)
     val banded = q.select(col("_id"),
-      posexplode(Planes.bandBuckets(col("fv"), planes, bands, bitsPerBand))
+      posexplode(Planes.bandBuckets(col("fv"), planes, nBands, nBits))
         .as(Seq("band", "bucket")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
+      .localCheckpoint()
+    val cand = Planes.cappedSelfPairs(banded, maxBucket)
     val qv = q.select(col("_id"), col("qv"))
     def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
     cand

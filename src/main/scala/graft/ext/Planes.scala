@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic pseudo-random hyperplanes for cosine LSH, derived
@@ -108,6 +108,122 @@ object Planes {
        |        * pow(16, 6 - j) for j in range(1, 7) ], (x, y) -> x + y)
        |      AS BIGINT) % bsz.ns AS sub
        |  FROM sk JOIN bsz ON bsz.band = sk.band AND bsz.bucket = sk.bucket)""".stripMargin
+
+  /** Distinct capped candidate pairs (id_a < id_b) from self-joining
+    * (band, bucket) rows — THE shared oversized-bucket-safe generator
+    * behind every banded self-pair operator (plane-LSH dedup, MinHash
+    * LSH, the Similarity banded candidates). `bandRows` must carry
+    * (_id, band, bucket) and SHOULD be materialized by the caller (it
+    * is read three times: the oversized-bucket count and both join
+    * probes).
+    *
+    * Buckets with more than `maxBucket` members are deterministically
+    * sub-split into ceil(m / maxBucket) sub-buckets by [[subHash]] on
+    * the id, capping candidate volume at ~rows · maxBucket — linear in
+    * the corpus — at the cost of ~1/ns of the hot bucket's recall
+    * contribution (other bands still vote). Buckets at or under the
+    * cap are untouched: their candidate set is byte-identical to the
+    * uncapped join.
+    *
+    * Scale shape: ONLY the oversized buckets (at most rows/maxBucket
+    * of them, by pigeonhole) are collected into the broadcast side of
+    * a left join — so this works unchanged when the bucket domain is
+    * corpus-sized (MinHash's 64-bit hash buckets), where broadcasting
+    * the full per-bucket count table would itself be a corpus-sized
+    * broadcast. */
+  private[ext] def cappedSelfPairs(bandRows: DataFrame, maxBucket: Int)
+      : DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be positive")
+    val over = bandRows.groupBy("band", "bucket")
+      .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
+        lit(maxBucket.toLong)).as("_ns"))
+      .filter(col("_ns") > 1)
+    val rows = bandRows.join(broadcast(over), Seq("band", "bucket"), "left")
+      .withColumn("sub", when(col("_ns").isNull, lit(0L))
+        .otherwise(pmod(subHash(col("_id")), col("_ns"))))
+      .select(col("_id"), col("band"), col("bucket"), col("sub"))
+    rows.as("a").join(rows.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.sub") === col("b.sub") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+  }
+
+  /** Two-sided variant of [[cappedSelfPairs]]: capped candidate pairs
+    * between `ra` (id_a, band, bucket) and `rb` (id_b, band, bucket).
+    * Oversized buckets are counted across BOTH sides (so a hot key is
+    * split consistently on each), and only the oversized minority is
+    * broadcast. Both inputs should be materialized by the caller. */
+  private[ext] def cappedCrossPairs(ra: DataFrame, rb: DataFrame,
+                                    maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be positive")
+    val over = ra.select(col("band"), col("bucket"))
+      .unionByName(rb.select(col("band"), col("bucket")))
+      .groupBy("band", "bucket")
+      .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
+        lit(maxBucket.toLong)).as("_ns"))
+      .filter(col("_ns") > 1)
+    def sub(rows: DataFrame, idc: String) =
+      rows.join(broadcast(over), Seq("band", "bucket"), "left")
+        .withColumn("sub", when(col("_ns").isNull, lit(0L))
+          .otherwise(pmod(subHash(col(idc)), col("_ns"))))
+        .select(col(idc), col("band"), col("bucket"), col("sub"))
+    sub(ra, "id_a").join(sub(rb, "id_b"), Seq("band", "bucket", "sub"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Corpus-aware `bitsPerBand`: the smallest bits ≥ 4 (≤ 16) at which
+    * expected uniform bucket occupancy n / 2^bits drops to
+    * `targetOccupancy` — the knob-scaling lesson measured on the sf1
+    * ramp (SCALING.md round 7): candidate volume is ~bands · n² / 2^bits,
+    * so bits must grow ~log₂ of corpus growth or in-bucket pair volume
+    * goes quadratic. Integer arithmetic only (n >> bits), so the
+    * derivation is bit-deterministic on any engine. */
+  def bitsFor(n: Long, targetOccupancy: Int = 128): Int = {
+    require(n >= 0 && targetOccupancy >= 1,
+      "need n >= 0 and targetOccupancy >= 1")
+    var b = 4
+    while (b < 16 && (n >> b) > targetOccupancy) b += 1
+    b
+  }
+
+  /** Bands needed to hold `targetRecall` for pairs at the DESIGN
+    * similarity when each band ANDs `bitsPerBand` sign bits: per-band
+    * collision p = c^bits with c = 1 − acos(designCos)/π (the classic
+    * random-hyperplane collision probability), overall recall
+    * 1 − (1−p)^bands ⇒ bands = ceil(ln(1−R) / ln(1−p)). At the
+    * defaults (cos 0.85 — the regime where banded semantic dedup earns
+    * its shape, R = 0.99) this yields exactly 8 bands at 4 bits — the
+    * shipped fixed default — and 20 bands at 8 bits, so raising bits
+    * for occupancy keeps design-point recall instead of silently
+    * trading it away. StrictMath throughout: the derivation is
+    * platform-deterministic. */
+  def bandsFor(bitsPerBand: Int, designCos: Double = 0.85,
+               targetRecall: Double = 0.99): Int = {
+    require(bitsPerBand >= 1 && designCos > -1.0 && designCos < 1.0 &&
+      targetRecall > 0.0 && targetRecall < 1.0, "bad banding design point")
+    val c = 1.0 - StrictMath.acos(designCos) / StrictMath.PI
+    val p = StrictMath.pow(c, bitsPerBand.toDouble)
+    math.max(1, math.ceil(
+      StrictMath.log(1.0 - targetRecall) / StrictMath.log(1.0 - p)).toInt)
+  }
+
+  /** Resolve (bands, bitsPerBand) where 0 means "derive from the
+    * corpus count": bits from [[bitsFor]] (occupancy), bands from
+    * [[bandsFor]] (design-point recall). `n` is only evaluated (one
+    * cheap ids-only count) when a knob is actually 0, so explicit
+    * callers — the correctness gates, whose static oracles pin a
+    * plane count — pay nothing. */
+  private[ext] def resolveBanding(bands: Int, bitsPerBand: Int,
+                                  n: => Long): (Int, Int) =
+    if (bands > 0 && bitsPerBand > 0) (bands, bitsPerBand)
+    else {
+      val bits = if (bitsPerBand > 0) bitsPerBand else bitsFor(n)
+      val b = if (bands > 0) bands else bandsFor(bits)
+      (b, bits)
+    }
 
   /** DuckDB CTE `pl(p, comp)` deriving the identical plane matrix:
     * same md5 input strings, same first-6-hex-digit integer, same

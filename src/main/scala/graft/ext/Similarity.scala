@@ -463,20 +463,7 @@ object Similarity {
     // without this)
     val ra = bandRows(a, "id_a").localCheckpoint()
     val rb = bandRows(b, "id_b").localCheckpoint()
-    // ns per (band, bucket) from the TOTAL member count; ≤ bands·2^bits
-    // rows after the map-combined count — always broadcastable
-    val ns = ra.select(col("band"), col("bucket"))
-      .unionByName(rb.select(col("band"), col("bucket")))
-      .groupBy("band", "bucket")
-      .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
-        lit(maxBucket.toLong)).as("_ns"))
-    def sub(rows: DataFrame, idc: String) =
-      rows.join(broadcast(ns), Seq("band", "bucket"))
-        .withColumn("sub", pmod(Planes.subHash(col(idc)), col("_ns")))
-        .select(col(idc), col("band"), col("bucket"), col("sub"))
-    sub(ra, "id_a").join(sub(rb, "id_b"), Seq("band", "bucket", "sub"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    Planes.cappedCrossPairs(ra, rb, maxBucket)
   }
 
   /** Mutual nearest-neighbour pairs between two embedding sets — the
@@ -565,17 +552,7 @@ object Similarity {
       posexplode(Planes.bandBuckets(col("v"), planes, bands, bitsPerBand))
         .as(Seq("band", "bucket")))
       .localCheckpoint()
-    val ns = banded.groupBy("band", "bucket")
-      .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
-        lit(maxBucket.toLong)).as("_ns"))
-    val rows = banded.join(broadcast(ns), Seq("band", "bucket"))
-      .withColumn("sub", pmod(Planes.subHash(col("_id")), col("_ns")))
-      .select(col("_id"), col("band"), col("bucket"), col("sub"))
-    val half = rows.as("a").join(rows.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.sub") === col("b.sub") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
+    val half = Planes.cappedSelfPairs(banded, maxBucket)
     half.unionByName(
       half.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
   }

@@ -336,12 +336,19 @@ object ExtQ {
     * the scale path (no O(n²) pair join). The oracle mirrors the
     * banding deterministically: the md5-derived planes ([[Planes]])
     * are reproduced in SQL, so the candidate set — and therefore the
-    * output — is identical by construction, not probabilistically. */
+    * output — is identical by construction, not probabilistically.
+    * The gate exercises the CORPUS-AWARE defaults (bands/bits derived
+    * from the vector count, [[Planes.bitsFor]]/[[Planes.bandsFor]]):
+    * at every gate corpus size n ≤ 2048 the derivation lands on
+    * exactly (8 bands, 4 bits), which this static 32-plane oracle
+    * pins — including the oversized-bucket sub-split
+    * ([[Planes.cappedSkCteSql]], a no-op below 4096 members/bucket
+    * but semantically mirrored so the cap itself is gated). */
   private val x05: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, bands = 8, bitsPerBand = 4, dim = 64)
+          threshold = 0.4, dim = 64)
         .select($"id_a", $"id_b",
           (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
         .orderBy($"id_a", $"id_b")
@@ -353,10 +360,12 @@ object ExtQ {
        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
        |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkCteSql(4096)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM sk a JOIN sk b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  FROM skb a JOIN skb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |    AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, floor(cosine * 1e6 + 0.5) / 1e6 AS cos6 FROM (
        |  SELECT id_a, id_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
        |  FROM cand
@@ -1718,12 +1727,18 @@ object ExtQ {
     * domain: plane-LSH banded candidates (mirrored bit-for-bit like
     * x05), then an all-integer cross-multiplied cosine² decision —
     * cos² ≥ 4/25 and dotq > 0. Output columns are all BIGINT, so the
-    * pair set hash-matches by exact arithmetic, not rounding luck. */
+    * pair set hash-matches by exact arithmetic, not rounding luck.
+    * Like x05, the gate exercises the CORPUS-AWARE banding defaults —
+    * at every gate corpus size n ≤ 2048 they derive exactly
+    * (8 bands, 4 bits), pinned by this static 32-plane oracle — and
+    * the oversized-bucket sub-split is mirrored by
+    * [[Planes.cappedSkCteSql]] (a no-op below 4096 members/bucket,
+    * but the cap semantics themselves are gated). */
   private val x62: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       Dedup.semanticDupPairsInt8(t(s, d, "embeddings"), "vec_id", "embedding",
-          cos2Num = 4, cos2Den = 25, bands = 8, bitsPerBand = 4, dim = 64)
+          cos2Num = 4, cos2Den = 25, dim = 64)
         .orderBy($"id_a", $"id_b")
     },
     s"""WITH ${Planes.planesCteSql(32, 64)},
@@ -1733,10 +1748,12 @@ object ExtQ {
        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
        |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkCteSql(4096)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM sk a JOIN sk b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  FROM skb a JOIN skb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |    AND a.vec_id < b.vec_id),
        |m AS (
        |  SELECT vec_id, embedding,
        |    list_max(list_transform(embedding,

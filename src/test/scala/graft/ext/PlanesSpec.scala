@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The oversized-bucket cap and the corpus-aware banding-knob
+  * derivation — the round-8 hardening of every banded self/cross
+  * candidate generator (semantic dedup, embedding near-dups,
+  * MinHash LSH, the Similarity banded paths). */
+class PlanesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bitsFor holds expected occupancy: floor 4, +1 bit per corpus doubling") {
+    assert(Planes.bitsFor(0L) == 4)
+    assert(Planes.bitsFor(500L) == 4)     // gate fixture (sf0.01)
+    assert(Planes.bitsFor(2000L) == 4)    // sf0.1 fixture
+    assert(Planes.bitsFor(20000L) == 8)   // sf1 ramp set
+    assert(Planes.bitsFor(40000L) == 9)
+    // occupancy contract: n >> bits <= target (or bits pinned at 16)
+    for (n <- Seq(1L, 1000L, 100000L, 10000000L, 1L << 40)) {
+      val b = Planes.bitsFor(n)
+      assert(b == 16 || (n >> b) <= 128, s"n=$n bits=$b")
+      assert(b >= 4 && b <= 16)
+    }
+    // monotone in n
+    val seq = Seq(100L, 10000L, 1000000L, 100000000L).map(Planes.bitsFor(_))
+    assert(seq == seq.sorted)
+  }
+
+  test("bandsFor reproduces the shipped fixed default at 4 bits and scales for recall") {
+    // design point cos 0.85, R = 0.99: the pre-round-8 fixed default
+    // (8 bands x 4 bits) is exactly the derived value — auto-banding
+    // is a strict generalization, not a behavior change, at gate sizes
+    assert(Planes.bandsFor(4) == 8)
+    assert(Planes.bandsFor(8) == 20)
+    // more bits per band => strictly more bands to hold design recall
+    assert(Planes.bandsFor(5) >= Planes.bandsFor(4))
+    assert(Planes.bandsFor(12) > Planes.bandsFor(8))
+    // derived recall really clears the target at the design point
+    for (bits <- 4 to 12) {
+      val c = 1.0 - math.acos(0.85) / math.Pi
+      val p = math.pow(c, bits.toDouble)
+      val recall = 1.0 - math.pow(1.0 - p, Planes.bandsFor(bits).toDouble)
+      assert(recall >= 0.99, s"bits=$bits recall=$recall")
+    }
+  }
+
+  test("cappedSelfPairs: under the cap byte-identical, over it bounded and a subset") {
+    // 60 ids all in ONE (band, bucket) — the adversarial hot key
+    val hot = (0L until 60L).map(i => (i, 0, 7L)).toDF("_id", "band", "bucket")
+    val uncapped = Planes.cappedSelfPairs(hot, maxBucket = 4096)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 60 * 59 / 2) // cap above size => full join
+    val capped = Planes.cappedSelfPairs(hot, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    // ns = ceil(60/10) = 6 sub-buckets of ~10 => ~6 * C(10,2) pairs
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size)
+    // provable bound: sum over sub-buckets of C(n_s, 2) with
+    // sum n_s = 60, ns = 6 is maximized when one sub-bucket holds
+    // everything Planes.subHash allows; the md5 split is ~uniform, so
+    // allow the loose bound rows * maxBucket
+    assert(capped.size <= 60 * 10)
+    // determinism: same input, same pairs
+    val again = Planes.cappedSelfPairs(hot, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(again == capped)
+  }
+
+  test("cappedCrossPairs: census counts both sides; only oversized keys split") {
+    val a = (0L until 30L).map(i => (i, 0, 7L)).toDF("id_a", "band", "bucket")
+      .unionByName(Seq((100L, 1, 3L)).toDF("id_a", "band", "bucket"))
+    val b = (50L until 80L).map(i => (i, 0, 7L)).toDF("id_b", "band", "bucket")
+      .unionByName(Seq((200L, 1, 3L)).toDF("id_b", "band", "bucket"))
+    val uncapped = Planes.cappedCrossPairs(a, b, maxBucket = 4096)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 30 * 30 + 1) // hot key full cross + small key
+    val capped = Planes.cappedCrossPairs(a, b, maxBucket = 12)
+      .as[(Long, Long)].collect().toSet
+    // hot key splits at ns = ceil(60/12) = 5; the small (1,3) bucket
+    // is under the cap and must survive untouched
+    assert(capped.contains((100L, 200L)))
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size)
+  }
+
+  test("embeddingNearDups auto-banding equals the explicit (8,4) gate knobs at fixture size") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin((i % 7 + 1) * (j + 1) * 0.37)))
+    }.toDF("vec_id", "embedding")
+    val auto = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.8, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val explicit = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.8,
+        bands = 8, bitsPerBand = 4, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == explicit)
+    assert(auto.nonEmpty) // i % 7 collisions plant exact duplicates
+  }
+
+  test("semanticDupPairsInt8 survives an identical-vector flood under a tiny cap") {
+    // 50 byte-identical vectors: every band puts them in one bucket;
+    // the cap must sub-split (uniformly, via md5 on the id) instead of
+    // pairing quadratically, and every emitted pair still passes the
+    // integer cosine test (cos = 1 for identical vectors)
+    val emb = (0L until 50L).map(i => (i, Array.fill(8)(0.5)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDupPairsInt8(emb, "vec_id", "embedding",
+        cos2Num = 4, cos2Den = 25, bands = 2, bitsPerBand = 4, dim = 8,
+        maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.size < 50 * 49 / 2) // capped: strictly under full n^2
+    // bands = 2 sub-splits with two DIFFERENT band keys over the same
+    // ids: pair volume bounded by ~bands * n * maxBucket
+    assert(pairs.size <= 2 * 50 * 8)
+  }
+}
