@@ -39,9 +39,10 @@ object Bench {
           System.err.println(s"[bench] WARMUP FAILURE $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    val results = qs.map { case (name, fn) =>
+    def timeQuery(name: String, fn: (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame): (Boolean, Seq[Double]) = {
       var failed = false
-      val times: Seq[Double] = (1 to runs).map { _ =>
+      val times = (1 to runs).map { _ =>
         // isolate every TIMED RUN (not just every query) from leaked
         // state — all of it outside the timer:
         // 1. table-cache entries: 50+ queries × per-call caches
@@ -71,6 +72,24 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      (failed, times)
+    }
+    // protocol (SCALING.md / r7 verdict item 3): a run set whose
+    // max/min spread exceeds 3x on a non-trivial query is a
+    // host-stall suspect — re-measure once and keep the tighter set,
+    // so a single CI-host steal episode can't inflate the FILED
+    // median. Bounded: at most one retry per query.
+    val stallRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_STALL_RATIO", "3.0").toDouble
+    val results = qs.map { case (name, fn) =>
+      val (failed, t1) = timeQuery(name, fn)
+      val times =
+        if (!failed && t1.last > 1.0 && t1.last / math.max(t1.head, 1e-9) > stallRatio) {
+          System.err.println(
+            f"[bench] STALL-SUSPECT $name: [${t1.head}%.2f, ${t1.last}%.2f] — re-measuring")
+          val (f2, t2) = timeQuery(name, fn)
+          if (!f2 && t2.last / math.max(t2.head, 1e-9) <
+                t1.last / math.max(t1.head, 1e-9)) t2 else t1
+        } else t1
       name -> (if (failed) Seq(-1.0, -1.0, -1.0)
                else Seq(times(times.length / 2), times.head, times.last))
     }
@@ -86,7 +105,15 @@ object Bench {
     val total = results.filter(_._2.head >= 0).map(_._2.head).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"spread":$spreadJson,"failures":$failures,"sf":"$sfDir"}"""
-    println(line)
+    // the FULL artifact goes to the json file (the committed record);
+    // stdout gets it too for humans, but the LAST line printed is a
+    // COMPACT summary that fits the driver harness's bounded output
+    // tail (~2000 chars) — the full 225-query line is ~8 KB, which is
+    // why every BENCH_rN.json through r7 had "parsed": null. The
+    // compact line keeps the contract fields (metric/value/unit/
+    // queries/failures/sf) with "queries" restricted to the slowest
+    // entries that fit the byte budget; "n_queries" carries the true
+    // count and "full" points at the complete artifact.
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
@@ -94,6 +121,18 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    println(line)
+    val slowest = results.filter(_._2.head >= 0).sortBy(-_._2.head)
+    val budget = 1600
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val entry = f""""$k":${v.head}%.3f"""
+      if (used + entry.length + 1 <= budget) { picked += entry; used += entry.length + 1 }
+    }
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$failures,"sf":"$sfDir","full":"$outPath","queries":${picked.mkString("{", ",", "}")}}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -807,6 +807,61 @@ object Dedup {
           lit(cos2Num) * col("na") * col("nb"))
   }
 
+  /** Self-verifying recall audit for [[semanticDupPairsInt8]] — the
+    * instrument the corpus-aware knob retune is measured with (the
+    * x142/x169/x170 pattern applied to semantic dedup): the EXACT
+    * integer-decision pair set (brute-force O(n²), right side
+    * broadcast — audit-only, never the production path) against the
+    * banded+capped production pairs, as ONE row (n_exact, n_banded,
+    * n_hits, recall_ppm). Both sides are bit-deterministic, so every
+    * number is oracle-reproducible; banded pairs pass the identical
+    * integer test, so n_hits = n_banded unless the banding is broken
+    * — a divergence turns the gate red.
+    *
+    * `pairSampleBits > 0` switches to SAMPLED mode for routine
+    * monitoring at scale: only pairs whose SMALLER id passes a
+    * deterministic xxhash64 filter (1 in 2^bits ids) are audited.
+    * Because both exact membership and banding candidacy depend only
+    * on a pair's two endpoints, the sampled audit is EXACTLY the full
+    * audit restricted to a uniform 1/2^bits pair subset — an unbiased
+    * recall estimate at 1/2^bits of the brute-force cost. The
+    * correctness gate always runs bits = 0. */
+  def semanticBandingAudit(df: DataFrame, id: String, vec: String,
+                           cos2Num: Long = 1, cos2Den: Long = 4,
+                           bands: Int = 0, bitsPerBand: Int = 0,
+                           dim: Int = 64, maxBucket: Int = 4096,
+                           pairSampleBits: Int = 0): DataFrame = {
+    require(pairSampleBits >= 0 && pairSampleBits <= 16,
+      "pairSampleBits must be in [0, 16]")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    def inSample(c: Column) = if (pairSampleBits == 0) lit(true)
+      else pmod(xxhash64(c.cast("string")), lit(1L << pairSampleBits)) === 0
+    val q = df.select(col(id).as("_id"),
+        Similarity.int8Quantize(col(vec)).getField("q").as("qv"))
+      .localCheckpoint()
+    def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
+    val exact = q.filter(inSample(col("_id"))).repartition(parts).as("a")
+      .join(broadcast(q).as("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        isum(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y)).as("dotq"),
+        isum(transform(col("a.qv"), x => x * x)).as("na"),
+        isum(transform(col("b.qv"), x => x * x)).as("nb"))
+      .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
+        col("dotq") * col("dotq") * lit(cos2Den) >=
+          lit(cos2Num) * col("na") * col("nb"))
+      .select(col("id_a"), col("id_b"), lit(1L).as("_e"))
+    val banded = semanticDupPairsInt8(df, id, vec, cos2Num, cos2Den,
+        bands, bitsPerBand, dim, maxBucket)
+      .filter(inSample(col("id_a")))
+      .select(col("id_a"), col("id_b"), lit(1L).as("_b"))
+    exact.join(banded, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_b")).as("n_banded"),
+        count(when(col("_e").isNotNull && col("_b").isNotNull, lit(1)))
+          .as("n_hits"))
+      .withColumn("recall_ppm",
+        IntMath.ppmDiv(col("n_hits"), col("n_exact")))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-gram shingles with any single
     * benchmark document — the train/eval overlap check a training-data

@@ -448,7 +448,15 @@ object Eval {
     * relevance set (both key-partitioned; the relevance set typically
     * broadcast-sized), one map-combined per-query sum for DCG; the
     * ideal ordering is a per-QUERY window over the relevance set
-    * (bounded by judgments per query, never global). No collects. */
+    * (bounded by judgments per query, never global). No collects.
+    *
+    * QUERY UNIVERSE (the TREC convention, trec_eval's behavior): the
+    * output has one row per query IN THE RELEVANCE SET. A query with
+    * judgments but no ranked rows IS reported (dcg 0 — the system
+    * retrieved nothing relevant); a query with ranked rows but no
+    * judgments is EXCLUDED, not scored 0, because without judgments
+    * its NDCG is undefined rather than bad. Full-outer-join the
+    * ranked query ids afterwards if unjudged queries need surfacing. */
   def ndcgAtK(ranked: DataFrame, query: String, doc: String, rank: String,
               rels: DataFrame, rQuery: String, rDoc: String, gain: String,
               k: Int): DataFrame = {

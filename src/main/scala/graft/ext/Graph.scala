@@ -521,8 +521,9 @@ object Graph {
     * hub's precomputed ⌊10⁶/deg⌋ — then one map-combined sum per
     * (u,v) and a left-anti equi-join against the edge set. Per-hub
     * wedge volume is deg², so hubs with deg > `maxHubDegree` are
-    * EXCLUDED (counted in `n_hubs_dropped` on the companion audit
-    * frame via [[degreeProfile]]): at 10⁶ per-ppm discount a hub past
+    * EXCLUDED (the dropped-hub count is derivable from
+    * [[degreeProfile]]'s degree histogram — sum the buckets past the
+    * cap): at 10⁶ per-ppm discount a hub past
     * ~10⁶ contributes 0 anyway, and the cap makes the shuffle volume
     * provably ≤ |V|·maxHubDegree² instead of unbounded on a
     * power-law graph. Dropped hubs only LOWER scores of pairs they

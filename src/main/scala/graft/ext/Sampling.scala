@@ -370,10 +370,28 @@ object Sampling {
     * back, one per-GROUP window (bounded by group size, key-
     * partitioned — never global); groups at power-law scale are
     * exactly the case where the kept prefix is tiny relative to the
-    * tail this drops. */
+    * tail this drops.
+    *
+    * WEIGHT CONTRACT: weights are INTEGER COUNTS (token counts, doc
+    * counts — the units a corpus mixture is budgeted in). A
+    * fractional weight column is rejected up front rather than
+    * silently truncated: truncation before the group total and the
+    * cumulative sum can flip keep decisions and void the coverage
+    * ≥ p guarantee. Scale fractional scores to an integer grid (e.g.
+    * ppm) before calling. */
   def topPByGroup(df: DataFrame, group: String, id: String,
                   weight: Column, pPpm: Long): DataFrame = {
     require(pPpm >= 0 && pPpm <= 1000000L, "pPpm must be in [0, 1e6]")
+    val probe = df.select(weight.as("_w"))
+    val integral = {
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    }
+    require(integral.contains(probe.schema.head.dataType),
+      s"topPByGroup weights must be integral counts (got " +
+        s"${probe.schema.head.dataType.simpleString}); scale fractional " +
+        "scores to an integer grid (e.g. ppm) first — silent truncation " +
+        "would break the p-coverage guarantee")
     val base = df.select(col(group).as("_g"), col(id).as("_id"),
       weight.cast("long").as("_w"))
     val totals = base.groupBy("_g").agg(sum(col("_w")).as("_tot"))

@@ -633,14 +633,31 @@ object Similarity {
     * bug (candidate set deviating from the md5-plane spec) turns the
     * gate red, and a parameter regression shows up as a recall drop
     * (spec-gated). Ground truth broadcasts the fixture — audit-only,
-    * never the production path. */
+    * never the production path.
+    *
+    * `docSampleBits > 0` switches to SAMPLED-SUBCORPUS mode for
+    * routine monitoring: BOTH sides are restricted to a deterministic
+    * 1/2^bits id subset before either miner runs. Unlike the
+    * pairwise audits, mutuality depends on the whole corpus, so this
+    * is a PAIRED comparison at reduced density, not an unbiased
+    * full-corpus recall estimate — the sparser sub-corpus makes
+    * nearest neighbours farther and banding recall slightly
+    * pessimistic. Good enough to catch regressions cheaply; the
+    * correctness gate always runs bits = 0 (exact). */
   def mutualBandingAudit(a: DataFrame, aId: String, aVec: String,
                          b: DataFrame, bId: String, bVec: String,
                          bands: Int = 16, bitsPerBand: Int = 4,
-                         dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
-    val exact = mutualNearestPairsExact(a, aId, aVec, b, bId, bVec)
+                         dim: Int = 64, maxBucket: Int = 4096,
+                         docSampleBits: Int = 0): DataFrame = {
+    require(docSampleBits >= 0 && docSampleBits <= 16,
+      "docSampleBits must be in [0, 16]")
+    def inSample(c: Column) = if (docSampleBits == 0) lit(true)
+      else pmod(xxhash64(c.cast("string")), lit(1L << docSampleBits)) === 0
+    val sa = a.filter(inSample(col(aId)))
+    val sb = b.filter(inSample(col(bId)))
+    val exact = mutualNearestPairsExact(sa, aId, aVec, sb, bId, bVec)
       .select(col("id_a"), col("id_b"), lit(1L).as("_e"))
-    val banded = mutualNearestPairs(a, aId, aVec, b, bId, bVec,
+    val banded = mutualNearestPairs(sa, aId, aVec, sb, bId, bVec,
         bands, bitsPerBand, dim, maxBucket)
       .select(col("id_a"), col("id_b"), lit(1L).as("_b"))
     // one full-outer join carries all three counts in a single pass
@@ -657,16 +674,32 @@ object Similarity {
     * [[knnLabelDisagreement]]: exact top-k neighbour pairs (brute
     * force) vs the banded top-k pairs, as (n_exact, n_banded,
     * n_hits, recall_ppm) — one row, every number oracle-reproducible.
-    * Ground truth broadcasts the fixture — audit-only. */
+    * Ground truth broadcasts the fixture — audit-only.
+    *
+    * `querySampleBits > 0` switches to SAMPLED-QUERY mode for routine
+    * monitoring: only queries whose id passes a deterministic
+    * xxhash64 filter (1 in 2^bits) are audited — but each sampled
+    * query's exact top-k is still computed against the FULL corpus,
+    * and the banded side still bands the full corpus, so per-query
+    * recall is the true full-corpus recall and the aggregate is an
+    * UNBIASED estimate at ~1/2^bits of the brute-force cost. The
+    * correctness gate always runs bits = 0. */
   def knnBandingAudit(df: DataFrame, id: String, vec: String, k: Int,
                       bands: Int = 16, bitsPerBand: Int = 4,
-                      dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
+                      dim: Int = 64, maxBucket: Int = 4096,
+                      querySampleBits: Int = 0): DataFrame = {
+    require(querySampleBits >= 0 && querySampleBits <= 16,
+      "querySampleBits must be in [0, 16]")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val exact = bruteForceTopK(df, id, vec, df, id, vec, k)
+    def inSample(c: Column) = if (querySampleBits == 0) lit(true)
+      else pmod(xxhash64(c.cast("string")), lit(1L << querySampleBits)) === 0
+    val exact = bruteForceTopK(df.filter(inSample(col(id))), id, vec,
+        df, id, vec, k)
       .select(col("query_id"), col("neighbour_id"), lit(1L).as("_e"))
     val v = df.select(col(id).as("_id"), col(vec).as("v"))
       .repartition(parts).localCheckpoint()
     val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim, maxBucket)
+      .filter(inSample(col("id_a")))
     val scored = cand
       .join(v.select(col("_id").as("id_a"), col("v").as("_va")), Seq("id_a"))
       .join(v.select(col("_id").as("id_b"), col("v").as("_vb")), Seq("id_b"))

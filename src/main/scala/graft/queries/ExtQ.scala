@@ -4996,11 +4996,15 @@ object ExtQ {
   private val x169: (Fn, String) = (
     (s, d) => {
       import s.implicits._
+      // bench runs audit a deterministic sub-corpus (paired
+      // comparison, see mutualBandingAudit); the gate always runs
+      // exhaustive (the property is unset under Verify)
+      val bits = sys.props.getOrElse("graft.bench.truthSampleBits", "0").toInt
       val emb = t(s, d, "embeddings").filter($"vec_id" < 500)
       Similarity.mutualBandingAudit(
           emb.filter(pmod($"vec_id", lit(2)) === 0), "vec_id", "embedding",
           emb.filter(pmod($"vec_id", lit(2)) === 1), "vec_id", "embedding",
-          bands = 16, bitsPerBand = 4, dim = 64)
+          bands = 16, bitsPerBand = 4, dim = 64, docSampleBits = bits)
     },
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
        |           WHERE vec_id < 500),
@@ -5067,10 +5071,13 @@ object ExtQ {
   private val x170: (Fn, String) = (
     (s, d) => {
       import s.implicits._
+      // bench runs sample the QUERY side (unbiased full-corpus
+      // recall, see knnBandingAudit); the gate always runs exhaustive
+      val bits = sys.props.getOrElse("graft.bench.truthSampleBits", "0").toInt
       Similarity.knnBandingAudit(
           t(s, d, "embeddings").filter($"vec_id" < 500),
           "vec_id", "embedding", k = 10,
-          bands = 16, bitsPerBand = 4, dim = 64)
+          bands = 16, bitsPerBand = 4, dim = 64, querySampleBits = bits)
     },
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
        |           WHERE vec_id < 500),
@@ -5373,10 +5380,18 @@ object ExtQ {
   private val x178: (Fn, String) = (
     (s, d) => {
       import s.implicits._
+      // bench runs thin the (already sparse) query panel by a further
+      // deterministic hash filter — recall per surviving query is
+      // still exact against the full corpus, so the estimate stays
+      // unbiased; the gate always runs the full %97 panel
+      val bits = sys.props.getOrElse("graft.bench.truthSampleBits", "0").toInt
+      val qFilter = if (bits == 0) lit(true)
+        else pmod(xxhash64($"vec_id".cast("string")), lit(1L << bits)) === 0
       val emb = t(s, d, "embeddings")
       val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
         subspaces = 8, ksub = 16, dim = 64)
-      Similarity.pqRecallAudit(emb.filter($"vec_id" % 97 === 0), "vec_id",
+      Similarity.pqRecallAudit(
+        emb.filter($"vec_id" % 97 === 0).filter(qFilter), "vec_id",
         "embedding", emb, "vec_id", "embedding", cb, k = 10)
     },
     s"""WITH $q8Cte,
@@ -5543,12 +5558,18 @@ object ExtQ {
 
   /** √-temperature mixture quotas per source over whitespace token
     * supply; the one square root is provably exact below 2⁵² on both
-    * engines. */
+    * engines. NULL text supplies ZERO tokens (greatest(0, coalesce))
+    * — matching the oracle's null-skipping SUM; without the guard a
+    * null row would contribute size(split(NULL)) = −1/NULL to the
+    * supply on corpora with missing text (the same trap x175 guards
+    * explicitly). */
   private val x183: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       Sampling.sqrtTemperatureQuota(t(s, d, "documents"), "source",
-          TextAnalysis.tokenCount($"text"), budgetTokens = 20000L)
+          greatest(lit(0L),
+            coalesce(TextAnalysis.tokenCount($"text"), lit(0L))),
+          budgetTokens = 20000L)
         .orderBy($"source")
     },
     """WITH avail AS (
@@ -5570,6 +5591,70 @@ object ExtQ {
       |      * 1000000) // avail_tokens)::BIGINT
       |  ELSE 0 END AS accept_ppm
       |FROM w, tot ORDER BY source""".stripMargin)
+
+  /** Recall audit for the capped, corpus-aware banded semantic dedup
+    * (x62's production path): exact integer-decision pair set vs the
+    * banded pairs, one row of integer counts — the instrument behind
+    * the round-8 knob retune. Exhaustive in the gate
+    * (pairSampleBits = 0); bench runs sample pairs via the shared
+    * `graft.bench.truthSampleBits` property. */
+  private val x184: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val bits = sys.props.getOrElse("graft.bench.truthSampleBits", "0").toInt
+      Dedup.semanticBandingAudit(t(s, d, "embeddings"), "vec_id",
+          "embedding", cos2Num = 4, cos2Den = 25, dim = 64,
+          pairSampleBits = bits)
+    },
+    s"""WITH ${Planes.planesCteSql(32, 64)},
+       |${Planes.dotsCteSql("embeddings", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkCteSql(4096)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM skb a JOIN skb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |    AND a.vec_id < b.vec_id),
+       |m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs = 0
+       |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(greatest(-127.0, least(127.0,
+       |          floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+       |          AS BIGINT))
+       |    END AS qv
+       |  FROM m),
+       |exs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_reduce([ a.qv[i] * b.qv[i]
+       |      for i in range(1, len(a.qv) + 1) ], (x, y) -> x + y) AS dotq,
+       |    list_reduce([ a.qv[i] * a.qv[i]
+       |      for i in range(1, len(a.qv) + 1) ], (x, y) -> x + y) AS na,
+       |    list_reduce([ b.qv[i] * b.qv[i]
+       |      for i in range(1, len(b.qv) + 1) ], (x, y) -> x + y) AS nb
+       |  FROM qz a JOIN qz b ON a.vec_id < b.vec_id),
+       |ex AS (
+       |  SELECT id_a, id_b FROM exs
+       |  WHERE dotq > 0 AND na > 0 AND nb > 0
+       |    AND 25 * dotq * dotq >= 4 * na * nb),
+       |bp AS (
+       |  SELECT cand.id_a, cand.id_b FROM cand
+       |  JOIN ex ON ex.id_a = cand.id_a AND ex.id_b = cand.id_b)
+       |SELECT (SELECT COUNT(*) FROM ex)::BIGINT AS n_exact,
+       |  (SELECT COUNT(*) FROM bp)::BIGINT AS n_banded,
+       |  (SELECT COUNT(*) FROM bp)::BIGINT AS n_hits,
+       |  ((SELECT COUNT(*) FROM bp)::HUGEINT * 1000000
+       |    // (SELECT COUNT(*) FROM ex))::BIGINT AS recall_ppm""".stripMargin)
 
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
@@ -5755,5 +5840,6 @@ object ExtQ {
     "x181_ivf_pq_topk" -> (x181._1, Some(x181._2)),
     "x182_nucleus_vocab" -> (x182._1, Some(x182._2)),
     "x183_sqrt_temperature_mix" -> (x183._1, Some(x183._2)),
+    "x184_semantic_banding_audit" -> (x184._1, Some(x184._2)),
   )
 }

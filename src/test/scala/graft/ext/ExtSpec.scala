@@ -1465,6 +1465,14 @@ class ExtSpec extends AnyFunSuite {
     assert(run(500000L) == Set(("g", "a", 5L, 1L), ("h", "x", 1L, 1L)))
   }
 
+  test("topPByGroup rejects fractional weights instead of silently truncating") {
+    val df = Seq(("g", "a", 1.5), ("g", "b", 0.4)).toDF("grp", "item", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.topPByGroup(df, "grp", "item", col("w"), 500000L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("ivfPqTopK: probing every list reproduces flat pqTopK exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter($"vec_id" < 300)

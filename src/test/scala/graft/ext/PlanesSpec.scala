@@ -99,6 +99,22 @@ class PlanesSpec extends AnyFunSuite {
     assert(auto.nonEmpty) // i % 7 collisions plant exact duplicates
   }
 
+  test("semanticBandingAudit: exhaustive recall sane; sampled mode = restriction of full audit") {
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => math.cos((i % 9 + 1) * (j + 2) * 0.21)))
+    }.toDF("vec_id", "embedding")
+    def audit(bits: Int) = Dedup.semanticBandingAudit(emb, "vec_id",
+        "embedding", cos2Num = 4, cos2Den = 25, bands = 4, bitsPerBand = 4,
+        dim = 8, pairSampleBits = bits)
+      .as[(Long, Long, Long, Long)].head()
+    val (ne, nb, nh, rp) = audit(0)
+    assert(ne > 0 && nb <= ne && nh == nb) // banded pairs pass the same test
+    assert(rp == nh * 1000000L / ne)
+    // sampled mode: fewer (or equal) pairs on both sides, hits still = banded
+    val (se, sb, sh, _) = audit(2)
+    assert(se <= ne && sb <= nb && sh == sb)
+  }
+
   test("semanticDupPairsInt8 survives an identical-vector flood under a tiny cap") {
     // 50 byte-identical vectors: every band puts them in one bucket;
     // the cap must sub-split (uniformly, via md5 on the id) instead of
