@@ -449,4 +449,132 @@ object Sampling {
           truncDiv(col("quota_tokens").cast("decimal(38,0)") * 1000000L,
             col("avail_tokens"))).otherwise(lit(0L)))
   }
+
+  /** DSIR-style importance scores via hashed n-gram features (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): every document of the RAW corpus is scored by how
+    * much more likely its hashed unigram+bigram features are under
+    * the TARGET corpus' bag-of-features model than under the raw
+    * corpus' own — the standard cheap proxy for "select web text that
+    * looks like the quality target" without training a classifier.
+    *
+    * Integer-exact formulation: both models are Laplace-smoothed
+    * bucket counts, and a feature in bucket b contributes
+    * bits_raw(b) − bits_target(b) where bits_m(b) =
+    * floor(log2((total_m + B) / (cnt_m(b) + 1))) — the same
+    * binary-digit-count log quantization as
+    * [[TextAnalysis.unigramSurprisal]], never a float log, so scores
+    * are bit-identical on any engine. Positive score = more
+    * target-like (the raw model is more "surprised" by the features
+    * than the target model). Feature hashing is md5-derived
+    * ([[Planes.subHash]] mod B) — engine-portable like every other
+    * hash in the banding family.
+    *
+    * Plan shape at 100 TB: the two bucket-count models are ≤ B rows
+    * each after map-combined aggregation (B is a fixed knob — always
+    * broadcastable BY CONSTRUCTION, unlike a vocabulary); scoring is
+    * one broadcast join of the raw token stream against the B-row
+    * model table plus a map-combined per-doc sum. The target corpus
+    * is streamed once, never collected. Returns
+    * (doc_id, n_feats, score_bits, score_ppm). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, id: String,
+                  text: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "buckets must be in [2, 2^20]")
+    import graft.ext.IntMath.truncDiv
+    def feats(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val toks = filter(split(col(text), " "), t => t =!= "")
+      val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      df.select(keep :+ explode(concat(toks, bigrams)).as("_f"): _*)
+        .withColumn("_b", pmod(Planes.subHash(col("_f")), lit(buckets.toLong)))
+    }
+    def model(df: DataFrame): DataFrame =
+      feats(df, Seq.empty).groupBy("_b").agg(count(lit(1)).as("_cnt"))
+    def bits(cnt: Column, total: Column): Column =
+      (length(bin(truncDiv(total + buckets, cnt + 1L))) - 1).cast("long")
+    val tm = model(target)
+    val tTot = tm.agg(sum(col("_cnt")).as("_tt"))
+    val rm = model(raw)
+    val rTot = rm.agg(sum(col("_cnt")).as("_rt"))
+    // bucket table: raw buckets left-joined with target (a bucket the
+    // target never hits scores with cnt 0); <= B rows, broadcast
+    val table = rm.join(tm.withColumnRenamed("_cnt", "_tcnt"), Seq("_b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("_b"),
+        (bits(col("_cnt"), col("_rt")) -
+          bits(coalesce(col("_tcnt"), lit(0L)), col("_tt"))).as("_d"))
+    feats(raw, Seq(col(id).as("doc_id")))
+      .join(broadcast(table), Seq("_b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("_d")).as("score_bits"))
+      .withColumn("score_ppm",
+        IntMath.ppmDiv(col("score_bits"), col("n_feats")))
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023): split a total
+    * training-token budget across languages (or any grouping) so
+    * every group is used as EQUALLY as possible without repeating any
+    * group past `maxEpochsPpm` epochs of its available supply — the
+    * published alternative to temperature mixing that provably
+    * minimizes repetition on the tail. Water-filling closed form:
+    * with groups sorted by epoch cap ascending, the low-supply prefix
+    * is allocated its full cap and the rest share the remaining
+    * budget equally; the crossover index is the first group whose cap
+    * exceeds its equal share of what is left.
+    *
+    * All-integer derivation (DECIMAL(38,0) products, trunc division)
+    * — bit-identical on any engine; the equal share uses trunc
+    * division, so up to (n_uncapped − 1) tokens of the budget remain
+    * deliberately unallocated rather than asymmetrically assigned.
+    *
+    * Plan shape: one map-combined per-group supply sum (group
+    * cardinality is small by nature — languages, sources), then the
+    * global rank/cumsum over the tiny per-group frame via
+    * [[Prefix.globalRunningSums]] (range exchange + offsets — NEVER a
+    * single-reducer window, per the suite-wide plan gate) and two
+    * 1-row broadcast reductions. Returns (group, supply, cap_tokens,
+    * alloc_tokens, epochs_ppm). */
+  def unimaxAllocation(df: DataFrame, group: String, supply: Column,
+                       budgetTokens: Long, maxEpochsPpm: Long = 1000000L)
+      : DataFrame = {
+    require(budgetTokens >= 0 && maxEpochsPpm >= 0,
+      "budget and epoch cap must be non-negative")
+    import graft.ext.IntMath.truncDiv
+    val caps = df.groupBy(col(group).as(group))
+      .agg(sum(supply.cast("long")).as("supply"))
+      .withColumn("cap_tokens",
+        truncDiv(col("supply").cast("decimal(38,0)") * maxEpochsPpm,
+          lit(1000000L)))
+    val ranked = Prefix.globalRunningSums(caps,
+      order = Seq(col("cap_tokens"), col(group)),
+      values = Seq((lit(1L), "_i"), (col("cap_tokens"), "_cum")))
+    val k = ranked.agg(count(lit(1)).as("_k"))
+    // capped-prefix condition under the "everything before me is
+    // capped" invariant (valid exactly up to the first failure):
+    //   cap_i * (k - i + 1) <= B - (cum_i - cap_i)
+    val cond = col("cap_tokens").cast("decimal(38,0)") *
+      (col("_k") - col("_i") + 1L) <=
+      lit(budgetTokens).cast("decimal(38,0)") - (col("_cum") - col("cap_tokens"))
+    val firstFail = ranked.crossJoin(broadcast(k)).filter(!cond)
+      .agg(min(col("_i")).as("_ff"))
+    val m = broadcast(firstFail.crossJoin(broadcast(k))
+      .select(coalesce(col("_ff") - 1L, col("_k")).as("_m")))
+    val cumcapM = broadcast(ranked.crossJoin(m)
+      .filter(col("_i") <= col("_m"))
+      .agg(coalesce(max(col("_cum")), lit(0L)).as("_cc")))
+    ranked.crossJoin(broadcast(k)).crossJoin(m).crossJoin(cumcapM)
+      .withColumn("alloc_tokens",
+        when(col("_i") <= col("_m"), col("cap_tokens"))
+          .otherwise(truncDiv(
+            (lit(budgetTokens).cast("decimal(38,0)") - col("_cc")),
+            greatest(col("_k") - col("_m"), lit(1L)))))
+      .withColumn("epochs_ppm",
+        when(col("supply") > 0,
+          IntMath.ppmDiv(col("alloc_tokens"), col("supply"))))
+      .select(col(group), col("supply"), col("cap_tokens").cast("long"),
+        col("alloc_tokens").cast("long"), col("epochs_ppm"))
+      .toDF(group, "supply", "cap_tokens", "alloc_tokens", "epochs_ppm")
+  }
 }

@@ -1245,4 +1245,82 @@ object Similarity {
         when(col("n_truth") > 0,
           IntMath.ppmDiv(col("n_hits"), col("n_truth"))).as("recall_ppm"))
   }
+
+  /** Deterministic Johnson–Lindenstrauss random projection: the input
+    * embedding is mapped to `outDim` coordinates, each the dot
+    * product with one md5-derived [[Planes]] hyperplane — the
+    * standard dimensionality-reduction front-end for coarse distance
+    * filtering (project to 8–16 dims, prune by projected distance,
+    * verify survivors in the full space), at a per-row cost of
+    * outDim codegen'd dot products and an outDim/dim shrink of every
+    * downstream shuffle that carries vectors. Deterministic planes ⇒
+    * the projection is a pure function of the vector, reproducible on
+    * any engine (same left-fold double dot as the oracle's
+    * `dotsCteSql`) — no stored projection matrix to version or ship.
+    * Components are uniform in [-0.5, 0.5) (variance 1/12), so
+    * squared distances shrink by E ≈ outDim/12 — [[projectionDistortionAudit]]
+    * measures the realized distortion; callers compare projected
+    * distances only to projected distances (pruning), where the
+    * scale cancels. Vector length is validated against `dim` like
+    * [[Planes.bandBuckets]] — a silent mismatch would project
+    * everything to NULL. */
+  def randomProjection(df: DataFrame, id: String, vec: String,
+                       outDim: Int, dim: Int = 64): DataFrame = {
+    require(outDim >= 1 && outDim <= 1024, "outDim must be in [1, 1024]")
+    val planes = Planes.components(outDim, dim)
+    val v = when(size(col(vec)) === dim, col(vec)).otherwise(raise_error(
+      concat(lit("randomProjection: vector length "),
+        coalesce(size(col(vec)).cast("string"), lit("NULL")),
+        lit(s" != projection dim $dim"))))
+    df.select(col(id).as("vec_id"),
+      array(planes.map(p =>
+        graft.functions.VectorExpressions.dot_product(v,
+          typedLit(p.toSeq))): _*).as("proj"))
+  }
+
+  /** Distance-distortion audit for [[randomProjection]], the
+    * x142/x184 instrument pattern: on a deterministic hash-sampled
+    * sub-corpus, every pair's squared distance in the projected space
+    * (unbiased-rescaled by 12/outDim — the JL variance correction for
+    * uniform[-0.5,0.5) components) is compared against its true
+    * squared distance, reported as integer
+    * `distortion_ppm = floor(10⁶ · 12 · d²_proj / (outDim · d²_true))`
+    * per pair (1 000 000 = perfectly preserved). The concentration of
+    * this column around 10⁶ is the go/no-go check before trusting a
+    * projected-distance prune at a new outDim. Pairs with d²_true = 0
+    * (exact duplicates) are excluded — their distortion is undefined
+    * and any prune keeps them anyway.
+    *
+    * Audit-only shape: the SAMPLED side is broadcast for the a<b pair
+    * join (like every exact-truth audit here — never the production
+    * path); both distances are computed in-row with the same
+    * left-fold double arithmetic the oracle mirrors, and the output
+    * is one integer per pair. */
+  def projectionDistortionAudit(df: DataFrame, id: String, vec: String,
+                                outDim: Int, dim: Int = 64,
+                                sampleMod: Long = 7): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be positive")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val s = df
+      .filter(pmod(Planes.subHash(col(id)), lit(sampleMod)) === 0)
+      .select(col(id).as("_id"), col(vec).as("v"))
+      .repartition(parts).localCheckpoint()
+    val p = randomProjection(s, "_id", "v", outDim, dim)
+      .withColumnRenamed("vec_id", "_id")
+    val joined = s.join(p, "_id").localCheckpoint()
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    joined.as("a").join(broadcast(joined).as("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        d2(col("a.v"), col("b.v")).as("_dx"),
+        d2(col("a.proj"), col("b.proj")).as("_dp"))
+      .filter(col("_dx") > 0.0)
+      .select(col("id_a"), col("id_b"),
+        floor(lit(1e6) * lit(12.0) * col("_dp") /
+          (lit(outDim.toDouble) * col("_dx"))).cast("long")
+          .as("distortion_ppm"))
+  }
 }

@@ -5656,6 +5656,136 @@ object ExtQ {
        |  ((SELECT COUNT(*) FROM bp)::HUGEINT * 1000000
        |    // (SELECT COUNT(*) FROM ex))::BIGINT AS recall_ppm""".stripMargin)
 
+  /** DSIR hashed-ngram importance scores: documents scored by how
+    * target-like their hashed unigram+bigram features are (target =
+    * the English slice of the same corpus). Integer log2 buckets and
+    * md5 feature hashing make every score oracle-exact. */
+  private val x185: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      Sampling.dsirWeights(docs, docs.filter($"lang" === "en"),
+          "doc_id", "text", buckets = 4096)
+        .orderBy($"doc_id")
+    }, {
+      val md5int = (e: String) =>
+        s"""CAST(list_reduce([ (strpos('0123456789abcdef',
+           |      substr(md5($e), j, 1)) - 1)
+           |      * pow(16, 6 - j) for j in range(1, 7) ], (x, y) -> x + y)
+           |    AS BIGINT)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    [t for t in string_split(text, ' ') if len(t) > 0] AS ts
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, lang, f FROM (
+         |    SELECT doc_id, lang, unnest(ts) AS f FROM toks)
+         |  UNION ALL
+         |  SELECT doc_id, lang, f FROM (
+         |    SELECT doc_id, lang,
+         |      unnest([ ts[i] || ' ' || ts[i+1]
+         |               for i in range(1, len(ts)) ]) AS f
+         |    FROM toks)),
+         |fb AS (SELECT doc_id, lang, ${md5int("f")} % 4096 AS b FROM feat),
+         |rm AS (SELECT b, COUNT(*)::BIGINT AS rcnt FROM fb GROUP BY b),
+         |tm AS (SELECT b, COUNT(*)::BIGINT AS tcnt FROM fb
+         |       WHERE lang = 'en' GROUP BY b),
+         |rt AS (SELECT SUM(rcnt)::BIGINT AS rtot FROM rm),
+         |tt AS (SELECT SUM(tcnt)::BIGINT AS ttot FROM tm),
+         |tab AS (
+         |  SELECT rm.b,
+         |    (length(bin((rtot + 4096) // (rcnt + 1))) - 1)::BIGINT
+         |      - (length(bin((ttot + 4096) // (COALESCE(tcnt, 0) + 1))) - 1)::BIGINT
+         |      AS d
+         |  FROM rm LEFT JOIN tm ON tm.b = rm.b, rt, tt)
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
+         |  SUM(d)::BIGINT AS score_bits,
+         |  (SUM(d) * 1000000 // COUNT(*))::BIGINT AS score_ppm
+         |FROM fb JOIN tab ON tab.b = fb.b
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  /** UniMax epoch-capped budget allocation across sources: exact
+    * integer water-filling, every branch of the closed form mirrored
+    * in window SQL. */
+  private val x186: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Sampling.unimaxAllocation(t(s, d, "documents"), "source",
+          greatest(lit(0L),
+            coalesce(TextAnalysis.tokenCount($"text"), lit(0L))),
+          budgetTokens = 20000L, maxEpochsPpm = 800000L)
+        .orderBy($"source")
+    },
+    """WITH sup AS (
+      |  SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS supply
+      |  FROM documents GROUP BY source),
+      |caps AS (SELECT source, supply,
+      |    ((supply::HUGEINT * 800000) // 1000000)::BIGINT AS cap
+      |  FROM sup),
+      |r AS (SELECT source, supply, cap,
+      |    ROW_NUMBER() OVER (ORDER BY cap, source)::BIGINT AS i,
+      |    SUM(cap) OVER (ORDER BY cap, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+      |  FROM caps),
+      |kk AS (SELECT COUNT(*)::BIGINT AS k FROM r),
+      |ff AS (SELECT MIN(i) AS ff FROM r, kk
+      |       WHERE cap::HUGEINT * (k - i + 1) >
+      |             20000::HUGEINT - (cum - cap)),
+      |mm AS (SELECT COALESCE(ff - 1, k)::BIGINT AS m FROM ff, kk),
+      |cc AS (SELECT COALESCE(MAX(cum), 0)::BIGINT AS c FROM r, mm
+      |       WHERE i <= m)
+      |SELECT source, supply, cap_tokens, alloc_tokens,
+      |  CASE WHEN supply > 0
+      |    THEN (alloc_tokens::HUGEINT * 1000000 // supply)::BIGINT
+      |  END AS epochs_ppm
+      |FROM (
+      |  SELECT source, supply, cap AS cap_tokens,
+      |    CASE WHEN i <= m THEN cap
+      |      ELSE ((20000::HUGEINT - c) // greatest(k - m, 1))::BIGINT
+      |    END AS alloc_tokens
+      |  FROM r, kk, mm, cc)
+      |ORDER BY source""".stripMargin)
+
+  /** JL random-projection distortion audit: per sampled pair, the
+    * variance-corrected projected/true squared-distance ratio in ppm
+    * — projection and both distances replayed double-for-double by
+    * the oracle (deterministic md5 planes, same left-fold order). */
+  private val x187: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Similarity.projectionDistortionAudit(t(s, d, "embeddings"),
+          "vec_id", "embedding", outDim = 8, dim = 64, sampleMod = 7)
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH ${Planes.planesCteSql(8, 64)},
+       |s AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE CAST(list_reduce([ (strpos('0123456789abcdef',
+       |      substr(md5(vec_id::VARCHAR), j, 1)) - 1)
+       |      * pow(16, 6 - j) for j in range(1, 7) ], (x, y) -> x + y)
+       |    AS BIGINT) % 7 = 0),
+       |${Planes.dotsCteSql("s", "vec_id", "embedding", 64)},
+       |proj AS (
+       |  SELECT vec_id, list(dot ORDER BY p) AS pv FROM dots
+       |  GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_reduce([ (CAST(a.embedding[i] AS DOUBLE)
+       |          - CAST(b.embedding[i] AS DOUBLE))
+       |        * (CAST(a.embedding[i] AS DOUBLE)
+       |          - CAST(b.embedding[i] AS DOUBLE))
+       |      for i in range(1, 65) ], (x, y) -> x + y) AS dx,
+       |    list_reduce([ (pa.pv[i] - pb.pv[i]) * (pa.pv[i] - pb.pv[i])
+       |      for i in range(1, 9) ], (x, y) -> x + y) AS dp
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |  JOIN proj pa ON pa.vec_id = a.vec_id
+       |  JOIN proj pb ON pb.vec_id = b.vec_id)
+       |SELECT id_a, id_b,
+       |  CAST(floor(1000000.0 * 12.0 * dp / (8.0 * dx)) AS BIGINT)
+       |    AS distortion_ppm
+       |FROM pairs WHERE dx > 0 ORDER BY id_a, id_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5841,5 +5971,8 @@ object ExtQ {
     "x182_nucleus_vocab" -> (x182._1, Some(x182._2)),
     "x183_sqrt_temperature_mix" -> (x183._1, Some(x183._2)),
     "x184_semantic_banding_audit" -> (x184._1, Some(x184._2)),
+    "x185_dsir_importance" -> (x185._1, Some(x185._2)),
+    "x186_unimax_allocation" -> (x186._1, Some(x186._2)),
+    "x187_jl_distortion_audit" -> (x187._1, Some(x187._2)),
   )
 }

@@ -179,7 +179,11 @@ class PlanSpec extends AnyFunSuite {
       "x176_fleiss_kappa",       // three 1-row sufficient-statistic frames crossed
       "x178_pq_recall_audit",    // audit: exact side crosses the ≤6-row query set; 1-row counts
       "x181_ivf_pq_topk",        // ≤16-row coarse-centroid table crossed with the query set
-      "x183_sqrt_temperature_mix") // 1-row Σw total crossed with the per-source frame
+      "x183_sqrt_temperature_mix", // 1-row Σw total crossed with the per-source frame
+      "x184_semantic_banding_audit", // audit: exact int8 ground truth a<b broadcast over the fixture
+      "x185_dsir_importance",    // two 1-row model totals crossed with the B-row bucket table
+      "x186_unimax_allocation",  // three 1-row water-filling scalars (k, m, cumcap) crossed
+      "x187_jl_distortion_audit") // audit: hash-sampled sub-corpus a<b broadcast pair join
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -244,7 +248,9 @@ class PlanSpec extends AnyFunSuite {
       "x172_pq_adc_topk",          // ≤6-row query set broadcast (vec_id % 97); corpus side scans CODES
       "x174_ndcg_at_k",            // eval harness: ≤6-row query set broadcast (vec_id % 97)
       "x178_pq_recall_audit",      // audit: ≤6-row query set broadcast on both sides
-      "x181_ivf_pq_topk")          // ≤16-row centroid broadcast; queries scan reduces via probe top-n
+      "x181_ivf_pq_topk",          // ≤16-row centroid broadcast; queries scan reduces via probe top-n
+      "x184_semantic_banding_audit", // audit: exact int8 ground truth broadcasts the fixture slice
+      "x187_jl_distortion_audit")  // audit: hash-sampled sub-corpus broadcast, documented audit-only
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

@@ -1465,6 +1465,52 @@ class ExtSpec extends AnyFunSuite {
     assert(run(500000L) == Set(("g", "a", 5L, 1L), ("h", "x", 1L, 1L)))
   }
 
+  test("unimaxAllocation: hand-computed water-filling, all three regimes") {
+    // supplies 10/100/1000, caps at 2 epochs = 20/200/2000
+    val df = Seq(("a", 10L), ("b", 100L), ("c", 1000L)).toDF("lang", "toks")
+    def run(budget: Long) = Sampling.unimaxAllocation(df, "lang",
+        col("toks"), budget, maxEpochsPpm = 2000000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // mixed: a,b capped (20+200), c gets the remaining 380
+    val mixed = run(600L)
+    assert(mixed("a") == (20L, 20L))
+    assert(mixed("b") == (200L, 200L))
+    assert(mixed("c") == (2000L, 380L))
+    // budget covers every cap: all capped
+    val all = run(3000L)
+    assert(all("a") == (20L, 20L) && all("b") == (200L, 200L) &&
+      all("c") == (2000L, 2000L))
+    // tiny budget: nobody capped, equal trunc shares
+    val none = run(30L)
+    assert(none.values.map(_._2).toSeq.sorted == Seq(10L, 10L, 10L))
+  }
+
+  test("dsirWeights: target-like docs outscore junk; feature counts exact") {
+    val target = Seq((100L, "the quick brown fox jumps high"),
+      (101L, "the lazy dog sleeps under the tree")).toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "the quick brown fox jumps high"),        // verbatim target-like
+      (1L, "zzq xkcd qqqq zorp glyph blarg"),        // junk, zero target overlap
+      (2L, "the lazy dog sleeps")).toDF("doc_id", "text")
+    val got = Sampling.dsirWeights(raw, target, "doc_id", "text",
+        buckets = 1024)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // n_feats = unigrams + bigrams
+    assert(got(0L)._1 == 6 + 5)
+    assert(got(2L)._1 == 4 + 3)
+    // target-like docs score strictly higher than the junk doc
+    assert(got(0L)._3 > got(1L)._3)
+    assert(got(2L)._3 > got(1L)._3)
+    // determinism
+    val again = Sampling.dsirWeights(raw, target, "doc_id", "text",
+        buckets = 1024)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == got)
+  }
+
   test("topPByGroup rejects fractional weights instead of silently truncating") {
     val df = Seq(("g", "a", 1.5), ("g", "b", 0.4)).toDF("grp", "item", "w")
     val e = intercept[IllegalArgumentException] {

@@ -115,6 +115,45 @@ class PlanesSpec extends AnyFunSuite {
     assert(se <= ne && sb <= nb && sh == sb)
   }
 
+  test("randomProjection: coordinates are exact plane dots; length validated") {
+    val vecs = Seq((0L, Array(1.0, 2.0, 3.0, 4.0)),
+      (1L, Array(-1.0, 0.5, 0.0, 2.0))).toDF("vec_id", "embedding")
+    val planes = Planes.components(2, 4)
+    val got = Similarity.randomProjection(vecs, "vec_id", "embedding",
+        outDim = 2, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v) <- Seq(0L -> Array(1.0, 2.0, 3.0, 4.0),
+                        1L -> Array(-1.0, 0.5, 0.0, 2.0));
+         j <- 0 until 2) {
+      val expect = v.zip(planes(j)).foldLeft(0.0) { case (a, (x, p)) => a + x * p }
+      assert(got(id)(j) == expect, s"id=$id j=$j")
+    }
+    // wrong dim fails loudly instead of projecting NULLs
+    val bad = Seq((9L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    assertThrows[Exception] {
+      Similarity.randomProjection(bad, "vec_id", "embedding", 2, 4).collect()
+    }
+  }
+
+  test("projectionDistortionAudit: duplicate pairs excluded, ppm in a sane band") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(16)(j => math.sin((i % 11 + 1) * (j + 1) * 0.43)))
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.projectionDistortionAudit(vecs, "vec_id",
+        "embedding", outDim = 8, dim = 16, sampleMod = 1)
+      .collect()
+    assert(rows.nonEmpty)
+    // i % 11 duplicates have d2_true = 0 and must be absent
+    val ids = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!ids.contains((0L, 11L)) && !ids.contains((1L, 12L)))
+    // JL with 8 dims is loose but not absurd: all ratios positive,
+    // and the MEDIAN within [0.2, 5] of perfect preservation
+    val ppm = rows.map(_.getLong(2)).sorted
+    assert(ppm.head >= 0)
+    val med = ppm(ppm.length / 2)
+    assert(med > 200000L && med < 5000000L, s"median=$med")
+  }
+
   test("semanticDupPairsInt8 survives an identical-vector flood under a tiny cap") {
     // 50 byte-identical vectors: every band puts them in one bucket;
     // the cap must sub-split (uniformly, via md5 on the id) instead of

@@ -80,6 +80,23 @@ COPY (
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
 """)
 
+print("orders ...", flush=True)
+# straight 10x replication with key offsets. NOTE for the x173 ramp:
+# the gate folds keys through % 9973 into a fixed node space, so
+# replicated orders DENSIFY the graph (~10x degree on the same nodes)
+# rather than producing 10 disjoint copies — that is the adversarial
+# test of the hub-degree cap (wedge volume bounded by V*cap^2), not an
+# isomorphic data ramp; read the measurement accordingly.
+con.execute(f"CREATE VIEW ords AS SELECT * FROM '{src}/orders.parquet'")
+con.execute(f"""
+COPY (
+  SELECT o.o_orderkey + r.r * 1000000000 AS o_orderkey,
+         o.o_custkey + r.r * 100000000 AS o_custkey,
+         o.* EXCLUDE (o_orderkey, o_custkey)
+  FROM ords o CROSS JOIN (SELECT unnest(range(0, 10)) AS r) r
+) TO '{out}/orders.parquet' (FORMAT PARQUET)
+""")
+
 print("events ...", flush=True)
 # the event_id offset must be a MULTIPLE OF 240: ramp queries derive
 # interval lengths from event_id % 240, so a non-multiple offset would
@@ -95,7 +112,7 @@ COPY (
 ) TO '{out}/events.parquet' (FORMAT PARQUET)
 """)
 
-for t in ["documents", "embeddings", "lineitem", "events"]:
+for t in ["documents", "embeddings", "lineitem", "orders", "events"]:
     n = con.sql(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(t, n)
 print("done ->", out)
