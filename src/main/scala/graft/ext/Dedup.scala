@@ -709,18 +709,19 @@ object Dedup {
                         bitsPerBand: Int = 0, dim: Int = 64,
                         maxBucket: Int = 4096): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val v = df.select(col(id).as("_id"), col(vec).as("v"))
-      .repartition(parts).localCheckpoint()
-    val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, v.count())
+    val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, df.count())
     val planes = Planes.components(nBands * nBits, dim)
-    // band rows carry only (id, band, bucket) — the vectors join back
-    // on candidates only, so the banded shuffle is tiny even when the
-    // embedding payload is wide; materialized because the capped
-    // generator reads them three times (bucket census + both probes)
-    val banded = v.select(col("_id"),
-      posexplode(Planes.bandBuckets(col("v"), planes, nBands, nBits))
-        .as(Seq("band", "bucket")))
+    // ONE checkpoint carries both the vectors and their precomputed
+    // band buckets: the plane sketch (the expensive part) runs once
+    // per row at materialization, and the capped generator's three
+    // band-row reads just re-explode a bands-long array from the
+    // checkpoint — band rows themselves carry only (id, band, bucket)
+    val v = df.select(col(id).as("_id"), col(vec).as("v"))
+      .repartition(parts)
+      .withColumn("_bk", Planes.bandBuckets(col("v"), planes, nBands, nBits))
       .localCheckpoint()
+    val banded = v.select(col("_id"),
+      posexplode(col("_bk")).as(Seq("band", "bucket")))
     val cand = Planes.cappedSelfPairs(banded, maxBucket)
     cand
       .join(v.as("va"), col("id_a") === col("va._id"))
@@ -774,24 +775,24 @@ object Dedup {
                            dim: Int = 64, maxBucket: Int = 4096)
       : DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, df.count())
+    val planes = Planes.components(nBands * nBits, dim)
     val q = df.select(col(id).as("_id"), col(vec).as("fv"))
-      // deliberate up-front shuffle: quantization + 32-plane banding
+      // deliberate up-front shuffle: quantization + plane banding
       // dominate this plan, and the source parquet arrives in a
       // handful of splits — spreading rows across all cores first wins
       // ~18% end-to-end (measured 4.99 s vs 5.89 s without, sf0.1);
-      // the checkpoint below also lands balanced blocks
+      // the checkpoint below also lands balanced blocks. The band
+      // buckets ride the SAME checkpoint, so the plane sketch runs
+      // once per row and the capped generator's three band-row reads
+      // just re-explode a bands-long array
       .repartition(parts)
       .select(col("_id"), col("fv"),
-        Similarity.int8Quantize(col("fv")).getField("q").as("qv"))
+        Similarity.int8Quantize(col("fv")).getField("q").as("qv"),
+        Planes.bandBuckets(col("fv"), planes, nBands, nBits).as("_bk"))
       .localCheckpoint()
-    val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, q.count())
-    val planes = Planes.components(nBands * nBits, dim)
-    // materialized: the capped generator reads the band rows three
-    // times (bucket census + both probes)
     val banded = q.select(col("_id"),
-      posexplode(Planes.bandBuckets(col("fv"), planes, nBands, nBits))
-        .as(Seq("band", "bucket")))
-      .localCheckpoint()
+      posexplode(col("_bk")).as(Seq("band", "bucket")))
     val cand = Planes.cappedSelfPairs(banded, maxBucket)
     val qv = q.select(col("_id"), col("qv"))
     def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
@@ -818,29 +819,38 @@ object Dedup {
     * integer test, so n_hits = n_banded unless the banding is broken
     * — a divergence turns the gate red.
     *
-    * `pairSampleBits > 0` switches to SAMPLED mode for routine
-    * monitoring at scale: only pairs whose SMALLER id passes a
-    * deterministic xxhash64 filter (1 in 2^bits ids) are audited.
-    * Because both exact membership and banding candidacy depend only
-    * on a pair's two endpoints, the sampled audit is EXACTLY the full
-    * audit restricted to a uniform 1/2^bits pair subset — an unbiased
-    * recall estimate at 1/2^bits of the brute-force cost. The
-    * correctness gate always runs bits = 0. */
+    * `docSampleBits > 0` switches to SAMPLED mode for routine
+    * monitoring at scale: the CORPUS is restricted to a deterministic
+    * xxhash64 id subset (1 in 2^bits) before both sides run — exactly
+    * the x142 sub-corpus treatment. Because both exact membership and
+    * banding candidacy depend only on a pair's two endpoints, the
+    * sampled audit equals the full audit restricted to the uniform
+    * 1/4^bits subset of pairs with both endpoints sampled — an
+    * unbiased recall estimate at ~1/4^bits of BOTH sides' cost. The
+    * banding knobs are resolved from the FULL corpus count first and
+    * passed explicitly, so the sampled run measures the production
+    * banding, not a smaller corpus' retune. (One honest caveat: a
+    * bucket over `maxBucket` in the full corpus may fall under the
+    * cap in the sample, so heavily-capped corpora read a few ppm
+    * optimistic in sampled mode.) The correctness gate always runs
+    * bits = 0. */
   def semanticBandingAudit(df: DataFrame, id: String, vec: String,
                            cos2Num: Long = 1, cos2Den: Long = 4,
                            bands: Int = 0, bitsPerBand: Int = 0,
                            dim: Int = 64, maxBucket: Int = 4096,
-                           pairSampleBits: Int = 0): DataFrame = {
-    require(pairSampleBits >= 0 && pairSampleBits <= 16,
-      "pairSampleBits must be in [0, 16]")
+                           docSampleBits: Int = 0): DataFrame = {
+    require(docSampleBits >= 0 && docSampleBits <= 16,
+      "docSampleBits must be in [0, 16]")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    def inSample(c: Column) = if (pairSampleBits == 0) lit(true)
-      else pmod(xxhash64(c.cast("string")), lit(1L << pairSampleBits)) === 0
-    val q = df.select(col(id).as("_id"),
+    // production knobs: derived from the FULL corpus before sampling
+    val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, df.count())
+    val base = if (docSampleBits == 0) df else df.filter(
+      pmod(xxhash64(col(id).cast("string")), lit(1L << docSampleBits)) === 0)
+    val q = base.select(col(id).as("_id"),
         Similarity.int8Quantize(col(vec)).getField("q").as("qv"))
       .localCheckpoint()
     def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
-    val exact = q.filter(inSample(col("_id"))).repartition(parts).as("a")
+    val exact = q.repartition(parts).as("a")
       .join(broadcast(q).as("b"), col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         isum(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y)).as("dotq"),
@@ -850,9 +860,8 @@ object Dedup {
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
       .select(col("id_a"), col("id_b"), lit(1L).as("_e"))
-    val banded = semanticDupPairsInt8(df, id, vec, cos2Num, cos2Den,
-        bands, bitsPerBand, dim, maxBucket)
-      .filter(inSample(col("id_a")))
+    val banded = semanticDupPairsInt8(base, id, vec, cos2Num, cos2Den,
+        nBands, nBits, dim, maxBucket)
       .select(col("id_a"), col("id_b"), lit(1L).as("_b"))
     exact.join(banded, Seq("id_a", "id_b"), "full_outer")
       .agg(count(col("_e")).as("n_exact"), count(col("_b")).as("n_banded"),

@@ -138,10 +138,21 @@ object Planes {
       .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
         lit(maxBucket.toLong)).as("_ns"))
       .filter(col("_ns") > 1)
-    val rows = bandRows.join(broadcast(over), Seq("band", "bucket"), "left")
-      .withColumn("sub", when(col("_ns").isNull, lit(0L))
-        .otherwise(pmod(subHash(col("_id")), col("_ns"))))
-      .select(col("_id"), col("band"), col("bucket"), col("sub"))
+    // fast path: no oversized buckets (the overwhelmingly common
+    // case) ⇒ ns = 1 and sub = 0 everywhere, so the sub-split join is
+    // BYTE-IDENTICAL to the plain (band, bucket) join — skip the
+    // broadcast barrier and the per-row sub hash. The census is one
+    // map-combined agg over the (caller-materialized) band rows, and
+    // isEmpty short-circuits at the first surviving group.
+    val rows =
+      if (over.isEmpty)
+        bandRows.select(col("_id"), col("band"), col("bucket"),
+          lit(0L).as("sub"))
+      else
+        bandRows.join(broadcast(over), Seq("band", "bucket"), "left")
+          .withColumn("sub", when(col("_ns").isNull, lit(0L))
+            .otherwise(pmod(subHash(col("_id")), col("_ns"))))
+          .select(col("_id"), col("band"), col("bucket"), col("sub"))
     rows.as("a").join(rows.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -164,11 +175,16 @@ object Planes {
       .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
         lit(maxBucket.toLong)).as("_ns"))
       .filter(col("_ns") > 1)
+    // same empty-census fast path as [[cappedSelfPairs]]
+    val noOversized = over.isEmpty
     def sub(rows: DataFrame, idc: String) =
-      rows.join(broadcast(over), Seq("band", "bucket"), "left")
-        .withColumn("sub", when(col("_ns").isNull, lit(0L))
-          .otherwise(pmod(subHash(col(idc)), col("_ns"))))
-        .select(col(idc), col("band"), col("bucket"), col("sub"))
+      if (noOversized)
+        rows.select(col(idc), col("band"), col("bucket"), lit(0L).as("sub"))
+      else
+        rows.join(broadcast(over), Seq("band", "bucket"), "left")
+          .withColumn("sub", when(col("_ns").isNull, lit(0L))
+            .otherwise(pmod(subHash(col(idc)), col("_ns"))))
+          .select(col(idc), col("band"), col("bucket"), col("sub"))
     sub(ra, "id_a").join(sub(rb, "id_b"), Seq("band", "bucket", "sub"))
       .select(col("id_a"), col("id_b"))
       .distinct()

@@ -5596,7 +5596,7 @@ object ExtQ {
     * (x62's production path): exact integer-decision pair set vs the
     * banded pairs, one row of integer counts — the instrument behind
     * the round-8 knob retune. Exhaustive in the gate
-    * (pairSampleBits = 0); bench runs sample pairs via the shared
+    * (docSampleBits = 0); bench runs sample pairs via the shared
     * `graft.bench.truthSampleBits` property. */
   private val x184: (Fn, String) = (
     (s, d) => {
@@ -5604,7 +5604,7 @@ object ExtQ {
       val bits = sys.props.getOrElse("graft.bench.truthSampleBits", "0").toInt
       Dedup.semanticBandingAudit(t(s, d, "embeddings"), "vec_id",
           "embedding", cos2Num = 4, cos2Den = 25, dim = 64,
-          pairSampleBits = bits)
+          docSampleBits = bits)
     },
     s"""WITH ${Planes.planesCteSql(32, 64)},
        |${Planes.dotsCteSql("embeddings", "vec_id", "embedding", 64)},

@@ -105,7 +105,7 @@ class PlanesSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
     def audit(bits: Int) = Dedup.semanticBandingAudit(emb, "vec_id",
         "embedding", cos2Num = 4, cos2Den = 25, bands = 4, bitsPerBand = 4,
-        dim = 8, pairSampleBits = bits)
+        dim = 8, docSampleBits = bits)
       .as[(Long, Long, Long, Long)].head()
     val (ne, nb, nh, rp) = audit(0)
     assert(ne > 0 && nb <= ne && nh == nb) // banded pairs pass the same test
