@@ -808,6 +808,167 @@ object Dedup {
           lit(cos2Num) * col("na") * col("nb"))
   }
 
+  /** EXACT-SUBSTRING corpus dedup with rewrite — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * semantics, keep-first-occurrence: every `l`-token window that
+    * also occurs in an EARLIER document (smaller id) is removed from
+    * the later document's text; overlapping removed windows merge
+    * into maximal removed spans for free (token-level masking). The
+    * earliest document keeps all its occurrences (including internal
+    * repeats — [[internalRepeats]] is the within-doc instrument).
+    * Returns the corpus with `text_clean` (survivors re-joined on
+    * single spaces) and `n_removed` (tokens dropped) appended.
+    *
+    * Why windows instead of a suffix array: the published suffix-array
+    * construction is a single-machine algorithm; the window
+    * formulation is its shuffle-native equivalent for a FIXED minimum
+    * match length — any shared substring of ≥ l tokens contains a
+    * shared l-window at every offset, so masking all shared l-windows
+    * removes exactly the ≥ l-token shared spans (for match lengths
+    * below l it deliberately removes nothing, same as the SA cutoff).
+    *
+    * Scale shape: the window explode is the inherent l× token-stream
+    * cost (same as the SA's l-gram table); the keeper is one
+    * map-combined MIN per window string; the mask join is an
+    * equi-join on the window — a boilerplate window hot key skews
+    * that join, which AQE skew-split handles, and its output is
+    * exactly the mask rows the rewrite needs. The window frame is
+    * recomputed for its two consumers rather than checkpointed —
+    * at corpus scale a second scan beats materializing an l× blowup.
+    * The rewrite itself is in-row HOF arithmetic (no UDF). */
+  def substringDedupRewrite(corpus: DataFrame, id: String, text: String,
+                            l: Int): DataFrame = {
+    require(l >= 2, "minimum match length must be at least 2 tokens")
+    val toks = filter(split(col(text), " "), t => t =!= "")
+    val withToks = corpus.withColumn("_toks", toks)
+    val windows = when(size(col("_toks")) < l, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("_toks")) - l),
+        i => concat_ws(" ", slice(col("_toks"), i + 1, lit(l)))))
+    def probes = withToks.select(col(id).as("_pid"),
+      posexplode(windows).as(Seq("_start", "_w")))
+    val keepers = probes.groupBy("_w").agg(min(col("_pid")).as("_keep"))
+    val masked = probes.join(keepers, "_w")
+      .filter(col("_pid") > col("_keep"))
+      .groupBy(col("_pid")).agg(collect_set(col("_start")).as("_starts"))
+    val joined = withToks.join(masked, withToks(id) === masked("_pid"), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+    val tokIdx = transform(col("_toks"), (t, i) => struct(t.as("t"), i.as("i")))
+    val kept = filter(tokIdx, p =>
+      !exists(col("_starts"), s => s <= p("i") && p("i") < s + l))
+    joined
+      .withColumn("text_clean", concat_ws(" ", transform(kept, p => p("t"))))
+      .withColumn("n_removed", (size(col("_toks")) - size(kept)).cast("long"))
+      .drop("_toks", "_starts", "_pid")
+  }
+
+  /** Incremental cross-corpus SEMANTIC dedup — [[semanticDupPairsInt8]]
+    * in the crawl-batch-vs-history shape ([[minhashLshPairsAcross]]'s
+    * embedding sibling): a new batch is checked against the
+    * accumulated corpus for semantic near-duplicates WITHOUT
+    * re-pairing history against itself. Both sides band with the same
+    * deterministic planes; candidates must share a (band, bucket)
+    * key; the pair decision is the identical integer int8 cosine²
+    * test, so an incremental run and a from-scratch run can never
+    * disagree on a pair (bit-determinism is exactly what makes
+    * incremental dedup safe to trust).
+    *
+    * Scale shape: the banded shuffle carries ids only; oversized
+    * buckets are sub-split by [[Planes.cappedCrossPairs]] (census
+    * counts BOTH sides, so a boilerplate flood in either is capped);
+    * the history side reduces to (id, bucket, qv) — at 100 TB it can
+    * be a precomputed sketch+signature store. `bands`/`bitsPerBand`
+    * = 0 derive from the COMBINED corpus count (occupancy is set by
+    * everyone sharing the bucket space). Returns (id_a ∈ new,
+    * id_b ∈ history, dotq, na, nb). */
+  def semanticDupPairsInt8Across(newDf: DataFrame, histDf: DataFrame,
+                                 id: String, vec: String,
+                                 cos2Num: Long = 1, cos2Den: Long = 4,
+                                 bands: Int = 0, bitsPerBand: Int = 0,
+                                 dim: Int = 64, maxBucket: Int = 4096)
+      : DataFrame = {
+    val parts = newDf.sparkSession.sessionState.conf.numShufflePartitions
+    val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand,
+      newDf.count() + histDf.count())
+    val planes = Planes.components(nBands * nBits, dim)
+    def prep(df: DataFrame) = df
+      .select(col(id).as("_id"), col(vec).as("fv"))
+      .repartition(parts)
+      .select(col("_id"),
+        Similarity.int8Quantize(col("fv")).getField("q").as("qv"),
+        Planes.bandBuckets(col("fv"), planes, nBands, nBits).as("_bk"))
+      .localCheckpoint()
+    val qa = prep(newDf)
+    val qb = prep(histDf)
+    def bandRows(q: DataFrame, out: String) = q.select(col("_id").as(out),
+      posexplode(col("_bk")).as(Seq("band", "bucket")))
+    val cand = Planes.cappedCrossPairs(
+      bandRows(qa, "id_a"), bandRows(qb, "id_b"), maxBucket)
+    def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
+    cand
+      .join(qa.select(col("_id").as("id_a"), col("qv").as("_qa")), Seq("id_a"))
+      .join(qb.select(col("_id").as("id_b"), col("qv").as("_qb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        isum(zip_with(col("_qa"), col("_qb"), (x, y) => x * y)).as("dotq"),
+        isum(transform(col("_qa"), x => x * x)).as("na"),
+        isum(transform(col("_qb"), x => x * x)).as("nb"))
+      .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
+        col("dotq") * col("dotq") * lit(cos2Den) >=
+          lit(cos2Num) * col("na") * col("nb"))
+  }
+
+  /** SemDeDup proper (Abbas et al. 2023): semantic dedup with
+    * K-MEANS-CLUSTER candidate generation — cluster the corpus with
+    * the deterministic int8 Lloyd's ([[Similarity]]'s x87 machinery:
+    * smallest-id seeds, integer rounded means), then test pairs only
+    * WITHIN a cluster with the same integer int8 cosine² decision as
+    * [[semanticDupPairsInt8]]. The published algorithm's shape:
+    * clustering concentrates near-duplicates, so the pair volume is
+    * Σ per-cluster n_c² instead of n² — and here even that is bounded,
+    * because cluster membership feeds the SAME oversized-bucket cap
+    * as the banded paths ([[Planes.cappedSelfPairs]] with the cluster
+    * id as the bucket key): a degenerate corpus that collapses into
+    * one cluster caps at ~n·maxBucket candidates instead of n².
+    *
+    * Plane-LSH ([[semanticDupPairsInt8]]) vs clusters: banding has
+    * tunable per-pair recall and needs no training rounds; clustering
+    * adapts to the corpus' actual density (no recall cliff at bucket
+    * boundaries for tight thresholds) at the cost of `rounds` extra
+    * passes. Both decisions are bit-identical, so they can be
+    * cross-audited pair-for-pair. Returns (id_a, id_b, dotq, na, nb),
+    * both ids in the same cluster. */
+  def semanticDupPairsIvfInt8(df: DataFrame, id: String, vec: String,
+                              cos2Num: Long = 1, cos2Den: Long = 4,
+                              nClusters: Int = 16, rounds: Int = 2,
+                              maxBucket: Int = 4096): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val q = df.select(col(id).as("vid"), col(vec).as("fv"))
+      .repartition(parts)
+      .select(col("vid"),
+        Similarity.int8Quantize(col("fv")).getField("q").as("q8"))
+      .localCheckpoint()
+    val cents = Similarity.lloydLoop(q.select(col("vid"), col("q8")),
+      nClusters, rounds)
+    // cluster id as the (band=0, bucket) key: the capped generator's
+    // census/sub-split applies verbatim to hot clusters
+    val bandRows = Similarity.int8AssignTo(q, cents)
+      .select(col("vid").as("_id"), lit(0).as("band"),
+        col("cluster").as("bucket"))
+      .localCheckpoint()
+    val cand = Planes.cappedSelfPairs(bandRows, maxBucket)
+    def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
+    cand
+      .join(q.select(col("vid").as("id_a"), col("q8").as("_qa")), Seq("id_a"))
+      .join(q.select(col("vid").as("id_b"), col("q8").as("_qb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        isum(zip_with(col("_qa"), col("_qb"), (x, y) => x * y)).as("dotq"),
+        isum(transform(col("_qa"), x => x * x)).as("na"),
+        isum(transform(col("_qb"), x => x * x)).as("nb"))
+      .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
+        col("dotq") * col("dotq") * lit(cos2Den) >=
+          lit(cos2Num) * col("na") * col("nb"))
+  }
+
   /** Self-verifying recall audit for [[semanticDupPairsInt8]] — the
     * instrument the corpus-aware knob retune is measured with (the
     * x142/x169/x170 pattern applied to semantic dedup): the EXACT

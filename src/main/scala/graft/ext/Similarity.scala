@@ -266,7 +266,7 @@ object Similarity {
   /** Nearest-centroid assignment in the integer domain: exact int d2,
     * argmin ties to the smallest cluster id. `q` is (vid, q8); `c` is
     * (cluster, cvec) and broadcasts. */
-  private def int8AssignTo(q: DataFrame, c: DataFrame): DataFrame = {
+  private[ext] def int8AssignTo(q: DataFrame, c: DataFrame): DataFrame = {
     // d2 = |q|² − 2·q·c + |c|² over the codegen'd native long dot
     // ([[graft.functions.DotProductLong]]): same integers as the
     // interpreted aggregate(zip_with((a−b)²)) it replaces (exact
@@ -289,7 +289,7 @@ object Similarity {
     * vectors, fetched with a distributed TakeOrdered heap and pinned
     * driver-side (k·dims longs — bounded metadata, and windowless:
     * no single-partition row_number anywhere in the plan). */
-  private def lloydLoop(q: DataFrame, k: Int, rounds: Int): DataFrame = {
+  private[ext] def lloydLoop(q: DataFrame, k: Int, rounds: Int): DataFrame = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val spark = q.sparkSession

@@ -5786,6 +5786,150 @@ object ExtQ {
        |    AS distortion_ppm
        |FROM pairs WHERE dx > 0 ORDER BY id_a, id_b""".stripMargin)
 
+  /** Incremental semantic dedup: even-id batch vs odd-id history,
+    * banded+capped cross candidates, integer int8 decision — the
+    * oracle replays banding, cap and decision over the full set and
+    * keeps only cross-parity pairs. */
+  private val x188: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      Dedup.semanticDupPairsInt8Across(
+          emb.filter(pmod($"vec_id", lit(2)) === 0),
+          emb.filter(pmod($"vec_id", lit(2)) === 1),
+          "vec_id", "embedding", cos2Num = 4, cos2Den = 25, dim = 64)
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH ${Planes.planesCteSql(32, 64)},
+       |${Planes.dotsCteSql("embeddings", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkCteSql(4096)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM skb a JOIN skb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs = 0
+       |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(greatest(-127.0, least(127.0,
+       |          floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+       |          AS BIGINT))
+       |    END AS qv
+       |  FROM m),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_reduce([ qa.qv[i] * qb.qv[i]
+       |      for i in range(1, len(qa.qv) + 1) ], (x, y) -> x + y) AS dotq,
+       |    list_reduce([ qa.qv[i] * qa.qv[i]
+       |      for i in range(1, len(qa.qv) + 1) ], (x, y) -> x + y) AS na,
+       |    list_reduce([ qb.qv[i] * qb.qv[i]
+       |      for i in range(1, len(qb.qv) + 1) ], (x, y) -> x + y) AS nb
+       |  FROM cand
+       |  JOIN qz qa ON qa.vec_id = cand.id_a
+       |  JOIN qz qb ON qb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, dotq::BIGINT AS dotq, na::BIGINT AS na,
+       |  nb::BIGINT AS nb
+       |FROM scored
+       |WHERE dotq > 0 AND na > 0 AND nb > 0
+       |  AND 25 * dotq * dotq >= 4 * na * nb
+       |ORDER BY id_a, id_b""".stripMargin)
+
+  /** SemDeDup proper: int8-Lloyd clusters as candidate buckets (with
+    * the same oversized-bucket cap), integer cosine² decision — the
+    * oracle composes the x87 Lloyd CTE chain with the capped bucket
+    * join and the x62 decision. */
+  private val x189: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.semanticDupPairsIvfInt8(t(s, d, "embeddings"), "vec_id",
+          "embedding", cos2Num = 4, cos2Den = 25, nClusters = 16,
+          rounds = 2)
+        .orderBy($"id_a", $"id_b")
+    }, {
+      val (ctes, asgRel, _) =
+        Similarity.kmeansLloydCtes("embeddings", k = 16, rounds = 2)
+      s"""WITH $ctes,
+         |sk AS (SELECT vec_id, 0 AS band, cluster AS bucket
+         |       FROM $asgRel),
+         |${Planes.cappedSkCteSql(4096)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM skb a JOIN skb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+         |    AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    list_reduce([ qa.q8[i] * qb.q8[i]
+         |      for i in range(1, len(qa.q8) + 1) ], (x, y) -> x + y) AS dotq,
+         |    list_reduce([ qa.q8[i] * qa.q8[i]
+         |      for i in range(1, len(qa.q8) + 1) ], (x, y) -> x + y) AS na,
+         |    list_reduce([ qb.q8[i] * qb.q8[i]
+         |      for i in range(1, len(qb.q8) + 1) ], (x, y) -> x + y) AS nb
+         |  FROM cand
+         |  JOIN q qa ON qa.vec_id = cand.id_a
+         |  JOIN q qb ON qb.vec_id = cand.id_b)
+         |SELECT id_a, id_b, dotq::BIGINT AS dotq, na::BIGINT AS na,
+         |  nb::BIGINT AS nb
+         |FROM scored
+         |WHERE dotq > 0 AND na > 0 AND nb > 0
+         |  AND 25 * dotq * dotq >= 4 * na * nb
+         |ORDER BY id_a, id_b""".stripMargin
+    })
+
+  /** Exact-substring dedup rewrite (keep-first-occurrence, 8-token
+    * minimum match): the oracle replays windowing, the per-window
+    * MIN-doc keeper, and the token-mask rewrite list-for-list. */
+  private val x190: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.substringDedupRewrite(t(s, d, "documents"), "doc_id", "text",
+          l = 8)
+        .select($"doc_id", $"text_clean", $"n_removed")
+        .orderBy($"doc_id")
+    },
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    [t for t in string_split(text, ' ') if len(t) > 0] AS ts
+      |  FROM documents),
+      |wi AS (
+      |  SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i
+      |  FROM tk WHERE len(ts) >= 8),
+      |ws AS (
+      |  SELECT doc_id, i - 1 AS s, array_to_string(ts[i:i+7], ' ') AS w
+      |  FROM wi),
+      |keep AS (SELECT w, MIN(doc_id) AS kd FROM ws GROUP BY w),
+      |mask AS (
+      |  SELECT ws.doc_id, ws.s FROM ws JOIN keep ON keep.w = ws.w
+      |  WHERE ws.doc_id > keep.kd),
+      |m2 AS (SELECT doc_id, list(s) AS starts FROM mask GROUP BY doc_id),
+      |fin AS (
+      |  SELECT tk.doc_id, tk.ts, COALESCE(m2.starts, []) AS starts
+      |  FROM tk LEFT JOIN m2 ON m2.doc_id = tk.doc_id)
+      |SELECT doc_id,
+      |  COALESCE(array_to_string(
+      |    [ ts[j] for j in range(1, len(ts) + 1)
+      |      if len(list_filter(starts,
+      |           s -> s <= j - 1 AND j - 1 < s + 8)) = 0 ], ' '), '')
+      |    AS text_clean,
+      |  (len(ts) - len(
+      |    [ ts[j] for j in range(1, len(ts) + 1)
+      |      if len(list_filter(starts,
+      |           s -> s <= j - 1 AND j - 1 < s + 8)) = 0 ]))::BIGINT
+      |    AS n_removed
+      |FROM fin ORDER BY doc_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -5974,5 +6118,8 @@ object ExtQ {
     "x185_dsir_importance" -> (x185._1, Some(x185._2)),
     "x186_unimax_allocation" -> (x186._1, Some(x186._2)),
     "x187_jl_distortion_audit" -> (x187._1, Some(x187._2)),
+    "x188_semantic_dedup_incremental" -> (x188._1, Some(x188._2)),
+    "x189_semantic_dedup_ivf" -> (x189._1, Some(x189._2)),
+    "x190_substring_dedup" -> (x190._1, Some(x190._2)),
   )
 }

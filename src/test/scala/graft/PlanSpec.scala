@@ -183,7 +183,8 @@ class PlanSpec extends AnyFunSuite {
       "x184_semantic_banding_audit", // audit: exact int8 ground truth a<b broadcast over the fixture
       "x185_dsir_importance",    // two 1-row model totals crossed with the B-row bucket table
       "x186_unimax_allocation",  // three 1-row water-filling scalars (k, m, cumcap) crossed
-      "x187_jl_distortion_audit") // audit: hash-sampled sub-corpus a<b broadcast pair join
+      "x187_jl_distortion_audit", // audit: hash-sampled sub-corpus a<b broadcast pair join
+      "x189_semantic_dedup_ivf") // ≤k-row centroid broadcast (the x87 assignment cross join)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

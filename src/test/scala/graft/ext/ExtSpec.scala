@@ -1465,6 +1465,23 @@ class ExtSpec extends AnyFunSuite {
     assert(run(500000L) == Set(("g", "a", 5L, 1L), ("h", "x", 1L, 1L)))
   }
 
+  test("substringDedupRewrite: keep-first, later docs lose shared spans, overlaps merge") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j"),            // keeper (smallest id)
+      (1L, "x a b c d e f g h y z"),          // shares the 8-token window a..h
+      (2L, "p q"),                            // too short for any window
+      (3L, "q a b c d e f g h i r")           // shares TWO overlapping windows
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedupRewrite(df, "doc_id", "text", l = 8)
+      .select("doc_id", "text_clean", "n_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got(0L) == ("a b c d e f g h i j", 0L)) // first occurrence kept
+    assert(got(1L) == ("x y z", 8L))               // one window masked
+    assert(got(2L) == ("p q", 0L))                 // untouched
+    assert(got(3L) == ("q r", 9L))                 // overlapping windows merge
+  }
+
   test("unimaxAllocation: hand-computed water-filling, all three regimes") {
     // supplies 10/100/1000, caps at 2 epochs = 20/200/2000
     val df = Seq(("a", 10L), ("b", 100L), ("c", 1000L)).toDF("lang", "toks")

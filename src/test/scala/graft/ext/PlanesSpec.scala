@@ -115,6 +115,54 @@ class PlanesSpec extends AnyFunSuite {
     assert(se <= ne && sb <= nb && sh == sb)
   }
 
+  test("semanticDupPairsInt8Across == from-scratch run restricted to cross pairs") {
+    // class stride 5 (odd) so duplicate classes SPAN both parities —
+    // i and i+5 carry identical vectors on opposite join sides
+    val mk = (i: Long) =>
+      (i, Array.tabulate(8)(j => math.cos((i % 5 + 1) * (j + 2) * 0.31)))
+    val all = (0L until 40L).map(mk).toDF("vec_id", "embedding")
+    val newB = all.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val hist = all.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val across = Dedup.semanticDupPairsInt8Across(newB, hist, "vec_id",
+        "embedding", cos2Num = 4, cos2Den = 25, bands = 4, bitsPerBand = 4,
+        dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the bit-determinism contract: incremental == full run's pairs
+    // restricted to (new, hist), reoriented new-side-first
+    val full = Dedup.semanticDupPairsInt8(all, "vec_id", "embedding",
+        cos2Num = 4, cos2Den = 25, bands = 4, bitsPerBand = 4, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = full.collect {
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (a, b)
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (b, a)
+    }
+    assert(across == expected)
+    assert(across.nonEmpty) // i % 6 plants cross-parity duplicates
+  }
+
+  test("semanticDupPairsIvfInt8: duplicates cluster and pair; scores match recomputation") {
+    val emb = (0L until 48L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin((i % 8 + 1) * (j + 1) * 0.29)))
+    }.toDF("vec_id", "embedding")
+    val rows = Dedup.semanticDupPairsIvfInt8(emb, "vec_id", "embedding",
+        cos2Num = 4, cos2Den = 25, nClusters = 4, rounds = 2)
+      .collect()
+    assert(rows.nonEmpty)
+    // identical vectors (i % 8 collisions) land in one cluster and
+    // must pair with cos = 1: dotq^2 == na*nb exactly
+    val exactDups = rows.filter(r => r.getLong(0) % 8 == r.getLong(1) % 8)
+    assert(exactDups.nonEmpty)
+    exactDups.foreach { r =>
+      val (dotq, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dotq * dotq == na * nb)
+    }
+    // every emitted pair passes the integer decision
+    rows.foreach { r =>
+      val (dotq, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dotq > 0 && 25 * dotq * dotq >= 4 * na * nb)
+    }
+  }
+
   test("randomProjection: coordinates are exact plane dots; length validated") {
     val vecs = Seq((0L, Array(1.0, 2.0, 3.0, 4.0)),
       (1L, Array(-1.0, 0.5, 0.0, 2.0))).toDF("vec_id", "embedding")
