@@ -711,18 +711,23 @@ object Dedup {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, df.count())
     val planes = Planes.components(nBands * nBits, dim)
-    // ONE checkpoint carries both the vectors and their precomputed
-    // band buckets: the plane sketch (the expensive part) runs once
-    // per row at materialization, and the capped generator's three
-    // band-row reads just re-explode a bands-long array from the
-    // checkpoint — band rows themselves carry only (id, band, bucket)
-    val v = df.select(col(id).as("_id"), col(vec).as("v"))
+    // the plane sketch is materialized THROUGH THE GENERATE pipeline
+    // (sketch → posexplode → ids-only band rows), never as an array
+    // column in a wide row: evaluating the 160-plane expression
+    // inside a Project that also carries the 64-double vector
+    // de-optimizes ~5× (measured 11.6 s vs 2.3 s at sf1 — the wide
+    // materializing projection drops out of efficient codegen), and
+    // the banded checkpoint is what the capped generator reads three
+    // times anyway. Vectors join back from the (column-pruned) source
+    // scan on candidates only — no vector checkpoint needed.
+    val banded = df.select(col(id).as("_id"), col(vec).as("v"))
       .repartition(parts)
-      .withColumn("_bk", Planes.bandBuckets(col("v"), planes, nBands, nBits))
+      .select(col("_id"),
+        posexplode(Planes.bandBuckets(col("v"), planes, nBands, nBits))
+          .as(Seq("band", "bucket")))
       .localCheckpoint()
-    val banded = v.select(col("_id"),
-      posexplode(col("_bk")).as(Seq("band", "bucket")))
     val cand = Planes.cappedSelfPairs(banded, maxBucket)
+    val v = df.select(col(id).as("_id"), col(vec).as("v"))
     cand
       .join(v.as("va"), col("id_a") === col("va._id"))
       .join(v.as("vb"), col("id_b") === col("vb._id"))
@@ -777,32 +782,37 @@ object Dedup {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, df.count())
     val planes = Planes.components(nBands * nBits, dim)
-    val q = df.select(col(id).as("_id"), col(vec).as("fv"))
-      // deliberate up-front shuffle: quantization + plane banding
-      // dominate this plan, and the source parquet arrives in a
-      // handful of splits — spreading rows across all cores first wins
-      // ~18% end-to-end (measured 4.99 s vs 5.89 s without, sf0.1);
-      // the checkpoint below also lands balanced blocks. The band
-      // buckets ride the SAME checkpoint, so the plane sketch runs
-      // once per row and the capped generator's three band-row reads
-      // just re-explode a bands-long array
+    // deliberate up-front shuffle on both materializations: banding
+    // and quantization dominate this plan, and the source parquet
+    // arrives in a handful of splits — spreading rows across all
+    // cores first wins ~18% end-to-end (measured 4.99 s vs 5.89 s
+    // without, sf0.1). The plane sketch is materialized THROUGH THE
+    // GENERATE pipeline (ids-only band rows), never as an array
+    // column in a wide row — a wide materializing Project drops out
+    // of efficient codegen at auto-scaled plane counts (measured
+    // 11.6 s vs 2.3 s at sf1's 160 planes, embeddingNearDups probe)
+    val src = df.select(col(id).as("_id"), col(vec).as("fv"))
       .repartition(parts)
-      .select(col("_id"), col("fv"),
-        Similarity.int8Quantize(col("fv")).getField("q").as("qv"),
-        Planes.bandBuckets(col("fv"), planes, nBands, nBits).as("_bk"))
+    val banded = src
+      .select(col("_id"),
+        posexplode(Planes.bandBuckets(col("fv"), planes, nBands, nBits))
+          .as(Seq("band", "bucket")))
       .localCheckpoint()
-    val banded = q.select(col("_id"),
-      posexplode(col("_bk")).as(Seq("band", "bucket")))
     val cand = Planes.cappedSelfPairs(banded, maxBucket)
-    val qv = q.select(col("_id"), col("qv"))
-    def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
+    // quantized payloads materialize separately (64 longs per row —
+    // small) because the scoring join reads them for both sides
+    val qv = src
+      .select(col("_id"),
+        Similarity.int8Quantize(col("fv")).getField("q").as("qv"))
+      .localCheckpoint()
+    val dotL = graft.functions.VectorExpressions.dot_long _
     cand
       .join(qv.as("qa"), col("id_a") === col("qa._id"))
       .join(qv.as("qb"), col("id_b") === col("qb._id"))
       .select(col("id_a"), col("id_b"),
-        isum(zip_with(col("qa.qv"), col("qb.qv"), (x, y) => x * y)).as("dotq"),
-        isum(transform(col("qa.qv"), x => x * x)).as("na"),
-        isum(transform(col("qb.qv"), x => x * x)).as("nb"))
+        dotL(col("qa.qv"), col("qb.qv")).as("dotq"),
+        dotL(col("qa.qv"), col("qa.qv")).as("na"),
+        dotL(col("qb.qv"), col("qb.qv")).as("nb"))
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
@@ -891,27 +901,32 @@ object Dedup {
     val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand,
       newDf.count() + histDf.count())
     val planes = Planes.components(nBands * nBits, dim)
-    def prep(df: DataFrame) = df
+    // sketch through the Generate pipeline, ids-only band rows (see
+    // semanticDupPairsInt8 — a wide materializing Project with the
+    // sketch drops out of efficient codegen); quantized payloads are
+    // separate small frames read by the scoring join
+    def bandRows(df: DataFrame, out: String) = df
       .select(col(id).as("_id"), col(vec).as("fv"))
       .repartition(parts)
-      .select(col("_id"),
-        Similarity.int8Quantize(col("fv")).getField("q").as("qv"),
-        Planes.bandBuckets(col("fv"), planes, nBands, nBits).as("_bk"))
+      .select(col("_id").as(out),
+        posexplode(Planes.bandBuckets(col("fv"), planes, nBands, nBits))
+          .as(Seq("band", "bucket")))
       .localCheckpoint()
-    val qa = prep(newDf)
-    val qb = prep(histDf)
-    def bandRows(q: DataFrame, out: String) = q.select(col("_id").as(out),
-      posexplode(col("_bk")).as(Seq("band", "bucket")))
+    def quant(df: DataFrame) = df
+      .select(col(id).as("_id"),
+        Similarity.int8Quantize(col(vec)).getField("q").as("qv"))
+    val qa = quant(newDf)
+    val qb = quant(histDf)
     val cand = Planes.cappedCrossPairs(
-      bandRows(qa, "id_a"), bandRows(qb, "id_b"), maxBucket)
-    def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
+      bandRows(newDf, "id_a"), bandRows(histDf, "id_b"), maxBucket)
+    val dotL = graft.functions.VectorExpressions.dot_long _
     cand
       .join(qa.select(col("_id").as("id_a"), col("qv").as("_qa")), Seq("id_a"))
       .join(qb.select(col("_id").as("id_b"), col("qv").as("_qb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        isum(zip_with(col("_qa"), col("_qb"), (x, y) => x * y)).as("dotq"),
-        isum(transform(col("_qa"), x => x * x)).as("na"),
-        isum(transform(col("_qb"), x => x * x)).as("nb"))
+        dotL(col("_qa"), col("_qb")).as("dotq"),
+        dotL(col("_qa"), col("_qa")).as("na"),
+        dotL(col("_qb"), col("_qb")).as("nb"))
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
@@ -956,14 +971,14 @@ object Dedup {
         col("cluster").as("bucket"))
       .localCheckpoint()
     val cand = Planes.cappedSelfPairs(bandRows, maxBucket)
-    def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
+    val dotL = graft.functions.VectorExpressions.dot_long _
     cand
       .join(q.select(col("vid").as("id_a"), col("q8").as("_qa")), Seq("id_a"))
       .join(q.select(col("vid").as("id_b"), col("q8").as("_qb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        isum(zip_with(col("_qa"), col("_qb"), (x, y) => x * y)).as("dotq"),
-        isum(transform(col("_qa"), x => x * x)).as("na"),
-        isum(transform(col("_qb"), x => x * x)).as("nb"))
+        dotL(col("_qa"), col("_qb")).as("dotq"),
+        dotL(col("_qa"), col("_qa")).as("na"),
+        dotL(col("_qb"), col("_qb")).as("nb"))
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
@@ -1010,13 +1025,13 @@ object Dedup {
     val q = base.select(col(id).as("_id"),
         Similarity.int8Quantize(col(vec)).getField("q").as("qv"))
       .localCheckpoint()
-    def isum(c: Column) = aggregate(c, lit(0L), (acc, x) => acc + x)
+    val dotL = graft.functions.VectorExpressions.dot_long _
     val exact = q.repartition(parts).as("a")
       .join(broadcast(q).as("b"), col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        isum(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y)).as("dotq"),
-        isum(transform(col("a.qv"), x => x * x)).as("na"),
-        isum(transform(col("b.qv"), x => x * x)).as("nb"))
+        dotL(col("a.qv"), col("b.qv")).as("dotq"),
+        dotL(col("a.qv"), col("a.qv")).as("na"),
+        dotL(col("b.qv"), col("b.qv")).as("nb"))
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))

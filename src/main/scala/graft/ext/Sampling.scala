@@ -491,12 +491,18 @@ object Sampling {
         .withColumn("_b", pmod(Planes.subHash(col("_f")), lit(buckets.toLong)))
     }
     def model(df: DataFrame): DataFrame =
-      feats(df, Seq.empty).groupBy("_b").agg(count(lit(1)).as("_cnt"))
+      df.groupBy("_b").agg(count(lit(1)).as("_cnt"))
     def bits(cnt: Column, total: Column): Column =
       (length(bin(truncDiv(total + buckets, cnt + 1L))) - 1).cast("long")
-    val tm = model(target)
+    // the raw feature stream feeds BOTH its model and the per-doc
+    // scoring join; the feature hash is an md5 per feature (the price
+    // of engine portability), so materialize the hashed (doc, bucket)
+    // stream once — two longs per feature — instead of hashing twice
+    val rawFeats = feats(raw, Seq(col(id).as("doc_id")))
+      .select(col("doc_id"), col("_b")).localCheckpoint()
+    val tm = model(feats(target, Seq.empty))
     val tTot = tm.agg(sum(col("_cnt")).as("_tt"))
-    val rm = model(raw)
+    val rm = model(rawFeats)
     val rTot = rm.agg(sum(col("_cnt")).as("_rt"))
     // bucket table: raw buckets left-joined with target (a bucket the
     // target never hits scores with cnt 0); <= B rows, broadcast
@@ -505,7 +511,7 @@ object Sampling {
       .select(col("_b"),
         (bits(col("_cnt"), col("_rt")) -
           bits(coalesce(col("_tcnt"), lit(0L)), col("_tt"))).as("_d"))
-    feats(raw, Seq(col(id).as("doc_id")))
+    rawFeats
       .join(broadcast(table), Seq("_b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("_d")).as("score_bits"))
