@@ -476,19 +476,34 @@ object Sampling {
     * one broadcast join of the raw token stream against the B-row
     * model table plus a map-combined per-doc sum. The target corpus
     * is streamed once, never collected. Returns
-    * (doc_id, n_feats, score_bits, score_ppm). */
+    * (doc_id, n_feats, score_bits, score_ppm).
+    *
+    * `portableHash` picks the feature hash: md5-derived
+    * ([[Planes.subHash]], default — cross-engine reproducible, what
+    * the x185 oracle mirrors) vs xxhash64 (codegen'd, ~5× cheaper on
+    * the token stream — sf1 measured the md5 term as the dominant
+    * cost). Scores differ between the two (different bucketing), but
+    * each is deterministic; use xxhash64 when only within-Spark
+    * reproducibility matters. */
   def dsirWeights(raw: DataFrame, target: DataFrame, id: String,
-                  text: String, buckets: Int = 4096): DataFrame = {
+                  text: String, buckets: Int = 4096,
+                  portableHash: Boolean = true): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       "buckets must be in [2, 2^20]")
     import graft.ext.IntMath.truncDiv
+    def bucketOf(f: Column): Column =
+      if (portableHash) pmod(Planes.subHash(f), lit(buckets.toLong))
+      else pmod(xxhash64(f), lit(buckets.toLong))
+    // native one-pass n-gram generation ([[graft.functions.TokenNgrams]])
+    // — the interpreted HOF bigram form re-evaluates the token split
+    // inside the lambda (no subexpression sharing across lambda
+    // boundaries), going O(tokens²) per doc: measured 40 s vs 1.3 s
+    // on the sf1 feature stream
     def feats(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val toks = filter(split(col(text), " "), t => t =!= "")
-      val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      df.select(keep :+ explode(concat(toks, bigrams)).as("_f"): _*)
-        .withColumn("_b", pmod(Planes.subHash(col("_f")), lit(buckets.toLong)))
+      import graft.functions.TokenNgrams.tokenNgrams
+      df.select(keep :+ explode(concat(tokenNgrams(col(text), 1),
+        tokenNgrams(col(text), 2))).as("_f"): _*)
+        .withColumn("_b", bucketOf(col("_f")))
     }
     def model(df: DataFrame): DataFrame =
       df.groupBy("_b").agg(count(lit(1)).as("_cnt"))

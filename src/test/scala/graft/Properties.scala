@@ -89,6 +89,19 @@ object GraftProperties extends Properties("graft") {
         .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
     }
 
+  property("TokenNgrams == interpreted non-empty-token HOF form") =
+    forAll(Gen.listOfN(6, textGen), Gen.choose(1, 4)) { (texts, n) =>
+      val df = texts.toDF("t")
+      val toks = filter(split($"t", " "), x => x =!= "")
+      val hof = when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      df.select(functions.TokenNgrams.tokenNgrams($"t", n).as("native"),
+          hof.as("hof"))
+        .collect()
+        .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+
   property("SimHash64 native == interpreted HOF form") =
     forAll(Gen.listOfN(6, textGen)) { texts =>
       texts.toDF("t")
