@@ -61,6 +61,7 @@ object GraftSession {
     graft.functions.Transliterate.register(spark)
     graft.functions.WordShingles.register(spark)
     graft.functions.TokenNgrams.register(spark)
+    graft.functions.IntersectCount.register(spark)
     graft.functions.SimHash64.register(spark)
     graft.functions.TopKAgg.register(spark)
     graft.functions.HeavyHittersAgg.register(spark)

@@ -69,17 +69,22 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate id pairs against the
-    * per-doc shingle sets: two hash joins + an in-row
-    * array_intersect — no second explode join, no per-pair groupBy.
-    * Candidate volume is LSH/prefix-bounded, so the array intersection
-    * runs on few rows. */
+    * per-doc shingle sets: two hash joins + an in-row intersection
+    * COUNT — no second explode join, no per-pair groupBy. The count
+    * is the native [[graft.functions.IntersectCount]] (bit-identical
+    * to `size(array_intersect)`, property-tested) — the composed form
+    * materializes and copies every matched string per candidate pair
+    * just to take its length, in the hottest loop of the family.
+    * Candidate volume is LSH/prefix-bounded, so the intersection runs
+    * on few rows. */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame =
     candidates
       .join(sets.as("sa"), col("id_a") === col("sa._id"))
       .join(sets.as("sb"), col("id_b") === col("sb._id"))
       .withColumn("shared",
-        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long"))
+        graft.functions.IntersectCount.intersectCount(
+          col("sa.shs"), col("sb.shs")))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("shared"))).as("jaccard"))
@@ -172,7 +177,8 @@ object Dedup {
       .join(sets.as("sa"), col("id_a") === col("sa._id"))
       .join(sets.as("sb"), col("id_b") === col("sb._id"))
       .withColumn("shared",
-        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long"))
+        graft.functions.IntersectCount.intersectCount(
+          col("sa.shs"), col("sb.shs")))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") / col("sa.sz")).as("containment"))
       .filter(col("containment") >= threshold)
@@ -547,7 +553,8 @@ object Dedup {
       .join(setsA.as("sa"), col("id_a") === col("sa._id"))
       .join(setsB.as("sb"), col("id_b") === col("sb._id"))
       .withColumn("shared",
-        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long"))
+        graft.functions.IntersectCount.intersectCount(
+          col("sa.shs"), col("sb.shs")))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("shared"))).as("jaccard"))

@@ -102,6 +102,18 @@ object GraftProperties extends Properties("graft") {
         .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
     }
 
+  property("IntersectCount == size(array_intersect) on arbitrary string arrays") =
+    forAll(Gen.listOfN(4,
+      Gen.listOf(Gen.oneOf("a", "b", "cc", "dd", "e f", "", "a")))) { lists =>
+      val rows = lists.map(l => Tuple2(l, lists.headOption.getOrElse(Nil)))
+      val df = rows.toDF("x", "y")
+      df.select(
+          functions.IntersectCount.intersectCount($"x", $"y").as("native"),
+          size(array_intersect($"x", $"y")).cast("long").as("hof"))
+        .collect()
+        .forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   property("SimHash64 native == interpreted HOF form") =
     forAll(Gen.listOfN(6, textGen)) { texts =>
       texts.toDF("t")
