@@ -5930,6 +5930,79 @@ object ExtQ {
       |    AS n_removed
       |FROM fin ORDER BY doc_id""".stripMargin)
 
+  /** End-to-end SemDeDup APPLICATION: banded+capped int8 pairs →
+    * connected components → keep-smallest-id representative → the
+    * SURVIVING corpus via one anti-join (the x46 pipeline on semantic
+    * pairs). The oracle replays banding, cap, integer decision,
+    * recursive transitive closure, keeper policy and the anti-join —
+    * so the whole chain must agree row-for-row. */
+  private val x191: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val pairs = Dedup.semanticDupPairsInt8(emb, "vec_id", "embedding",
+        cos2Num = 4, cos2Den = 25, dim = 64)
+      Dedup.dedupCorpus(emb, "vec_id", pairs, lit(0L))
+        .select($"vec_id").orderBy($"vec_id")
+    },
+    s"""WITH RECURSIVE ${Planes.planesCteSql(32, 64)},
+       |${Planes.dotsCteSql("embeddings", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkCteSql(4096)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM skb a JOIN skb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |    AND a.vec_id < b.vec_id),
+       |m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs = 0
+       |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(greatest(-127.0, least(127.0,
+       |          floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+       |          AS BIGINT))
+       |    END AS qv
+       |  FROM m),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_reduce([ qa.qv[i] * qb.qv[i]
+       |      for i in range(1, len(qa.qv) + 1) ], (x, y) -> x + y) AS dotq,
+       |    list_reduce([ qa.qv[i] * qa.qv[i]
+       |      for i in range(1, len(qa.qv) + 1) ], (x, y) -> x + y) AS na,
+       |    list_reduce([ qb.qv[i] * qb.qv[i]
+       |      for i in range(1, len(qb.qv) + 1) ], (x, y) -> x + y) AS nb
+       |  FROM cand
+       |  JOIN qz qa ON qa.vec_id = cand.id_a
+       |  JOIN qz qb ON qb.vec_id = cand.id_b),
+       |edges AS (
+       |  SELECT id_a, id_b FROM scored
+       |  WHERE dotq > 0 AND na > 0 AND nb > 0
+       |    AND 25 * dotq * dotq >= 4 * na * nb),
+       |und AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION SELECT id_b, id_a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM und
+       |  UNION
+       |  SELECT re.id, u.dst FROM reach re JOIN und u ON u.src = re.r),
+       |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |todrop AS (SELECT id FROM (
+       |  SELECT cluster, id, ROW_NUMBER() OVER
+       |    (PARTITION BY cluster ORDER BY id) AS rk FROM comp)
+       |  WHERE rk > 1)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM todrop)
+       |ORDER BY vec_id""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6121,5 +6194,6 @@ object ExtQ {
     "x188_semantic_dedup_incremental" -> (x188._1, Some(x188._2)),
     "x189_semantic_dedup_ivf" -> (x189._1, Some(x189._2)),
     "x190_substring_dedup" -> (x190._1, Some(x190._2)),
+    "x191_semantic_dedup_corpus" -> (x191._1, Some(x191._2)),
   )
 }
