@@ -958,19 +958,31 @@ object Dedup {
     * boundaries for tight thresholds) at the cost of `rounds` extra
     * passes. Both decisions are bit-identical, so they can be
     * cross-audited pair-for-pair. Returns (id_a, id_b, dotq, na, nb),
-    * both ids in the same cluster. */
+    * both ids in the same cluster.
+    *
+    * `nClusters` defaults to 0 = CORPUS-AWARE: derived from one cheap
+    * ids-only count by [[Planes.nClustersFor]] so expected cluster
+    * occupancy stays ~constant as n grows — the same fixed-knob
+    * lesson the banded paths learned in round 8 (SCALING.md: fixed
+    * k = 16 measured 4.2×/decade, cause = 10× occupancy; worse, at
+    * 100× the `maxBucket` cap would sub-split every cluster and
+    * silently dilute SemDeDup's recall). [[Planes.nClustersFor]]'s
+    * scaladoc records the honest boundary: Lloyd assignment is
+    * n·k = n²/occupancy evals — past ~10⁷ vectors prefer the banded
+    * path. Measure any retune with [[semanticIvfAudit]]. */
   def semanticDupPairsIvfInt8(df: DataFrame, id: String, vec: String,
                               cos2Num: Long = 1, cos2Den: Long = 4,
-                              nClusters: Int = 16, rounds: Int = 2,
+                              nClusters: Int = 0, rounds: Int = 2,
                               maxBucket: Int = 4096): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val k = if (nClusters > 0) nClusters else Planes.nClustersFor(df.count())
     val q = df.select(col(id).as("vid"), col(vec).as("fv"))
       .repartition(parts)
       .select(col("vid"),
         Similarity.int8Quantize(col("fv")).getField("q").as("q8"))
       .localCheckpoint()
     val cents = Similarity.lloydLoop(q.select(col("vid"), col("q8")),
-      nClusters, rounds)
+      k, rounds)
     // cluster id as the (band=0, bucket) key: the capped generator's
     // census/sub-split applies verbatim to hot clusters
     val bandRows = Similarity.int8AssignTo(q, cents)
@@ -1049,6 +1061,67 @@ object Dedup {
     exact.join(banded, Seq("id_a", "id_b"), "full_outer")
       .agg(count(col("_e")).as("n_exact"), count(col("_b")).as("n_banded"),
         count(when(col("_e").isNotNull && col("_b").isNotNull, lit(1)))
+          .as("n_hits"))
+      .withColumn("recall_ppm",
+        IntMath.ppmDiv(col("n_hits"), col("n_exact")))
+  }
+
+  /** Recall audit for [[semanticDupPairsIvfInt8]] — the x184 pattern
+    * applied to the IVF path, and the instrument the corpus-aware
+    * `nClusters` retune is measured with: the EXACT integer-decision
+    * pair set (brute-force, audit-only) vs the cluster-bucketed
+    * production pairs, ONE row (n_exact, n_ivf, n_hits, recall_ppm).
+    * Both sides are bit-deterministic (int8 quantization, integer
+    * Lloyd trajectory, integer cosine² decision), so every number is
+    * oracle-reproducible; IVF pairs pass the identical integer test,
+    * so n_hits = n_ivf by construction — a divergence turns the gate
+    * red. The recall gap it measures is real: SemDeDup only compares
+    * WITHIN a cluster, so near-dup pairs straddling a cluster
+    * boundary are the misses (banding has the same blind spot across
+    * bucket boundaries, audited by [[semanticBandingAudit]]).
+    *
+    * `docSampleBits > 0` restricts the corpus to a deterministic
+    * xxhash64 id subset before both sides run, with `nClusters`
+    * resolved from the FULL corpus count first — routine monitoring
+    * at ~1/4^bits of the pair cost. One honest caveat beyond x184's:
+    * cluster ASSIGNMENT depends on the whole corpus (centroids train
+    * on it), so the sampled audit measures the production k on the
+    * sub-corpus' own clustering, not the production clustering
+    * restricted — an unbiased estimate of the IVF shape's recall,
+    * not a pair-exact replay. The correctness gate always runs
+    * bits = 0. */
+  def semanticIvfAudit(df: DataFrame, id: String, vec: String,
+                       cos2Num: Long = 1, cos2Den: Long = 4,
+                       nClusters: Int = 0, rounds: Int = 2,
+                       maxBucket: Int = 4096, docSampleBits: Int = 0)
+      : DataFrame = {
+    require(docSampleBits >= 0 && docSampleBits <= 16,
+      "docSampleBits must be in [0, 16]")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // production knob: derived from the FULL corpus before sampling
+    val k = if (nClusters > 0) nClusters else Planes.nClustersFor(df.count())
+    val base = if (docSampleBits == 0) df else df.filter(
+      pmod(xxhash64(col(id).cast("string")), lit(1L << docSampleBits)) === 0)
+    val q = base.select(col(id).as("_id"),
+        Similarity.int8Quantize(col(vec)).getField("q").as("qv"))
+      .localCheckpoint()
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    val exact = q.repartition(parts).as("a")
+      .join(broadcast(q).as("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        dotL(col("a.qv"), col("b.qv")).as("dotq"),
+        dotL(col("a.qv"), col("a.qv")).as("na"),
+        dotL(col("b.qv"), col("b.qv")).as("nb"))
+      .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
+        col("dotq") * col("dotq") * lit(cos2Den) >=
+          lit(cos2Num) * col("na") * col("nb"))
+      .select(col("id_a"), col("id_b"), lit(1L).as("_e"))
+    val ivf = semanticDupPairsIvfInt8(base, id, vec, cos2Num, cos2Den,
+        k, rounds, maxBucket)
+      .select(col("id_a"), col("id_b"), lit(1L).as("_i"))
+    exact.join(ivf, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_i")).as("n_ivf"),
+        count(when(col("_e").isNotNull && col("_i").isNotNull, lit(1)))
           .as("n_hits"))
       .withColumn("recall_ppm",
         IntMath.ppmDiv(col("n_hits"), col("n_exact")))

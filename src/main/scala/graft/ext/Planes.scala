@@ -205,6 +205,35 @@ object Planes {
     b
   }
 
+  /** Corpus-aware IVF cluster count for the SemDeDup path
+    * ([[Dedup.semanticDupPairsIvfInt8]]): the smallest k at which
+    * expected cluster occupancy n / k drops to `targetOccupancy` —
+    * the same lesson as [[bitsFor]] (SCALING.md round 8: at fixed
+    * nClusters = 16 the measured decade ratio was 4.2×, cause named
+    * as 10× cluster occupancy; k is the knob that must scale with n).
+    * Exact integer arithmetic (ceiling division), so the derivation
+    * is bit-deterministic on any engine.
+    *
+    * Clamped to [1, 2^16]: the ceiling bounds the broadcast codebook
+    * (2^16 · dim longs ≈ 32 MB at dim 64) and the driver-side seed
+    * fetch. Honest scale boundary: Lloyd assignment costs n · k =
+    * n² / targetOccupancy distance evaluations per round — the IVF
+    * path's inherent quadratic term (the published SemDeDup trains
+    * on a subsample for the same reason). Past the ceiling
+    * (n > targetOccupancy · 2^16, ~8.4 × 10⁹ at the default) —
+    * and in any hot cluster before it — occupancy grows again and
+    * the `maxBucket` sub-split bounds WALL TIME while diluting
+    * within-cluster recall; beyond ~10⁷ vectors prefer the banded
+    * plane-LSH path ([[Dedup.semanticDupPairsInt8]]), whose
+    * bucket count scales as 2^bits with no training term. */
+  def nClustersFor(n: Long, targetOccupancy: Int = 128): Int = {
+    require(n >= 0 && targetOccupancy >= 1,
+      "need n >= 0 and targetOccupancy >= 1")
+    // overflow-safe ceiling division (n + occ - 1 wraps near Long.Max)
+    val k = n / targetOccupancy + (if (n % targetOccupancy == 0) 0L else 1L)
+    math.max(1L, math.min(k, 1L << 16)).toInt
+  }
+
   /** Bands needed to hold `targetRecall` for pairs at the DESIGN
     * similarity when each band ANDs `bitsPerBand` sign bits: per-band
     * collision p = c^bits with c = 1 − acos(designCos)/π (the classic

@@ -5849,17 +5849,20 @@ object ExtQ {
   /** SemDeDup proper: int8-Lloyd clusters as candidate buckets (with
     * the same oversized-bucket cap), integer cosine² decision — the
     * oracle composes the x87 Lloyd CTE chain with the capped bucket
-    * join and the x62 decision. */
+    * join and the x62 decision. The gate exercises the CORPUS-AWARE
+    * default (`nClusters` = 0 → [[Planes.nClustersFor]] from one
+    * cheap count): at the gate corpus (500 vectors) the derivation
+    * lands on exactly k = ⌈500/128⌉ = 4, which this static
+    * Lloyd-CTE oracle pins. */
   private val x189: (Fn, String) = (
     (s, d) => {
       import s.implicits._
       Dedup.semanticDupPairsIvfInt8(t(s, d, "embeddings"), "vec_id",
-          "embedding", cos2Num = 4, cos2Den = 25, nClusters = 16,
-          rounds = 2)
+          "embedding", cos2Num = 4, cos2Den = 25, rounds = 2)
         .orderBy($"id_a", $"id_b")
     }, {
       val (ctes, asgRel, _) =
-        Similarity.kmeansLloydCtes("embeddings", k = 16, rounds = 2)
+        Similarity.kmeansLloydCtes("embeddings", k = 4, rounds = 2)
       s"""WITH $ctes,
          |sk AS (SELECT vec_id, 0 AS band, cluster AS bucket
          |       FROM $asgRel),
@@ -6002,6 +6005,56 @@ object ExtQ {
        |SELECT vec_id FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM todrop)
        |ORDER BY vec_id""".stripMargin)
+
+  /** Recall audit for the IVF semantic-dedup path — the x184 pattern
+    * on x189's pipeline, instrumenting the round-9 corpus-aware
+    * `nClusters` retune: exact integer-decision pairs vs the
+    * cluster-bucketed production pairs, one row of integer counts.
+    * Exhaustive in the gate (docSampleBits = 0); bench runs sample
+    * via the shared `graft.bench.truthSampleBits` property. The
+    * oracle replays the Lloyd chain at the derived k = 4 plus the
+    * brute-force exact side. */
+  private val x192: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val bits = sys.props.getOrElse("graft.bench.truthSampleBits", "0").toInt
+      Dedup.semanticIvfAudit(t(s, d, "embeddings"), "vec_id",
+          "embedding", cos2Num = 4, cos2Den = 25, rounds = 2,
+          docSampleBits = bits)
+    }, {
+      val (ctes, asgRel, _) =
+        Similarity.kmeansLloydCtes("embeddings", k = 4, rounds = 2)
+      s"""WITH $ctes,
+         |sk AS (SELECT vec_id, 0 AS band, cluster AS bucket
+         |       FROM $asgRel),
+         |${Planes.cappedSkCteSql(4096)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM skb a JOIN skb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+         |    AND a.vec_id < b.vec_id),
+         |exs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_reduce([ a.q8[i] * b.q8[i]
+         |      for i in range(1, len(a.q8) + 1) ], (x, y) -> x + y) AS dotq,
+         |    list_reduce([ a.q8[i] * a.q8[i]
+         |      for i in range(1, len(a.q8) + 1) ], (x, y) -> x + y) AS na,
+         |    list_reduce([ b.q8[i] * b.q8[i]
+         |      for i in range(1, len(b.q8) + 1) ], (x, y) -> x + y) AS nb
+         |  FROM q a JOIN q b ON a.vec_id < b.vec_id),
+         |ex AS (
+         |  SELECT id_a, id_b FROM exs
+         |  WHERE dotq > 0 AND na > 0 AND nb > 0
+         |    AND 25 * dotq * dotq >= 4 * na * nb),
+         |iv AS (
+         |  SELECT ex.id_a, ex.id_b FROM ex
+         |  JOIN cand ON cand.id_a = ex.id_a AND cand.id_b = ex.id_b)
+         |SELECT (SELECT COUNT(*) FROM ex)::BIGINT AS n_exact,
+         |  (SELECT COUNT(*) FROM iv)::BIGINT AS n_ivf,
+         |  (SELECT COUNT(*) FROM iv)::BIGINT AS n_hits,
+         |  ((SELECT COUNT(*) FROM iv)::HUGEINT * 1000000
+         |    // (SELECT COUNT(*) FROM ex))::BIGINT AS recall_ppm""".stripMargin
+    })
 
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
@@ -6195,5 +6248,6 @@ object ExtQ {
     "x189_semantic_dedup_ivf" -> (x189._1, Some(x189._2)),
     "x190_substring_dedup" -> (x190._1, Some(x190._2)),
     "x191_semantic_dedup_corpus" -> (x191._1, Some(x191._2)),
+    "x192_semantic_ivf_audit" -> (x192._1, Some(x192._2)),
   )
 }

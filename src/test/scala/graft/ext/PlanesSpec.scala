@@ -163,6 +163,53 @@ class PlanesSpec extends AnyFunSuite {
     }
   }
 
+  test("nClustersFor: occupancy-derived, clamped, deterministic") {
+    // k = ceil(n / occ), the same shape as bitsFor's occupancy target
+    assert(Planes.nClustersFor(0) == 1)
+    assert(Planes.nClustersFor(1) == 1)
+    assert(Planes.nClustersFor(128) == 1)
+    assert(Planes.nClustersFor(129) == 2)
+    assert(Planes.nClustersFor(500) == 4) // the x189 gate corpus
+    assert(Planes.nClustersFor(2000) == 16) // sf0.1
+    assert(Planes.nClustersFor(1000, targetOccupancy = 100) == 10)
+    // ceiling: the broadcast-codebook bound
+    assert(Planes.nClustersFor(Long.MaxValue) == (1 << 16))
+    intercept[IllegalArgumentException](Planes.nClustersFor(-1))
+    intercept[IllegalArgumentException](Planes.nClustersFor(10, 0))
+  }
+
+  test("semanticDupPairsIvfInt8: derived nClusters equals the explicit call") {
+    val emb = (0L until 48L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin((i % 8 + 1) * (j + 1) * 0.29)))
+    }.toDF("vec_id", "embedding")
+    // 48 vectors → nClustersFor(48) = 1: the corpus-aware default and
+    // the explicit k must produce the identical pair set
+    val derived = Dedup.semanticDupPairsIvfInt8(emb, "vec_id", "embedding",
+        cos2Num = 4, cos2Den = 25, rounds = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val explicit = Dedup.semanticDupPairsIvfInt8(emb, "vec_id", "embedding",
+        cos2Num = 4, cos2Den = 25, nClusters = 1, rounds = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(derived == explicit && derived.nonEmpty)
+  }
+
+  test("semanticIvfAudit: n_hits == n_ivf and recall bounded by construction") {
+    val emb = (0L until 48L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin((i % 8 + 1) * (j + 1) * 0.29)))
+    }.toDF("vec_id", "embedding")
+    val r = Dedup.semanticIvfAudit(emb, "vec_id", "embedding",
+      cos2Num = 4, cos2Den = 25, nClusters = 4, rounds = 2).collect().head
+    val (nExact, nIvf, nHits, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // IVF pairs pass the identical integer decision → subset of exact
+    assert(nHits == nIvf && nIvf <= nExact && nExact > 0)
+    assert(recall == nHits * 1000000L / nExact)
+    // k = 1 is brute force within one cluster: recall must be total
+    val full = Dedup.semanticIvfAudit(emb, "vec_id", "embedding",
+      cos2Num = 4, cos2Den = 25, nClusters = 1, rounds = 1).collect().head
+    assert(full.getLong(3) == 1000000L)
+  }
+
   test("randomProjection: coordinates are exact plane dots; length validated") {
     val vecs = Seq((0L, Array(1.0, 2.0, 3.0, 4.0)),
       (1L, Array(-1.0, 0.5, 0.0, 2.0))).toDF("vec_id", "embedding")
