@@ -614,15 +614,36 @@ object Dedup {
     * Wider chunks matter at scale — with B buckets per band, random
     * (non-dup) signatures generate ~bands × N²/B candidate pairs, so
     * 16-bit bands cut the candidate volume ~500× vs byte bands at the
-    * same recall; candidates are then exactly hamming-verified. True
-    * duplicate clusters still pair quadratically within their cluster
-    * — that lower bound is the output size itself, not banding waste.
+    * same recall; candidates are then exactly hamming-verified.
     * Chunks are extracted with unsigned shifts — float division would
-    * lose bits beyond 2^53 on 64-bit signatures. */
-  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int)
-      : DataFrame =
+    * lose bits beyond 2^53 on 64-bit signatures.
+    *
+    * A FLOOD of identical signatures (boilerplate docs that survive
+    * exact dedup as byte-different variants, or perceptually-flat
+    * images in [[graft.ext.Multimodal.imageNearDups]] where every
+    * blank thumbnail dHashes the same) shares every chunk in every
+    * band and would pair quadratically on one hot key; buckets over
+    * `maxBucket` members are deterministically sub-split by
+    * [[Planes.cappedSelfPairs]], bounding candidate volume at
+    * ~bands · n · maxBucket. Below the cap the candidate set is
+    * byte-identical to the uncapped join (the empty-census fast
+    * path), so the pigeonhole-lossless contract holds verbatim
+    * wherever no bucket exceeds `maxBucket`; inside an oversized
+    * bucket only same-sub-bucket pairs are candidates — and because
+    * an identical-signature flood shares ALL its chunks, other bands
+    * cannot vote those pairs back (they sub-split the same way), so
+    * the cap genuinely trades ~(1 − 1/ns) of the hot cluster's
+    * internal pair list for the volume bound. Downstream
+    * [[dedupCorpus]]-style resolution keeps one doc per CONNECTED
+    * component, so a fragmented flood resolves to ns survivors
+    * instead of 1 — the documented, bounded cost of not letting one
+    * hot key go quadratic. */
+  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int,
+                   maxBucket: Int = 4096): DataFrame =
     simhashCandidates(
-      df.select(col(id).as("_id"), simhash64(col(text)).as("sig")), maxHamming)
+      df.select(col(id).as("_id"), simhash64(col(text)).as("sig"))
+        .localCheckpoint(),
+      maxHamming, maxBucket)
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
 
@@ -662,9 +683,17 @@ object Dedup {
 
   /** The banded candidate join of [[simhashPairs]] before hamming
     * verification, over a precomputed `(_id, sig)` frame — exposed so
-    * specs can assert the candidate-volume bound directly. */
-  private[ext] def simhashCandidates(sigs: DataFrame, maxHamming: Int)
-      : DataFrame = {
+    * specs can assert the candidate-volume bound directly. Routed
+    * through the SHARED oversized-bucket-safe generator
+    * ([[Planes.cappedSelfPairs]], bucket = the band's chunk value):
+    * below `maxBucket` members per (band, chunk) the empty-census
+    * fast path keeps the candidate set byte-identical to the plain
+    * banded self-join; an identical-signature flood sub-splits
+    * instead of pairing quadratically (see [[simhashPairs]] for the
+    * recall contract). `sigs` SHOULD be materialized by the caller —
+    * it feeds the band rows once and the two signature join-backs. */
+  private[ext] def simhashCandidates(sigs: DataFrame, maxHamming: Int,
+                                     maxBucket: Int = 4096): DataFrame = {
     require(0 <= maxHamming && maxHamming <= 7,
       "disjoint-chunk banding supports hamming <= 7 (8 chunks minimum 8 bits)")
     val nBands = maxHamming + 1
@@ -677,14 +706,17 @@ object Dedup {
       if (widths(b) == 64) col("sig")
       else pmod(shiftrightunsigned(col("sig"), offsets(b)), lit(1L << widths(b)))
     }: _*)
-    val banded = sigs.select(col("_id"), col("sig"),
-      posexplode(chunks).as(Seq("band", "chunk")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
+    // ids-only band rows, materialized: the capped generator reads
+    // them three times (census + both join probes)
+    val banded = sigs.select(col("_id"),
+        posexplode(chunks).as(Seq("band", "bucket")))
+      .localCheckpoint()
+    Planes.cappedSelfPairs(banded, maxBucket)
+      .join(sigs.select(col("_id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
   }
 
   /** Embedding cosine near-dup pairs, LSH-bucketed — the 100 TB path.

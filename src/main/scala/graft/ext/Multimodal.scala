@@ -318,17 +318,29 @@ object Multimodal {
   }
 
   /** Perceptual image near-dup pairs: [[dHash]] signatures paired
-    * inside a hamming ball via the same lossless pigeonhole banding
-    * as text SimHash ([[Dedup.simhashCandidates]] — k flips cannot
-    * touch all k+1 disjoint signature chunks) and then EXACTLY
-    * hamming-verified. Returns (id_a, id_b, hamming); payloads no
-    * parser claims simply don't participate. The signature step is
-    * scan-speed; the pair join shuffles 16-byte (id, chunk) rows
-    * only — at 100 TB of images the bytes never leave the scan. */
-  def imageNearDups(df: DataFrame, id: String, maxHamming: Int): DataFrame = {
+    * inside a hamming ball via the same pigeonhole banding as text
+    * SimHash ([[Dedup.simhashCandidates]] — k flips cannot touch all
+    * k+1 disjoint signature chunks) and then EXACTLY hamming-verified.
+    * Returns (id_a, id_b, hamming); payloads no parser claims simply
+    * don't participate. The signature step is scan-speed; the pair
+    * join shuffles 16-byte (id, chunk) rows only — at 100 TB of
+    * images the bytes never leave the scan.
+    *
+    * dHash's hot key is REALISTIC, not adversarial: every
+    * perceptually-flat image (blank thumbnail, test card, black
+    * frame) hashes to the same signature while differing in bytes,
+    * so upstream exact byte-dedup does NOT pre-empt the flood the
+    * way it largely does for text SimHash. The shared oversized-
+    * bucket cap (`maxBucket`, [[Planes.cappedSelfPairs]] through
+    * [[Dedup.simhashCandidates]]) bounds that flood's candidate
+    * volume at ~bands · n · maxBucket; [[Dedup.simhashPairs]]
+    * documents the recall trade inside a capped bucket. */
+  def imageNearDups(df: DataFrame, id: String, maxHamming: Int,
+                    maxBucket: Int = 4096): DataFrame = {
     val sigs = dHash(df).filter(col("dhash").isNotNull)
       .select(col(id).as("_id"), col("dhash").as("sig"))
-    Dedup.simhashCandidates(sigs, maxHamming)
+      .localCheckpoint()
+    Dedup.simhashCandidates(sigs, maxHamming, maxBucket)
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -125,9 +125,14 @@ object ExtQ {
     s"$simhashSigSql ORDER BY doc_id")
 
   /** SimHash near-dup pairs (hamming ≤ 3) through the banded join —
-    * the oracle computes the EXACT hamming ball from the mirrored
-    * signatures, so the disjoint-chunk banding must be lossless
-    * (pigeonhole) or the candidate sets diverge. */
+    * the oracle REPLAYS the production candidate path (4 disjoint
+    * 16-bit chunks, the oversized-bucket cap via
+    * [[Planes.cappedSkCteSql]] — a no-op below 4096 members/bucket,
+    * where pigeonhole banding is lossless) and then the exact hamming
+    * verify, so banding, cap, and verification must all agree with
+    * the engine. Unsigned chunk extraction goes through HUGEINT
+    * (simhash + 2^64 when negative) to mirror Spark's
+    * shiftrightunsigned exactly. */
   private val x45: (Fn, String) = (
     (s, d) => {
       import s.implicits._
@@ -135,11 +140,29 @@ object ExtQ {
         .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
     },
-    s"""WITH sigs AS ($simhashSigSql)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    s"""WITH sigs AS ($simhashSigSql),
+       |usig AS (
+       |  SELECT doc_id, CASE WHEN simhash < 0
+       |    THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+       |    ELSE simhash::HUGEINT END AS u
+       |  FROM sigs),
+       |sk AS (
+       |  SELECT doc_id AS vec_id, band, ((u // d) % 65536)::BIGINT AS bucket
+       |  FROM usig CROSS JOIN (VALUES (0, 1::HUGEINT),
+       |    (1, 65536::HUGEINT), (2, 4294967296::HUGEINT),
+       |    (3, 281474976710656::HUGEINT)) AS bw(band, d)),
+       |${Planes.cappedSkCteSql(4096)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM skb a JOIN skb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |    AND a.vec_id < b.vec_id)
+       |SELECT cand.id_a, cand.id_b,
+       |  bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+       |FROM cand
+       |JOIN sigs sa ON sa.doc_id = cand.id_a
+       |JOIN sigs sb ON sb.doc_id = cand.id_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin)
 
   /** End-to-end dedup APPLICATION: near-dup pairs → components →

@@ -4,11 +4,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 
-/** Gates for the banded SimHash pair join (round-2 verdict item 4):
-  * the disjoint-chunk banding must be LOSSLESS within the hamming
-  * ball (pigeonhole), and the candidate volume must stay near-linear
-  * on non-duplicate corpora — the property byte-banding lost at
-  * scale (N²/2048 candidates) and 16-bit bands restore. */
+/** Gates for the banded SimHash pair join (round-2 verdict item 4;
+  * capped round 9): the disjoint-chunk banding must be LOSSLESS
+  * within the hamming ball (pigeonhole) wherever no (band, chunk)
+  * bucket exceeds `maxBucket`, the candidate volume must stay
+  * near-linear on non-duplicate corpora — the property byte-banding
+  * lost at scale (N²/2048 candidates) and 16-bit bands restore —
+  * and an identical-signature FLOOD (the one hot key banding can't
+  * spread) must be bounded by the oversized-bucket sub-split instead
+  * of pairing quadratically. */
 class SimHashPairsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -50,6 +54,33 @@ class SimHashPairsSpec extends AnyFunSuite {
     assert(candidates - clusterPairs < 200,
       s"non-dup candidate leakage too high: ${candidates - clusterPairs}")
     assert(candidates < allPairs / 100)
+  }
+
+  test("identical-signature flood: candidates bounded by the sub-split, not quadratic") {
+    // 600 docs with the SAME 64-bit signature — the dHash flat-image
+    // hot key (or boilerplate that survived exact dedup byte-different).
+    // Every doc shares every chunk in every band: uncapped this pairs
+    // 600*599/2 = 179,700 times; capped at 64 it must stay near
+    // ns * C(600/ns, 2) * ... ≈ n*maxBucket/2 per the volume bound.
+    val m = 600
+    val sigs = (0 until m).map(i => (i.toLong, 0x5a5a5a5a5a5a5a5aL))
+      .toDF("_id", "sig")
+    val maxBucket = 64
+    val capped = Dedup.simhashCandidates(sigs, maxHamming = 3,
+      maxBucket = maxBucket).count()
+    val quadratic = m.toLong * (m - 1) / 2
+    assert(capped > 0, "sub-buckets must still pair internally")
+    assert(capped < quadratic / 2,
+      s"flood not bounded: $capped of $quadratic possible pairs")
+    // the documented bound: ~n * maxBucket / 2 with slack for uneven
+    // md5 sub-bucket occupancy (sum of C(m_i, 2) at E[m_i]=~60)
+    assert(capped <= m.toLong * maxBucket,
+      s"flood exceeded the n*maxBucket volume bound: $capped")
+    // below the cap the generator is byte-identical to the lossless
+    // join: the same flood with maxBucket above its size pairs fully
+    val uncapped = Dedup.simhashCandidates(sigs, maxHamming = 3,
+      maxBucket = 4096).count()
+    assert(uncapped == quadratic)
   }
 
   test("hamming=0 band (whole signature) and hamming=7 byte bands still work") {
