@@ -540,9 +540,11 @@ object Dedup {
                             rowsPerBand: Int = 2): DataFrame = {
     val setsA = docShingleSets(newDf, id, text, n).localCheckpoint()
     val setsB = docShingleSets(histDf, id, text, n).localCheckpoint()
-    // capped cross generator: a hot bucket (a crawl re-fetching one
-    // boilerplate page a million times) is sub-split instead of
-    // pairing batch × history quadratically on one key
+    // capped cross generator (reference-only census): a hot history
+    // bucket (a crawl that already accumulated one boilerplate page a
+    // million times) is sub-split instead of pairing batch × history
+    // quadratically on one key; a hot BATCH key is bounded per probe
+    // row by the ≤ maxBucket post-split history buckets
     val candidates = Planes.cappedCrossPairs(
       minhashBuckets(setsA, bands, rowsPerBand)
         .withColumnRenamed("_id", "id_a").localCheckpoint(),
@@ -923,13 +925,19 @@ object Dedup {
     * incremental dedup safe to trust).
     *
     * Scale shape: the banded shuffle carries ids only; oversized
-    * buckets are sub-split by [[Planes.cappedCrossPairs]] (census
-    * counts BOTH sides, so a boilerplate flood in either is capped);
-    * the history side reduces to (id, bucket, qv) — at 100 TB it can
-    * be a precomputed sketch+signature store. `bands`/`bitsPerBand`
-    * = 0 derive from the COMBINED corpus count (occupancy is set by
-    * everyone sharing the bucket space). Returns (id_a ∈ new,
-    * id_b ∈ history, dotq, na, nb). */
+    * buckets are sub-split by [[Planes.cappedCrossPairs]], whose
+    * census counts the HISTORY side only — a pure function of the
+    * reference, so the precomputed streaming index
+    * ([[graft.streaming.EmbedStream.semanticRefIndex]]) carries the
+    * identical census and stream-at-ingest == batch replay holds
+    * EXACTLY, hot buckets included; a new-side flood is still
+    * bounded because every post-split history bucket holds
+    * ≤ maxBucket rows (each probe row generates ≤ bands · maxBucket
+    * candidates). The history side reduces to (id, bucket, qv) — at
+    * 100 TB it can be a precomputed sketch+signature store.
+    * `bands`/`bitsPerBand` = 0 derive from the COMBINED corpus count
+    * (occupancy is set by everyone sharing the bucket space).
+    * Returns (id_a ∈ new, id_b ∈ history, dotq, na, nb). */
   def semanticDupPairsInt8Across(newDf: DataFrame, histDf: DataFrame,
                                  id: String, vec: String,
                                  cos2Num: Long = 1, cos2Den: Long = 4,

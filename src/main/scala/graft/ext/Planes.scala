@@ -109,6 +109,23 @@ object Planes {
        |      AS BIGINT) % bsz.ns AS sub
        |  FROM sk JOIN bsz ON bsz.band = sk.band AND bsz.bucket = sk.bucket)""".stripMargin
 
+  /** [[cappedSkCteSql]]'s cross-corpus variant mirroring
+    * [[cappedCrossPairs]]' REFERENCE-ONLY census: `bsz` counts only
+    * the `sk` rows satisfying `refPred` (the history/reference side);
+    * every `sk` row — both sides — left-joins that census and
+    * sub-splits by md5-int(id) % ns (1 when the bucket is not
+    * oversized on the reference). */
+  def cappedSkRefCteSql(cap: Int, refPred: String): String =
+    s"""bsz AS (SELECT band, bucket,
+       |    ((COUNT(*) + ${cap - 1}) // $cap) AS ns
+       |  FROM sk WHERE $refPred GROUP BY band, bucket),
+       |skb AS (SELECT sk.vec_id, sk.band, sk.bucket,
+       |    CAST(list_reduce([ (strpos('0123456789abcdef',
+       |        substr(md5(sk.vec_id::VARCHAR), j, 1)) - 1)
+       |        * pow(16, 6 - j) for j in range(1, 7) ], (x, y) -> x + y)
+       |      AS BIGINT) % COALESCE(bsz.ns, 1) AS sub
+       |  FROM sk LEFT JOIN bsz ON bsz.band = sk.band AND bsz.bucket = sk.bucket)""".stripMargin
+
   /** Distinct capped candidate pairs (id_a < id_b) from self-joining
     * (band, bucket) rows — THE shared oversized-bucket-safe generator
     * behind every banded self-pair operator (plane-LSH dedup, MinHash
@@ -162,15 +179,31 @@ object Planes {
   }
 
   /** Two-sided variant of [[cappedSelfPairs]]: capped candidate pairs
-    * between `ra` (id_a, band, bucket) and `rb` (id_b, band, bucket).
-    * Oversized buckets are counted across BOTH sides (so a hot key is
-    * split consistently on each), and only the oversized minority is
+    * between `ra` (id_a, band, bucket — the probe/new side) and `rb`
+    * (id_b, band, bucket — the reference/history side). The
+    * oversized-bucket census counts the REFERENCE side only, and both
+    * sides sub-split against it:
+    *
+    *  - the volume bound survives: after the split every rb bucket
+    *    holds ≤ maxBucket members, so each ra row generates at most
+    *    bands · maxBucket candidates — linear in the probe side no
+    *    matter how hot the key is on EITHER side (an unsplit ra flood
+    *    just means many probe rows, each individually bounded);
+    *  - the census is a pure function of the reference, so a
+    *    PRECOMPUTED index over the reference
+    *    ([[graft.streaming.EmbedStream.semanticRefIndex]]) carries
+    *    the identical census and a streaming probe can never diverge
+    *    from the batch replay — including when buckets ARE oversized
+    *    (previously the batch censused both sides combined, which a
+    *    build-once index cannot know, so the two disagreed exactly
+    *    in the hot-bucket case the cap exists for).
+    *
+    * Only the oversized minority (≤ rbRows/maxBucket keys) is
     * broadcast. Both inputs should be materialized by the caller. */
   private[ext] def cappedCrossPairs(ra: DataFrame, rb: DataFrame,
                                     maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, "maxBucket must be positive")
-    val over = ra.select(col("band"), col("bucket"))
-      .unionByName(rb.select(col("band"), col("bucket")))
+    val over = rb.select(col("band"), col("bucket"))
       .groupBy("band", "bucket")
       .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
         lit(maxBucket.toLong)).as("_ns"))

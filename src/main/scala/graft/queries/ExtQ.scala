@@ -5811,7 +5811,9 @@ object ExtQ {
 
   /** Incremental semantic dedup: even-id batch vs odd-id history,
     * banded+capped cross candidates, integer int8 decision — the
-    * oracle replays banding, cap and decision over the full set and
+    * oracle replays banding, the REFERENCE-ONLY census cap
+    * ([[Planes.cappedSkRefCteSql]], the contract that makes the
+    * streaming index exact) and the decision over the full set and
     * keeps only cross-parity pairs. */
   private val x188: (Fn, String) = (
     (s, d) => {
@@ -5830,7 +5832,7 @@ object ExtQ {
        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
        |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, band),
-       |${Planes.cappedSkCteSql(4096)},
+       |${Planes.cappedSkRefCteSql(4096, "vec_id % 2 = 1")},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM skb a JOIN skb b
@@ -6079,6 +6081,76 @@ object ExtQ {
          |    // (SELECT COUNT(*) FROM ex))::BIGINT AS recall_ppm""".stripMargin
     })
 
+  /** Streaming semantic-index MAINTENANCE: the index is built from
+    * one reference slice, a second slice is merged incrementally
+    * ([[EmbedStream.mergeRefIndex]] — census refreshed, old band rows
+    * reused verbatim), and probe rows match against the merged index.
+    * The oracle replays banding, the reference-only census over the
+    * COMBINED reference, and the integer decision — so the merge must
+    * equal a full rebuild row-for-row (the spec proves index-level
+    * parity; this gate proves the downstream answer end-to-end). */
+  private val x193: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val idx0 = graft.streaming.EmbedStream.semanticRefIndex(
+        emb.filter(pmod($"vec_id", lit(5)).isin(1, 2)),
+        "vec_id", "embedding", bands = 8, bitsPerBand = 4, dim = 64)
+      val merged = graft.streaming.EmbedStream.mergeRefIndex(idx0,
+        emb.filter(pmod($"vec_id", lit(5)).isin(3, 4)),
+        "vec_id", "embedding")
+      graft.streaming.EmbedStream.semanticDupMatches(
+          emb.filter(pmod($"vec_id", lit(5)) === 0), merged,
+          "vec_id", "embedding", cos2Num = 4, cos2Den = 25)
+        .select($"id_a", $"id_b", $"dotq", $"na", $"nb").distinct()
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH ${Planes.planesCteSql(32, 64)},
+       |${Planes.dotsCteSql("embeddings", "vec_id", "embedding", 64)},
+       |sk AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 4) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |${Planes.cappedSkRefCteSql(4096, "vec_id % 5 <> 0")},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM skb a JOIN skb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0),
+       |m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs = 0
+       |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(greatest(-127.0, least(127.0,
+       |          floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)))
+       |          AS BIGINT))
+       |    END AS qv
+       |  FROM m),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_reduce([ qa.qv[i] * qb.qv[i]
+       |      for i in range(1, len(qa.qv) + 1) ], (x, y) -> x + y) AS dotq,
+       |    list_reduce([ qa.qv[i] * qa.qv[i]
+       |      for i in range(1, len(qa.qv) + 1) ], (x, y) -> x + y) AS na,
+       |    list_reduce([ qb.qv[i] * qb.qv[i]
+       |      for i in range(1, len(qb.qv) + 1) ], (x, y) -> x + y) AS nb
+       |  FROM cand
+       |  JOIN qz qa ON qa.vec_id = cand.id_a
+       |  JOIN qz qb ON qb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, dotq::BIGINT AS dotq, na::BIGINT AS na,
+       |  nb::BIGINT AS nb
+       |FROM scored
+       |WHERE dotq > 0 AND na > 0 AND nb > 0
+       |  AND 25 * dotq * dotq >= 4 * na * nb
+       |ORDER BY id_a, id_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6272,5 +6344,6 @@ object ExtQ {
     "x190_substring_dedup" -> (x190._1, Some(x190._2)),
     "x191_semantic_dedup_corpus" -> (x191._1, Some(x191._2)),
     "x192_semantic_ivf_audit" -> (x192._1, Some(x192._2)),
+    "x193_semantic_index_merge" -> (x193._1, Some(x193._2)),
   )
 }

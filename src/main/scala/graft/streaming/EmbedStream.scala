@@ -9,8 +9,11 @@ import graft.ext.{Planes, Similarity}
   * a stream that are near-duplicates of a STATIC reference corpus —
   * the online counterpart of [[graft.ext.Dedup.semanticDupPairsInt8Across]]
   * (same deterministic plane banding, same integer int8 cosine²
-  * decision, so the stream and a batch replay can never disagree on a
-  * match).
+  * decision, and — since round 9 — the same REFERENCE-ONLY
+  * oversized-bucket census on both paths, so the stream and a batch
+  * replay can never disagree on a match: the census is a pure
+  * function of the reference, which the build-once index and the
+  * batch operator both compute identically, hot buckets included).
   *
   * Built as a stream-static equi-join pipeline, which is STATELESS in
   * Structured Streaming: the stream side explodes to (band, bucket)
@@ -29,10 +32,12 @@ object EmbedStream {
     * oversized-bucket census over the REFERENCE (≤ refRows/maxBucket
     * keys — always broadcastable); `bandRows` carries
     * (band, bucket, sub, id_b) only; `payload` the int8 vectors.
-    * Sub-splitting differs from the batch operator's only in the
-    * census population (reference-only vs both sides) — identical
-    * whenever no bucket is oversized, and a per-batch stream flood
-    * is bounded by the micro-batch size anyway. */
+    * Sub-splitting is IDENTICAL to the batch operator's — both
+    * census the reference side only
+    * ([[graft.ext.Planes.cappedCrossPairs]]), so the emitted pair
+    * sets agree even when buckets are oversized; a stream-side flood
+    * is bounded per probe row by the ≤ maxBucket post-split
+    * reference buckets. */
   case class SemanticRefIndex(bands: Int, bitsPerBand: Int, dim: Int,
                               maxBucket: Int, ns: DataFrame,
                               bandRows: DataFrame, payload: DataFrame)
@@ -75,6 +80,62 @@ object EmbedStream {
     SemanticRefIndex(nBands, nBits, dim, maxBucket, ns, withSub, payload)
   }
 
+  /** Incrementally MERGE newly-ingested reference rows into an
+    * existing [[SemanticRefIndex]] — the index-maintenance half of
+    * dedup-at-ingest: without it, a build-once index forces a nightly
+    * full rebuild that re-scans the whole corpus' embeddings at
+    * 100 TB. The merge re-uses the old index's band rows verbatim
+    * (banding and quantization are PER-ROW functions of the
+    * deterministic planes, so previously-computed rows can never go
+    * stale), bands + quantizes only the new rows, and refreshes the
+    * oversized-bucket census over the combined ids-only band rows —
+    * re-assigning every row's sub against the new census, since a
+    * bucket that crossed `maxBucket` through this merge must now
+    * sub-split rows that were indexed before it.
+    *
+    * Parity contract (spec-gated): merge(semanticRefIndex(a), b) ==
+    * semanticRefIndex(a ∪ b) EXACTLY — band rows, census, payload,
+    * and therefore every downstream [[semanticDupMatches]] answer.
+    * The honest cost accounting: what the merge avoids is the
+    * corpus-sized EMBEDDING scan (plane dots + int8 quantization of
+    * every old vector); the census refresh still scans the ids-only
+    * band rows (24-byte rows, no vector math) — the cheap, unavoidable
+    * part, since one new row can flip any bucket over the cap.
+    * Banding knobs are fixed at index creation (they derive from the
+    * INITIAL corpus count when auto): re-derive them only with a full
+    * rebuild, at the usual retune-audit discipline
+    * ([[graft.ext.Dedup.semanticBandingAudit]]). */
+  def mergeRefIndex(idx: SemanticRefIndex, more: DataFrame, id: String,
+                    vec: String): SemanticRefIndex = {
+    val parts = more.sparkSession.sessionState.conf.numShufflePartitions
+    val planes = Planes.components(idx.bands * idx.bitsPerBand, idx.dim)
+    val banded = more.select(col(id).as("_id"), col(vec).as("_fv"))
+      .repartition(parts)
+      .select(col("_id").as("id_b"),
+        posexplode(Planes.bandBuckets(col("_fv"), planes, idx.bands,
+          idx.bitsPerBand)).as(Seq("band", "bucket")))
+    val allRows = idx.bandRows.select(col("id_b"), col("band"), col("bucket"))
+      .unionByName(banded)
+      .localCheckpoint()
+    val ns = allRows.groupBy("band", "bucket")
+      .agg(graft.ext.IntMath.truncDiv(count(lit(1)) + (idx.maxBucket - 1),
+        lit(idx.maxBucket.toLong)).as("_ns"))
+      .filter(col("_ns") > 1)
+      .localCheckpoint()
+    val withSub = allRows.join(broadcast(ns), Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"),
+        when(col("_ns").isNull, lit(0L))
+          .otherwise(pmod(Planes.subHash(col("id_b")), col("_ns"))).as("sub"),
+        col("id_b"))
+      .localCheckpoint()
+    val payload = idx.payload.unionByName(
+        more.select(col(id).as("id_b"),
+          Similarity.int8Quantize(col(vec)).getField("q").as("_qb")))
+      .localCheckpoint()
+    SemanticRefIndex(idx.bands, idx.bitsPerBand, idx.dim, idx.maxBucket,
+      ns, withSub, payload)
+  }
+
   /** Match stream rows against the reference index: emits
     * (id_a, id_b, dotq, na, nb) — plus any `carry` columns from the
     * stream row (e.g. its event time) — for every stream row whose
@@ -93,6 +154,8 @@ object EmbedStream {
                          carry: Seq[String] = Seq.empty,
                          ts: String = "", dedupWatermark: String = "")
       : DataFrame = {
+    require(dedupWatermark.isEmpty || ts.nonEmpty,
+      "ts must name the event-time column when dedupWatermark is set")
     val planes = Planes.components(idx.bands * idx.bitsPerBand, idx.dim)
     val dotL = graft.functions.VectorExpressions.dot_long _
     val carryCols = carry.map(c => col(c))

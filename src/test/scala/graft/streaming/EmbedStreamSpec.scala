@@ -51,6 +51,79 @@ class EmbedStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty) // i % 5 classes span stream and reference
   }
 
+  test("hot-bucket parity: oversized reference bucket, stream path == batch Across") {
+    // 40 IDENTICAL reference vectors all land in one (band, bucket)
+    // key; maxBucket = 8 forces the oversized-bucket sub-split (ns=5).
+    // The round-9 contract: both paths census the REFERENCE side only,
+    // so the emitted pair sets must be equal even here — exactly the
+    // case the pre-fix census populations diverged on.
+    val hot = Array.tabulate(8)(j => math.cos((j + 2) * 0.31))
+    val ref = (100L until 140L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val probe = (0L until 6L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val idx = EmbedStream.semanticRefIndex(ref, "vec_id", "embedding",
+      bands = 4, bitsPerBand = 4, dim = 8, maxBucket = 8)
+    // batch-DF evaluation exercises the identical stream-static plan
+    val matched = EmbedStream.semanticDupMatches(probe, idx, "vec_id",
+        "embedding", cos2Num = 4, cos2Den = 25)
+      .select("id_a", "id_b", "dotq", "na", "nb").distinct()
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = Dedup.semanticDupPairsInt8Across(probe, ref, "vec_id",
+        "embedding", cos2Num = 4, cos2Den = 25, bands = 4, bitsPerBand = 4,
+        dim = 8, maxBucket = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(matched == batch)
+    // the sub-split engaged: each probe row pairs with ~1/ns of the
+    // flood, not all 40 of it
+    assert(matched.nonEmpty && matched.size < 6 * 40)
+  }
+
+  test("semanticDupMatches: dedupWatermark without ts fails the contract early") {
+    val ref = (100L until 104L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val idx = EmbedStream.semanticRefIndex(ref, "vec_id", "embedding",
+      bands = 4, bitsPerBand = 4, dim = 8)
+    val in = (0L until 4L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      EmbedStream.semanticDupMatches(in, idx, "vec_id", "embedding",
+        dedupWatermark = "10 minutes")
+    }
+    assert(e.getMessage.contains("ts must name the event-time column"))
+  }
+
+  test("mergeRefIndex == full rebuild, including a merge-induced hot bucket") {
+    // first batch: 6 identical vectors in one bucket (under maxBucket
+    // = 8); merged batch: 34 more of the same — the bucket crosses the
+    // cap THROUGH the merge, so pre-merge rows must be re-sub-split
+    val hot = Array.tabulate(8)(j => math.cos((j + 2) * 0.31))
+    val a = (100L until 106L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val b = (106L until 140L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val merged = EmbedStream.mergeRefIndex(
+      EmbedStream.semanticRefIndex(a, "vec_id", "embedding",
+        bands = 4, bitsPerBand = 4, dim = 8, maxBucket = 8),
+      b, "vec_id", "embedding")
+    val full = EmbedStream.semanticRefIndex(a.unionByName(b), "vec_id",
+      "embedding", bands = 4, bitsPerBand = 4, dim = 8, maxBucket = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case arr: Seq[_] => arr.toList
+        case v => v
+      }).toSet
+    assert(rows(merged.ns) == rows(full.ns))
+    assert(merged.ns.count() > 0, "the merge must have crossed the cap")
+    assert(rows(merged.bandRows) == rows(full.bandRows))
+    assert(rows(merged.payload) == rows(full.payload))
+    // and the downstream answer agrees with the batch operator
+    val probe = (0L until 4L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val viaMerged = EmbedStream.semanticDupMatches(probe, merged, "vec_id",
+        "embedding", cos2Num = 4, cos2Den = 25)
+      .select("id_a", "id_b", "dotq", "na", "nb").distinct()
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = Dedup.semanticDupPairsInt8Across(probe, a.unionByName(b),
+        "vec_id", "embedding", cos2Num = 4, cos2Den = 25, bands = 4,
+        bitsPerBand = 4, dim = 8, maxBucket = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaMerged == batch && viaMerged.nonEmpty)
+  }
+
   test("batch mode works on a plain DataFrame and honors the decision") {
     val ref = (100L until 110L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
     val idx = EmbedStream.semanticRefIndex(ref, "vec_id", "embedding",
