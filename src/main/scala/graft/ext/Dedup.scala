@@ -886,7 +886,14 @@ object Dedup {
     * exactly the mask rows the rewrite needs. The window frame is
     * recomputed for its two consumers rather than checkpointed —
     * at corpus scale a second scan beats materializing an l× blowup.
-    * The rewrite itself is in-row HOF arithmetic (no UDF). */
+    * The rewrite itself is in-row HOF arithmetic (no UDF),
+    * O(tokens + starts · log starts) per document: masked starts
+    * sort once, fixed-length-l intervals merge into maximal removed
+    * runs in one shifted-zip pass (a run opens where the gap to the
+    * previous start exceeds l), and the kept text is the flattened
+    * token slices of the gaps BETWEEN runs — never a per-token scan
+    * of the start list, which for long, heavily-duplicated documents
+    * (exactly this operator's target) was O(tokens × starts). */
   def substringDedupRewrite(corpus: DataFrame, id: String, text: String,
                             l: Int): DataFrame = {
     require(l >= 2, "minimum match length must be at least 2 tokens")
@@ -904,11 +911,31 @@ object Dedup {
     val joined = withToks.join(masked, withToks(id) === masked("_pid"), "left")
       .withColumn("_starts",
         coalesce(col("_starts"), array().cast("array<int>")))
-    val tokIdx = transform(col("_toks"), (t, i) => struct(t.as("t"), i.as("i")))
-    val kept = filter(tokIdx, p =>
-      !exists(col("_starts"), s => s <= p("i") && p("i") < s + l))
+    // merge the fixed-length-l removed intervals in one pass over the
+    // SORTED starts: a merged run opens at start s when the previous
+    // start p satisfies s > p + l (pad -(l+1) opens the first), and
+    // closes at s + l when the next start exceeds s + l (pad MaxValue
+    // closes the last). zip_with pads the shorter array with nulls;
+    // the null rows filter out, which also handles the empty-mask doc.
+    val sorted = array_sort(col("_starts"))
+    val prevPad = concat(array(lit(-(l + 1))), sorted)
+    val runLo = filter(
+      zip_with(sorted, prevPad, (s, p) => when(s > p + l, s)),
+      v => v.isNotNull)
+    val nxtPad = concat(
+      slice(sorted, lit(2), greatest(size(sorted) - 1, lit(0))),
+      array(lit(Int.MaxValue)))
+    val runHi = filter(
+      zip_with(nxtPad, sorted, (nx, s) => when(nx > s + l, s + l)),
+      v => v.isNotNull)
+    // kept text = token slices of the gaps between runs:
+    // [0, runLo₀), [runHi₀, runLo₁), …, [runHi_last, ntoks)
+    val gapLo = concat(array(lit(0)), runHi)
+    val gapHi = concat(runLo, array(size(col("_toks"))))
+    val kept = flatten(zip_with(gapLo, gapHi,
+      (lo, hi) => slice(col("_toks"), lo + 1, greatest(hi - lo, lit(0)))))
     joined
-      .withColumn("text_clean", concat_ws(" ", transform(kept, p => p("t"))))
+      .withColumn("text_clean", concat_ws(" ", kept))
       .withColumn("n_removed", (size(col("_toks")) - size(kept)).cast("long"))
       .drop("_toks", "_starts", "_pid")
   }

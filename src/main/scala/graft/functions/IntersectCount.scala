@@ -19,12 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * other, a long out; duplicate elements on the probing side are
   * counted once (a second set), so the count matches
   * `array_intersect`'s distinct semantics even on non-distinct
-  * inputs. NULL array ⇒ NULL (same as the composed form); NULL
-  * elements never occur in the shingle arrays this serves
-  * (`containsNull = false` sources) and are ignored if present —
-  * `array_intersect` likewise treats null elements as matching only
-  * when both sides contain one, which cannot change counts derived
-  * from distinct non-null shingle sets. */
+  * inputs. NULL array ⇒ NULL (same as the composed form); a NULL
+  * ELEMENT counts once iff BOTH sides contain one — exactly
+  * `ArrayIntersect`'s null semantics, so the equivalence holds for
+  * arbitrary SQL through the global `graft_intersect_count`
+  * registration, not just the `containsNull = false` shingle arrays
+  * the dedup family feeds it (property-tested with null elements). */
 case class IntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -59,23 +59,30 @@ object IntersectCount {
   def count(a: ArrayData, b: ArrayData): Long = {
     // build the set over the SMALLER side, probe with the larger;
     // track probed matches in a second set so duplicates on the
-    // probing side count once (array_intersect distinct semantics)
+    // probing side count once (array_intersect distinct semantics);
+    // a shared null element counts once (ArrayIntersect treats null
+    // as matching null — a boolean per side, never in the hash sets)
     val (small, large) =
       if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var smallHasNull = false
     var i = 0
     val ns = small.numElements()
     while (i < ns) {
-      if (!small.isNullAt(i)) set.add(small.getUTF8String(i))
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
       i += 1
     }
     var n = 0L
-    if (!set.isEmpty) {
+    var nullCounted = false
+    if (!set.isEmpty || smallHasNull) {
       val seen = new java.util.HashSet[UTF8String](set.size * 2)
       val nl = large.numElements()
       var j = 0
       while (j < nl) {
-        if (!large.isNullAt(j)) {
+        if (large.isNullAt(j)) {
+          if (smallHasNull && !nullCounted) { n += 1; nullCounted = true }
+        } else {
           val v = large.getUTF8String(j)
           if (set.contains(v) && seen.add(v)) n += 1
         }

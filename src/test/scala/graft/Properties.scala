@@ -103,8 +103,10 @@ object GraftProperties extends Properties("graft") {
     }
 
   property("IntersectCount == size(array_intersect) on arbitrary string arrays") =
+    // includes NULL elements: ArrayIntersect counts a shared null once
     forAll(Gen.listOfN(4,
-      Gen.listOf(Gen.oneOf("a", "b", "cc", "dd", "e f", "", "a")))) { lists =>
+      Gen.listOf(Gen.oneOf("a", "b", "cc", "dd", "e f", "", "a",
+        null.asInstanceOf[String])))) { lists =>
       val rows = lists.map(l => Tuple2(l, lists.headOption.getOrElse(Nil)))
       val df = rows.toDF("x", "y")
       df.select(

@@ -1482,6 +1482,45 @@ class ExtSpec extends AnyFunSuite {
     assert(got(3L) == ("q r", 9L))                 // overlapping windows merge
   }
 
+  test("substringDedupRewrite: interval-merge pass == brute-force masking (property)") {
+    // the r9 O(tokens + starts) rewrite must agree with the definition
+    // (a token is removed iff ANY masked window covers it) on corpora
+    // engineered for dense, overlapping, and adjacent masked runs
+    val l = 4
+    val rnd = new scala.util.Random(91)
+    val phrases = Array("p0 p1 p2 p3", "q0 q1 q2 q3 q4", "r0 r1 r2 r3")
+    val docs = (0L until 60L).map { i =>
+      val parts = (0 until 3 + rnd.nextInt(5)).map { _ =>
+        if (rnd.nextBoolean()) phrases(rnd.nextInt(3))
+        else (0 until 1 + rnd.nextInt(4)).map(_ => s"u${rnd.nextInt(200)}")
+          .mkString(" ")
+      }
+      (i, parts.mkString(" "))
+    }
+    val got = Dedup.substringDedupRewrite(docs.toDF("doc_id", "text"),
+        "doc_id", "text", l)
+      .select("doc_id", "text_clean", "n_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // brute force: windows -> min-doc keeper -> per-token coverage scan
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty)
+    }.toMap
+    val keeper = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, ts) <- toks.toSeq.sortBy(_._1); i <- 0 to ts.length - l)
+      { val w = ts.slice(i, i + l).mkString(" ")
+        keeper(w) = math.min(keeper.getOrElse(w, Long.MaxValue), id) }
+    for ((id, ts) <- toks) {
+      val starts = (0 to ts.length - l).filter { i =>
+        keeper(ts.slice(i, i + l).mkString(" ")) < id
+      }.toSet
+      val kept = ts.indices.filterNot(i =>
+        starts.exists(s => s <= i && i < s + l)).map(ts)
+      assert(got(id) == (kept.mkString(" "), (ts.length - kept.size).toLong),
+        s"doc $id diverged")
+    }
+  }
+
   test("unimaxAllocation: hand-computed water-filling, all three regimes") {
     // supplies 10/100/1000, caps at 2 epochs = 20/200/2000
     val df = Seq(("a", 10L), ("b", 100L), ("c", 1000L)).toDF("lang", "toks")
