@@ -26,6 +26,13 @@ object Bench {
     // SPARK_GRAFT_BENCH_TRUTH_BITS=0 to bench exact mode.
     System.setProperty("graft.bench.truthSampleBits",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TRUTH_BITS", "1"))
+    // fixed-size ANN query panel (x172/x178/x181): the gate's %97
+    // panel grows with the corpus, so sf-ramp bench ratios would
+    // measure corpus×panel (r8 verdict item 3). 21 = the sf0.1 panel
+    // size, keeping the filed sf0.1 numbers comparable while pinning
+    // the panel across the ramp. 0 = uncapped (the gate behavior).
+    System.setProperty("graft.bench.panelCap",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PANEL_CAP", "21"))
     val spark = GraftSession.build(appName = "graft-bench")
     // optional subset filter (regex) for local bisection
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
@@ -74,24 +81,43 @@ object Bench {
       }.sorted
       (failed, times)
     }
-    // protocol (SCALING.md / r7 verdict item 3): a run set whose
-    // max/min spread exceeds 3x on a non-trivial query is a
-    // host-stall suspect — re-measure once and keep the tighter set,
-    // so a single CI-host steal episode can't inflate the FILED
-    // median. Bounded: at most one retry per query.
+    // protocol (SCALING.md / r7 verdict item 3, hardened r9): a run
+    // set whose max/min spread exceeds the stall ratio on a
+    // non-trivial query is a host-stall suspect — re-measure (up to
+    // SPARK_GRAFT_BENCH_STALL_RETRIES times, default 2: one retry
+    // left x18's [2.95, 9.92] in the r8 filing) and keep the
+    // tightest-spread set, so a CI-host steal episode can't inflate
+    // the FILED median. Auditability (r8 advisor): EVERY
+    // measurement's median lands in the artifact's "retried" field,
+    // so the keep-the-tighter selection is visible in the record
+    // instead of silently favoring the faster set; the non-trivial
+    // floor is env-configured alongside the ratio.
     val stallRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_STALL_RATIO", "3.0").toDouble
+    val stallFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_STALL_FLOOR", "1.0").toDouble
+    val stallRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_STALL_RETRIES", "2").toInt
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def spread(t: Seq[Double]) = t.last / math.max(t.head, 1e-9)
     val results = qs.map { case (name, fn) =>
       val (failed, t1) = timeQuery(name, fn)
-      val times =
-        if (!failed && t1.last > 1.0 && t1.last / math.max(t1.head, 1e-9) > stallRatio) {
+      var best = t1
+      if (!failed) {
+        val medians = scala.collection.mutable.ListBuffer(t1(t1.length / 2))
+        var attempts = 0
+        while (best.last > stallFloor && spread(best) > stallRatio &&
+            attempts < stallRetries) {
           System.err.println(
-            f"[bench] STALL-SUSPECT $name: [${t1.head}%.2f, ${t1.last}%.2f] — re-measuring")
+            f"[bench] STALL-SUSPECT $name: [${best.head}%.2f, ${best.last}%.2f] — re-measuring (${attempts + 1}/$stallRetries)")
           val (f2, t2) = timeQuery(name, fn)
-          if (!f2 && t2.last / math.max(t2.head, 1e-9) <
-                t1.last / math.max(t1.head, 1e-9)) t2 else t1
-        } else t1
+          attempts += 1
+          if (!f2) {
+            medians += t2(t2.length / 2)
+            if (spread(t2) < spread(best)) best = t2
+          }
+        }
+        if (attempts > 0) retried(name) = medians.toSeq
+      }
       name -> (if (failed) Seq(-1.0, -1.0, -1.0)
-               else Seq(times(times.length / 2), times.head, times.last))
+               else Seq(best(best.length / 2), best.head, best.last))
     }
     val failures = results.count(_._2.head < 0)
     // "queries" stays a plain name→median map (the driver's contract);
@@ -103,8 +129,14 @@ object Bench {
       .map { case (k, v) => f""""$k":[${v(1)}%.3f,${v(2)}%.3f]""" }
       .mkString("{", ",", "}")
     val total = results.filter(_._2.head >= 0).map(_._2.head).sum
+    // every stall-retry measurement's median, in attempt order — the
+    // keep-the-tighter selection is auditable from the artifact alone
+    val retriedJson = retried
+      .map { case (k, ms) =>
+        s""""$k":[${ms.map(m => f"$m%.3f").mkString(",")}]""" }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"spread":$spreadJson,"failures":$failures,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"spread":$spreadJson,"retried":$retriedJson,"failures":$failures,"sf":"$sfDir"}"""
     // the FULL artifact goes to the json file (the committed record);
     // stdout gets it too for humans, but the LAST line printed is a
     // COMPACT summary that fits the driver harness's bounded output
@@ -123,7 +155,13 @@ object Bench {
     }
     println(line)
     val slowest = results.filter(_._2.head >= 0).sortBy(-_._2.head)
-    val budget = 1600
+    // ~800 bytes, printed TWICE as the last lines: the driver's
+    // bounded output tail (~2000 chars) must contain one COMPLETE
+    // copy even after sbt's [success]/[info] epilogue (~200-400
+    // bytes) lands after us — the r8 artifact still came back
+    // "parsed": null with a single 1.6 KB line, consistent with the
+    // line's head being pushed out of the window
+    val budget = 800
     val picked = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
     slowest.foreach { case (k, v) =>
@@ -132,6 +170,7 @@ object Bench {
     }
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$failures,"sf":"$sfDir","full":"$outPath","queries":${picked.mkString("{", ",", "}")}}"""
+    println(compact)
     println(compact)
     spark.stop()
   }

@@ -22,6 +22,22 @@ object ExtQ {
 
   type Fn = (SparkSession, String) => DataFrame
 
+  /** Bench-only fixed-size ANN query panel: when
+    * `graft.bench.panelCap` > 0 (set by [[graft.Bench]] from
+    * SPARK_GRAFT_BENCH_PANEL_CAP; Verify never sets it, so the
+    * correctness gate always runs the full panel), the sparse %97
+    * query panel is further capped to its `cap` smallest ids — so
+    * sf-ramp bench points measure the CORPUS term instead of a
+    * corpus×panel conflation (r8 verdict: x172/x178/x181's panel
+    * grows 21 → 206 across the sf0.1 → sf1 decade, turning their
+    * decade ratios into panel-growth artifacts). Deterministic
+    * (TakeOrdered on the id) and recall-neutral: every surviving
+    * query still runs against the full corpus. */
+  private def benchPanelCap(panel: DataFrame, id: String): DataFrame = {
+    val cap = sys.props.getOrElse("graft.bench.panelCap", "0").toInt
+    if (cap > 0) panel.orderBy(col(id)).limit(cap) else panel
+  }
+
   /** Shared DuckDB CTE: distinct word-3-gram shingle rows per doc. */
   private val shingleCte =
     """sh AS (
@@ -5187,8 +5203,9 @@ object ExtQ {
       val emb = t(s, d, "embeddings")
       val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
         subspaces = 8, ksub = 16, dim = 64)
-      Similarity.pqTopK(emb.filter($"vec_id" % 97 === 0), "vec_id",
-          "embedding", emb, "vec_id", "embedding", cb, k = 10)
+      Similarity.pqTopK(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", emb, "vec_id", "embedding", cb, k = 10)
         .orderBy($"query_id", $"rank")
     },
     s"""WITH $q8Cte,
@@ -5414,7 +5431,8 @@ object ExtQ {
       val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
         subspaces = 8, ksub = 16, dim = 64)
       Similarity.pqRecallAudit(
-        emb.filter($"vec_id" % 97 === 0).filter(qFilter), "vec_id",
+        benchPanelCap(emb.filter($"vec_id" % 97 === 0).filter(qFilter),
+          "vec_id"), "vec_id",
         "embedding", emb, "vec_id", "embedding", cb, k = 10)
     },
     s"""WITH $q8Cte,
@@ -5496,8 +5514,9 @@ object ExtQ {
       val emb = t(s, d, "embeddings")
       val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
         subspaces = 8, ksub = 16, dim = 64)
-      Similarity.ivfPqTopK(emb.filter($"vec_id" % 97 === 0), "vec_id",
-          "embedding", emb, "vec_id", "embedding", cb, k = 10,
+      Similarity.ivfPqTopK(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", emb, "vec_id", "embedding", cb, k = 10,
           nCentroids = 16, nProbe = 4, rounds = 2)
         .orderBy($"query_id", $"rank")
     }, {
