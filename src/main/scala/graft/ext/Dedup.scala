@@ -545,9 +545,15 @@ object Dedup {
     // million times) is sub-split instead of pairing batch × history
     // quadratically on one key; a hot BATCH key is bounded per probe
     // row by the ≤ maxBucket post-split history buckets
+    // only the HISTORY band rows materialize: the reference-only
+    // census reads them twice (census + probe), while the batch side
+    // flows through its single probe join lazily — one checkpoint job
+    // and one band-row materialization fewer than the r8 shape (the
+    // x50 cap-tax shave; the batch side still derives from the
+    // checkpointed shingle sets, so MinHashAgg runs once either way)
     val candidates = Planes.cappedCrossPairs(
       minhashBuckets(setsA, bands, rowsPerBand)
-        .withColumnRenamed("_id", "id_a").localCheckpoint(),
+        .withColumnRenamed("_id", "id_a"),
       minhashBuckets(setsB, bands, rowsPerBand)
         .withColumnRenamed("_id", "id_b").localCheckpoint(),
       maxBucket = 4096)
@@ -978,21 +984,24 @@ object Dedup {
     // sketch through the Generate pipeline, ids-only band rows (see
     // semanticDupPairsInt8 — a wide materializing Project with the
     // sketch drops out of efficient codegen); quantized payloads are
-    // separate small frames read by the scoring join
+    // separate small frames read by the scoring join. Only the
+    // HISTORY side materializes: the reference-only census reads it
+    // twice (census + probe) while the batch side flows through its
+    // single probe join lazily
     def bandRows(df: DataFrame, out: String) = df
       .select(col(id).as("_id"), col(vec).as("fv"))
       .repartition(parts)
       .select(col("_id").as(out),
         posexplode(Planes.bandBuckets(col("fv"), planes, nBands, nBits))
           .as(Seq("band", "bucket")))
-      .localCheckpoint()
     def quant(df: DataFrame) = df
       .select(col(id).as("_id"),
         Similarity.int8Quantize(col(vec)).getField("q").as("qv"))
     val qa = quant(newDf)
     val qb = quant(histDf)
     val cand = Planes.cappedCrossPairs(
-      bandRows(newDf, "id_a"), bandRows(histDf, "id_b"), maxBucket)
+      bandRows(newDf, "id_a"),
+      bandRows(histDf, "id_b").localCheckpoint(), maxBucket)
     val dotL = graft.functions.VectorExpressions.dot_long _
     cand
       .join(qa.select(col("_id").as("id_a"), col("qv").as("_qa")), Seq("id_a"))
