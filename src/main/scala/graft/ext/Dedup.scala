@@ -702,10 +702,33 @@ object Dedup {
     * it feeds the band rows once and the two signature join-backs. */
   private[ext] def simhashCandidates(sigs: DataFrame, maxHamming: Int,
                                      maxBucket: Int = 4096): DataFrame = {
+    // ids-only band rows, materialized: the capped generator reads
+    // them three times (census + both join probes)
+    val banded = simhashBandRows(sigs, maxHamming)
+      .select("_id", "band", "bucket").localCheckpoint()
+    Planes.cappedSelfPairs(banded, maxBucket)
+      .join(sigs.select(col("_id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+  }
+
+  /** Disjoint-chunk (band, bucket) rows appended to a frame carrying
+    * a `sig` column — the SimHash banding shared by the self
+    * ([[simhashCandidates]]), cross ([[simhashPairsAcross]]) and
+    * streaming ([[graft.streaming.SimHashStream]]) paths. ALL input
+    * columns are preserved (the streaming probe needs the signature
+    * and carry columns in the same Generate — a stream cannot join
+    * back to itself); batch callers project down to ids before
+    * checkpointing. Chunk widths distribute 64 bits over maxHamming+1
+    * bands as evenly as possible; extraction is unsigned shifts
+    * (float division would lose bits beyond 2^53). */
+  private[graft] def simhashBandRows(sigs: DataFrame, maxHamming: Int)
+      : DataFrame = {
     require(0 <= maxHamming && maxHamming <= 7,
       "disjoint-chunk banding supports hamming <= 7 (8 chunks minimum 8 bits)")
     val nBands = maxHamming + 1
-    // distribute 64 bits over the bands as evenly as possible
     val widths = (0 until nBands).map(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val chunks = array((0 until nBands).map { b =>
@@ -714,17 +737,45 @@ object Dedup {
       if (widths(b) == 64) col("sig")
       else pmod(shiftrightunsigned(col("sig"), offsets(b)), lit(1L << widths(b)))
     }: _*)
-    // ids-only band rows, materialized: the capped generator reads
-    // them three times (census + both join probes)
-    val banded = sigs.select(col("_id"),
-        posexplode(chunks).as(Seq("band", "bucket")))
+    sigs.select(col("*"), posexplode(chunks).as(Seq("band", "bucket")))
+  }
+
+  /** Cross-corpus SimHash near-dup pairs — [[simhashPairs]] in the
+    * crawl-batch-vs-history shape ([[minhashLshPairsAcross]]'s
+    * signature sibling): the new batch pairs only ACROSS the frames,
+    * never history-vs-history. Both sides reduce to (id, band, chunk)
+    * rows; the oversized-bucket census counts the HISTORY side only
+    * ([[Planes.cappedCrossPairs]]), so a precomputed signature index
+    * over the accumulated corpus carries the identical census and the
+    * streaming path ([[graft.streaming.SimHashStream]]) can never
+    * disagree with this batch replay — the same round-9 contract as
+    * the semantic pair ([[semanticDupPairsInt8Across]]). Candidates
+    * are exactly hamming-verified; returns (id_a ∈ new,
+    * id_b ∈ history, hamming). */
+  def simhashPairsAcross(newDf: DataFrame, histDf: DataFrame, id: String,
+                         text: String, maxHamming: Int,
+                         maxBucket: Int = 4096): DataFrame = {
+    val sa = newDf.select(col(id).as("_id"), simhash64(col(text)).as("sig"))
       .localCheckpoint()
-    Planes.cappedSelfPairs(banded, maxBucket)
-      .join(sigs.select(col("_id").as("id_a"), col("sig").as("sig_a")),
+    val sb = histDf.select(col(id).as("_id"), simhash64(col(text)).as("sig"))
+      .localCheckpoint()
+    // only the HISTORY band rows materialize (census + probe = two
+    // reads); the batch side flows through its single probe lazily
+    val cand = Planes.cappedCrossPairs(
+      simhashBandRows(sa, maxHamming)
+        .select(col("_id").as("id_a"), col("band"), col("bucket")),
+      simhashBandRows(sb, maxHamming)
+        .select(col("_id").as("id_b"), col("band"), col("bucket"))
+        .localCheckpoint(),
+      maxBucket)
+    cand
+      .join(sa.select(col("_id").as("id_a"), col("sig").as("sig_a")),
         Seq("id_a"))
-      .join(sigs.select(col("_id").as("id_b"), col("sig").as("sig_b")),
+      .join(sb.select(col("_id").as("id_b"), col("sig").as("sig_b")),
         Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Embedding cosine near-dup pairs, LSH-bucketed — the 100 TB path.

@@ -258,6 +258,59 @@ object TextAnalysis {
         col("term_df"), col("score_ppm"))
   }
 
+  /** BM25 top-k RETRIEVAL for a query panel — the search-shaped
+    * counterpart of [[bm25TopTerms]]: each query's (distinct) terms
+    * score against the corpus postings and the k best documents per
+    * query come back as (query_id, rank, doc_id, score_ppm). The
+    * training-data uses: mining hard negatives for retrieval training,
+    * lexical near-miss checks against an eval suite, and the sparse
+    * leg of a hybrid (dense + lexical) dedup pass ([[Index.rrfFuse]]
+    * fuses it with the ANN leg).
+    *
+    * Identical integer-exact BM25 arithmetic as [[bm25TopTerms]]
+    * (Zipf-bucket idf, fraction-cleared k1 = 6/5, b = 3/4
+    * normalization, ppm quotient) — per-term scores are exact
+    * integers and the per-(query, doc) sum stays far below 2^53, so
+    * the double-lane [[graft.functions.TopKAgg]] heap loses nothing.
+    *
+    * Scale shape: corpus statistics are the same three map-combined
+    * aggregations as [[bm25TopTerms]]; the QUERY side is small by
+    * nature (a panel, an eval suite) so its distinct (query, term)
+    * rows BROADCAST into the postings join — the corpus never
+    * shuffles except the (query, doc) partial-sum agg, which is
+    * bounded by actual postings hits; the final top-k is the bounded
+    * heap aggregate, never a window sort of the corpus. */
+  def bm25Retrieve(queries: DataFrame, qId: String, qText: String,
+                   corpus: DataFrame, id: String, text: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = corpus.select(col(id).as("doc_id"),
+      explode(filter(tokens(col(text)), t => t =!= "")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    val qterms = queries.select(col(qId).as("query_id"),
+      explode(array_distinct(filter(tokens(col(qText)), t => t =!= "")))
+        .as("term"))
+    val perTerm = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, "doc_id").join(dfreq, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_bits",
+        (length(bin(expr("n_docs div term_df"))) - 1).cast("long"))
+      .withColumn("score_ppm", expr(
+        """idf_bits * ((1000000 * 44 * t_toks * tf)
+          |  div (20 * t_toks * tf + 6 * t_toks + 18 * dl * n_docs))""".stripMargin))
+    perTerm.groupBy("query_id", "doc_id")
+      .agg(sum(col("score_ppm")).as("score_ppm"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(
+        col("score_ppm").cast("double"), col("doc_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_kv")))
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_kv.id").as("doc_id"), col("_kv.v").cast("long").as("score_ppm"))
+  }
+
   /** Class-based TF-IDF (c-TF-IDF): the k most DISTINGUISHING terms
     * per group — per-source/topic/language vocabulary signatures, the
     * corpus-exploration report behind "what is actually in this

@@ -6170,6 +6170,94 @@ object ExtQ {
        |  AND 25 * dotq * dotq >= 4 * na * nb
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** BM25 top-k retrieval for a query panel: queries are the first
+    * four tokens of every 97th document, scored against the full
+    * corpus with the x53 integer-exact BM25 arithmetic, top-5 docs
+    * per query through the bounded heap aggregate. The oracle
+    * replays tokenization, distinct query terms, per-term scores,
+    * the per-(query, doc) sum, and the (score desc, doc asc)
+    * ranking. */
+  private val x194: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val queries = docs.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("query_id"),
+          concat_ws(" ", slice(filter(split($"text", " "),
+            t => t =!= ""), 1, 4)).as("qtext"))
+      TextAnalysis.bm25Retrieve(queries, "query_id", "qtext",
+          docs, "doc_id", "text", k = 5)
+        .orderBy($"query_id", $"rank")
+    },
+    """WITH tok AS (
+      |  SELECT doc_id, unnest([t for t in string_split(text, ' ')
+      |                         if len(t) > 0]) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      |       FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+      |dfq AS (SELECT term, COUNT(*)::BIGINT AS term_df FROM tf GROUP BY term),
+      |tot AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS t_toks
+      |        FROM dl),
+      |qt AS (
+      |  SELECT doc_id AS query_id, unnest(list_distinct(
+      |    ([t for t in string_split(text, ' ') if len(t) > 0])[1:4])) AS term
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |         SUM((length(bin(n_docs // term_df)) - 1)
+      |           * ((1000000 * 44 * t_toks * tf)
+      |              // (20 * t_toks * tf + 6 * t_toks + 18 * dl * n_docs))
+      |         )::BIGINT AS score_ppm
+      |       FROM tf JOIN qt USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      |       JOIN dfq ON dfq.term = tf.term, tot
+      |       GROUP BY qt.query_id, tf.doc_id),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |         ORDER BY score_ppm DESC, doc_id)::BIGINT AS rank FROM sc)
+      |SELECT query_id, rank, doc_id, score_ppm
+      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  /** Incremental cross-corpus SimHash dedup: odd-id docs are the
+    * arriving batch, even-id docs the accumulated history — the
+    * signature sibling of x50/x188, with the round-9 REFERENCE-ONLY
+    * census (the contract the streaming signature index rides). The
+    * oracle replays signatures, chunk banding, the history-side
+    * census cap, the cross-parity candidate join and the exact
+    * hamming verify. */
+  private val x195: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      Dedup.simhashPairsAcross(
+          docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+          "doc_id", "text", maxHamming = 3)
+        .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    },
+    s"""WITH sigs AS ($simhashSigSql),
+       |usig AS (
+       |  SELECT doc_id, CASE WHEN simhash < 0
+       |    THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+       |    ELSE simhash::HUGEINT END AS u
+       |  FROM sigs),
+       |sk AS (
+       |  SELECT doc_id AS vec_id, band, ((u // d) % 65536)::BIGINT AS bucket
+       |  FROM usig CROSS JOIN (VALUES (0, 1::HUGEINT),
+       |    (1, 65536::HUGEINT), (2, 4294967296::HUGEINT),
+       |    (3, 281474976710656::HUGEINT)) AS bw(band, d)),
+       |${Planes.cappedSkRefCteSql(4096, "vec_id % 2 = 0")},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM skb a JOIN skb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |  WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
+       |SELECT cand.id_a, cand.id_b,
+       |  bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+       |FROM cand
+       |JOIN sigs sa ON sa.doc_id = cand.id_a
+       |JOIN sigs sb ON sb.doc_id = cand.id_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6364,5 +6452,7 @@ object ExtQ {
     "x191_semantic_dedup_corpus" -> (x191._1, Some(x191._2)),
     "x192_semantic_ivf_audit" -> (x192._1, Some(x192._2)),
     "x193_semantic_index_merge" -> (x193._1, Some(x193._2)),
+    "x194_bm25_retrieval" -> (x194._1, Some(x194._2)),
+    "x195_simhash_incremental" -> (x195._1, Some(x195._2)),
   )
 }

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Planes}
+
+/** Streaming TEXT near-dup-at-ingest: flag documents arriving on a
+  * stream whose SimHash signature is within a hamming ball of a
+  * STATIC reference corpus — the signature-space counterpart of
+  * [[EmbedStream]] (which does the same for embeddings) and the
+  * online counterpart of [[graft.ext.Dedup.simhashPairsAcross]].
+  * The signature is a PER-ROW expression (the native codegen'd
+  * [[graft.functions.SimHash64]] — no aggregate, no state), the
+  * banding is the deterministic disjoint-chunk split, and the
+  * oversized-bucket census counts the REFERENCE side only — a pure
+  * function of the reference, identical in the build-once index and
+  * the batch operator, so stream and batch replay agree EXACTLY,
+  * hot buckets included (the round-9 census contract).
+  *
+  * Stream-static equi-joins only — STATELESS in Structured Streaming;
+  * the optional per-pair dedup (a pair sharing k chunks emits k rows)
+  * rides bounded-state `dropDuplicatesWithinWatermark`, exactly
+  * [[EmbedStream.semanticDupMatches]]'s shape.
+  */
+object SimHashStream {
+
+  /** Pre-banded static signature reference for [[simhashDupMatches]]:
+    * `ns` is the oversized-bucket census over the REFERENCE
+    * (≤ refRows·bands/maxBucket keys — broadcastable); `bandRows`
+    * carries (band, bucket, sub, id_b); `payload` the 8-byte
+    * signatures for the exact hamming verify. */
+  case class SimHashRefIndex(maxHamming: Int, maxBucket: Int,
+                             ns: DataFrame, bandRows: DataFrame,
+                             payload: DataFrame)
+
+  def simhashRefIndex(ref: DataFrame, id: String, text: String,
+                      maxHamming: Int, maxBucket: Int = 4096)
+      : SimHashRefIndex = {
+    require(maxBucket >= 1, "maxBucket must be positive")
+    val sigs = ref.select(col(id).as("_id"),
+        Dedup.simhash64(col(text)).as("sig"))
+      .localCheckpoint()
+    val banded = Dedup.simhashBandRows(sigs, maxHamming)
+      .select("_id", "band", "bucket").localCheckpoint()
+    val ns = banded.groupBy("band", "bucket")
+      .agg(graft.ext.IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
+        lit(maxBucket.toLong)).as("_ns"))
+      .filter(col("_ns") > 1)
+      .localCheckpoint()
+    val withSub = banded.join(broadcast(ns), Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"),
+        when(col("_ns").isNull, lit(0L))
+          .otherwise(pmod(Planes.subHash(col("_id")), col("_ns"))).as("sub"),
+        col("_id").as("id_b"))
+      .localCheckpoint()
+    val payload = sigs.select(col("_id").as("id_b"), col("sig").as("sig_b"))
+    SimHashRefIndex(maxHamming, maxBucket, ns, withSub, payload)
+  }
+
+  /** Incrementally merge newly-accumulated reference documents into
+    * an existing [[SimHashRefIndex]] — [[EmbedStream.mergeRefIndex]]'s
+    * signature sibling, with the same parity contract: old band rows
+    * are reused verbatim (the signature and its chunks are per-row
+    * functions), only the new slice is signed and banded, and the
+    * ids-only census refresh re-assigns every row's sub (a bucket
+    * crossing `maxBucket` through this merge must sub-split rows
+    * indexed before it). merge == full rebuild, spec-gated. */
+  def mergeRefIndex(idx: SimHashRefIndex, more: DataFrame, id: String,
+                    text: String): SimHashRefIndex = {
+    val sigs = more.select(col(id).as("_id"),
+        Dedup.simhash64(col(text)).as("sig"))
+      .localCheckpoint()
+    val allRows = idx.bandRows
+      .select(col("id_b").as("_id"), col("band"), col("bucket"))
+      .unionByName(Dedup.simhashBandRows(sigs, idx.maxHamming)
+        .select("_id", "band", "bucket"))
+      .localCheckpoint()
+    val ns = allRows.groupBy("band", "bucket")
+      .agg(graft.ext.IntMath.truncDiv(count(lit(1)) + (idx.maxBucket - 1),
+        lit(idx.maxBucket.toLong)).as("_ns"))
+      .filter(col("_ns") > 1)
+      .localCheckpoint()
+    val withSub = allRows.join(broadcast(ns), Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"),
+        when(col("_ns").isNull, lit(0L))
+          .otherwise(pmod(Planes.subHash(col("_id")), col("_ns"))).as("sub"),
+        col("_id").as("id_b"))
+      .localCheckpoint()
+    val payload = idx.payload.unionByName(
+        sigs.select(col("_id").as("id_b"), col("sig").as("sig_b")))
+      .localCheckpoint()
+    SimHashRefIndex(idx.maxHamming, idx.maxBucket, ns, withSub, payload)
+  }
+
+  /** Match stream documents against the reference index: emits
+    * (id_a, id_b, hamming) — plus any `carry` columns from the stream
+    * row — for every stream document within the index's hamming ball
+    * of a reference document. Works identically on a batch DataFrame
+    * (the spec's stream==batch gate). Pass `dedupWatermark` (with
+    * `ts` naming the event-time column) to collapse the per-chunk
+    * duplicate rows through bounded-state
+    * `dropDuplicatesWithinWatermark`. */
+  def simhashDupMatches(stream: DataFrame, idx: SimHashRefIndex,
+                        id: String, text: String,
+                        carry: Seq[String] = Seq.empty,
+                        ts: String = "", dedupWatermark: String = "")
+      : DataFrame = {
+    require(dedupWatermark.isEmpty || ts.nonEmpty,
+      "ts must name the event-time column when dedupWatermark is set")
+    val carryCols = carry.map(c => col(c))
+    // the signature and carry columns ride THROUGH the chunk Generate
+    // (simhashBandRows preserves input columns) — a streaming frame
+    // cannot join back to itself to re-fetch them
+    val sigs = stream.select(
+      Seq(col(id).as("_id"), Dedup.simhash64(col(text)).as("sig")) ++
+        carryCols: _*)
+    val probes = Dedup.simhashBandRows(sigs, idx.maxHamming)
+      .join(broadcast(idx.ns), Seq("band", "bucket"), "left")
+      .withColumn("sub", when(col("_ns").isNull, lit(0L))
+        .otherwise(pmod(Planes.subHash(col("_id")), col("_ns"))))
+    // the reference index is corpus-sized: never broadcast it
+    val matches = probes
+      .join(idx.bandRows, Seq("band", "bucket", "sub"))
+      .join(idx.payload, Seq("id_b"))
+      .select(Seq(col("_id").as("id_a"), col("id_b"),
+        bit_count(col("sig").bitwiseXOR(col("sig_b"))).as("hamming")) ++
+        carryCols.map(identity): _*)
+      .filter(col("hamming") <= idx.maxHamming)
+    if (dedupWatermark.isEmpty) matches
+    else matches.withWatermark(ts, dedupWatermark)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+  }
+}

@@ -184,7 +184,9 @@ class PlanSpec extends AnyFunSuite {
       "x185_dsir_importance",    // two 1-row model totals crossed with the B-row bucket table
       "x186_unimax_allocation",  // three 1-row water-filling scalars (k, m, cumcap) crossed
       "x187_jl_distortion_audit", // audit: hash-sampled sub-corpus a<b broadcast pair join
-      "x189_semantic_dedup_ivf") // ≤k-row centroid broadcast (the x87 assignment cross join)
+      "x189_semantic_dedup_ivf", // ≤k-row centroid broadcast (the x87 assignment cross join)
+      "x192_semantic_ivf_audit", // audit: exact int8 ground truth a<b broadcast over the fixture
+      "x194_bm25_retrieval")     // 1-row (N, T) corpus totals crossed with the postings hits
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -251,7 +253,9 @@ class PlanSpec extends AnyFunSuite {
       "x178_pq_recall_audit",      // audit: ≤6-row query set broadcast on both sides
       "x181_ivf_pq_topk",          // ≤16-row centroid broadcast; queries scan reduces via probe top-n
       "x184_semantic_banding_audit", // audit: exact int8 ground truth broadcasts the fixture slice
-      "x187_jl_distortion_audit")  // audit: hash-sampled sub-corpus broadcast, documented audit-only
+      "x187_jl_distortion_audit",  // audit: hash-sampled sub-corpus broadcast, documented audit-only
+      "x192_semantic_ivf_audit",   // audit: exact int8 ground truth broadcasts the fixture slice
+      "x194_bm25_retrieval")       // retrieval: ≤6-row query-term panel broadcast (doc_id % 97)
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

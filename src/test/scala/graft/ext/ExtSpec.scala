@@ -1521,6 +1521,43 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25Retrieve: self-retrieval, score recomputation, deterministic ties") {
+    // 6 docs with distinctive vocab; queries = first tokens of docs
+    // 0 and 3 — each query's own doc must surface, scored by the same
+    // integer BM25 arithmetic as bm25TopTerms
+    val docs = Seq(
+      (0L, "apple banana cherry durian elderberry"),
+      (1L, "apple fig grape"),
+      (2L, "banana fig hazelnut iceplum"),
+      (3L, "jackfruit kiwi lime mango mango"),
+      (4L, "kiwi lime apple"),
+      (5L, "noni orange papaya")).toDF("doc_id", "text")
+    val queries = Seq((0L, "apple banana"), (3L, "mango kiwi"))
+      .toDF("query_id", "qtext")
+    val got = TextAnalysis.bm25Retrieve(queries, "query_id", "qtext",
+        docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every query retrieves its source doc first (it contains both
+    // terms; others at most one)
+    val top = got.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    assert(top == Map(0L -> 0L, 3L -> 3L))
+    // recompute one score by hand: query 0, doc 1 ("apple") —
+    // N=6, T=23, df(apple)=3, tf=1, dl=3
+    // idf_bits = len(bin(6//3))-1 = 1
+    // ppm = (1e6*44*23*1) div (20*23*1 + 6*23 + 18*3*6) = 1012000000 div 922
+    val expected = 1L * (1000000L * 44 * 23 / (20 * 23 + 6 * 23 + 18 * 3 * 6))
+    val d1 = got.find(r => r._1 == 0L && r._3 == 1L).get
+    assert(d1._4 == expected)
+    // ranks are dense from 1 and scores non-increasing per query
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0)._4 >= p(1)._4))
+    }
+  }
+
   test("unimaxAllocation: hand-computed water-filling, all three regimes") {
     // supplies 10/100/1000, caps at 2 epochs = 20/200/2000
     val df = Seq(("a", 10L), ("b", 100L), ("c", 1000L)).toDF("lang", "toks")

@@ -83,6 +83,21 @@ class SimHashPairsSpec extends AnyFunSuite {
     assert(uncapped == quadratic)
   }
 
+  test("simhashPairsAcross == cross-parity slice of the self pairs, reoriented") {
+    val h0 = Dedup.simhashPairsAcross(
+        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = full.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }
+    assert(h0 == expected)
+    assert(h0.nonEmpty, "fixture must have cross-parity near-dups")
+  }
+
   test("hamming=0 band (whole signature) and hamming=7 byte bands still work") {
     val planted = Seq(
       (1L, "alpha bravo charlie delta"),
