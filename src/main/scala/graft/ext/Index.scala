@@ -114,4 +114,40 @@ object Index {
       .orderBy(col("rrf_scaled").desc, col("id"))
       .limit(topN)
   }
+
+  /** [[rrfFuse]] per QUERY — the hybrid-retrieval shape proper: each
+    * input ranking carries (query_id, id, rank ≥ 1); contributions
+    * sum per (query_id, id) with the same exact integer
+    * floor(scale / (k + rank)) arithmetic, and the topN per query
+    * come back through the bounded
+    * [[graft.functions.TopKAgg]] heap — per-query lists are
+    * top-k-sized but the QUERY PANEL can be large, so a global
+    * orderBy/limit (fine for one fused list) would be wrong here,
+    * and a row_number window would sort every candidate of every
+    * query. A query missing from one leg fuses from the others alone
+    * (n_lists says how many contributed — union semantics, the
+    * partial-coverage case a hybrid lexical ⊕ dense pass hits
+    * whenever one modality lacks the document). Returns
+    * (query_id, fused_rank, id, rrf_scaled, n_lists). */
+  def rrfFuseByQuery(rankings: Seq[DataFrame], k: Int, topN: Int,
+                     scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty && k >= 0 && topN > 0,
+      "need >= 1 ranking, k >= 0, topN > 0")
+    val contribs = rankings.map(_.select(col("query_id"), col("id"),
+      expr(s"${scale}L div (CAST($k AS BIGINT) + rank)").as("c")))
+    val summed = contribs.reduce(_ unionAll _)
+      .groupBy("query_id", "id")
+      .agg(sum(col("c")).as("rrf_scaled"), count(lit(1)).as("n_lists"))
+    // rrf_scaled ≤ scale · lists ≪ 2^53: the double-lane heap is exact
+    summed.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(
+        col("rrf_scaled").cast("double"), col("id"), topN).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_kv")))
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("fused_rank"),
+        col("_kv.id").as("id"), col("_kv.v").cast("long").as("rrf_scaled"))
+      .join(summed.select(col("query_id"), col("id"), col("n_lists")),
+        Seq("query_id", "id"))
+      .select(col("query_id"), col("fused_rank"), col("id"),
+        col("rrf_scaled"), col("n_lists"))
+  }
 }

@@ -6258,6 +6258,79 @@ object ExtQ {
        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** HYBRID retrieval: the lexical leg (x194's BM25 over the first-
+    * four-token queries of every 97th document) and the dense leg
+    * (x06's brute-force cosine over the same-id embeddings panel)
+    * fused per query with exact-integer RRF
+    * ([[Index.rrfFuseByQuery]]). The oracle replays both legs and the
+    * fusion; a query missing from one leg (panel coverage differs by
+    * modality at some scales) fuses from the other alone — union
+    * semantics, n_lists recording the evidence. */
+  private val x196: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val queriesTxt = docs.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("query_id"),
+          concat_ws(" ", slice(filter(split($"text", " "),
+            t => t =!= ""), 1, 4)).as("qtext"))
+      val lex = TextAnalysis.bm25Retrieve(queriesTxt, "query_id", "qtext",
+          docs, "doc_id", "text", k = 10)
+        .select($"query_id", $"doc_id".as("id"), $"rank")
+      val dense = Similarity.bruteForceTopK(
+          emb.filter($"vec_id" % 97 === 0), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10)
+        .select($"query_id", $"neighbour_id".as("id"), $"rank")
+      Index.rrfFuseByQuery(Seq(lex, dense), k = 60, topN = 5)
+        .orderBy($"query_id", $"fused_rank")
+    },
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest([t for t in string_split(text, ' ')
+       |                         if len(t) > 0]) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |       FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+       |dfq AS (SELECT term, COUNT(*)::BIGINT AS term_df FROM tf GROUP BY term),
+       |tot AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS t_toks
+       |        FROM dl),
+       |qt AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(
+       |    ([t for t in string_split(text, ' ') if len(t) > 0])[1:4])) AS term
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         SUM((length(bin(n_docs // term_df)) - 1)
+       |           * ((1000000 * 44 * t_toks * tf)
+       |              // (20 * t_toks * tf + 6 * t_toks + 18 * dl * n_docs))
+       |         )::BIGINT AS score_ppm
+       |       FROM tf JOIN qt USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       |       JOIN dfq ON dfq.term = tf.term, tot
+       |       GROUP BY qt.query_id, tf.doc_id),
+       |lex AS (SELECT query_id, doc_id AS id,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY score_ppm DESC, doc_id)::BIGINT AS rank
+       |        FROM sc QUALIFY rank <= 10),
+       |dense AS (
+       |  SELECT query_id, id, rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id)
+       |        ::BIGINT AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id % 97 = 0)
+       |  WHERE rank <= 10),
+       |u AS (SELECT query_id, id, 1000000000 // (60 + rank) AS c FROM lex
+       |      UNION ALL
+       |      SELECT query_id, id, 1000000000 // (60 + rank) FROM dense),
+       |f AS (SELECT query_id, id, SUM(c)::BIGINT AS rrf_scaled,
+       |        COUNT(*)::BIGINT AS n_lists
+       |      FROM u GROUP BY query_id, id),
+       |rk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY rrf_scaled DESC, id)::BIGINT AS fused_rank FROM f)
+       |SELECT query_id, fused_rank, id, rrf_scaled, n_lists
+       |FROM rk2 WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6454,5 +6527,6 @@ object ExtQ {
     "x193_semantic_index_merge" -> (x193._1, Some(x193._2)),
     "x194_bm25_retrieval" -> (x194._1, Some(x194._2)),
     "x195_simhash_incremental" -> (x195._1, Some(x195._2)),
+    "x196_hybrid_retrieval" -> (x196._1, Some(x196._2)),
   )
 }

@@ -809,6 +809,29 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("rrfFuseByQuery: per-query fusion, partial coverage, bounded topN") {
+    import spark.implicits._
+    // query 1 appears in both legs, query 2 only in the lexical leg
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "id", "rank")
+    val dense = Seq((1L, 11L, 1L), (1L, 12L, 2L))
+      .toDF("query_id", "id", "rank")
+    val got = Index.rrfFuseByQuery(Seq(lex, dense), k = 60, topN = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    def c(r: Int) = 1000000000L / (60 + r)
+    val want = Seq(
+      // query 1: 11 fuses from both legs and wins; 10 beats 12 (both
+      // single-leg, same contribution c(1) vs c(2): 10 has c(1)... no —
+      // 10 contributes c(1) lexically, 12 contributes c(2) densely
+      (1L, 1L, 11L, c(2) + c(1), 2L),
+      (1L, 2L, 10L, c(1), 1L),
+      // query 2: lexical-only, fuses from one leg (union semantics)
+      (2L, 1L, 20L, c(1), 1L))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) == want)
+  }
+
   test("paretoFrontier: dominated points drop, per-cost champions kept") {
     import spark.implicits._
     val pts = Seq(
