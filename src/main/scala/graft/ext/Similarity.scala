@@ -1047,6 +1047,45 @@ object Similarity {
         col("col.id").as("corpus_id"), (-col("col.v")).cast("long").as("adc_d2"))
   }
 
+  /** PQ-ADC candidate generation with EXACT re-rank — the refine
+    * stage every production PQ deployment runs (FAISS's
+    * refine/RFlat pattern): the code scan proposes `k · refine`
+    * candidates per query by asymmetric distance, then ONLY those
+    * candidates read their full float vectors for an exact cosine
+    * re-rank to top-k. Rank fidelity recovers to near-exact (the
+    * audit instrument is [[pqRecallAudit]] on the candidate stage)
+    * while the corpus scan still touches `subspaces` small ints per
+    * row — the refine join reads k·refine·|queries| vectors, not the
+    * corpus.
+    *
+    * Deterministic end to end: the ADC stage is integer-exact
+    * (oracle-replayable bit-for-bit) and the re-rank orders by the
+    * same double cosine as [[bruteForceTopK]] (ties to the smaller
+    * id), so the refined ranking is engine-portable too. Returns
+    * (query_id, rank, corpus_id, cosine). */
+  def pqTopKRefined(queries: DataFrame, qId: String, qVec: String,
+                    corpus: DataFrame, cId: String, cVec: String,
+                    codebook: Seq[Seq[Seq[Long]]], k: Int,
+                    refine: Int = 4): DataFrame = {
+    require(k >= 1 && refine >= 1, "k and refine must be positive")
+    val cand = pqTopK(queries, qId, qVec, corpus, cId, cVec, codebook,
+        k * refine)
+      .select(col("query_id"), col("corpus_id"))
+    val qv = broadcast(queries.select(col(qId).as("query_id"),
+      col(qVec).as("_qv")))
+    val cv = corpus.select(col(cId).as("corpus_id"), col(cVec).as("_cv"))
+    cand.join(qv, Seq("query_id"))
+      .join(cv, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("_qv"), col("_cv")).as("_cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(col("_cos"), col("corpus_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("corpus_id"), col("col.v").as("cosine"))
+  }
+
   /** IVF-PQ ANN — the full production serving shape: queries route to
     * the `nProbe` nearest coarse centroids (integer Lloyd codebook,
     * bit-deterministic like [[ivfTopKInt8]]), and only the probed

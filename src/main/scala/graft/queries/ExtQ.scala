@@ -6331,6 +6331,67 @@ object ExtQ {
        |SELECT query_id, fused_rank, id, rrf_scaled, n_lists
        |FROM rk2 WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin)
 
+  /** PQ candidates + exact re-rank (the FAISS refine pattern): the
+    * x172 ADC stage proposes 40 candidates per query, only those read
+    * their float vectors for the exact-cosine top-10. The oracle
+    * replays the whole chain — quantize, sample, encode, ADC ranks,
+    * the 40-candidate cut, and the double-cosine re-rank (x06's
+    * ordering). */
+  private val x197: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        subspaces = 8, ksub = 16, dim = 64)
+      Similarity.pqTopKRefined(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", emb, "vec_id", "embedding", cb,
+          k = 10, refine = 4)
+        .select($"query_id", $"rank", $"corpus_id",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    },
+    s"""WITH $q8Cte,
+       |sel AS (SELECT vec_id, q,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT vec_id, q FROM q8
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+       |cb AS (SELECT ms.m, sel.code,
+       |    list_slice(sel.q, ms.m * 8 + 1, ms.m * 8 + 8) AS cvec
+       |  FROM sel, (SELECT unnest(range(8)) AS m) ms),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |  SELECT c.vec_id, cb.m, cb.code,
+       |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, cb.m
+       |      ORDER BY list_sum(list_transform(range(1, 9),
+       |        i -> (c.q[cb.m * 8 + i] - cb.cvec[i])
+       |           * (c.q[cb.m * 8 + i] - cb.cvec[i]))), cb.code) AS r
+       |  FROM q8 c, cb) WHERE r = 1),
+       |qs AS (SELECT vec_id, q FROM q8 WHERE vec_id % 97 = 0),
+       |dist AS (
+       |  SELECT qs.vec_id AS query_id, enc.vec_id AS corpus_id,
+       |    SUM(list_sum(list_transform(range(1, 9),
+       |      i -> (qs.q[enc.m * 8 + i] - cb.cvec[i])
+       |         * (qs.q[enc.m * 8 + i] - cb.cvec[i]))))::BIGINT AS d2
+       |  FROM qs, enc JOIN cb ON cb.m = enc.m AND cb.code = enc.code
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT query_id, corpus_id FROM (
+       |  SELECT query_id, corpus_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2, corpus_id) AS r
+       |  FROM dist) WHERE r <= 40),
+       |rer AS (
+       |  SELECT cand.query_id, cand.corpus_id,
+       |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand.corpus_id)
+       |SELECT query_id, rank, corpus_id,
+       |  floor(cosine * 1e6 + 0.5) / 1e6 AS cos6 FROM (
+       |  SELECT query_id, corpus_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id)::BIGINT AS rank
+       |  FROM rer) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6528,5 +6589,6 @@ object ExtQ {
     "x194_bm25_retrieval" -> (x194._1, Some(x194._2)),
     "x195_simhash_incremental" -> (x195._1, Some(x195._2)),
     "x196_hybrid_retrieval" -> (x196._1, Some(x196._2)),
+    "x197_pq_refine_topk" -> (x197._1, Some(x197._2)),
   )
 }

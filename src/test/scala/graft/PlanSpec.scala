@@ -187,7 +187,8 @@ class PlanSpec extends AnyFunSuite {
       "x189_semantic_dedup_ivf", // ≤k-row centroid broadcast (the x87 assignment cross join)
       "x192_semantic_ivf_audit", // audit: exact int8 ground truth a<b broadcast over the fixture
       "x194_bm25_retrieval",     // 1-row (N, T) corpus totals crossed with the postings hits
-      "x196_hybrid_retrieval")   // composes x194's totals cross + x06's ≤6-row query broadcast
+      "x196_hybrid_retrieval",   // composes x194's totals cross + x06's ≤6-row query broadcast
+      "x197_pq_refine_topk")     // x172's ≤6-row query distance tables crossed with the codes scan
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -257,7 +258,8 @@ class PlanSpec extends AnyFunSuite {
       "x187_jl_distortion_audit",  // audit: hash-sampled sub-corpus broadcast, documented audit-only
       "x192_semantic_ivf_audit",   // audit: exact int8 ground truth broadcasts the fixture slice
       "x194_bm25_retrieval",       // retrieval: ≤6-row query-term panel broadcast (doc_id % 97)
-      "x196_hybrid_retrieval")     // hybrid: the same two panel broadcasts as x194 + x06
+      "x196_hybrid_retrieval",     // hybrid: the same two panel broadcasts as x194 + x06
+      "x197_pq_refine_topk")       // refine: ≤6-row query set broadcast; corpus side scans CODES
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

@@ -1399,6 +1399,36 @@ class ExtSpec extends AnyFunSuite {
     assert(tiny.size == 1) // single short gram → its own fingerprint
   }
 
+  test("pqTopKRefined: full-coverage refine == exact cosine ranking") {
+    // 24 vectors, dim 8; refine wide enough that the candidate set is
+    // the WHOLE corpus — the refined ranking must then equal the
+    // exact cosine ranking (self included; ties id-ascending)
+    val corpus = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin((i % 7 + 1) * (j + 1) * 0.37)))
+    }.toDF("id", "vec")
+    val cb = Similarity.pqCodebook(corpus, "id", "vec",
+      subspaces = 4, ksub = 8, dim = 8)
+    val queries = corpus.filter(col("id") < 3)
+    val got = Similarity.pqTopKRefined(queries, "id", "vec",
+        corpus, "id", "vec", cb, k = 5, refine = 5) // 25 ≥ corpus
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact reference, driver-side
+    val vecs = (0L until 24L).map { i =>
+      i -> Array.tabulate(8)(j => math.sin((i % 7 + 1) * (j + 1) * 0.37))
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (q <- 0L until 3L) {
+      val want = vecs.toSeq.map { case (cid, cv) => (cid, cos(vecs(q), cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(5).map(_._1)
+      val gotRanks = (1L to 5L).map(r => got((q, r)))
+      assert(gotRanks == want, s"query $q refined != exact")
+    }
+  }
+
   test("pqEncode/pqTopK: codebook members round-trip, ADC = reconstruct") {
     // dim 4, 2 subspaces of 2 dims; maxabs 127 ⇒ quantization is the
     // identity on these integer-valued vectors
