@@ -6181,10 +6181,10 @@ object ExtQ {
     (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val queries = docs.filter($"doc_id" % 97 === 0)
+      val queries = benchPanelCap(docs.filter($"doc_id" % 97 === 0)
         .select($"doc_id".as("query_id"),
           concat_ws(" ", slice(filter(split($"text", " "),
-            t => t =!= ""), 1, 4)).as("qtext"))
+            t => t =!= ""), 1, 4)).as("qtext")), "query_id")
       TextAnalysis.bm25Retrieve(queries, "query_id", "qtext",
           docs, "doc_id", "text", k = 5)
         .orderBy($"query_id", $"rank")
@@ -6271,10 +6271,10 @@ object ExtQ {
       import s.implicits._
       val docs = t(s, d, "documents")
       val emb = t(s, d, "embeddings")
-      val queriesTxt = docs.filter($"doc_id" % 97 === 0)
+      val queriesTxt = benchPanelCap(docs.filter($"doc_id" % 97 === 0)
         .select($"doc_id".as("query_id"),
           concat_ws(" ", slice(filter(split($"text", " "),
-            t => t =!= ""), 1, 4)).as("qtext"))
+            t => t =!= ""), 1, 4)).as("qtext")), "query_id")
       val lex = TextAnalysis.bm25Retrieve(queriesTxt, "query_id", "qtext",
           docs, "doc_id", "text", k = 10)
         .select($"query_id", $"doc_id".as("id"), $"rank")
