@@ -58,6 +58,7 @@ object GraftSession {
     // pre-existed getOrCreate (extensions only apply to new sessions)
     graft.functions.VectorExpressions.register(spark)
     graft.functions.MinHashAgg.register(spark)
+    graft.functions.MinHashArray.register(spark)
     graft.functions.Transliterate.register(spark)
     graft.functions.WordShingles.register(spark)
     graft.functions.TokenNgrams.register(spark)

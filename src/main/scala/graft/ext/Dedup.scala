@@ -517,12 +517,20 @@ object Dedup {
     val sig = rows.groupBy("_id")
       .agg(graft.functions.MinHashAgg.minhash(col("sh"), k).as("sig"))
     sig.select(col("_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws(",", transform(
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string"))), b)))
+      posexplode(minhashBandCols(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
   }
+
+  /** Per-band bucket-id array from a k-long MinHash signature column
+    * — the banding shared by the batch generators and the streaming
+    * probe ([[graft.streaming.MinHashStream]]): band b's bucket is
+    * xxhash64 of the band's signature slice (positional, stable). */
+  private[graft] def minhashBandCols(sig: Column, bands: Int,
+                                     rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(concat_ws(",", transform(
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+        x => x.cast("string"))), b))
 
   /** Cross-corpus MinHash near-dup pairs — the INCREMENTAL crawl-dedup
     * shape [[incrementalDedup]] covers only for exact duplicates: a

@@ -116,6 +116,26 @@ object GraftProperties extends Properties("graft") {
         .forall(r => r.getLong(0) == r.getLong(1))
     }
 
+  property("MinHashArray per-row == MinHashAgg over exploded rows") =
+    forAll(Gen.listOfN(5, Gen.listOf(
+      Gen.oneOf("aa bb", "cc", "dd ee ff", "gg", "hh ii")))) { lists =>
+      val k = 16
+      val rows = lists.zipWithIndex.map { case (l, i) =>
+        (i.toLong, l.distinct)
+      }.filter(_._2.nonEmpty) // agg drops empty groups; array form doc'd
+      rows.isEmpty || {
+        val df = rows.toDF("id", "shs")
+        val perRow = df.select($"id",
+            functions.MinHashArray.minhashArray($"shs", k).as("sig"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val agg = df.select($"id", explode($"shs").as("sh"))
+          .groupBy("id")
+          .agg(functions.MinHashAgg.minhash($"sh", k).as("sig"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        perRow == agg
+      }
+    }
+
   property("SimHash64 native == interpreted HOF form") =
     forAll(Gen.listOfN(6, textGen)) { texts =>
       texts.toDF("t")
