@@ -6119,7 +6119,8 @@ object ExtQ {
         emb.filter(pmod($"vec_id", lit(5)).isin(3, 4)),
         "vec_id", "embedding")
       graft.streaming.EmbedStream.semanticDupMatches(
-          emb.filter(pmod($"vec_id", lit(5)) === 0), merged,
+          benchPanelCap(emb.filter(pmod($"vec_id", lit(5)) === 0),
+            "vec_id"), merged,
           "vec_id", "embedding", cos2Num = 4, cos2Den = 25)
         .select($"id_a", $"id_b", $"dotq", $"na", $"nb").distinct()
         .orderBy($"id_a", $"id_b")
