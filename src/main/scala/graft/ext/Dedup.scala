@@ -545,7 +545,8 @@ object Dedup {
   def minhashLshPairsAcross(newDf: DataFrame, histDf: DataFrame,
                             id: String, text: String, n: Int,
                             threshold: Double, bands: Int = 64,
-                            rowsPerBand: Int = 2): DataFrame = {
+                            rowsPerBand: Int = 2,
+                            maxBucket: Int = 4096): DataFrame = {
     val setsA = docShingleSets(newDf, id, text, n).localCheckpoint()
     val setsB = docShingleSets(histDf, id, text, n).localCheckpoint()
     // capped cross generator (reference-only census): a hot history
@@ -564,7 +565,7 @@ object Dedup {
         .withColumnRenamed("_id", "id_a"),
       minhashBuckets(setsB, bands, rowsPerBand)
         .withColumnRenamed("_id", "id_b").localCheckpoint(),
-      maxBucket = 4096)
+      maxBucket)
     candidates
       .join(setsA.as("sa"), col("id_a") === col("sa._id"))
       .join(setsB.as("sb"), col("id_b") === col("sb._id"))

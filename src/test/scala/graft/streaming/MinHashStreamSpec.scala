@@ -59,10 +59,13 @@ class MinHashStreamSpec extends AnyFunSuite {
     val matched = MinHashStream.minhashDupMatches(probe, idx, "doc_id", "text")
       .select("id_a", "id_b", "jaccard").distinct()
       .as[(Long, Long, Double)].collect().toSet
-    // batch Across with the same cap: minhashLshPairsAcross pins 4096,
-    // so compare against the capped generator composed the same way —
-    // via a second index at the SAME cap evaluated in batch mode, and
-    // independently assert the sub-split engaged
+    // the round-9 contract: both paths census the REFERENCE side only,
+    // so the stream index and the batch operator at the same cap must
+    // emit the identical pair set even with the oversized bucket
+    val batch = Dedup.minhashLshPairsAcross(probe, ref, "doc_id", "text",
+        n = 3, threshold = 0.6, maxBucket = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(matched == batch)
     assert(matched.nonEmpty && matched.size < 6 * 40,
       "sub-split must prune the flood")
     // every emitted pair is an exact-Jaccard match (identical texts)
