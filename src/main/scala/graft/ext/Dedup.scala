@@ -1259,8 +1259,10 @@ object Dedup {
       .agg(count(col("_e")).as("n_exact"), count(col("_i")).as("n_ivf"),
         count(when(col("_e").isNotNull && col("_i").isNotNull, lit(1)))
           .as("n_hits"))
-      .withColumn("recall_ppm",
-        IntMath.ppmDiv(col("n_hits"), col("n_exact")))
+      // guard like semanticBandingAudit: a heavily-sampled sub-corpus
+      // can have zero exact pairs — recall is then NULL, not a crash
+      .withColumn("recall_ppm", when(col("n_exact") > 0,
+        IntMath.ppmDiv(col("n_hits"), col("n_exact"))))
   }
 
   /** Benchmark decontamination: corpus documents sharing at least

@@ -133,11 +133,26 @@ object Index {
                      scale: Long = 1000000000L): DataFrame = {
     require(rankings.nonEmpty && k >= 0 && topN > 0,
       "need >= 1 ranking, k >= 0, topN > 0")
+    // ids must be integral: the bounded heap carries them as longs,
+    // and an implicit string->long cast would null out (and silently
+    // DROP) every non-numeric id under non-ANSI SQL — fail loudly
+    // instead ([[rrfFuse]], which never casts the id, stays generic)
+    rankings.foreach { r =>
+      val t = r.schema("id").dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType,
+        s"rrfFuseByQuery needs integral ids (got ${t.catalogString}); " +
+          "map string ids through a dense-id assignment first " +
+          "(ext/Prefix.denseIds)")
+    }
     val contribs = rankings.map(_.select(col("query_id"), col("id"),
       expr(s"${scale}L div (CAST($k AS BIGINT) + rank)").as("c")))
+    // materialized: read twice (the heap pass and the n_lists
+    // join-back) — panel-bounded, never corpus-sized
     val summed = contribs.reduce(_ unionAll _)
       .groupBy("query_id", "id")
       .agg(sum(col("c")).as("rrf_scaled"), count(lit(1)).as("n_lists"))
+      .localCheckpoint()
     // rrf_scaled ≤ scale · lists ≪ 2^53: the double-lane heap is exact
     summed.groupBy("query_id")
       .agg(graft.functions.TopKAgg.topk(

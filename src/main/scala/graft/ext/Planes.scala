@@ -126,6 +126,36 @@ object Planes {
        |      AS BIGINT) % COALESCE(bsz.ns, 1) AS sub
        |  FROM sk LEFT JOIN bsz ON bsz.band = sk.band AND bsz.bucket = sk.bucket)""".stripMargin
 
+  /** Reference-only oversized-bucket census + sub-assignment over
+    * ids-only band rows — THE parity-critical block behind the three
+    * streaming reference indexes and their merges
+    * ([[graft.streaming.EmbedStream]] / [[graft.streaming.SimHashStream]] /
+    * [[graft.streaming.MinHashStream]]); one definition so it can
+    * never drift from [[cappedCrossPairs]]' batch arithmetic, which
+    * the stream==batch parity specs pin. `banded` carries
+    * (id_b, band, bucket) and should be materialized by the caller.
+    * Returns (ns, bandRows): the (band, bucket, _ns) census of
+    * buckets over `maxBucket` (broadcastable by pigeonhole — ≤
+    * rows/maxBucket keys) and the sub-assigned
+    * (band, bucket, sub, id_b) rows, both localCheckpointed (each is
+    * read by every micro-batch join). */
+  private[graft] def refCensusSub(banded: DataFrame, maxBucket: Int)
+      : (DataFrame, DataFrame) = {
+    require(maxBucket >= 1, "maxBucket must be positive")
+    val ns = banded.groupBy("band", "bucket")
+      .agg(IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
+        lit(maxBucket.toLong)).as("_ns"))
+      .filter(col("_ns") > 1)
+      .localCheckpoint()
+    val withSub = banded.join(broadcast(ns), Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"),
+        when(col("_ns").isNull, lit(0L))
+          .otherwise(pmod(subHash(col("id_b")), col("_ns"))).as("sub"),
+        col("id_b"))
+      .localCheckpoint()
+    (ns, withSub)
+  }
+
   /** Distinct capped candidate pairs (id_a < id_b) from self-joining
     * (band, bucket) rows — THE shared oversized-bucket-safe generator
     * behind every banded self-pair operator (plane-LSH dedup, MinHash

@@ -210,6 +210,33 @@ object TextAnalysis {
         col("term_df"), col("score"))
   }
 
+  /** Shared BM25 corpus machinery — ONE definition for
+    * [[bm25TopTerms]] and [[bm25Retrieve]], whose arithmetic is
+    * documented as identical (so a retune or the documented overflow
+    * move — past T·tf ≈ 10¹² lift the ppm multiply into
+    * DECIMAL(38,0) — can never diverge the two): the (tf, dl, dfreq,
+    * totals) statistics frames from one tokenize pass, the
+    * Zipf-bucket idf, and the fraction-cleared k1 = 6/5, b = 3/4
+    * score in ppm. */
+  private def bm25Corpus(corpus: DataFrame, id: String, text: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = corpus.select(col(id).as("doc_id"),
+      explode(filter(tokens(col(text)), t => t =!= "")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // tf has one row per (doc, term) -> df = plain count
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    (tf, dl, dfreq, totals)
+  }
+
+  private def bm25IdfBits: Column =
+    (length(bin(expr("n_docs div term_df"))) - 1).cast("long")
+
+  private def bm25ScorePpm: Column = expr(
+    """idf_bits * ((1000000 * 44 * t_toks * tf)
+      |  div (20 * t_toks * tf + 6 * t_toks + 18 * dl * n_docs))""".stripMargin)
+
   /** Per-document top-k terms under BM25 (Robertson–Walker, the
     * retrieval-era successor of [[topTermsByRarity]]'s raw tf-idf):
     * adds the saturating tf normalization and document-length
@@ -236,20 +263,11 @@ object TextAnalysis {
   def bm25TopTerms(df: DataFrame, id: String, text: String, k: Int)
       : DataFrame = {
     require(k >= 1, "k must be positive")
-    val toks = df.select(col(id).as("doc_id"),
-      explode(filter(tokens(col(text)), t => t =!= "")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // tf has one row per (doc, term) → df = plain count
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    val (tf, dl, dfreq, totals) = bm25Corpus(df, id, text)
     val scored = tf.join(dl, "doc_id").join(dfreq, "term")
       .crossJoin(broadcast(totals))
-      .withColumn("idf_bits",
-        (length(bin(expr("n_docs div term_df"))) - 1).cast("long"))
-      .withColumn("score_ppm", expr(
-        """idf_bits * ((1000000 * 44 * t_toks * tf)
-          |  div (20 * t_toks * tf + 6 * t_toks + 18 * dl * n_docs))""".stripMargin))
+      .withColumn("idf_bits", bm25IdfBits)
+      .withColumn("score_ppm", bm25ScorePpm)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -284,23 +302,15 @@ object TextAnalysis {
                    corpus: DataFrame, id: String, text: String, k: Int)
       : DataFrame = {
     require(k >= 1, "k must be positive")
-    val toks = corpus.select(col(id).as("doc_id"),
-      explode(filter(tokens(col(text)), t => t =!= "")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    val (tf, dl, dfreq, totals) = bm25Corpus(corpus, id, text)
     val qterms = queries.select(col(qId).as("query_id"),
       explode(array_distinct(filter(tokens(col(qText)), t => t =!= "")))
         .as("term"))
     val perTerm = tf.join(broadcast(qterms), Seq("term"))
       .join(dl, "doc_id").join(dfreq, "term")
       .crossJoin(broadcast(totals))
-      .withColumn("idf_bits",
-        (length(bin(expr("n_docs div term_df"))) - 1).cast("long"))
-      .withColumn("score_ppm", expr(
-        """idf_bits * ((1000000 * 44 * t_toks * tf)
-          |  div (20 * t_toks * tf + 6 * t_toks + 18 * dl * n_docs))""".stripMargin))
+      .withColumn("idf_bits", bm25IdfBits)
+      .withColumn("score_ppm", bm25ScorePpm)
     perTerm.groupBy("query_id", "doc_id")
       .agg(sum(col("score_ppm")).as("score_ppm"))
       .groupBy("query_id")

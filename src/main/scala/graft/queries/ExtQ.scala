@@ -6097,7 +6097,7 @@ object ExtQ {
          |  (SELECT COUNT(*) FROM iv)::BIGINT AS n_ivf,
          |  (SELECT COUNT(*) FROM iv)::BIGINT AS n_hits,
          |  ((SELECT COUNT(*) FROM iv)::HUGEINT * 1000000
-         |    // (SELECT COUNT(*) FROM ex))::BIGINT AS recall_ppm""".stripMargin
+         |    // NULLIF((SELECT COUNT(*) FROM ex), 0))::BIGINT AS recall_ppm""".stripMargin
     })
 
   /** Streaming semantic-index MAINTENANCE: the index is built from
@@ -6280,7 +6280,8 @@ object ExtQ {
           docs, "doc_id", "text", k = 10)
         .select($"query_id", $"doc_id".as("id"), $"rank")
       val dense = Similarity.bruteForceTopK(
-          emb.filter($"vec_id" % 97 === 0), "vec_id", "embedding",
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10)
         .select($"query_id", $"neighbour_id".as("id"), $"rank")
       Index.rrfFuseByQuery(Seq(lex, dense), k = 60, topN = 5)

@@ -57,23 +57,14 @@ object EmbedStream {
       }
     val planes = Planes.components(nBands * nBits, dim)
     // sketch through the Generate pipeline (see semanticDupPairsInt8)
-    val banded = ref.select(col(id).as("_id"), col(vec).as("_fv"))
+    val banded = ref.select(col(id).as("id_b"), col(vec).as("_fv"))
       .repartition(parts)
-      .select(col("_id"),
+      .select(col("id_b"),
         posexplode(Planes.bandBuckets(col("_fv"), planes, nBands, nBits))
           .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id_b"))
       .localCheckpoint()
-    val ns = banded.groupBy("band", "bucket")
-      .agg(graft.ext.IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
-        lit(maxBucket.toLong)).as("_ns"))
-      .filter(col("_ns") > 1)
-      .localCheckpoint()
-    val withSub = banded.join(broadcast(ns), Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        when(col("_ns").isNull, lit(0L))
-          .otherwise(pmod(Planes.subHash(col("_id")), col("_ns"))).as("sub"),
-        col("_id").as("id_b"))
-      .localCheckpoint()
+    val (ns, withSub) = Planes.refCensusSub(banded, maxBucket)
     val payload = ref.select(col(id).as("id_b"),
         Similarity.int8Quantize(col(vec)).getField("q").as("_qb"))
       .localCheckpoint()
@@ -114,24 +105,20 @@ object EmbedStream {
       .select(col("_id").as("id_b"),
         posexplode(Planes.bandBuckets(col("_fv"), planes, idx.bands,
           idx.bitsPerBand)).as(Seq("band", "bucket")))
-    val allRows = idx.bandRows.select(col("id_b"), col("band"), col("bucket"))
-      .unionByName(banded)
+    val allRows = idx.bandRows.select(col("band"), col("bucket"), col("id_b"))
+      .unionByName(banded.select(col("band"), col("bucket"), col("id_b")))
       .localCheckpoint()
-    val ns = allRows.groupBy("band", "bucket")
-      .agg(graft.ext.IntMath.truncDiv(count(lit(1)) + (idx.maxBucket - 1),
-        lit(idx.maxBucket.toLong)).as("_ns"))
-      .filter(col("_ns") > 1)
-      .localCheckpoint()
-    val withSub = allRows.join(broadcast(ns), Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        when(col("_ns").isNull, lit(0L))
-          .otherwise(pmod(Planes.subHash(col("id_b")), col("_ns"))).as("sub"),
-        col("id_b"))
-      .localCheckpoint()
+    val (ns, withSub) = Planes.refCensusSub(allRows, idx.maxBucket)
+    // only the NEW slice's payload materializes — re-checkpointing the
+    // full accumulated payload would copy the entire reference (the
+    // index's largest object) on EVERY merge, exactly the corpus-sized
+    // rescan the merge exists to avoid; the union over already-
+    // materialized frames stays lazy and per-batch reads resolve to
+    // the checkpointed slices
     val payload = idx.payload.unionByName(
-        more.select(col(id).as("id_b"),
-          Similarity.int8Quantize(col(vec)).getField("q").as("_qb")))
-      .localCheckpoint()
+      more.select(col(id).as("id_b"),
+          Similarity.int8Quantize(col(vec)).getField("q").as("_qb"))
+        .localCheckpoint())
     SemanticRefIndex(idx.bands, idx.bitsPerBand, idx.dim, idx.maxBucket,
       ns, withSub, payload)
   }

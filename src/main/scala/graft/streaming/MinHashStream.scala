@@ -57,21 +57,12 @@ object MinHashStream {
     val sig = sets.select(col("_id"), explode(col("shs")).as("sh"))
       .groupBy("_id")
       .agg(graft.functions.MinHashAgg.minhash(col("sh"), k).as("sig"))
-    val banded = sig.select(col("_id"),
+    val banded = sig.select(col("_id").as("id_b"),
         posexplode(Dedup.minhashBandCols(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id_b"))
       .localCheckpoint()
-    val ns = banded.groupBy("band", "bucket")
-      .agg(graft.ext.IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
-        lit(maxBucket.toLong)).as("_ns"))
-      .filter(col("_ns") > 1)
-      .localCheckpoint()
-    val withSub = banded.join(broadcast(ns), Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        when(col("_ns").isNull, lit(0L))
-          .otherwise(pmod(Planes.subHash(col("_id")), col("_ns"))).as("sub"),
-        col("_id").as("id_b"))
-      .localCheckpoint()
+    val (ns, withSub) = Planes.refCensusSub(banded, maxBucket)
     val payload = sets.select(col("_id").as("id_b"),
       col("shs").as("_shs_b"), col("sz").as("_sz_b"))
     MinHashRefIndex(n, threshold, bands, rowsPerBand, maxBucket,
@@ -96,26 +87,19 @@ object MinHashStream {
       .groupBy("_id")
       .agg(graft.functions.MinHashAgg.minhash(col("sh"), k).as("sig"))
     val allRows = idx.bandRows
-      .select(col("id_b").as("_id"), col("band"), col("bucket"))
-      .unionByName(sig.select(col("_id"),
-        posexplode(Dedup.minhashBandCols(col("sig"), idx.bands,
-          idx.rowsPerBand)).as(Seq("band", "bucket"))))
+      .select(col("band"), col("bucket"), col("id_b"))
+      .unionByName(sig.select(col("_id").as("id_b"),
+          posexplode(Dedup.minhashBandCols(col("sig"), idx.bands,
+            idx.rowsPerBand)).as(Seq("band", "bucket")))
+        .select(col("band"), col("bucket"), col("id_b")))
       .localCheckpoint()
-    val ns = allRows.groupBy("band", "bucket")
-      .agg(graft.ext.IntMath.truncDiv(count(lit(1)) + (idx.maxBucket - 1),
-        lit(idx.maxBucket.toLong)).as("_ns"))
-      .filter(col("_ns") > 1)
-      .localCheckpoint()
-    val withSub = allRows.join(broadcast(ns), Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        when(col("_ns").isNull, lit(0L))
-          .otherwise(pmod(Planes.subHash(col("_id")), col("_ns"))).as("sub"),
-        col("_id").as("id_b"))
-      .localCheckpoint()
+    val (ns, withSub) = Planes.refCensusSub(allRows, idx.maxBucket)
+    // only the NEW slice's payload materializes (see
+    // EmbedStream.mergeRefIndex): sets is already checkpointed, so
+    // the union over materialized frames stays lazy
     val payload = idx.payload.unionByName(
-        sets.select(col("_id").as("id_b"),
-          col("shs").as("_shs_b"), col("sz").as("_sz_b")))
-      .localCheckpoint()
+      sets.select(col("_id").as("id_b"),
+        col("shs").as("_shs_b"), col("sz").as("_sz_b")))
     MinHashRefIndex(idx.n, idx.threshold, idx.bands, idx.rowsPerBand,
       idx.maxBucket, ns, withSub, payload)
   }

@@ -42,18 +42,9 @@ object SimHashStream {
         Dedup.simhash64(col(text)).as("sig"))
       .localCheckpoint()
     val banded = Dedup.simhashBandRows(sigs, maxHamming)
-      .select("_id", "band", "bucket").localCheckpoint()
-    val ns = banded.groupBy("band", "bucket")
-      .agg(graft.ext.IntMath.truncDiv(count(lit(1)) + (maxBucket - 1),
-        lit(maxBucket.toLong)).as("_ns"))
-      .filter(col("_ns") > 1)
+      .select(col("band"), col("bucket"), col("_id").as("id_b"))
       .localCheckpoint()
-    val withSub = banded.join(broadcast(ns), Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        when(col("_ns").isNull, lit(0L))
-          .otherwise(pmod(Planes.subHash(col("_id")), col("_ns"))).as("sub"),
-        col("_id").as("id_b"))
-      .localCheckpoint()
+    val (ns, withSub) = Planes.refCensusSub(banded, maxBucket)
     val payload = sigs.select(col("_id").as("id_b"), col("sig").as("sig_b"))
     SimHashRefIndex(maxHamming, maxBucket, ns, withSub, payload)
   }
@@ -72,24 +63,16 @@ object SimHashStream {
         Dedup.simhash64(col(text)).as("sig"))
       .localCheckpoint()
     val allRows = idx.bandRows
-      .select(col("id_b").as("_id"), col("band"), col("bucket"))
+      .select(col("band"), col("bucket"), col("id_b"))
       .unionByName(Dedup.simhashBandRows(sigs, idx.maxHamming)
-        .select("_id", "band", "bucket"))
+        .select(col("band"), col("bucket"), col("_id").as("id_b")))
       .localCheckpoint()
-    val ns = allRows.groupBy("band", "bucket")
-      .agg(graft.ext.IntMath.truncDiv(count(lit(1)) + (idx.maxBucket - 1),
-        lit(idx.maxBucket.toLong)).as("_ns"))
-      .filter(col("_ns") > 1)
-      .localCheckpoint()
-    val withSub = allRows.join(broadcast(ns), Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        when(col("_ns").isNull, lit(0L))
-          .otherwise(pmod(Planes.subHash(col("_id")), col("_ns"))).as("sub"),
-        col("_id").as("id_b"))
-      .localCheckpoint()
+    val (ns, withSub) = Planes.refCensusSub(allRows, idx.maxBucket)
+    // only the NEW slice's payload materializes (see
+    // EmbedStream.mergeRefIndex): sigs is already checkpointed, so
+    // the union over materialized frames stays lazy
     val payload = idx.payload.unionByName(
-        sigs.select(col("_id").as("id_b"), col("sig").as("sig_b")))
-      .localCheckpoint()
+      sigs.select(col("_id").as("id_b"), col("sig").as("sig_b")))
     SimHashRefIndex(idx.maxHamming, idx.maxBucket, ns, withSub, payload)
   }
 
