@@ -77,6 +77,42 @@ class EmbedStreamSpec extends AnyFunSuite {
     assert(matched.nonEmpty && matched.size < 6 * 40)
   }
 
+  test("dedupWatermark collapses multi-band hits to one row per pair, in-stream") {
+    // identical vectors match in EVERY band (4 here), so without the
+    // bounded-state dedup each (stream, ref) pair emits 4 rows; with
+    // ts + dedupWatermark the stream emits exactly one row per pair
+    val hot = Array.tabulate(8)(j => math.cos((j + 2) * 0.31))
+    val ref = (100L until 103L).map(i => (i, hot)).toDF("vec_id", "embedding")
+    val idx = EmbedStream.semanticRefIndex(ref, "vec_id", "embedding",
+      bands = 4, bitsPerBand = 4, dim = 8)
+    val dir = java.nio.file.Files.createTempDirectory("embed_wm")
+    (0L until 4L).map(i => (i, hot, new java.sql.Timestamp(1700000000000L + i)))
+      .toDF("vec_id", "embedding", "ts")
+      .repartition(1).write.parquet(dir.resolve("b0").toString)
+    val flat = java.nio.file.Files.createTempDirectory("embed_wm_flat")
+    new java.io.File(dir.resolve("b0").toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) =>
+          java.nio.file.Files.copy(f.toPath, flat.resolve(s"$i.parquet"))
+      }
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(flat.toString)
+    val q = EmbedStream.semanticDupMatches(stream, idx, "vec_id",
+        "embedding", cos2Num = 4, cos2Den = 25, carry = Seq("ts"),
+        ts = "ts", dedupWatermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_embed_wm").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_embed_wm")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    // exactly one row per (stream, ref) pair — 4 x 3, no band dups
+    assert(rows.size == 12)
+    assert(rows.toSet.size == 12)
+    assert(rows.toSet == (for (a <- 0L until 4L; b <- 100L until 103L)
+      yield (a, b)).toSet)
+  }
+
   test("semanticDupMatches: dedupWatermark without ts fails the contract early") {
     val ref = (100L until 104L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
     val idx = EmbedStream.semanticRefIndex(ref, "vec_id", "embedding",
