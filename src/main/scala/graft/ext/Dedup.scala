@@ -49,6 +49,78 @@ object Dedup {
       .orderBy(col("df").desc, col("sh"))
       .limit(topK)
 
+  /** Corpus-level MinHash overlap matrix: one k-slot MinHash signature
+    * per GROUP (source, crawl snapshot, language…) over the union of
+    * its documents' word n-gram shingles, then the pairwise
+    * match-fraction Jaccard estimate for every group pair — the
+    * corpus-overlap audit run before mixing sources ("how much of
+    * snapshot B is already in A?") where exact corpus-pair Jaccard
+    * would be a shingle-level join of the entire corpus against
+    * itself.
+    *
+    * The signature is a per-group AGGREGATE (k parallel MINs, map-side
+    * combined), so the shuffle carries one k-long signature per group
+    * — never a shingle. The pairwise stage runs on ≤ groups rows
+    * (group cardinality is small by nature); the comparison side is
+    * broadcast. Duplicate shingles within a group are harmless (min is
+    * idempotent), so no distinct is needed beyond the per-doc
+    * dedup [[shingles]] already does.
+    *
+    * Hash family per the §7.6.3 portability convention: base =
+    * md5(shingle)'s first 12 hex digits (48 bits — md5 because the
+    * x200 oracle replays it; 48 bits so slot arithmetic stays exact in
+    * a long), slot i = (base·(2i+1) + 40099·i) mod 2147483647 —
+    * [[graft.functions.MinHashArray]]'s affine family over a portable
+    * base. Estimator: matching slots / k is an unbiased Jaccard
+    * estimate with s.e. ≤ 1/(2√k) (~4.4 % at k = 128). Alongside the
+    * symmetric Jaccard, the ASYMMETRIC containments — the question
+    * mixing actually asks ("how much of B is already in A?") — derive
+    * from the same match count and the exact per-group distinct
+    * shingle counts: |A∩B| ≈ m·(|A|+|B|)/(k+m) (inclusion–exclusion
+    * through J = m/k), containment(A in B) = |A∩B|/|A|. All trunc
+    * integer arithmetic (exact DECIMAL inside [[IntMath.truncDiv]]),
+    * so the oracle replays every derived number. Groups with only
+    * NULL texts produce no shingle rows, hence no signature and no
+    * pair (a short text still shingles — [[shingles]] emits the
+    * truncated tokens[0, len) gram). Returns
+    * (grp_a, grp_b, n_match, jaccard_est_ppm, n_sh_a, n_sh_b,
+    * cont_a_ppm, cont_b_ppm), grp_a < grp_b. */
+  def corpusOverlapMatrix(df: DataFrame, group: String, text: String,
+                          n: Int = 3, k: Int = 128): DataFrame = {
+    require(k >= 1 && k <= 512, "k must be in [1, 512]")
+    val P = 2147483647L
+    val rows = df
+      .select(col(group).as("grp"), explode(shingles(col(text), n)).as("sh"))
+      .withColumn("_base",
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long"))
+    val mins = (0 until k).map { i =>
+      min(pmod(col("_base") * (2L * i + 1) + 40099L * i, lit(P))).as(s"_m$i")
+    }
+    // two per-group aggregates over the shingle stream (signature +
+    // exact distinct count), each reducing to ≤ groups rows; joined
+    // on the tiny group key rather than folded into one agg, which
+    // would Expand-double the corpus-sized stream for the distinct
+    val sig = rows.groupBy("grp").agg(mins.head, mins.tail: _*)
+      .select(col("grp"),
+        array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+    val sizes = rows.groupBy("grp").agg(count_distinct(col("sh")).as("n_sh"))
+    val full = sig.join(sizes, Seq("grp"))
+    val inter = IntMath.truncDiv(
+      col("n_match") * (col("n_sh_a") + col("n_sh_b")),
+      lit(k.toLong) + col("n_match"))
+    full.as("a")
+      .join(broadcast(full.as("b")), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, m) => acc + m).as("n_match"),
+        col("a.n_sh").as("n_sh_a"), col("b.n_sh").as("n_sh_b"))
+      .withColumn("jaccard_est_ppm",
+        IntMath.truncDiv(col("n_match") * 1000000L, lit(k.toLong)))
+      .withColumn("cont_a_ppm", IntMath.ppmDiv(inter, col("n_sh_a")))
+      .withColumn("cont_b_ppm", IntMath.ppmDiv(inter, col("n_sh_b")))
+  }
+
   /** Exact-duplicate groups: digest → ids sharing it (size > 1). */
   def exactDupGroups(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), md5(col(text).cast("binary")).as("digest"))

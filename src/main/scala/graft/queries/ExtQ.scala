@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.t
-import graft.ext.{Assoc, BloomJoin, Bpe, Chunk, Cms, Dedup, Drift, Eval, Fuzzy, Graph, Hll, Index, IntMath, Kmv, Multimodal, Planes, Prefix, Privacy, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ext.{Assoc, BloomJoin, Bpe, Chunk, Classify, Cms, Dedup, Drift, Eval, Fuzzy, Graph, Hll, Index, IntMath, Kmv, Multimodal, Packing, Planes, Prefix, Privacy, Profile, Redact, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import graft.io.ZOrder
 
 /** Training-data-pipeline extension queries (north-star surface):
@@ -6394,6 +6394,116 @@ object ExtQ {
        |      ORDER BY cosine DESC, corpus_id)::BIGINT AS rank
        |  FROM rer) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 
+  /** Rocchio hashed-unigram quality classifier: train on the 80 %
+    * seed slice (label = English), score the held-out 20 % — weights
+    * and scores are exact integers (no float log anywhere), so the
+    * oracle replays both bit-for-bit. */
+  private val x198: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val w = Classify.rocchioWeights(docs.filter($"doc_id" % 5 =!= 0),
+        "text", $"lang" === "en", buckets = 4096)
+      Classify.rocchioScore(docs.filter($"doc_id" % 5 === 0),
+          "doc_id", "text", w, buckets = 4096)
+        .select($"doc_id", $"n_toks",
+          $"score".cast("long").as("score"), $"pred")
+        .orderBy($"doc_id")
+    }, {
+      val md5int = (e: String) =>
+        s"""CAST(list_reduce([ (strpos('0123456789abcdef',
+           |      substr(md5($e), j, 1)) - 1)
+           |      * pow(16, 6 - j) for j in range(1, 7) ], (x, y) -> x + y)
+           |    AS BIGINT)""".stripMargin
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang = 'en' AS y,
+         |    unnest([t for t in string_split(text, ' ') if len(t) > 0]) AS tok
+         |  FROM documents),
+         |tb AS (SELECT doc_id, y, ${md5int("tok")} % 4096 AS b FROM tk),
+         |cnt AS (SELECT b,
+         |    SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS cp,
+         |    SUM(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS cn
+         |  FROM tb WHERE doc_id % 5 <> 0 GROUP BY b),
+         |tot AS (SELECT SUM(cp)::HUGEINT AS np, SUM(cn)::HUGEINT AS nn
+         |  FROM cnt),
+         |w AS (SELECT b, (cp::HUGEINT * nn - cn::HUGEINT * np) AS w
+         |  FROM cnt, tot)
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_toks,
+         |  SUM(COALESCE(w, 0))::BIGINT AS score,
+         |  (CASE WHEN SUM(COALESCE(w, 0)) > 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS pred
+         |FROM tb LEFT JOIN w ON w.b = tb.b
+         |WHERE tb.doc_id % 5 = 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  /** Serpentine balanced shard assignment: per-shard doc/token loads
+    * after dealing token-sorted documents boustrophedon across 8
+    * shards — the global rank via the range-exchange prefix scheme,
+    * replayed by one window in the oracle. */
+  private val x199: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Packing.balancedShards(t(s, d, "documents"), "doc_id",
+          TextAnalysis.tokenCount($"text"), nShards = 8)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"shard")
+    },
+    """WITH tc AS (
+      |  SELECT doc_id,
+      |    GREATEST(0, COALESCE(len(string_split(text, ' ')), 0))::BIGINT
+      |      AS nt
+      |  FROM documents),
+      |r AS (SELECT doc_id, nt,
+      |    (ROW_NUMBER() OVER (ORDER BY nt DESC, doc_id) - 1)::BIGINT AS rn
+      |  FROM tc)
+      |SELECT CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+      |    ELSE 7 - (rn % 8) END AS shard,
+      |  COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS sum_tokens
+      |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)
+
+  /** Corpus-level MinHash overlap matrix across sources: one 128-slot
+    * signature per source over its shingle union, pairwise
+    * match-fraction Jaccard + containment estimates — portable
+    * md5-based hash family, replayed slot-for-slot by the oracle. */
+  private val x200: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      Dedup.corpusOverlapMatrix(t(s, d, "documents"), "source", "text",
+          n = 3, k = 128)
+        .orderBy($"grp_a", $"grp_b")
+    },
+    """WITH shw AS (
+      |  SELECT source, unnest(list_distinct(
+      |    [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |      for i in range(1, len(s) - 1) ])) AS sh
+      |  FROM (SELECT source, string_split(text, ' ') AS s FROM documents)),
+      |b AS (SELECT source, sh, CAST(list_reduce([ (strpos('0123456789abcdef',
+      |      substr(md5(sh), j, 1)) - 1) * pow(16, 12 - j)
+      |      for j in range(1, 13) ], (x, y) -> x + y) AS BIGINT) AS base
+      |  FROM shw),
+      |sz AS (SELECT source, COUNT(DISTINCT sh)::BIGINT AS n_sh
+      |  FROM shw GROUP BY source),
+      |m AS (SELECT source, i,
+      |    MIN((base * (2*i + 1) + 40099 * i) % 2147483647) AS mn
+      |  FROM b CROSS JOIN (SELECT unnest(range(0, 128)) AS i)
+      |  GROUP BY source, i),
+      |p AS (SELECT a.source AS grp_a, b2.source AS grp_b,
+      |    SUM(CASE WHEN a.mn = b2.mn THEN 1 ELSE 0 END)::BIGINT AS n_match
+      |  FROM m a JOIN m b2 ON b2.i = a.i AND a.source < b2.source
+      |  GROUP BY 1, 2),
+      |e AS (SELECT grp_a, grp_b, n_match, sa.n_sh AS n_sh_a,
+      |    sb.n_sh AS n_sh_b,
+      |    ((n_match * (sa.n_sh + sb.n_sh)) // (128 + n_match)) AS i_est
+      |  FROM p JOIN sz sa ON sa.source = grp_a
+      |  JOIN sz sb ON sb.source = grp_b)
+      |SELECT grp_a, grp_b, n_match, n_sh_a, n_sh_b,
+      |  (n_match * 1000000 // 128)::BIGINT AS jaccard_est_ppm,
+      |  ((i_est * 1000000) // n_sh_a)::BIGINT AS cont_a_ppm,
+      |  ((i_est * 1000000) // n_sh_b)::BIGINT AS cont_b_ppm
+      |FROM e ORDER BY grp_a, grp_b""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6592,5 +6702,8 @@ object ExtQ {
     "x195_simhash_incremental" -> (x195._1, Some(x195._2)),
     "x196_hybrid_retrieval" -> (x196._1, Some(x196._2)),
     "x197_pq_refine_topk" -> (x197._1, Some(x197._2)),
+    "x198_rocchio_classifier" -> (x198._1, Some(x198._2)),
+    "x199_balanced_shards" -> (x199._1, Some(x199._2)),
+    "x200_corpus_overlap_matrix" -> (x200._1, Some(x200._2)),
   )
 }

@@ -518,6 +518,89 @@ class ExtSpec extends AnyFunSuite {
     assert(sharded.agg(sum("n_tokens")).head.getLong(0) == 390L)
   }
 
+  test("balanced shards: serpentine deal matches a local replay") {
+    val items = Seq(10L, 9L, 9L, 7L, 5L, 5L, 4L, 2L, 1L, 1L, 1L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = items.toDF("doc_id", "tok").repartition(5)
+    val got = Packing.balancedShards(df, "doc_id", col("tok"), nShards = 3)
+      .select($"doc_id", $"shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local serpentine over (−tok, id)-sorted items
+    val want = items.sortBy { case (id, t) => (-t, id) }.zipWithIndex.map {
+      case ((id, _), rn) =>
+        val (pass, pos) = (rn / 3, rn % 3)
+        id -> (if (pass % 2 == 0) pos.toLong else (2 - pos).toLong)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("balanced shards: max−min load ≤ largest item; degenerate shapes") {
+    (1 to 5).foreach { seed =>
+      val items = (0 until 200).map(i =>
+        (i.toLong, ((i * 2654435761L + seed * 97L) % 500 + 1)))
+      val df = items.toDF("doc_id", "tok").repartition(7)
+      val loads = Packing.balancedShards(df, "doc_id", col("tok"), nShards = 8)
+        .groupBy("shard").agg(sum("n_tokens").as("l"))
+        .collect().map(_.getLong(1))
+      assert(loads.length == 8)
+      assert(loads.max - loads.min <= items.map(_._2).max,
+        s"seed $seed: spread ${loads.max - loads.min}")
+    }
+    // one shard → everything shard 0; null/negative tokens clamp to 0
+    val weird = Seq((1L, Some(5L)), (2L, None), (3L, Some(-4L)))
+      .toDF("doc_id", "tok")
+    val one = Packing.balancedShards(weird, "doc_id", col("tok"), nShards = 1)
+      .select($"shard", $"n_tokens").collect()
+    assert(one.forall(_.getLong(0) == 0L))
+    assert(one.map(_.getLong(1)).sorted.toSeq == Seq(0L, 0L, 5L))
+  }
+
+  test("corpus overlap matrix: identical, half-shared, disjoint corpora") {
+    // 40 sentences of distinct vocab; corpus A = all, B = first half,
+    // C = disjoint vocabulary entirely
+    def sent(tag: String, i: Int) =
+      (0 until 6).map(j => s"$tag${i}w$j").mkString(" ")
+    val rows =
+      (0 until 40).map(i => ("A", sent("s", i))) ++
+        (0 until 20).map(i => ("B", sent("s", i))) ++
+        (0 until 40).map(i => ("C", sent("zq", i)))
+    val df = rows.toDF("src", "text").repartition(5)
+    val m = Dedup.corpusOverlapMatrix(df, "src", "text", n = 3, k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_match"), r.getAs[Long]("jaccard_est_ppm"),
+          r.getAs[Long]("cont_a_ppm"), r.getAs[Long]("cont_b_ppm")))).toMap
+    assert(m.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // B ⊂ A with |B|/|A| = 1/2 → true Jaccard 0.5; k=128 s.e. ≈ 4.4 pp
+    val est = m(("A", "B"))._2 / 1e6
+    assert(est > 0.3 && est < 0.7, s"A∩B estimate $est")
+    // containment: B fully inside A → cont_b ≈ 1, cont_a ≈ 0.5
+    assert(m(("A", "B"))._4 > 800000L, s"cont(B in A) ${m(("A", "B"))._4}")
+    assert(m(("A", "B"))._3 > 300000L && m(("A", "B"))._3 < 700000L)
+    // disjoint vocabularies: no shared shingle, mins coincide only by
+    // 48-bit hash accident
+    assert(m(("A", "C"))._1 <= 2 && m(("B", "C"))._1 <= 2)
+    // identical corpora agree on every slot
+    val dup = df.filter($"src" === "A").union(
+      df.filter($"src" === "A").withColumn("src", lit("D")))
+    val full = Dedup.corpusOverlapMatrix(dup, "src", "text", n = 3, k = 128)
+      .collect().head
+    assert(full.getAs[Long]("n_match") == 128L &&
+      full.getAs[Long]("jaccard_est_ppm") == 1000000L &&
+      full.getAs[Long]("cont_a_ppm") == 1000000L &&
+      full.getAs[Long]("cont_b_ppm") == 1000000L)
+  }
+
+  test("corpus overlap matrix: null-text-only groups appear in no pair") {
+    val df = Seq(("A", Some("one two three four")), ("B", None),
+      ("C", Some("one two three five"))).toDF("src", "text")
+    // B has only NULL text → no shingle rows (a SHORT text still
+    // shingles: WordShingles emits the truncated tokens[0, len) gram)
+    val pairs = Dedup.corpusOverlapMatrix(df, "src", "text", n = 3, k = 16)
+      .select("grp_a", "grp_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("A", "C")))
+  }
+
   test("text analysis shapes") {
     val r = docs.select(
       TextAnalysis.tokenCount($"text").as("n"),
