@@ -85,13 +85,16 @@ object Classify {
     * mismatch silently scores against the wrong feature space. */
   def rocchioScore(docs: DataFrame, id: String, text: String,
                    weights: DataFrame, buckets: Int = 4096,
-                   portableHash: Boolean = true): DataFrame =
+                   portableHash: Boolean = true): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "buckets must be in [2, 2^20]")
     hashedTokens(docs, text, Seq(col(id).as("doc_id")), buckets, portableHash)
       .join(broadcast(weights), Seq("_b"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
         sum(coalesce(col("w"), lit(0L).cast(d38))).as("score"))
       .withColumn("pred", (col("score") > 0).cast("long"))
+  }
 
   /** Driver-side dense weight vector for the IN-ROW scoring form —
     * the k-bounded codebook-collect pattern (≤ `buckets` rows by
@@ -122,13 +125,16 @@ object Classify {
     * join, no aggregation state, the quality-filter-at-ingest shape
     * (CCNet scores each crawl batch as it lands). Bit-equal to
     * [[rocchioScore]]'s `score` for any doc with ≥ 1 token
-    * (spec-pinned); a tokenless doc scores 0 here and has no
-    * [[rocchioScore]] row. Exact for docs up to the `maxDocTokens`
-    * the weight vector was guarded for. */
+    * (spec-pinned); a tokenless or NULL-text doc scores 0 here (never
+    * NULL — a NULL pred would silently fall out of BOTH sides of a
+    * keep/reject filter) and has no [[rocchioScore]] row. Exact for
+    * docs up to the `maxDocTokens` the weight vector was guarded
+    * for. */
   def scoreColumn(text: Column, w: Array[Long],
                   portableHash: Boolean = true): Column =
     aggregate(
-      graft.functions.TokenNgrams.tokenNgrams(text, 1),
+      coalesce(graft.functions.TokenNgrams.tokenNgrams(text, 1),
+        typedLit(Array.empty[String])),
       lit(0L),
       (acc, t) => acc + element_at(typedLit(w.toSeq),
         (bucketOf(t, w.length, portableHash) + 1).cast("int")))

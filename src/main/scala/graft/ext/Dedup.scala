@@ -83,18 +83,18 @@ object Dedup {
     * NULL texts produce no shingle rows, hence no signature and no
     * pair (a short text still shingles — [[shingles]] emits the
     * truncated tokens[0, len) gram). Returns
-    * (grp_a, grp_b, n_match, jaccard_est_ppm, n_sh_a, n_sh_b,
+    * (grp_a, grp_b, n_match, n_sh_a, n_sh_b, jaccard_est_ppm,
     * cont_a_ppm, cont_b_ppm), grp_a < grp_b. */
   def corpusOverlapMatrix(df: DataFrame, group: String, text: String,
                           n: Int = 3, k: Int = 128): DataFrame = {
     require(k >= 1 && k <= 512, "k must be in [1, 512]")
-    val P = 2147483647L
+    import graft.functions.MinHashArray.{P, STRIDE}
     val rows = df
       .select(col(group).as("grp"), explode(shingles(col(text), n)).as("sh"))
       .withColumn("_base",
         conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long"))
     val mins = (0 until k).map { i =>
-      min(pmod(col("_base") * (2L * i + 1) + 40099L * i, lit(P))).as(s"_m$i")
+      min(pmod(col("_base") * (2L * i + 1) + STRIDE * i, lit(P))).as(s"_m$i")
     }
     // two per-group aggregates over the shingle stream (signature +
     // exact distinct count), each reducing to ≤ groups rows; joined

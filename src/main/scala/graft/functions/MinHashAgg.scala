@@ -39,7 +39,9 @@ case class MinHashAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val P = 2147483647L
+  // constants shared with MinHashArray (the canonical definition of
+  // the affine slot family lives there)
+  private val P = MinHashArray.P
   private val C = 982451653L
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
@@ -50,7 +52,7 @@ case class MinHashAgg(
       val base = XxHash64Function.hash(v, child.dataType, 42L) + C
       var i = 0
       while (i < k) {
-        var h = (base * (2L * i + 1) + 40099L * i) % P
+        var h = (base * (2L * i + 1) + MinHashArray.STRIDE * i) % P
         if (h < 0) h += P
         if (h < buf(i)) buf(i) = h
         i += 1

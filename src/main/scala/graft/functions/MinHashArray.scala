@@ -50,7 +50,14 @@ case class MinHashArray(child: Expression, k: Int)
 
 object MinHashArray {
 
-  private val P = 2147483647L
+  // THE affine slot family shared by every MinHash surface:
+  // slot i = (base·(2i+1) + STRIDE·i) mod P. MinHashAgg/MinHashArray
+  // fold it in JVM arithmetic over an xxhash64 base; Column-level
+  // users with a PORTABLE base (Dedup.corpusOverlapMatrix and its
+  // md5-replaying oracle) must build the identical expression from
+  // these constants rather than re-rolling them.
+  private[graft] val P = 2147483647L
+  private[graft] val STRIDE = 40099L
   private val C = 982451653L
 
   /** The k-slot fold; called from generated code. Identical
@@ -65,7 +72,7 @@ object MinHashArray {
           shingles.getUTF8String(j), StringType, 42L) + C
         var i = 0
         while (i < k) {
-          var h = (base * (2L * i + 1) + 40099L * i) % P
+          var h = (base * (2L * i + 1) + STRIDE * i) % P
           if (h < 0) h += P
           if (h < buf(i)) buf(i) = h
           i += 1

@@ -38,12 +38,16 @@ object ExtQ {
     if (cap > 0) panel.orderBy(col(id)).limit(cap) else panel
   }
 
-  /** Shared DuckDB CTE: distinct word-3-gram shingle rows per doc. */
+  /** Shared DuckDB CTE: distinct word-3-gram shingle rows per doc —
+    * incl. WordShingles' truncated tokens[0, len) gram for texts
+    * shorter than 3 tokens (equivalent for len >= 3; without it a
+    * fixture regeneration with short docs would diverge from the
+    * engine even though every gate is green today). */
   private val shingleCte =
     """sh AS (
       |  SELECT doc_id, unnest(list_distinct(
-      |    [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-      |      for i in range(1, len(s) - 1) ])) AS sh
+      |    [ array_to_string(s[i:least(i+2, len(s))], ' ')
+      |      for i in range(1, greatest(len(s) - 1, 2)) ])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       |jac AS (
@@ -6423,7 +6427,7 @@ object ExtQ {
          |cnt AS (SELECT b,
          |    SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS cp,
          |    SUM(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS cn
-         |  FROM tb WHERE doc_id % 5 <> 0 GROUP BY b),
+         |  FROM tb WHERE doc_id % 5 <> 0 AND y IS NOT NULL GROUP BY b),
          |tot AS (SELECT SUM(cp)::HUGEINT AS np, SUM(cn)::HUGEINT AS nn
          |  FROM cnt),
          |w AS (SELECT b, (cp::HUGEINT * nn - cn::HUGEINT * np) AS w
@@ -6476,8 +6480,8 @@ object ExtQ {
     },
     """WITH shw AS (
       |  SELECT source, unnest(list_distinct(
-      |    [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-      |      for i in range(1, len(s) - 1) ])) AS sh
+      |    [ array_to_string(s[i:least(i+2, len(s))], ' ')
+      |      for i in range(1, greatest(len(s) - 1, 2)) ])) AS sh
       |  FROM (SELECT source, string_split(text, ' ') AS s FROM documents)),
       |b AS (SELECT source, sh, CAST(list_reduce([ (strpos('0123456789abcdef',
       |      substr(md5(sh), j, 1)) - 1) * pow(16, 12 - j)

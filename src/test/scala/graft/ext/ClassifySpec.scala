@@ -94,6 +94,24 @@ class ClassifySpec extends AnyFunSuite {
     assert(ids == Set(1L))
   }
 
+  test("scoreColumn: NULL/empty text scores 0, never NULL") {
+    val w = Classify.rocchioWeights(seed.toDF("text", "y"), "text",
+      col("y"), buckets = 64)
+    val vec = Classify.weightVector(w, buckets = 64)
+    val rows = Seq((1L, Some("curated article sources")), (2L, None),
+      (3L, Some("")))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Classify.scoreColumn($"text", vec).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // NULL would throw
+    assert(rows(2L) == 0L && rows(3L) == 0L)
+    // the in-row form agrees with the batch DECIMAL path on real text
+    val batch = Classify.rocchioScore(
+        Seq((1L, "curated article sources")).toDF("doc_id", "text"),
+        "doc_id", "text", w, buckets = 64)
+      .select($"score".cast("long")).head.getLong(0)
+    assert(rows(1L) == batch)
+  }
+
   test("xxhash64 feature space also classifies (within-Spark path)") {
     val sdf = seed.toDF("text", "y")
     val edf = eval.toDF("doc_id", "text")

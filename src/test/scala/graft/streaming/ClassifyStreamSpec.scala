@@ -65,17 +65,20 @@ class ClassifyStreamSpec extends AnyFunSuite {
   test("weight vector guard rejects weights too wide for the doc bound") {
     val w = Classify.rocchioWeights(seed.toDF("text", "y"), "text",
       col("y"), buckets = 64)
-    // tiny seed weights pass at the default bound
+    // tiny seed weights pass at the default bound AND at the shrunken
+    // headroom (62 − 31 = 31 bits ≫ the seed's few-hundred products) —
+    // a guard that fired on legitimate weights would fail here
     assert(Classify.weightVector(w, buckets = 64).length == 64)
-    // an absurd maxDocTokens shrinks headroom until real weights fail
+    assert(Classify.weightVector(w, buckets = 64,
+      maxDocTokens = Int.MaxValue).length == 64)
+    // a synthetic 41-bit weight must trip the 31-bit headroom
+    val wide = Seq((0L, new java.math.BigDecimal(java.math.BigInteger.ONE
+      .shiftLeft(40)))).toDF("_b", "w")
     intercept[IllegalArgumentException] {
-      Classify.weightVector(w, buckets = 64, maxDocTokens = Int.MaxValue)
-      // headroom = 62 − 31 = 31 bits; seed products exceed it only if
-      // weights are wide — if they are not, force failure via a wide
-      // synthetic weight instead
-      val wide = Seq((0L, new java.math.BigDecimal(java.math.BigInteger.ONE
-        .shiftLeft(40)))).toDF("_b", "w")
       Classify.weightVector(wide, buckets = 64, maxDocTokens = Int.MaxValue)
     }
+    // and pass once the doc bound gives it room (62 − 10 = 52 bits)
+    assert(Classify.weightVector(wide, buckets = 64,
+      maxDocTokens = 1024)(0) == (1L << 40))
   }
 }
