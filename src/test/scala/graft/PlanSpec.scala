@@ -188,7 +188,9 @@ class PlanSpec extends AnyFunSuite {
       "x192_semantic_ivf_audit", // audit: exact int8 ground truth a<b broadcast over the fixture
       "x194_bm25_retrieval",     // 1-row (N, T) corpus totals crossed with the postings hits
       "x196_hybrid_retrieval",   // composes x194's totals cross + x06's ≤6-row query broadcast
-      "x197_pq_refine_topk")     // x172's ≤6-row query distance tables crossed with the codes scan
+      "x197_pq_refine_topk",     // x172's ≤6-row query distance tables crossed with the codes scan
+      "x198_rocchio_classifier", // 1-row class-token-total frame crossed with the B-row weight table
+      "x200_corpus_overlap_matrix") // ≤groups-row signature matrix a<b broadcast theta join
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
