@@ -87,38 +87,128 @@ object Dedup {
     * cont_a_ppm, cont_b_ppm), grp_a < grp_b. */
   def corpusOverlapMatrix(df: DataFrame, group: String, text: String,
                           n: Int = 3, k: Int = 128): DataFrame = {
-    require(k >= 1 && k <= 512, "k must be in [1, 512]")
-    import graft.functions.MinHashArray.{P, STRIDE}
-    val rows = df
-      .select(col(group).as("grp"), explode(shingles(col(text), n)).as("sh"))
-      .withColumn("_base",
-        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long"))
-    val mins = (0 until k).map { i =>
-      min(pmod(col("_base") * (2L * i + 1) + STRIDE * i, lit(P))).as(s"_m$i")
-    }
+    val rows = groupShingleRows(df, group, text, n)
     // two per-group aggregates over the shingle stream (signature +
     // exact distinct count), each reducing to ≤ groups rows; joined
     // on the tiny group key rather than folded into one agg, which
     // would Expand-double the corpus-sized stream for the distinct
-    val sig = rows.groupBy("grp").agg(mins.head, mins.tail: _*)
-      .select(col("grp"),
-        array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+    val sig = signaturesFromRows(rows, k)
     val sizes = rows.groupBy("grp").agg(count_distinct(col("sh")).as("n_sh"))
     val full = sig.join(sizes, Seq("grp"))
     val inter = IntMath.truncDiv(
       col("n_match") * (col("n_sh_a") + col("n_sh_b")),
       lit(k.toLong) + col("n_match"))
-    full.as("a")
-      .join(broadcast(full.as("b")), col("a.grp") < col("b.grp"))
-      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
-        aggregate(zip_with(col("a.sig"), col("b.sig"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, m) => acc + m).as("n_match"),
-        col("a.n_sh").as("n_sh_a"), col("b.n_sh").as("n_sh_b"))
-      .withColumn("jaccard_est_ppm",
-        IntMath.truncDiv(col("n_match") * 1000000L, lit(k.toLong)))
+    pairwiseMatches(full, k, Seq(col("a.n_sh").as("n_sh_a"),
+        col("b.n_sh").as("n_sh_b")))
       .withColumn("cont_a_ppm", IntMath.ppmDiv(inter, col("n_sh_a")))
       .withColumn("cont_b_ppm", IntMath.ppmDiv(inter, col("n_sh_b")))
+  }
+
+  /** (grp, sh) shingle stream for the corpus-signature family. */
+  private def groupShingleRows(df: DataFrame, group: String, text: String,
+                               n: Int): DataFrame =
+    df.select(col(group).as("grp"), explode(shingles(col(text), n)).as("sh"))
+
+  /** k map-combined slot MINs over a (grp, sh) stream → (grp, sig). */
+  private def signaturesFromRows(rows: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 512, "k must be in [1, 512]")
+    import graft.functions.MinHashArray.{P, STRIDE}
+    val based = rows.withColumn("_base",
+      conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long"))
+    val mins = (0 until k).map { i =>
+      min(pmod(col("_base") * (2L * i + 1) + STRIDE * i, lit(P))).as(s"_m$i")
+    }
+    based.groupBy("grp").agg(mins.head, mins.tail: _*)
+      .select(col("grp"),
+        array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** a<b signature matches over a ≤ groups-row frame carrying
+    * (grp, sig, extra*): (grp_a, grp_b, n_match, extra*, and the
+    * match-fraction jaccard_est_ppm). */
+  private def pairwiseMatches(sigs: DataFrame, k: Int,
+                              extra: Seq[Column] = Seq.empty): DataFrame =
+    sigs.as("a")
+      .join(broadcast(sigs.as("b")), col("a.grp") < col("b.grp"))
+      .select(Seq(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, m) => acc + m).as("n_match")) ++ extra: _*)
+      .withColumn("jaccard_est_ppm",
+        IntMath.truncDiv(col("n_match") * 1000000L, lit(k.toLong)))
+
+  /** The BUILD stage of [[corpusOverlapMatrix]] standalone:
+    * (grp, sig) per-group signatures. Exposed because the signature
+    * is a slot-wise MIN — associative, commutative, idempotent — so a
+    * 100 TB deployment maintains it INCREMENTALLY: sign each ingest
+    * batch as it lands, [[mergeCorpusSignatures]] into the stored
+    * index, and the refreshed overlap matrix
+    * ([[overlapFromSignatures]]) equals the from-scratch computation
+    * EXACTLY (x201 pins merge == full against the oracle's full
+    * replay — no estimation drift, unlike sketch families that merge
+    * approximately). The corpus text is scanned once per batch,
+    * never re-scanned at refresh. */
+  def corpusSignatures(df: DataFrame, group: String, text: String,
+                       n: Int = 3, k: Int = 128): DataFrame =
+    signaturesFromRows(groupShingleRows(df, group, text, n), k)
+
+  /** Slot-wise MIN merge of signature frames built with the same
+    * (n, k) — ≤ (slices × groups) rows in, ≤ groups out. The caller
+    * owns knob consistency (a signature carries no provenance; mixing
+    * k values fails on array length, mixing n values silently
+    * measures nothing meaningful — same contract as
+    * [[graft.streaming.EmbedStream.mergeRefIndex]]). */
+  def mergeCorpusSignatures(sigs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 512, "k must be in [1, 512]")
+    val mins = (0 until k).map(i =>
+      min(element_at(col("sig"), i + 1)).as(s"_m$i"))
+    sigs.groupBy("grp").agg(mins.head, mins.tail: _*)
+      .select(col("grp"),
+        array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** Jaccard-only overlap matrix from maintained signatures — the
+    * refresh path for [[mergeCorpusSignatures]]-maintained indexes.
+    * Containments are deliberately absent here: they need the exact
+    * per-group distinct shingle counts, which are NOT mergeable —
+    * [[corpusOverlapMatrix]] computes them from text when asked. */
+  def overlapFromSignatures(sigs: DataFrame, k: Int): DataFrame =
+    pairwiseMatches(sigs, k)
+
+  /** Dedup threshold sweep — the TUNING report run before committing
+    * to a similarity cutoff ("how many pairs and how many documents
+    * does each candidate threshold implicate?"): for every threshold,
+    * the count of verified pairs at-or-above it and the count of
+    * DISTINCT documents appearing in those pairs. One broadcast of
+    * the tiny threshold list against the (already LSH/prefix-bounded)
+    * verified pair list, two map-combined aggregations — never a
+    * rescan of the corpus per threshold.
+    *
+    * `pairs` must carry (id_a, id_b, jaccard) — [[ngramJaccardPairs]]'
+    * output; its `threshold` argument is the sweep's FLOOR (the prefix
+    * filter is lossless only down to it, so sweeping below the
+    * generating threshold silently undercounts — require()d away).
+    * Thresholds with no surviving pair report zeros rather than
+    * vanishing. Returns (threshold, n_pairs, n_docs). */
+  def dedupThresholdSweep(pairs: DataFrame, thresholds: Seq[Double],
+                          floor: Double = 0.0): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 64,
+      "1 to 64 thresholds per sweep")
+    require(thresholds.forall(_ >= floor),
+      s"sweep thresholds below the pair-generating floor $floor would " +
+        "undercount: the candidate prefix filter is lossless only above it")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val thr = thresholds.toDF("threshold")
+    val hits = pairs.crossJoin(broadcast(thr))
+      .filter(col("jaccard") >= col("threshold"))
+    val np = hits.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = hits
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("_id"))
+      .groupBy("threshold").agg(count_distinct(col("_id")).as("n_docs"))
+    thr.join(np, Seq("threshold"), "left").join(nd, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
   }
 
   /** Exact-duplicate groups: digest → ids sharing it (size > 1). */

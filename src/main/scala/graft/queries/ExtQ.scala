@@ -6508,6 +6508,69 @@ object ExtQ {
       |  ((i_est * 1000000) // n_sh_b)::BIGINT AS cont_b_ppm
       |FROM e ORDER BY grp_a, grp_b""".stripMargin)
 
+  /** Incremental corpus-signature maintenance: sign two corpus slices
+    * independently, MERGE (slot-wise min), refresh the overlap matrix
+    * — the oracle computes the matrix FROM SCRATCH over the full
+    * corpus, so the gate proves merge == full exactly. */
+  private val x201: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val slices = Seq($"doc_id" % 3 =!= 0, $"doc_id" % 3 === 0).map(p =>
+        Dedup.corpusSignatures(docs.filter(p), "source", "text",
+          n = 3, k = 128))
+      Dedup.overlapFromSignatures(
+          Dedup.mergeCorpusSignatures(slices.reduce(_ unionByName _),
+            k = 128), k = 128)
+        .orderBy($"grp_a", $"grp_b")
+    },
+    """WITH shw AS (
+      |  SELECT source, unnest(list_distinct(
+      |    [ array_to_string(s[i:least(i+2, len(s))], ' ')
+      |      for i in range(1, greatest(len(s) - 1, 2)) ])) AS sh
+      |  FROM (SELECT source, string_split(text, ' ') AS s FROM documents)),
+      |b AS (SELECT source, CAST(list_reduce([ (strpos('0123456789abcdef',
+      |      substr(md5(sh), j, 1)) - 1) * pow(16, 12 - j)
+      |      for j in range(1, 13) ], (x, y) -> x + y) AS BIGINT) AS base
+      |  FROM shw),
+      |m AS (SELECT source, i,
+      |    MIN((base * (2*i + 1) + 40099 * i) % 2147483647) AS mn
+      |  FROM b CROSS JOIN (SELECT unnest(range(0, 128)) AS i)
+      |  GROUP BY source, i)
+      |SELECT a.source AS grp_a, b2.source AS grp_b,
+      |  SUM(CASE WHEN a.mn = b2.mn THEN 1 ELSE 0 END)::BIGINT AS n_match,
+      |  (SUM(CASE WHEN a.mn = b2.mn THEN 1 ELSE 0 END)
+      |    * 1000000 // 128)::BIGINT AS jaccard_est_ppm
+      |FROM m a JOIN m b2 ON b2.i = a.i AND a.source < b2.source
+      |GROUP BY 1, 2 ORDER BY grp_a, grp_b""".stripMargin)
+
+  /** Dedup threshold sweep over the verified 3-gram Jaccard pair
+    * list: pair and distinct-doc counts at five candidate cutoffs,
+    * zeros preserved. */
+  private val x202: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.dedupThresholdSweep(pairs,
+          Seq(0.5, 0.6, 0.7, 0.8, 0.9), floor = 0.5)
+        .orderBy($"threshold")
+    },
+    s"""WITH $shingleCte,
+       |thr AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+       |hits AS (SELECT threshold, id_a, id_b
+       |  FROM jac JOIN thr ON jaccard >= threshold),
+       |np AS (SELECT threshold, COUNT(*)::BIGINT AS n_pairs
+       |  FROM hits GROUP BY threshold),
+       |nd AS (SELECT threshold, COUNT(DISTINCT id)::BIGINT AS n_docs
+       |  FROM (SELECT threshold, unnest([id_a, id_b]) AS id FROM hits)
+       |  GROUP BY threshold)
+       |SELECT thr.threshold, COALESCE(n_pairs, 0)::BIGINT AS n_pairs,
+       |  COALESCE(n_docs, 0)::BIGINT AS n_docs
+       |FROM thr LEFT JOIN np USING (threshold)
+       |LEFT JOIN nd USING (threshold)
+       |ORDER BY thr.threshold""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6709,5 +6772,7 @@ object ExtQ {
     "x198_rocchio_classifier" -> (x198._1, Some(x198._2)),
     "x199_balanced_shards" -> (x199._1, Some(x199._2)),
     "x200_corpus_overlap_matrix" -> (x200._1, Some(x200._2)),
+    "x201_signature_merge_overlap" -> (x201._1, Some(x201._2)),
+    "x202_dedup_threshold_sweep" -> (x202._1, Some(x202._2)),
   )
 }

@@ -190,7 +190,9 @@ class PlanSpec extends AnyFunSuite {
       "x196_hybrid_retrieval",   // composes x194's totals cross + x06's ≤6-row query broadcast
       "x197_pq_refine_topk",     // x172's ≤6-row query distance tables crossed with the codes scan
       "x198_rocchio_classifier", // 1-row class-token-total frame crossed with the B-row weight table
-      "x200_corpus_overlap_matrix") // ≤groups-row signature matrix a<b broadcast theta join
+      "x200_corpus_overlap_matrix", // ≤groups-row signature matrix a<b broadcast theta join
+      "x201_signature_merge_overlap", // same ≤groups-row a<b theta join over merged signatures
+      "x202_dedup_threshold_sweep") // ≤64-row threshold list crossed with the bounded pair list
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

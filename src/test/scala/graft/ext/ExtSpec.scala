@@ -590,6 +590,52 @@ class ExtSpec extends AnyFunSuite {
       full.getAs[Long]("cont_b_ppm") == 1000000L)
   }
 
+  test("corpus signatures: slice merge == from-scratch, one-slice groups survive") {
+    def sent(tag: String, i: Int) =
+      (0 until 6).map(j => s"$tag${i}w$j").mkString(" ")
+    val rows = (0 until 30).map(i => (s"g${i % 3}", sent("s", i))) ++
+      (0 until 10).map(i => ("gNew", sent("n", i)))
+    val df = rows.toDF("src", "text").repartition(5)
+    val full = Dedup.corpusSignatures(df, "src", "text", n = 3, k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // slice so gNew lives ONLY in the second slice
+    val s1 = Dedup.corpusSignatures(
+      df.filter($"src" =!= "gNew"), "src", "text", n = 3, k = 64)
+    val s2 = Dedup.corpusSignatures(
+      df.filter($"src" === "gNew" || $"src" === "g0"), "src", "text",
+      n = 3, k = 64)
+    val merged = Dedup.mergeCorpusSignatures(s1.unionByName(s2), k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // g0 appears in BOTH slices (min of mins), gNew in one — all must
+    // equal the from-scratch signature exactly
+    assert(merged == full)
+    // and the refreshed matrix equals the matrix over full signatures
+    val viaMerge = Dedup.overlapFromSignatures(
+        Dedup.mergeCorpusSignatures(s1.unionByName(s2), k = 64), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaFull = Dedup.overlapFromSignatures(
+        Dedup.corpusSignatures(df, "src", "text", n = 3, k = 64), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaMerge == viaFull)
+  }
+
+  test("dedup threshold sweep: hand counts, zero rows kept, floor guard") {
+    val pairs = Seq(
+      (1L, 2L, 0.95), (1L, 3L, 0.80), (2L, 3L, 0.62), (4L, 5L, 0.55))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.dedupThresholdSweep(pairs,
+        Seq(0.5, 0.7, 0.9, 0.99), floor = 0.5)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(0.5) == ((4L, 5L)))  // all pairs, docs {1,2,3,4,5}
+    assert(got(0.7) == ((2L, 3L)))  // (1,2) (1,3) → docs {1,2,3}
+    assert(got(0.9) == ((1L, 2L)))  // (1,2)
+    assert(got(0.99) == ((0L, 0L))) // nothing survives — row kept
+    intercept[IllegalArgumentException] {
+      Dedup.dedupThresholdSweep(pairs, Seq(0.4, 0.6), floor = 0.5)
+    }
+  }
+
   test("corpus overlap matrix: null-text-only groups appear in no pair") {
     val df = Seq(("A", Some("one two three four")), ("B", None),
       ("C", Some("one two three five"))).toDF("src", "text")
