@@ -38,6 +38,32 @@ object Packing {
       .drop("_start")
   }
 
+  /** Packing-efficiency report over [[packByBudget]] output: bins
+    * used, fill rate, and boundary-straddling documents per group —
+    * the "how much does this budget waste" number that decides
+    * context length and truncation policy before a training run.
+    * `n_bins` counts laid-out contexts (max bin + 1; the tail bin is
+    * partially filled), `capacity` = n_bins · budget, and a STRADDLER
+    * starts in one bin and ends past its boundary
+    * (bin_offset + n_tokens > budget) — the documents whose loss
+    * masks cross contexts. `fill_ppm` can exceed 10⁶ when the final
+    * document overruns the last bin's boundary (bins are assigned by
+    * START offset — [[packByBudget]]'s concat-and-chunk contract).
+    * One map-combined aggregation per group. */
+  def packingEfficiency(packed: DataFrame, groupCols: Seq[String],
+                        budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    packed.groupBy(groupCols.map(col): _*)
+      .agg((max(col("bin")) + 1L).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("bin_offset") + col("n_tokens") > budget, 1L)
+          .otherwise(0L)).as("n_straddlers"))
+      .withColumn("capacity", col("n_bins") * budget)
+      .withColumn("fill_ppm",
+        IntMath.ppmDiv(col("total_tokens"), col("capacity")))
+  }
+
   /** Serpentine (boustrophedon) balanced shard assignment: documents
     * sorted by token count DESCENDING (id tiebreak — a total order)
     * are dealt across `nShards` shards in alternating direction

@@ -22,6 +22,30 @@ object TextAnalysis {
     * Implemented lookaround-free (two transition-marking replaces +
     * one split) so RE2-based engines (the DuckDB oracle, x16) compute
     * the identical count. */
+  /** Distinct-n corpus diversity (Li et al. 2016's distinct-n, at
+    * group granularity): distinct n-grams / total n-grams per group —
+    * the templated-content red flag a token count can't see (a crawl
+    * of boilerplate pages has huge token totals but tiny distinct-2).
+    * One explode of the native [[graft.functions.TokenNgrams]] stream,
+    * then total and distinct counted in two map-combined aggregations
+    * joined on the tiny group key (one agg with count_distinct would
+    * Expand-double the corpus-sized n-gram stream — the x200 lesson).
+    * Groups with no n-grams (all texts NULL or shorter than n tokens)
+    * produce no row. Returns (grp, n_ngrams, n_distinct,
+    * distinct_ppm). */
+  def ngramDiversity(df: DataFrame, group: String, text: String,
+                     n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, "n must be in [1, 8]")
+    val grams = df.select(col(group).as("grp"), explode(
+      graft.functions.TokenNgrams.tokenNgrams(col(text), n)).as("_g"))
+    val tot = grams.groupBy("grp").agg(count(lit(1)).as("n_ngrams"))
+    val dis = grams.groupBy("grp")
+      .agg(count_distinct(col("_g")).as("n_distinct"))
+    tot.join(dis, Seq("grp"))
+      .withColumn("distinct_ppm",
+        IntMath.ppmDiv(col("n_distinct"), col("n_ngrams")))
+  }
+
   def subwordCount(text: Column): Column = {
     val marked = regexp_replace(
       regexp_replace(text, "(\\p{L})(\\p{N})", "$1 $2"),

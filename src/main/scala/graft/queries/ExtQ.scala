@@ -6571,6 +6571,71 @@ object ExtQ {
        |LEFT JOIN nd USING (threshold)
        |ORDER BY thr.threshold""".stripMargin)
 
+  /** Distinct-2 diversity per source: exact total/distinct bigram
+    * counts and the ppm ratio — the templated-content detector. */
+  private val x203: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      TextAnalysis.ngramDiversity(t(s, d, "documents"), "source", "text",
+          n = 2)
+        .orderBy($"grp")
+    },
+    """WITH toks AS (
+      |  SELECT source,
+      |    [t for t in string_split(text, ' ') if len(t) > 0] AS ts
+      |  FROM documents),
+      |gr AS (SELECT source,
+      |    unnest([ ts[i] || ' ' || ts[i+1] for i in range(1, len(ts)) ])
+      |      AS g
+      |  FROM toks),
+      |tot AS (SELECT source, COUNT(*)::BIGINT AS n_ngrams
+      |  FROM gr GROUP BY source),
+      |dis AS (SELECT source, COUNT(DISTINCT g)::BIGINT AS n_distinct
+      |  FROM gr GROUP BY source)
+      |SELECT tot.source AS grp, n_ngrams, n_distinct,
+      |  (n_distinct * 1000000 // n_ngrams)::BIGINT AS distinct_ppm
+      |FROM tot JOIN dis ON dis.source = tot.source
+      |ORDER BY grp""".stripMargin)
+
+  /** Packing-efficiency report at the x20 layout (per-language
+    * concat-and-chunk, 512-token budget): bins, fill rate,
+    * boundary-straddling docs — the same window arithmetic as x20's
+    * oracle plus a per-language rollup. */
+  private val x204: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val packed = Packing.packByBudget(
+        t(s, d, "documents").select($"lang", $"doc_id", $"text"),
+        groupCols = Seq("lang"), orderCol = "doc_id",
+        tokens = TextAnalysis.tokenCount($"text"), budget = 512L)
+      Packing.packingEfficiency(packed, Seq("lang"), budget = 512L)
+        .orderBy($"lang")
+    },
+    """WITH toks AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |laid AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS BIGINT) AS start
+      |  FROM toks),
+      |binned AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(floor(start / 512.0) AS BIGINT) AS bin,
+      |    start - CAST(floor(start / 512.0) AS BIGINT) * 512 AS off
+      |  FROM laid)
+      |SELECT lang, (MAX(bin) + 1)::BIGINT AS n_bins,
+      |  COUNT(*)::BIGINT AS n_docs,
+      |  SUM(n_tokens)::BIGINT AS total_tokens,
+      |  SUM(CASE WHEN off + n_tokens > 512 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_straddlers,
+      |  ((MAX(bin) + 1) * 512)::BIGINT AS capacity,
+      |  (SUM(n_tokens) * 1000000 // ((MAX(bin) + 1) * 512))::BIGINT
+      |    AS fill_ppm
+      |FROM binned GROUP BY lang ORDER BY lang""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6774,5 +6839,7 @@ object ExtQ {
     "x200_corpus_overlap_matrix" -> (x200._1, Some(x200._2)),
     "x201_signature_merge_overlap" -> (x201._1, Some(x201._2)),
     "x202_dedup_threshold_sweep" -> (x202._1, Some(x202._2)),
+    "x203_ngram_diversity" -> (x203._1, Some(x203._2)),
+    "x204_packing_efficiency" -> (x204._1, Some(x204._2)),
   )
 }

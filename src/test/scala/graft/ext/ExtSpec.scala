@@ -590,6 +590,40 @@ class ExtSpec extends AnyFunSuite {
       full.getAs[Long]("cont_b_ppm") == 1000000L)
   }
 
+  test("ngram diversity: hand-counted bigrams, templated group flagged") {
+    val df = Seq(
+      ("tpl", "buy now buy now buy now"),     // bigrams: 5 total, 2 distinct
+      ("tpl", "buy now buy now"),             // 3 more, same 2
+      ("div", "alpha beta gamma delta"),      // 3 total, 3 distinct
+      ("one", "solo"),                        // 1 token → no bigram
+      ("nul", null)                           // NULL → no row
+    ).toDF("src", "text")
+    val got = TextAnalysis.ngramDiversity(df, "src", "text", n = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set("tpl", "div"))
+    assert(got("tpl") == ((8L, 2L, 250000L)))
+    assert(got("div") == ((3L, 3L, 1000000L)))
+  }
+
+  test("packing efficiency: bins, straddlers and overflow fill from the x20 fixture") {
+    val rows = Seq((1L, 60L), (2L, 60L), (3L, 60L), (4L, 10L), (5L, 200L))
+      .toDF("doc_id", "tok").withColumn("g", lit("a"))
+    val packed = Packing.packByBudget(rows, Seq("g"), "doc_id",
+      col("tok"), budget = 100L)
+    val r = Packing.packingEfficiency(packed, Seq("g"), budget = 100L)
+      .collect().head
+    // starts 0,60,120,180,190 → bins 0,0,1,1,1 → 2 bins, capacity 200
+    assert(r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("total_tokens") == 390L)
+    assert(r.getAs[Long]("capacity") == 200L)
+    // docs 2 (60+60>100) and 5 (90+200>100) cross a bin boundary
+    assert(r.getAs[Long]("n_straddlers") == 2L)
+    // the tail doc overruns the last boundary → fill > 10⁶, documented
+    assert(r.getAs[Long]("fill_ppm") == 1950000L)
+  }
+
   test("corpus signatures: slice merge == from-scratch, one-slice groups survive") {
     def sent(tag: String, i: Int) =
       (0 until 6).map(j => s"$tag${i}w$j").mkString(" ")
