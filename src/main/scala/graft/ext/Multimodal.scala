@@ -346,6 +346,88 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** 64-bit audio fingerprint over real 16-bit-PCM WAV payloads: the
+    * channel-summed sample stream is cut into 65 equal windows, each
+    * window's total absolute amplitude (exact integer energy) is
+    * compared with its successor, and bit j is set when
+    * energy(j) < energy(j+1) — the sign pattern of the energy
+    * envelope's derivative (landmark-lite). Adjacent-window
+    * comparison makes the fingerprint invariant to uniform gain
+    * (both operands scale together) and robust to byte-level
+    * re-encodings — the audio analogue of [[dHash]]'s horizontal
+    * gradient signs. Appends `afp` (LongType; null when no parser
+    * claims the payload or the clip has fewer than 65 frames — too
+    * short for an envelope). Pure scan-transform, no shuffle;
+    * pairing happens in [[audioNearDups]]. */
+  def audioFingerprint(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("afp", LongType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val sig: java.lang.Long =
+          if (payload == null) null
+          else scala.util.Try(parseWav(payload).flatMap {
+            case (ch, _, _, d) =>
+              val frames = d.length / (2 * ch)
+              if (frames < 65) None
+              else {
+                val win = frames / 65
+                val energy = new Array[Long](65)
+                var wdx = 0
+                while (wdx < 65) {
+                  var e = 0L
+                  var f = wdx * win
+                  val end = f + win
+                  while (f < end) {
+                    var s = 0L
+                    var c = 0
+                    while (c < ch) {
+                      val off = 2 * (f * ch + c)
+                      s += ((d(off) & 0xff) | (d(off + 1) << 8)).toShort.toLong
+                      c += 1
+                    }
+                    e += math.abs(s)
+                    f += 1
+                  }
+                  energy(wdx) = e
+                  wdx += 1
+                }
+                var h = 0L
+                var bit = 0
+                while (bit < 64) {
+                  if (energy(bit) < energy(bit + 1)) h |= (1L << bit)
+                  bit += 1
+                }
+                Some(java.lang.Long.valueOf(h))
+              }
+          }.orNull).getOrElse(null)
+        Row.fromSeq(r.toSeq :+ sig)
+      }
+    }(enc)
+  }
+
+  /** Perceptual audio near-dup pairs: [[audioFingerprint]] signatures
+    * through the SAME capped pigeonhole banding + exact hamming
+    * verify as [[imageNearDups]] ([[Dedup.simhashCandidates]]).
+    * Returns (id_a, id_b, hamming); payloads no parser claims simply
+    * don't participate. Audio's realistic hot key mirrors the flat
+    * image: silence and constant test tones all fingerprint to the
+    * same constant-envelope signature while differing in bytes —
+    * bounded by the shared oversized-bucket cap, recall trade
+    * documented at [[Dedup.simhashPairs]]. */
+  def audioNearDups(df: DataFrame, id: String, maxHamming: Int,
+                    maxBucket: Int = 4096): DataFrame = {
+    val sigs = audioFingerprint(df).filter(col("afp").isNotNull)
+      .select(col(id).as("_id"), col("afp").as("sig"))
+      .localCheckpoint()
+    Dedup.simhashCandidates(sigs, maxHamming, maxBucket)
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Partition-wise PCM WAV resample (nearest-sample / zero-order
     * hold): 16-bit PCM payloads are re-emitted as a valid RIFF/WAVE
     * at `targetRate` — output sample i copies input sample

@@ -212,6 +212,53 @@ class FuzzyRedactSpec extends AnyFunSuite {
     assert(pix(0, 3) == ((0.toByte, 0.toByte, 255.toByte)))     // BL blue
   }
 
+  test("audioFingerprint: gain-invariant envelope signs; audioNearDups pairs") {
+    // mono 8000 Hz WAV whose amplitude is constant within each of 65
+    // windows (100 frames each) and follows `pattern` across windows
+    def envWav(pattern: Int => Int, gain: Int): Array[Byte] = {
+      val n = 6500
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until n).foreach { i =>
+        val a = gain * pattern(i / 100)
+        bb.putShort((if (i % 2 == 0) a else -a).toShort)
+      }
+      bb.array()
+    }
+    // strictly varying sawtooth envelope; `tweak` flips one window
+    val saw = (w: Int) => 1 + (w * 7) % 13
+    val tweak = (w: Int) => if (w == 30) 14 else saw(w)
+    val rev = (w: Int) => 1 + ((64 - w) * 7) % 13
+    val rows = Seq(
+      (1L, envWav(saw, 100)),   // base
+      (2L, envWav(saw, 300)),   // same envelope at 3x gain
+      (3L, envWav(tweak, 100)), // one window disturbed
+      (4L, envWav(rev, 100)),   // reversed envelope — far
+      (5L, "junk".getBytes("US-ASCII")),                 // no codec
+      (6L, envWav(saw, 100).take(44 + 60 * 2))           // < 65 frames
+    ).toDF("media_id", "payload")
+    val fps = Multimodal.audioFingerprint(rows)
+      .select($"media_id", $"afp").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(fps(1L).get == fps(2L).get)        // uniform gain invariant
+    assert(fps(5L).isEmpty && fps(6L).isEmpty) // honest nulls
+    val ham13 = java.lang.Long.bitCount(fps(1L).get ^ fps(3L).get)
+    assert(ham13 >= 1 && ham13 <= 2)           // one window → ≤2 sign flips
+    assert(java.lang.Long.bitCount(fps(1L).get ^ fps(4L).get) > 3)
+    val pairs = Multimodal.audioNearDups(rows, "media_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) == 0)
+  }
+
   test("resampleAudio halves the rate, preserves duration and waveform") {
     // reuse the WAV builder shape: mono 8000 Hz, 16-bit, 4000 samples
     val rate = 8000
