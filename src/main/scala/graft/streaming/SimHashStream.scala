@@ -36,16 +36,26 @@ object SimHashStream {
 
   def simhashRefIndex(ref: DataFrame, id: String, text: String,
                       maxHamming: Int, maxBucket: Int = 4096)
+      : SimHashRefIndex =
+    sigRefIndex(ref.select(col(id).as("_id"),
+      Dedup.simhash64(col(text)).as("sig")), maxHamming, maxBucket)
+
+  /** Signature-level index build: `sigs` carries (_id, sig) where
+    * `sig` is ANY 64-bit signature family with the hamming-ball
+    * contract — the text path signs with the native SimHash64, the
+    * perceptual media paths with [[graft.ext.Multimodal.dHash]] /
+    * [[graft.ext.Multimodal.audioFingerprint]] (near-dup-at-ingest
+    * for images and audio rides the SAME index machinery and census
+    * contract as text). */
+  def sigRefIndex(sigs: DataFrame, maxHamming: Int, maxBucket: Int = 4096)
       : SimHashRefIndex = {
     require(maxBucket >= 1, "maxBucket must be positive")
-    val sigs = ref.select(col(id).as("_id"),
-        Dedup.simhash64(col(text)).as("sig"))
-      .localCheckpoint()
-    val banded = Dedup.simhashBandRows(sigs, maxHamming)
+    val sigsM = sigs.select(col("_id"), col("sig")).localCheckpoint()
+    val banded = Dedup.simhashBandRows(sigsM, maxHamming)
       .select(col("band"), col("bucket"), col("_id").as("id_b"))
       .localCheckpoint()
     val (ns, withSub) = Planes.refCensusSub(banded, maxBucket)
-    val payload = sigs.select(col("_id").as("id_b"), col("sig").as("sig_b"))
+    val payload = sigsM.select(col("_id").as("id_b"), col("sig").as("sig_b"))
     SimHashRefIndex(maxHamming, maxBucket, ns, withSub, payload)
   }
 
@@ -58,10 +68,15 @@ object SimHashStream {
     * crossing `maxBucket` through this merge must sub-split rows
     * indexed before it). merge == full rebuild, spec-gated. */
   def mergeRefIndex(idx: SimHashRefIndex, more: DataFrame, id: String,
-                    text: String): SimHashRefIndex = {
-    val sigs = more.select(col(id).as("_id"),
-        Dedup.simhash64(col(text)).as("sig"))
-      .localCheckpoint()
+                    text: String): SimHashRefIndex =
+    mergeSigRefIndex(idx, more.select(col(id).as("_id"),
+      Dedup.simhash64(col(text)).as("sig")))
+
+  /** [[mergeRefIndex]]'s signature-level form — the maintenance path
+    * for [[sigRefIndex]]-built media indexes. */
+  def mergeSigRefIndex(idx: SimHashRefIndex, moreSigs: DataFrame)
+      : SimHashRefIndex = {
+    val sigs = moreSigs.select(col("_id"), col("sig")).localCheckpoint()
     val allRows = idx.bandRows
       .select(col("band"), col("bucket"), col("id_b"))
       .unionByName(Dedup.simhashBandRows(sigs, idx.maxHamming)
@@ -88,6 +103,20 @@ object SimHashStream {
                         id: String, text: String,
                         carry: Seq[String] = Seq.empty,
                         ts: String = "", dedupWatermark: String = "")
+      : DataFrame =
+    sigDupMatches(stream.select(
+        Seq(col(id).as("_id"), Dedup.simhash64(col(text)).as("sig")) ++
+          carry.map(c => col(c)): _*),
+      idx, carry, ts, dedupWatermark)
+
+  /** [[simhashDupMatches]]'s signature-level form: `sigStream`
+    * carries (_id, sig, carry...) — sign upstream with whatever
+    * scan-speed expression fits the modality (SimHash64 for text;
+    * a fingerprinted media frame for images/audio). Stateless
+    * stream-static equi-joins, same census contract. */
+  def sigDupMatches(sigStream: DataFrame, idx: SimHashRefIndex,
+                    carry: Seq[String] = Seq.empty,
+                    ts: String = "", dedupWatermark: String = "")
       : DataFrame = {
     require(dedupWatermark.isEmpty || ts.nonEmpty,
       "ts must name the event-time column when dedupWatermark is set")
@@ -95,10 +124,7 @@ object SimHashStream {
     // the signature and carry columns ride THROUGH the chunk Generate
     // (simhashBandRows preserves input columns) — a streaming frame
     // cannot join back to itself to re-fetch them
-    val sigs = stream.select(
-      Seq(col(id).as("_id"), Dedup.simhash64(col(text)).as("sig")) ++
-        carryCols: _*)
-    val probes = Dedup.simhashBandRows(sigs, idx.maxHamming)
+    val probes = Dedup.simhashBandRows(sigStream, idx.maxHamming)
       .join(broadcast(idx.ns), Seq("band", "bucket"), "left")
       .withColumn("sub", when(col("_ns").isNull, lit(0L))
         .otherwise(pmod(Planes.subHash(col("_id")), col("_ns"))))
