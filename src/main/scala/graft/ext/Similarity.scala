@@ -424,6 +424,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Matryoshka dimension-truncation recall audit (Kusupati et al.
+    * 2022's operating question): how much of the FULL-dim exact
+    * top-k does a PREFIX-dim cosine ranking recover, per candidate
+    * prefix length — the measurement run before serving the ANN
+    * prefilter at a cheap truncated dim (a prefix scan is
+    * dims/fullDim of the memory traffic; this audit says what recall
+    * that buys). One full-dim exact top-k (panel broadcast, corpus
+    * drives parallelism — [[bruteForceTopK]]'s audited shape) plus
+    * one per audited dim over the sliced vectors; overlap counted
+    * exactly per (query, neighbour) and reported as
+    * Σ intersections / (n_queries · k) in ppm (trunc — exact integer
+    * arithmetic, oracle-replayed). Ties break by neighbour id on both
+    * engines, so the rankings — and therefore the audit — are
+    * deterministic. Returns one row per dim:
+    * (dim, n_queries, n_overlap, recall_ppm). */
+  def truncationRecallAudit(queries: DataFrame, qId: String, qVec: String,
+                            corpus: DataFrame, cId: String, cVec: String,
+                            dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.size <= 16 && dims.forall(_ >= 1),
+      "1 to 16 positive dims per audit")
+    require(k >= 1, "k must be positive")
+    val full = bruteForceTopK(queries, qId, qVec, corpus, cId, cVec, k)
+      .select(col("query_id"), col("neighbour_id"))
+      .localCheckpoint()
+    val nq = broadcast(queries.select(col(qId)).distinct()
+      .agg(count(lit(1)).as("n_queries")))
+    dims.map { d =>
+      val tq = queries.select(col(qId), slice(col(qVec), 1, d).as(qVec))
+      val tc = corpus.select(col(cId), slice(col(cVec), 1, d).as(cVec))
+      bruteForceTopK(tq, qId, qVec, tc, cId, cVec, k)
+        .select(col("query_id"), col("neighbour_id"))
+        .join(full, Seq("query_id", "neighbour_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(d.toLong).as("dim"), col("n_overlap"))
+    }.reduce(_ unionByName _)
+      .crossJoin(nq)
+      .select(col("dim"), col("n_queries"), col("n_overlap"),
+        IntMath.truncDiv(col("n_overlap") * 1000000L,
+          col("n_queries") * k).as("recall_ppm"))
+  }
+
   /** Banded candidate pairs between two embedding frames: each vector
     * gets `bands` bucket ids (sign pattern of `bitsPerBand`
     * deterministic md5-derived hyperplanes per band, [[Planes]] — the

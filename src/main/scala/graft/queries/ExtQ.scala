@@ -6636,6 +6636,46 @@ object ExtQ {
       |    AS fill_ppm
       |FROM binned GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** Matryoshka truncation recall: exact top-10 overlap between
+    * full-dim (64) and prefix-dim (8/16/32) cosine rankings over the
+    * %97 query panel — both rankings and the overlap replayed exactly
+    * by the oracle. */
+  private val x205: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      Similarity.truncationRecallAudit(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", emb, "vec_id", "embedding",
+          dims = Seq(8, 16, 32), k = 10)
+        .orderBy($"dim")
+    },
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 97 = 0),
+       |dims AS (SELECT unnest([8, 16, 32]) AS dim),
+       |fs AS (SELECT q.vec_id AS query_id, e.vec_id AS nid,
+       |    ${cosineSql("q.embedding", "e.embedding")} AS c
+       |  FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+       |fk AS (SELECT query_id, nid FROM (
+       |  SELECT query_id, nid, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, nid) AS r FROM fs) WHERE r <= 10),
+       |ts AS (SELECT dims.dim, q.vec_id AS query_id, e.vec_id AS nid,
+       |    ${cosineSql("(q.embedding[1:dims.dim])", "(e.embedding[1:dims.dim])")} AS c
+       |  FROM q, embeddings e, dims WHERE e.vec_id <> q.vec_id),
+       |tk AS (SELECT dim, query_id, nid FROM (
+       |  SELECT dim, query_id, nid, ROW_NUMBER() OVER (
+       |    PARTITION BY dim, query_id ORDER BY c DESC, nid) AS r
+       |  FROM ts) WHERE r <= 10),
+       |ov AS (SELECT tk.dim, COUNT(*)::BIGINT AS n_overlap
+       |  FROM tk JOIN fk USING (query_id, nid) GROUP BY tk.dim),
+       |nq AS (SELECT COUNT(*)::BIGINT AS n FROM q)
+       |SELECT dims.dim::BIGINT AS dim, nq.n AS n_queries,
+       |  COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       |  (COALESCE(ov.n_overlap, 0) * 1000000 // (nq.n * 10))::BIGINT
+       |    AS recall_ppm
+       |FROM dims LEFT JOIN ov ON ov.dim = dims.dim, nq
+       |ORDER BY dim""".stripMargin)
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6841,5 +6881,6 @@ object ExtQ {
     "x202_dedup_threshold_sweep" -> (x202._1, Some(x202._2)),
     "x203_ngram_diversity" -> (x203._1, Some(x203._2)),
     "x204_packing_efficiency" -> (x204._1, Some(x204._2)),
+    "x205_truncation_recall" -> (x205._1, Some(x205._2)),
   )
 }

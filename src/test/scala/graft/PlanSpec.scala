@@ -192,7 +192,8 @@ class PlanSpec extends AnyFunSuite {
       "x198_rocchio_classifier", // 1-row class-token-total frame crossed with the B-row weight table
       "x200_corpus_overlap_matrix", // ≤groups-row signature matrix a<b broadcast theta join
       "x201_signature_merge_overlap", // same ≤groups-row a<b theta join over merged signatures
-      "x202_dedup_threshold_sweep") // ≤64-row threshold list crossed with the bounded pair list
+      "x202_dedup_threshold_sweep", // ≤64-row threshold list crossed with the bounded pair list
+      "x205_truncation_recall")  // exact baseline: panel broadcast over the corpus scan + 1-row panel count crossed
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -263,7 +264,8 @@ class PlanSpec extends AnyFunSuite {
       "x192_semantic_ivf_audit",   // audit: exact int8 ground truth broadcasts the fixture slice
       "x194_bm25_retrieval",       // retrieval: ≤6-row query-term panel broadcast (doc_id % 97)
       "x196_hybrid_retrieval",     // hybrid: the same two panel broadcasts as x194 + x06
-      "x197_pq_refine_topk")       // refine: ≤6-row query set broadcast; corpus side scans CODES
+      "x197_pq_refine_topk",       // refine: ≤6-row query set broadcast; corpus side scans CODES
+      "x205_truncation_recall")    // audit: ≤6-row query set broadcast (vec_id % 97), full + sliced
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

@@ -1627,6 +1627,37 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("truncationRecallAudit: full-dim prefix == 1e6; local replay at cut dims") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val panel = emb.filter($"vec_id" % 7 === 0)
+    val got = Similarity.truncationRecallAudit(panel, "vec_id", "embedding",
+        emb, "vec_id", "embedding", dims = Seq(8, 64), k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // dim 64 IS the full dim → identical ranking → full overlap
+    val (nq64, ov64, ppm64) = got(64L)
+    assert(ppm64 == 1000000L && ov64 == nq64 * 5)
+    // dim 8: replay locally with the same tie-break (cos desc, id asc)
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topk(q: Long, d: Int): Set[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c), d)))
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+    val qs = vecs.keys.filter(_ % 7 == 0).toSeq
+    val wantOv = qs.map(q => (topk(q, 8) & topk(q, 64)).size).sum.toLong
+    assert(got(8L)._2 == wantOv)
+    assert(got(8L)._1 == qs.size.toLong)
+  }
+
   test("pqRecallAudit: full-corpus codebook reconstructs exactly -> recall 1e6") {
     // ksub = corpus size: every vector IS a codebook entry in every
     // subspace, so reconstruction error is 0 and ADC == exact L2
