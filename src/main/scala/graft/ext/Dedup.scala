@@ -154,15 +154,24 @@ object Dedup {
 
   /** Slot-wise MIN merge of signature frames built with the same
     * (n, k) — ≤ (slices × groups) rows in, ≤ groups out. The caller
-    * owns knob consistency (a signature carries no provenance; mixing
-    * k values fails on array length, mixing n values silently
-    * measures nothing meaningful — same contract as
-    * [[graft.streaming.EmbedStream.mergeRefIndex]]). */
+    * owns n-consistency (a signature carries no provenance; mixing n
+    * values silently measures nothing meaningful — same contract as
+    * [[graft.streaming.EmbedStream.mergeRefIndex]]); a k mismatch
+    * FAILS LOUDLY at execution (length validated per row — under
+    * non-ANSI SQL, element_at past the array end would otherwise
+    * return NULL, min() would skip it, and the merged Jaccard would
+    * silently understate by up to 2×). */
   def mergeCorpusSignatures(sigs: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 512, "k must be in [1, 512]")
+    val validated = sigs.select(col("grp"),
+      when(size(col("sig")) === k, col("sig")).otherwise(raise_error(
+        concat(lit("mergeCorpusSignatures: signature length "),
+          coalesce(size(col("sig")).cast("string"), lit("NULL")),
+          lit(s" != k = $k — slices must share the build knobs"))))
+        .as("sig"))
     val mins = (0 until k).map(i =>
       min(element_at(col("sig"), i + 1)).as(s"_m$i"))
-    sigs.groupBy("grp").agg(mins.head, mins.tail: _*)
+    validated.groupBy("grp").agg(mins.head, mins.tail: _*)
       .select(col("grp"),
         array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
@@ -185,13 +194,16 @@ object Dedup {
     * rescan of the corpus per threshold.
     *
     * `pairs` must carry (id_a, id_b, jaccard) — [[ngramJaccardPairs]]'
-    * output; its `threshold` argument is the sweep's FLOOR (the prefix
-    * filter is lossless only down to it, so sweeping below the
-    * generating threshold silently undercounts — require()d away).
-    * Thresholds with no surviving pair report zeros rather than
-    * vanishing. Returns (threshold, n_pairs, n_docs). */
+    * output; `floor` must restate that call's `threshold` (REQUIRED,
+    * no default — the sweep cannot see the generating threshold, and
+    * sweeping below it silently undercounts because the prefix filter
+    * is lossless only down to it). Thresholds with no surviving pair
+    * report zeros rather than vanishing. The filtered pair×threshold
+    * frame is checkpointed so the (expensive) upstream pair plan runs
+    * ONCE, not once per aggregation branch. Returns
+    * (threshold, n_pairs, n_docs). */
   def dedupThresholdSweep(pairs: DataFrame, thresholds: Seq[Double],
-                          floor: Double = 0.0): DataFrame = {
+                          floor: Double): DataFrame = {
     require(thresholds.nonEmpty && thresholds.size <= 64,
       "1 to 64 thresholds per sweep")
     require(thresholds.forall(_ >= floor),
@@ -202,6 +214,7 @@ object Dedup {
     val thr = thresholds.toDF("threshold")
     val hits = pairs.crossJoin(broadcast(thr))
       .filter(col("jaccard") >= col("threshold"))
+      .localCheckpoint()
     val np = hits.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
     val nd = hits
       .select(col("threshold"),

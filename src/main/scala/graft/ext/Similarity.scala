@@ -434,22 +434,27 @@ object Similarity {
     * drives parallelism — [[bruteForceTopK]]'s audited shape) plus
     * one per audited dim over the sliced vectors; overlap counted
     * exactly per (query, neighbour) and reported as
-    * Σ intersections / (n_queries · k) in ppm (trunc — exact integer
-    * arithmetic, oracle-replayed). Ties break by neighbour id on both
-    * engines, so the rankings — and therefore the audit — are
-    * deterministic. Returns one row per dim:
+    * Σ intersections / |full top-k| in ppm — the denominator is the
+    * ACTUAL full-dim result size, not n_queries·k, so a corpus with
+    * fewer than k neighbours per query still reports an identical
+    * ranking as exactly 10⁶ (trunc — exact integer arithmetic,
+    * oracle-replayed). Ties break by neighbour id on both engines, so
+    * the rankings — and therefore the audit — are deterministic.
+    * Returns one row per dim:
     * (dim, n_queries, n_overlap, recall_ppm). */
   def truncationRecallAudit(queries: DataFrame, qId: String, qVec: String,
                             corpus: DataFrame, cId: String, cVec: String,
                             dims: Seq[Int], k: Int): DataFrame = {
-    require(dims.nonEmpty && dims.size <= 16 && dims.forall(_ >= 1),
-      "1 to 16 positive dims per audit")
+    require(dims.nonEmpty && dims.size <= 16 && dims.forall(_ >= 1) &&
+      dims.distinct.size == dims.size,
+      "1 to 16 positive DISTINCT dims per audit")
     require(k >= 1, "k must be positive")
     val full = bruteForceTopK(queries, qId, qVec, corpus, cId, cVec, k)
       .select(col("query_id"), col("neighbour_id"))
       .localCheckpoint()
     val nq = broadcast(queries.select(col(qId)).distinct()
       .agg(count(lit(1)).as("n_queries")))
+    val nf = broadcast(full.agg(count(lit(1)).as("_n_full")))
     dims.map { d =>
       val tq = queries.select(col(qId), slice(col(qVec), 1, d).as(qVec))
       val tc = corpus.select(col(cId), slice(col(cVec), 1, d).as(cVec))
@@ -459,10 +464,10 @@ object Similarity {
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(d.toLong).as("dim"), col("n_overlap"))
     }.reduce(_ unionByName _)
-      .crossJoin(nq)
+      .crossJoin(nq).crossJoin(nf)
       .select(col("dim"), col("n_queries"), col("n_overlap"),
         IntMath.truncDiv(col("n_overlap") * 1000000L,
-          col("n_queries") * k).as("recall_ppm"))
+          col("_n_full")).as("recall_ppm"))
   }
 
   /** Banded candidate pairs between two embedding frames: each vector

@@ -6668,12 +6668,13 @@ object ExtQ {
        |  FROM ts) WHERE r <= 10),
        |ov AS (SELECT tk.dim, COUNT(*)::BIGINT AS n_overlap
        |  FROM tk JOIN fk USING (query_id, nid) GROUP BY tk.dim),
-       |nq AS (SELECT COUNT(*)::BIGINT AS n FROM q)
+       |nq AS (SELECT COUNT(*)::BIGINT AS n FROM q),
+       |nf AS (SELECT COUNT(*)::BIGINT AS nfull FROM fk)
        |SELECT dims.dim::BIGINT AS dim, nq.n AS n_queries,
        |  COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
-       |  (COALESCE(ov.n_overlap, 0) * 1000000 // (nq.n * 10))::BIGINT
+       |  (COALESCE(ov.n_overlap, 0) * 1000000 // nf.nfull)::BIGINT
        |    AS recall_ppm
-       |FROM dims LEFT JOIN ov ON ov.dim = dims.dim, nq
+       |FROM dims LEFT JOIN ov ON ov.dim = dims.dim, nq, nf
        |ORDER BY dim""".stripMargin)
 
   val all: Seq[(String, (Fn, Option[String]))] = Seq(

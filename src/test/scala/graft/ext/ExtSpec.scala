@@ -651,6 +651,12 @@ class ExtSpec extends AnyFunSuite {
         Dedup.corpusSignatures(df, "src", "text", n = 3, k = 64), k = 64)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(viaMerge == viaFull)
+    // a k mismatch fails loudly instead of silently skipping slots
+    val ex = intercept[Exception] {
+      Dedup.mergeCorpusSignatures(s1.unionByName(s2), k = 128).collect()
+    }
+    assert(ex.getMessage.contains("signature length") ||
+      Option(ex.getCause).exists(_.getMessage.contains("signature length")))
   }
 
   test("dedup threshold sweep: hand counts, zero rows kept, floor guard") {

@@ -213,25 +213,7 @@ class FuzzyRedactSpec extends AnyFunSuite {
   }
 
   test("audioFingerprint: gain-invariant envelope signs; audioNearDups pairs") {
-    // mono 8000 Hz WAV whose amplitude is constant within each of 65
-    // windows (100 frames each) and follows `pattern` across windows
-    def envWav(pattern: Int => Int, gain: Int): Array[Byte] = {
-      val n = 6500
-      val dataLen = n * 2
-      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-        .put("WAVE".getBytes("US-ASCII"))
-        .put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1).putShort(1).putInt(8000).putInt(16000)
-        .putShort(2).putShort(16)
-        .put("data".getBytes("US-ASCII")).putInt(dataLen)
-      (0 until n).foreach { i =>
-        val a = gain * pattern(i / 100)
-        bb.putShort((if (i % 2 == 0) a else -a).toShort)
-      }
-      bb.array()
-    }
+    import graft.TestWav.envWav
     // strictly varying sawtooth envelope; `tweak` flips one window
     val saw = (w: Int) => 1 + (w * 7) % 13
     val tweak = (w: Int) => if (w == 30) 14 else saw(w)

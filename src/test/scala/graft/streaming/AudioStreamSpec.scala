@@ -17,23 +17,7 @@ class AudioStreamSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def envWav(pattern: Int => Int, gain: Int): Array[Byte] = {
-    val n = 6500
-    val dataLen = n * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1).putInt(8000).putInt(16000)
-      .putShort(2).putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(dataLen)
-    (0 until n).foreach { i =>
-      val a = gain * pattern(i / 100)
-      bb.putShort((if (i % 2 == 0) a else -a).toShort)
-    }
-    bb.array()
-  }
+  import graft.TestWav.envWav
 
   test("streaming audio near-dup matches == local brute force, two triggers") {
     // reference: 8 envelope families (ids 100-107); stream: 16 clips
