@@ -198,10 +198,13 @@ object Dedup {
     * no default — the sweep cannot see the generating threshold, and
     * sweeping below it silently undercounts because the prefix filter
     * is lossless only down to it). Thresholds with no surviving pair
-    * report zeros rather than vanishing. The filtered pair×threshold
-    * frame is checkpointed so the (expensive) upstream pair plan runs
-    * ONCE, not once per aggregation branch. Returns
-    * (threshold, n_pairs, n_docs). */
+    * report zeros rather than vanishing. The two aggregation branches
+    * share the upstream pair work WITHOUT an explicit checkpoint:
+    * both subtrees contain the identical pair exchange, which
+    * Catalyst's ReuseExchange deduplicates (an explicit
+    * localCheckpoint here was measured 9× SLOWER — it serializes a
+    * materialization barrier in front of work the optimizer already
+    * shares). Returns (threshold, n_pairs, n_docs). */
   def dedupThresholdSweep(pairs: DataFrame, thresholds: Seq[Double],
                           floor: Double): DataFrame = {
     require(thresholds.nonEmpty && thresholds.size <= 64,
@@ -214,7 +217,6 @@ object Dedup {
     val thr = thresholds.toDF("threshold")
     val hits = pairs.crossJoin(broadcast(thr))
       .filter(col("jaccard") >= col("threshold"))
-      .localCheckpoint()
     val np = hits.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
     val nd = hits
       .select(col("threshold"),
