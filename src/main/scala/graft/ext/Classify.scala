@@ -128,14 +128,25 @@ object Classify {
     * (spec-pinned); a tokenless or NULL-text doc scores 0 here (never
     * NULL — a NULL pred would silently fall out of BOTH sides of a
     * keep/reject filter) and has no [[rocchioScore]] row. Exact for
-    * docs up to the `maxDocTokens` the weight vector was guarded
-    * for. */
+    * docs up to `maxDocTokens` — pass the SAME bound the weight
+    * vector was guarded for ([[weightVector]]'s overflow proof is
+    * |score| ≤ maxDocTokens · max|w|): a longer doc could wrap the
+    * long fold and silently flip the keep/reject decision, so the
+    * bound is ENFORCED in-row — an over-long doc raises instead of
+    * scoring wrong (`raise_error` fails the batch loudly; filter
+    * such docs upstream if they are expected). */
   def scoreColumn(text: Column, w: Array[Long],
-                  portableHash: Boolean = true): Column =
-    aggregate(
-      coalesce(graft.functions.TokenNgrams.tokenNgrams(text, 1),
-        typedLit(Array.empty[String])),
-      lit(0L),
-      (acc, t) => acc + element_at(typedLit(w.toSeq),
-        (bucketOf(t, w.length, portableHash) + 1).cast("int")))
+                  portableHash: Boolean = true,
+                  maxDocTokens: Int = 1 << 20): Column = {
+    val toks = coalesce(graft.functions.TokenNgrams.tokenNgrams(text, 1),
+      typedLit(Array.empty[String]))
+    when(size(toks) > maxDocTokens, raise_error(concat(
+        lit(s"scoreColumn: document exceeds maxDocTokens = $maxDocTokens ("),
+        size(toks).cast("string"),
+        lit(" tokens) — the long score could overflow; raise the bound " +
+          "(and re-derive the weight vector with it) or pre-filter"))))
+      .otherwise(aggregate(toks, lit(0L),
+        (acc, t) => acc + element_at(typedLit(w.toSeq),
+          (bucketOf(t, w.length, portableHash) + 1).cast("int"))))
+  }
 }

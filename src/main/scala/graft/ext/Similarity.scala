@@ -449,6 +449,17 @@ object Similarity {
       dims.distinct.size == dims.size,
       "1 to 16 positive DISTINCT dims per audit")
     require(k >= 1, "k must be positive")
+    // slice() silently truncates past the array end, so a dim larger
+    // than the real embedding dimension would alias the full dim and
+    // report recall_ppm == 1e6 as if that prefix were a design point —
+    // probe one vector (driver-side, one row) and fail loudly instead
+    corpus.select(size(col(cVec)).as("_d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).foreach { fullDim =>
+        require(dims.forall(_ <= fullDim),
+          s"dims ${dims.filter(_ > fullDim).mkString(",")} exceed the " +
+            s"embedding dimension $fullDim — an over-length prefix " +
+            "aliases the full dim and its recall row would be vacuous")
+      }
     val full = bruteForceTopK(queries, qId, qVec, corpus, cId, cVec, k)
       .select(col("query_id"), col("neighbour_id"))
       .localCheckpoint()

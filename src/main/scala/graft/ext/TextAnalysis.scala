@@ -22,6 +22,13 @@ object TextAnalysis {
     * Implemented lookaround-free (two transition-marking replaces +
     * one split) so RE2-based engines (the DuckDB oracle, x16) compute
     * the identical count. */
+  def subwordCount(text: Column): Column = {
+    val marked = regexp_replace(
+      regexp_replace(text, "(\\p{L})(\\p{N})", "$1 $2"),
+      "(\\p{N})(\\p{L})", "$1 $2")
+    size(filter(split(marked, "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
+  }
+
   /** Distinct-n corpus diversity (Li et al. 2016's distinct-n, at
     * group granularity): distinct n-grams / total n-grams per group —
     * the templated-content red flag a token count can't see (a crawl
@@ -44,13 +51,6 @@ object TextAnalysis {
     tot.join(dis, Seq("grp"))
       .withColumn("distinct_ppm",
         IntMath.ppmDiv(col("n_distinct"), col("n_ngrams")))
-  }
-
-  def subwordCount(text: Column): Column = {
-    val marked = regexp_replace(
-      regexp_replace(text, "(\\p{L})(\\p{N})", "$1 $2"),
-      "(\\p{N})(\\p{L})", "$1 $2")
-    size(filter(split(marked, "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
   }
 
   /** Stopword ratio over a caller-supplied lexicon. */

@@ -1662,6 +1662,12 @@ class ExtSpec extends AnyFunSuite {
     val wantOv = qs.map(q => (topk(q, 8) & topk(q, 64)).size).sum.toLong
     assert(got(8L)._2 == wantOv)
     assert(got(8L)._1 == qs.size.toLong)
+    // a dim past the real embedding dimension would silently alias the
+    // full dim (slice truncates) — the audit rejects it loudly
+    val e = intercept[IllegalArgumentException](
+      Similarity.truncationRecallAudit(panel, "vec_id", "embedding",
+        emb, "vec_id", "embedding", dims = Seq(8, 128), k = 5))
+    assert(e.getMessage.contains("128"))
   }
 
   test("pqRecallAudit: full-corpus codebook reconstructs exactly -> recall 1e6") {

@@ -224,7 +224,7 @@ class FuzzyRedactSpec extends AnyFunSuite {
       (3L, envWav(tweak, 100)), // one window disturbed
       (4L, envWav(rev, 100)),   // reversed envelope — far
       (5L, "junk".getBytes("US-ASCII")),                 // no codec
-      (6L, envWav(saw, 100).take(44 + 60 * 2))           // < 65 frames
+      (6L, envWav(saw, 100, n = 60))                     // < 65 frames
     ).toDF("media_id", "payload")
     val fps = Multimodal.audioFingerprint(rows)
       .select($"media_id", $"afp").collect()
