@@ -6677,6 +6677,39 @@ object ExtQ {
        |FROM dims LEFT JOIN ov ON ov.dim = dims.dim, nq, nf
        |ORDER BY dim""".stripMargin)
 
+  /** Persistent streaming-index round trip, end-to-end: the x193
+    * pipeline (build on two reference slices, MERGE the other two)
+    * with a SAVE + LOAD through [[graft.streaming.RefIndexStore]]
+    * between the merge and the probe — so the gate proves that the
+    * on-disk bucketed form of the index (the build-nightly /
+    * probe-from-many-jobs deployment) answers byte-identically to the
+    * in-session index AND to the oracle's full replay. Same oracle as
+    * x193 by construction: persistence must not change a single pair.
+    * The save dir is a fixed tmp location; save is an atomic
+    * overwrite (staging + rename swap), so repeated runs are safe. */
+  private val x206: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val idx0 = graft.streaming.EmbedStream.semanticRefIndex(
+        emb.filter(pmod($"vec_id", lit(5)).isin(1, 2)),
+        "vec_id", "embedding", bands = 8, bitsPerBand = 4, dim = 64)
+      val merged = graft.streaming.EmbedStream.mergeRefIndex(idx0,
+        emb.filter(pmod($"vec_id", lit(5)).isin(3, 4)),
+        "vec_id", "embedding")
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x206_semidx").getAbsolutePath
+      graft.streaming.RefIndexStore.saveSemantic(merged, dir)
+      val loaded = graft.streaming.RefIndexStore.loadSemantic(s, dir)
+      graft.streaming.EmbedStream.semanticDupMatches(
+          benchPanelCap(emb.filter(pmod($"vec_id", lit(5)) === 0),
+            "vec_id"), loaded,
+          "vec_id", "embedding", cos2Num = 4, cos2Den = 25)
+        .select($"id_a", $"id_b", $"dotq", $"na", $"nb").distinct()
+        .orderBy($"id_a", $"id_b")
+    },
+    x193._2) // persistence must not change a single pair
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6883,5 +6916,6 @@ object ExtQ {
     "x203_ngram_diversity" -> (x203._1, Some(x203._2)),
     "x204_packing_efficiency" -> (x204._1, Some(x204._2)),
     "x205_truncation_recall" -> (x205._1, Some(x205._2)),
+    "x206_persistent_index_probe" -> (x206._1, Some(x206._2)),
   )
 }
