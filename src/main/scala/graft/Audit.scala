@@ -55,10 +55,134 @@ object Audit {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         println(f"""{"audit":"time","query":"$name","sf":"$sfDir","runs":$runs,"median_sec":${times(times.length / 2)}%.3f,"min":${times.head}%.3f,"max":${times.last}%.3f}""")
+      case "index-save" :: sfDir :: dir :: Nil =>
+        // cross-JVM survival instrument, save half: build the semantic
+        // reference index over the SF corpus and persist it. Run
+        // index-probe in a SEPARATE JVM to prove the index outlives
+        // the driver that built it (the RefIndexStore deployment claim
+        // a single-session spec cannot prove).
+        val emb = tables.t(spark, sfDir, "embeddings")
+        val idx = streaming.EmbedStream.semanticRefIndex(
+          emb, "vec_id", "embedding")
+        streaming.RefIndexStore.saveSemantic(idx, dir)
+        val probe = emb.select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"))
+        val n = streaming.EmbedStream.semanticDupMatches(probe, idx,
+            "vec_id", "embedding", cos2Num = 4, cos2Den = 25)
+          .select("id_a", "id_b").distinct().count()
+        println(s"""{"audit":"index-save","sf":"$sfDir","dir":"$dir","builder_matches":$n}""")
+      case "index-probe" :: sfDir :: dir :: Nil =>
+        // cross-JVM survival instrument, probe half: a FRESH driver
+        // loads the persisted index (knobs + bucket spec re-registered
+        // from meta/) and must reproduce the builder JVM's match count
+        // exactly.
+        val emb = tables.t(spark, sfDir, "embeddings")
+        val idx = streaming.RefIndexStore.loadSemantic(spark, dir)
+        val probe = emb.select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"))
+        val n = streaming.EmbedStream.semanticDupMatches(probe, idx,
+            "vec_id", "embedding", cos2Num = 4, cos2Den = 25)
+          .select("id_a", "id_b").distinct().count()
+        println(s"""{"audit":"index-probe","sf":"$sfDir","dir":"$dir","loader_matches":$n}""")
+      case "stream-ramp" :: kind :: sfDir :: refMode :: rest =>
+        // optional probe divisor: probe keeps ids ≡ 0 (mod d), so a
+        // 10×-corpus run with d = 10 holds the MICRO-BATCH size fixed
+        // while the reference grows — isolating the per-batch
+        // reference term the design claims is only the equi-join
+        streamRamp(spark, kind, sfDir, refMode,
+          rest.headOption.map(_.toInt).getOrElse(1))
       case other =>
         System.err.println(s"Audit: unknown args ${other.mkString(" ")}")
         sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** Streaming dedup-at-ingest at a SCALED micro-batch (SCALING.md
+    * round-10 instrument, r9 verdict item 4): builds the reference
+    * index over the given SF's corpus (`kind` = "semantic" →
+    * [[graft.streaming.EmbedStream]] over embeddings; "simhash" →
+    * [[graft.streaming.SimHashStream.sigDupMatches]] over documents),
+    * optionally round-trips it through [[graft.streaming.RefIndexStore]]
+    * (`refMode` = "disk" vs "session"), then drives TWO identical
+    * corpus-sized micro-batches through the match path (trigger 1
+    * warms file listing/codegen; trigger 2 is the filed number).
+    * Prints one JSON line with per-trigger batch wall, input rows,
+    * match count, and the state-store row count (0 by design — the
+    * match path is stateless stream-static joins). */
+  private def streamRamp(spark: org.apache.spark.sql.SparkSession,
+                         kind: String, sfDir: String,
+                         refMode: String, probeDiv: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val stage = java.nio.file.Files.createTempDirectory("graft_ramp")
+    def stageCopies(df: DataFrame): (String, Int) = {
+      // two identical copies, each coalesced to a known file count so
+      // maxFilesPerTrigger cuts exactly two micro-batches
+      val out = stage.resolve("probe").toString
+      df.repartition(4).write.mode("overwrite")
+        .parquet(stage.resolve("c0").toString)
+      val files = new java.io.File(stage.resolve("c0").toString)
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      new java.io.File(out).mkdirs()
+      (0 to 1).foreach { c =>
+        files.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(out, s"copy$c-$i.parquet"))
+        }
+      }
+      (out, files.length)
+    }
+    val t0 = System.nanoTime()
+    val (matched, probeDir, perTrigger) = kind match {
+      case "semantic" =>
+        val emb = tables.t(spark, sfDir, "embeddings")
+        val idx0 = streaming.EmbedStream.semanticRefIndex(
+          emb, "vec_id", "embedding")
+        val idx = if (refMode == "disk") {
+          val dir = stage.resolve("idx").toString
+          streaming.RefIndexStore.saveSemantic(idx0, dir)
+          streaming.RefIndexStore.loadSemantic(spark, dir)
+        } else idx0
+        val (dir, n) = stageCopies(
+          emb.filter(pmod(col("vec_id"), lit(probeDiv)) === 0)
+            .select((col("vec_id") + 10000000L).as("vec_id"),
+              col("embedding")))
+        val schema = spark.read.parquet(dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", n.toString).parquet(dir)
+        (streaming.EmbedStream.semanticDupMatches(stream, idx,
+          "vec_id", "embedding", cos2Num = 4, cos2Den = 25), dir, n)
+      case "simhash" =>
+        val docs = tables.t(spark, sfDir, "documents")
+        val idx0 = streaming.SimHashStream.simhashRefIndex(
+          docs, "doc_id", "text", maxHamming = 3)
+        val idx = if (refMode == "disk") {
+          val dir = stage.resolve("idx").toString
+          streaming.RefIndexStore.saveSimHash(idx0, dir)
+          streaming.RefIndexStore.loadSimHash(spark, dir)
+        } else idx0
+        val (dir, n) = stageCopies(
+          docs.filter(pmod(col("doc_id"), lit(probeDiv)) === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              col("text")))
+        val schema = spark.read.parquet(dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", n.toString).parquet(dir)
+        (streaming.SimHashStream.simhashDupMatches(
+          stream, idx, "doc_id", "text"), dir, n)
+      case other => throw new IllegalArgumentException(
+        s"stream-ramp kind must be semantic|simhash, got $other")
+    }
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val q = matched.writeStream.outputMode("append").format("noop").start()
+    q.processAllAvailable()
+    val progresses = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    val triggers = progresses.map { p =>
+      val state = Option(p.stateOperators).map(_.map(_.numRowsTotal).sum)
+        .getOrElse(0L)
+      f"""{"batch_sec":${p.batchDuration / 1000.0}%.3f,"rows":${p.numInputRows},"state_rows":$state}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"audit":"stream-ramp","kind":"$kind","sf":"$sfDir","ref":"$refMode","probe_div":$probeDiv,"build_sec":$buildSec%.2f,"files_per_trigger":$perTrigger,"triggers":$triggers}""")
   }
 }

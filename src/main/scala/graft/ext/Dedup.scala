@@ -94,7 +94,14 @@ object Dedup {
     // would Expand-double the corpus-sized stream for the distinct
     val sig = signaturesFromRows(rows, k)
     val sizes = rows.groupBy("grp").agg(count_distinct(col("sh")).as("n_sh"))
-    val full = sig.join(sizes, Seq("grp"))
+    withContainments(sig.join(sizes, Seq("grp")), k)
+  }
+
+  /** Pairwise matrix WITH containments over a (grp, sig, n_sh)
+    * frame — the shared tail of [[corpusOverlapMatrix]] (from-text
+    * sizes) and [[containmentFromSignatures]] (store-maintained
+    * sizes), one definition so the two paths cannot drift. */
+  private def withContainments(full: DataFrame, k: Int): DataFrame = {
     val inter = IntMath.truncDiv(
       col("n_match") * (col("n_sh_a") + col("n_sh_b")),
       lit(k.toLong) + col("n_match"))
@@ -179,10 +186,57 @@ object Dedup {
   /** Jaccard-only overlap matrix from maintained signatures — the
     * refresh path for [[mergeCorpusSignatures]]-maintained indexes.
     * Containments are deliberately absent here: they need the exact
-    * per-group distinct shingle counts, which are NOT mergeable —
-    * [[corpusOverlapMatrix]] computes them from text when asked. */
+    * per-group distinct shingle counts, which are NOT
+    * signature-mergeable — [[corpusOverlapMatrix]] computes them from
+    * text when asked, and [[containmentFromSignatures]] serves them
+    * from a maintained distinct store when the deployment pays for
+    * one. */
   def overlapFromSignatures(sigs: DataFrame, k: Int): DataFrame =
     pairwiseMatches(sigs, k)
+
+  /** The incrementable form of the exact per-group distinct shingle
+    * counts: the DISTINCT (grp, sh) rows of a corpus slice.
+    * Union-distinct is associative, commutative and idempotent —
+    * exactly the slot-min algebra that makes [[corpusSignatures]]
+    * mergeable — so a deployment that maintains this store alongside
+    * the signatures gets EXACT containments at refresh time with no
+    * corpus re-scan ([[containmentFromSignatures]]).
+    *
+    * The storage trade, stated honestly (this is why containments
+    * stayed off the maintained path by default, SURVEY §7.6.7): the
+    * store is ∝ total distinct (group, shingle) pairs — corpus-scale,
+    * against the signature index's k·groups rows. At 100 TB that is
+    * a real table (think of it as an inverted shingle index without
+    * positions), partitioned by `sh` hash like any fact table; merge
+    * cost is a union-distinct shuffle over slice deltas, bounded by
+    * NEW distinct pairs, not history. Deployments that only need
+    * Jaccard keep signatures alone; containment-grade audits choose
+    * this store or re-scan text per refresh — both exact, priced
+    * differently. */
+  def distinctShingleStore(df: DataFrame, group: String, text: String,
+                           n: Int = 3): DataFrame =
+    groupShingleRows(df, group, text, n).distinct()
+
+  /** Merge [[distinctShingleStore]] slices — union-distinct, exact
+    * by idempotence (overlapping slices cannot double-count). */
+  def mergeDistinctShingleStores(stores: Seq[DataFrame]): DataFrame = {
+    require(stores.nonEmpty, "need at least one store slice")
+    stores.reduce(_ unionByName _).distinct()
+  }
+
+  /** FULL overlap matrix — Jaccard estimate AND exact containments —
+    * from maintained state only: merged signatures
+    * ([[mergeCorpusSignatures]]) plus the merged distinct store
+    * ([[mergeDistinctShingleStores]]). Equals [[corpusOverlapMatrix]]
+    * computed from the corpus text exactly (same estimator tail, and
+    * the store's group sizes are exact by construction), with zero
+    * text re-scanned at refresh: the refresh cost is one count per
+    * group over the store plus the ≤ groups² pairwise stage. */
+  def containmentFromSignatures(sigs: DataFrame, store: DataFrame,
+                                k: Int): DataFrame = {
+    val sizes = store.groupBy("grp").agg(count(lit(1)).as("n_sh"))
+    withContainments(sigs.join(sizes, Seq("grp")), k)
+  }
 
   /** Dedup threshold sweep — the TUNING report run before committing
     * to a similarity cutoff ("how many pairs and how many documents

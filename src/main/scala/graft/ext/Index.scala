@@ -133,18 +133,37 @@ object Index {
                      scale: Long = 1000000000L): DataFrame = {
     require(rankings.nonEmpty && k >= 0 && topN > 0,
       "need >= 1 ranking, k >= 0, topN > 0")
-    // ids must be integral: the bounded heap carries them as longs,
-    // and an implicit string->long cast would null out (and silently
-    // DROP) every non-numeric id under non-ANSI SQL — fail loudly
-    // instead ([[rrfFuse]], which never casts the id, stays generic)
-    rankings.foreach { r =>
-      val t = r.schema("id").dataType
-      require(t == org.apache.spark.sql.types.LongType ||
-        t == org.apache.spark.sql.types.IntegerType,
-        s"rrfFuseByQuery needs integral ids (got ${t.catalogString}); " +
-          "map string ids through a dense-id assignment first " +
-          "(ext/Prefix.denseIds)")
+    // the bounded heap carries ids as longs, and an implicit
+    // string->long cast would null out (and silently DROP) every
+    // non-numeric id under non-ANSI SQL — so string ids round-trip
+    // through an internal dense-id assignment instead, and any other
+    // type fails loudly ([[rrfFuse]], which never casts, stays
+    // generic)
+    val idTypes = rankings.map(_.schema("id").dataType).distinct
+    require(idTypes.size == 1,
+      s"rankings disagree on id type: ${idTypes.map(_.catalogString)}")
+    if (idTypes.head == org.apache.spark.sql.types.StringType) {
+      // the id domain is panel-bounded (≤ queries × k × legs rows),
+      // so the dense-id map is tiny: assigned over the DISTINCT union
+      // in lexicographic order (heap ties therefore break by string
+      // order — deterministic), materialized once, read by every leg
+      // and the map-back join
+      val idMap = Prefix.denseIds(
+          rankings.map(_.select(col("id"))).reduce(_ unionAll _).distinct(),
+          Seq(col("id")), "_did")
+        .localCheckpoint()
+      val mapped = rankings.map(_.join(idMap, Seq("id"))
+        .select(col("query_id"), col("_did").as("id"), col("rank")))
+      return rrfFuseByQuery(mapped, k, topN, scale)
+        .join(idMap.select(col("id").as("_sid"), col("_did")),
+          col("id") === col("_did"))
+        .select(col("query_id"), col("fused_rank"), col("_sid").as("id"),
+          col("rrf_scaled"), col("n_lists"))
     }
+    require(idTypes.head == org.apache.spark.sql.types.LongType ||
+      idTypes.head == org.apache.spark.sql.types.IntegerType,
+      s"rrfFuseByQuery needs integral or string ids " +
+        s"(got ${idTypes.head.catalogString})")
     val contribs = rankings.map(_.select(col("query_id"), col("id"),
       expr(s"${scale}L div (CAST($k AS BIGINT) + rank)").as("c")))
     // materialized: read twice (the heap pass and the n_lists

@@ -288,7 +288,20 @@ object Planes {
     * the `maxBucket` sub-split bounds WALL TIME while diluting
     * within-cluster recall; beyond ~10⁷ vectors prefer the banded
     * plane-LSH path ([[Dedup.semanticDupPairsInt8]]), whose
-    * bucket count scales as 2^bits with no training term. */
+    * bucket count scales as 2^bits with no training term.
+    *
+    * Recall trade (measured, SCALING.md round 10, x192 exhaustive at
+    * sf1): occupancy is IVF's recall dial — fewer, larger clusters
+    * catch more cross-cluster near-dups — and the derived k's recall
+    * deficit vs the old fixed k = 16 is a LOOSE-threshold
+    * phenomenon: 2.24× at the gate's |cos| ≥ 0.4, 1.58× at 0.5,
+    * 1.14× (one pair in 28) at 0.6, with exact-pair support ending
+    * before the cos ≥ 0.85 design regime on that corpus. Tight
+    * near-duplicates concentrate within clusters (the SemDeDup
+    * operating assumption), so the default trades no measurable
+    * tight-regime recall for its ~3× wall saving; retune
+    * `targetOccupancy` only with [[Dedup.semanticIvfAudit]] run at
+    * YOUR decision threshold. */
   def nClustersFor(n: Long, targetOccupancy: Int = 128): Int = {
     require(n >= 0 && targetOccupancy >= 1,
       "need n >= 0 and targetOccupancy >= 1")

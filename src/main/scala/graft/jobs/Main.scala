@@ -26,9 +26,22 @@ object Main {
     * bounded parallelism (default 20, the reference DAG's
     * max_active_tasks), then the silver stages once. */
   case object RunAll extends Stage { val name = "run_all" }
+  /** Nightly semantic-index maintenance: build the reference index
+    * over --source (parquet of --id/--vec columns) and publish it
+    * atomically at --index-dir via
+    * [[graft.streaming.RefIndexStore]]; with --merge-into, load the
+    * existing index there, merge only the new slice, and save — the
+    * incremental path that never re-scans old embeddings (and whose
+    * save doubles as lineage compaction). */
+  case object IndexBuild extends Stage { val name = "index_build" }
+  /** Probe --probe rows against the index at --index-dir and write
+    * the match pairs to --out (parquet): the probe-from-many-jobs
+    * consumer of a nightly-built index. */
+  case object IndexProbe extends Stage { val name = "index_probe" }
 
   val stages: Seq[Stage] = Seq(BronzeAsset, BronzeBondInfo, BronzeAmortisation,
-    BronzeDealDetails, SilverAsset, SilverBondInfo, SilverDealDetails, RunAll)
+    BronzeDealDetails, SilverAsset, SilverBondInfo, SilverDealDetails, RunAll,
+    IndexBuild, IndexProbe)
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -50,7 +63,8 @@ object Main {
     val stage = stages.find(_.name == stageName)
       .getOrElse(sys.error(
         s"invalid stage $stageName; expected one of ${stages.map(_.name).mkString(", ")}"))
-    val lakeRoot = req("lake-root")
+    // def, not val: the index stages are lake-free
+    def lakeRoot = req("lake-root")
     stage match {
       case BronzeAsset =>
         Jobs.bronzeCsv(spark, req("raw-dir"), lakeRoot, "assets",
@@ -76,6 +90,34 @@ object Main {
       case SilverAsset => Jobs.silverTopicSplit(spark, lakeRoot, "assets")
       case SilverBondInfo => Jobs.silverTopicSplit(spark, lakeRoot, "bond_info")
       case SilverDealDetails => Jobs.silverDealDetails(spark, lakeRoot)
+      case IndexBuild =>
+        val src = spark.read.parquet(req("source"))
+        val id = opts.getOrElse("id", "vec_id")
+        val vec = opts.getOrElse("vec", "embedding")
+        val dir = req("index-dir")
+        val idx = opts.get("merge-into") match {
+          case Some(existing) =>
+            graft.streaming.EmbedStream.mergeRefIndex(
+              graft.streaming.RefIndexStore.loadSemantic(spark, existing),
+              src, id, vec)
+          case None =>
+            graft.streaming.EmbedStream.semanticRefIndex(src, id, vec,
+              bands = opts.getOrElse("bands", "0").toInt,
+              bitsPerBand = opts.getOrElse("bits", "0").toInt,
+              dim = opts.getOrElse("dim", "64").toInt,
+              maxBucket = opts.getOrElse("max-bucket", "4096").toInt)
+        }
+        graft.streaming.RefIndexStore.saveSemantic(idx, dir)
+      case IndexProbe =>
+        val idx = graft.streaming.RefIndexStore.loadSemantic(
+          spark, req("index-dir"))
+        val probe = spark.read.parquet(req("probe"))
+        graft.streaming.EmbedStream.semanticDupMatches(probe, idx,
+            opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"),
+            cos2Num = opts.getOrElse("cos2-num", "1").toLong,
+            cos2Den = opts.getOrElse("cos2-den", "4").toLong)
+          .select("id_a", "id_b").distinct()
+          .repartition(1).write.mode("overwrite").parquet(req("out"))
     }
   }
 }

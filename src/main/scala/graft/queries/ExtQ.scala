@@ -6710,6 +6710,54 @@ object ExtQ {
     },
     x193._2) // persistence must not change a single pair
 
+  /** Containments from maintained state only: two corpus slices are
+    * signed AND distinct-stored independently, both indexes merged,
+    * and the FULL overlap matrix (Jaccard estimate + exact
+    * containments) refreshed without touching the corpus text — the
+    * §7.6.7 closure made incrementable by paying for the (grp, sh)
+    * distinct store. Same oracle as x200: the from-scratch full
+    * matrix; maintained state must reproduce it exactly. */
+  private val x207: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val slices = Seq($"doc_id" % 3 =!= 0, $"doc_id" % 3 === 0)
+        .map(p => docs.filter(p))
+      val sigs = Dedup.mergeCorpusSignatures(
+        slices.map(Dedup.corpusSignatures(_, "source", "text",
+          n = 3, k = 128)).reduce(_ unionByName _), k = 128)
+      val store = Dedup.mergeDistinctShingleStores(
+        slices.map(Dedup.distinctShingleStore(_, "source", "text", n = 3)))
+      Dedup.containmentFromSignatures(sigs, store, k = 128)
+        .orderBy($"grp_a", $"grp_b")
+    },
+    x200._2) // maintained state must reproduce the from-scratch matrix
+
+  /** Persistent SIGNATURE-index round trip: x195's cross-corpus
+    * SimHash pipeline with the reference index saved + loaded through
+    * [[graft.streaming.RefIndexStore]] before the probe — the
+    * hamming-family counterpart of x206 (which proves the semantic
+    * index), same oracle as x195: the on-disk bucketed index must
+    * reproduce the batch operator's pair set exactly, hot buckets
+    * included (the census travels with the index). */
+  private val x208: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val idx0 = graft.streaming.SimHashStream.simhashRefIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", maxHamming = 3)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x208_sigidx").getAbsolutePath
+      graft.streaming.RefIndexStore.saveSimHash(idx0, dir)
+      val loaded = graft.streaming.RefIndexStore.loadSimHash(s, dir)
+      graft.streaming.SimHashStream.simhashDupMatches(
+          docs.filter($"doc_id" % 2 === 1), loaded, "doc_id", "text")
+        .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+        .distinct()
+        .orderBy($"id_a", $"id_b")
+    },
+    x195._2) // persistence must not change a single pair
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6917,5 +6965,7 @@ object ExtQ {
     "x204_packing_efficiency" -> (x204._1, Some(x204._2)),
     "x205_truncation_recall" -> (x205._1, Some(x205._2)),
     "x206_persistent_index_probe" -> (x206._1, Some(x206._2)),
+    "x207_containment_from_store" -> (x207._1, Some(x207._2)),
+    "x208_persistent_sig_index" -> (x208._1, Some(x208._2)),
   )
 }

@@ -193,7 +193,8 @@ class PlanSpec extends AnyFunSuite {
       "x200_corpus_overlap_matrix", // ≤groups-row signature matrix a<b broadcast theta join
       "x201_signature_merge_overlap", // same ≤groups-row a<b theta join over merged signatures
       "x202_dedup_threshold_sweep", // ≤64-row threshold list crossed with the bounded pair list
-      "x205_truncation_recall")  // exact baseline: panel broadcast over the corpus scan + 1-row panel count crossed
+      "x205_truncation_recall",  // exact baseline: panel broadcast over the corpus scan + 1-row panel count crossed
+      "x207_containment_from_store") // x200's ≤groups-row a<b theta join, sizes from the maintained store
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))

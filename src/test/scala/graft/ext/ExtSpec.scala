@@ -659,6 +659,37 @@ class ExtSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("signature length")))
   }
 
+  test("containmentFromSignatures: maintained store == from-scratch matrix") {
+    def sent(tag: String, i: Int) =
+      (0 until 6).map(j => s"$tag${i}w$j").mkString(" ")
+    // g0/g1 share half their sentences → nonzero containments
+    val rows = (0 until 20).map(i => (s"g${i % 2}", sent("s", i))) ++
+      (0 until 10).map(i => ("g0", sent("x", i))) ++
+      (0 until 10).map(i => ("g2", sent("s", i))) // g2 ⊂ g0∪g1's texts
+    val df = rows.toDF("src", "text").repartition(5)
+    val slices = Seq($"src" =!= "g2", $"src" === "g2" || $"src" === "g0")
+      .map(p => df.filter(p))
+    val sigs = Dedup.mergeCorpusSignatures(
+      slices.map(Dedup.corpusSignatures(_, "src", "text", n = 3, k = 64))
+        .reduce(_ unionByName _), k = 64)
+    val store = Dedup.mergeDistinctShingleStores(
+      slices.map(Dedup.distinctShingleStore(_, "src", "text", n = 3)))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    val fromStore = key(Dedup.containmentFromSignatures(sigs, store, k = 64))
+    val fromText = key(Dedup.corpusOverlapMatrix(df, "src", "text",
+      n = 3, k = 64))
+    assert(fromStore == fromText && fromStore.nonEmpty)
+    // the overlapping slice (g0 in both) cannot double-count: store
+    // sizes are exact distinct counts
+    val n0 = store.filter($"grp" === "g0").count()
+    assert(fromText.keys.exists(_._1 == "g0"))
+    assert(fromStore.collectFirst {
+      case ((a, _), v) if a == "g0" => v._2 }.get == n0)
+  }
+
   test("dedup threshold sweep: hand counts, zero rows kept, floor guard") {
     val pairs = Seq(
       (1L, 2L, 0.95), (1L, 3L, 0.80), (2L, 3L, 0.62), (4L, 5L, 0.55))
@@ -999,6 +1030,30 @@ class ExtSpec extends AnyFunSuite {
       // query 2: lexical-only, fuses from one leg (union semantics)
       (2L, 1L, 20L, c(1), 1L))
     assert(got.toSeq.sortBy(t => (t._1, t._2)) == want)
+  }
+
+  test("rrfFuseByQuery: string ids fuse via the internal dense-id round trip") {
+    import spark.implicits._
+    // the long-id fixture with ids renamed to doc-key strings
+    val lex = Seq((1L, "doc-b", 1L), (1L, "doc-c", 2L), (2L, "doc-z", 1L))
+      .toDF("query_id", "id", "rank")
+    val dense = Seq((1L, "doc-c", 1L), (1L, "doc-d", 2L))
+      .toDF("query_id", "id", "rank")
+    val got = Index.rrfFuseByQuery(Seq(lex, dense), k = 60, topN = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    def c(r: Int) = 1000000000L / (60 + r)
+    val want = Seq(
+      (1L, 1L, "doc-c", c(2) + c(1), 2L),
+      (1L, 2L, "doc-b", c(1), 1L),
+      (2L, 1L, "doc-z", c(1), 1L))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) == want)
+    // a non-integral, non-string id still fails loudly
+    val bad = Seq((1L, 1.5, 1L)).toDF("query_id", "id", "rank")
+    val e = intercept[IllegalArgumentException](
+      Index.rrfFuseByQuery(Seq(bad), k = 60, topN = 1))
+    assert(e.getMessage.contains("integral or string"))
   }
 
   test("paretoFrontier: dominated points drop, per-cost champions kept") {

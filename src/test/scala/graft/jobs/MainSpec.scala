@@ -44,6 +44,41 @@ class MainSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$lake/silver/assets/lease_info").count() == 1)
   }
 
+  test("index_build + index_probe stages: nightly build, merge, probe") {
+    import spark.implicits._
+    def mkVec(i: Long): Array[Double] =
+      Array.tabulate(8)(j => math.cos((i % 5 + 1) * (j + 2) * 0.31))
+    val base = Files.createTempDirectory("mainidx").toString
+    (100L until 120L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .write.parquet(s"$base/ref_a")
+    (120L until 140L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .write.parquet(s"$base/ref_b")
+    (0L until 20L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .write.parquet(s"$base/probe")
+    // nightly build, then an incremental merge into a SECOND dir
+    // (source index untouched — publish is whole-dir atomic)
+    Main.run(Map("stage-name" -> "index_build",
+      "source" -> s"$base/ref_a", "index-dir" -> s"$base/idx",
+      "bands" -> "4", "bits" -> "4", "dim" -> "8"), spark)
+    Main.run(Map("stage-name" -> "index_build",
+      "source" -> s"$base/ref_b", "merge-into" -> s"$base/idx",
+      "index-dir" -> s"$base/idx2"), spark)
+    Main.run(Map("stage-name" -> "index_probe",
+      "index-dir" -> s"$base/idx2", "probe" -> s"$base/probe",
+      "cos2-num" -> "4", "cos2-den" -> "25", "out" -> s"$base/matches"),
+      spark)
+    val got = spark.read.parquet(s"$base/matches")
+      .as[(Long, Long)].collect().toSet
+    // oracle: the batch cross operator over the merged reference
+    val want = graft.ext.Dedup.semanticDupPairsInt8Across(
+        (0L until 20L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding"),
+        (100L until 140L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cos2Num = 4, cos2Den = 25,
+        bands = 4, bitsPerBand = 4, dim = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("invalid stage and missing args error clearly") {
     val e1 = intercept[RuntimeException] {
       Main.run(Map("stage-name" -> "nope", "lake-root" -> "/tmp"), spark)
