@@ -6699,7 +6699,11 @@ object ExtQ {
         "vec_id", "embedding")
       val dir = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_x206_semidx").getAbsolutePath
-      graft.streaming.RefIndexStore.saveSemantic(merged, dir)
+      // 8 buckets at the gate's corpus size: the bucket count is a
+      // layout knob, not a semantics knob (the spec's plan assert
+      // holds at any count); fewer buckets = fewer files + sort runs
+      // per save, and the gate pays a full save every execution
+      graft.streaming.RefIndexStore.saveSemantic(merged, dir, buckets = 8)
       val loaded = graft.streaming.RefIndexStore.loadSemantic(s, dir)
       graft.streaming.EmbedStream.semanticDupMatches(
           benchPanelCap(emb.filter(pmod($"vec_id", lit(5)) === 0),
