@@ -90,7 +90,9 @@ object Audit {
         // while the reference grows — isolating the per-batch
         // reference term the design claims is only the equi-join
         streamRamp(spark, kind, sfDir, refMode,
-          rest.headOption.map(_.toInt).getOrElse(1))
+          rest.headOption.map(_.toInt).getOrElse(1),
+          rest.drop(1).headOption.map(_.toInt).getOrElse(0),
+          rest.drop(2).headOption.map(_.toInt).getOrElse(0))
       case other =>
         System.err.println(s"Audit: unknown args ${other.mkString(" ")}")
         sys.exit(2)
@@ -111,8 +113,8 @@ object Audit {
     * match count, and the state-store row count (0 by design — the
     * match path is stateless stream-static joins). */
   private def streamRamp(spark: org.apache.spark.sql.SparkSession,
-                         kind: String, sfDir: String,
-                         refMode: String, probeDiv: Int): Unit = {
+                         kind: String, sfDir: String, refMode: String,
+                         probeDiv: Int, bands: Int, bits: Int): Unit = {
     import org.apache.spark.sql.DataFrame
     val stage = java.nio.file.Files.createTempDirectory("graft_ramp")
     def stageCopies(df: DataFrame): (String, Int) = {
@@ -136,8 +138,11 @@ object Audit {
     val (matched, probeDir, perTrigger) = kind match {
       case "semantic" =>
         val emb = tables.t(spark, sfDir, "embeddings")
+        // bands/bits = 0 -> corpus-aware defaults; passing them pins
+        // the knobs across a ramp, isolating the pure equi-join
+        // reference term from the recall-holding knob growth
         val idx0 = streaming.EmbedStream.semanticRefIndex(
-          emb, "vec_id", "embedding")
+          emb, "vec_id", "embedding", bands = bands, bitsPerBand = bits)
         val idx = if (refMode == "disk") {
           val dir = stage.resolve("idx").toString
           streaming.RefIndexStore.saveSemantic(idx0, dir)
@@ -183,6 +188,6 @@ object Audit {
         .getOrElse(0L)
       f"""{"batch_sec":${p.batchDuration / 1000.0}%.3f,"rows":${p.numInputRows},"state_rows":$state}"""
     }.mkString("[", ",", "]")
-    println(f"""{"audit":"stream-ramp","kind":"$kind","sf":"$sfDir","ref":"$refMode","probe_div":$probeDiv,"build_sec":$buildSec%.2f,"files_per_trigger":$perTrigger,"triggers":$triggers}""")
+    println(f"""{"audit":"stream-ramp","kind":"$kind","sf":"$sfDir","ref":"$refMode","probe_div":$probeDiv,"bands":$bands,"bits":$bits,"build_sec":$buildSec%.2f,"files_per_trigger":$perTrigger,"triggers":$triggers}""")
   }
 }
