@@ -6752,7 +6752,7 @@ object ExtQ {
         docs.filter($"doc_id" % 2 === 0), "doc_id", "text", maxHamming = 3)
       val dir = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_x208_sigidx").getAbsolutePath
-      graft.streaming.RefIndexStore.saveSimHash(idx0, dir)
+      graft.streaming.RefIndexStore.saveSimHash(idx0, dir, buckets = 8)
       val loaded = graft.streaming.RefIndexStore.loadSimHash(s, dir)
       graft.streaming.SimHashStream.simhashDupMatches(
           docs.filter($"doc_id" % 2 === 1), loaded, "doc_id", "text")
@@ -6761,6 +6761,31 @@ object ExtQ {
         .orderBy($"id_a", $"id_b")
     },
     x195._2) // persistence must not change a single pair
+
+  /** Persistent MINHASH-index round trip — the third index family
+    * (x206 semantic, x208 simhash): x50's incremental cross-corpus
+    * pipeline with the history index saved + loaded through
+    * [[graft.streaming.RefIndexStore]] before the probe, same oracle
+    * (the exact cross-pair Jaccard slice — LSH recall at this margin
+    * is total, and the shingle payload must survive the round trip
+    * byte-exactly for the verify to agree). */
+  private val x209: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val idx0 = graft.streaming.MinHashStream.minhashRefIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        n = 3, threshold = 0.6)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x209_mhidx").getAbsolutePath
+      graft.streaming.RefIndexStore.saveMinHash(idx0, dir, buckets = 8)
+      val loaded = graft.streaming.RefIndexStore.loadMinHash(s, dir)
+      graft.streaming.MinHashStream.minhashDupMatches(
+          docs.filter($"doc_id" % 2 === 1), loaded, "doc_id", "text")
+        .distinct()
+        .orderBy($"id_a", $"id_b")
+    },
+    x50._2) // persistence must not change a single pair
 
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
@@ -6971,5 +6996,6 @@ object ExtQ {
     "x206_persistent_index_probe" -> (x206._1, Some(x206._2)),
     "x207_containment_from_store" -> (x207._1, Some(x207._2)),
     "x208_persistent_sig_index" -> (x208._1, Some(x208._2)),
+    "x209_persistent_minhash_index" -> (x209._1, Some(x209._2)),
   )
 }
