@@ -84,6 +84,40 @@ object Audit {
             "vec_id", "embedding", cos2Num = 4, cos2Den = 25)
           .select("id_a", "id_b").distinct().count()
         println(s"""{"audit":"index-probe","sf":"$sfDir","dir":"$dir","loader_matches":$n}""")
+      case "pq-amortize" :: sfDir :: rest =>
+        // the serving-economics measurement behind AnnStore: one
+        // build+save, then N panels served from the LOADED index,
+        // vs the one-call pipeline (re-encode per panel). Panels are
+        // disjoint id slices so no result caching can flatter either
+        // side.
+        val panels = rest.headOption.map(_.toInt).getOrElse(5)
+        val emb = tables.t(spark, sfDir, "embeddings")
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_pq_amort").getAbsolutePath
+        val tb0 = System.nanoTime()
+        ext.AnnStore.savePq(
+          ext.AnnStore.buildPq(emb, "vec_id", "embedding"), dir)
+        val loaded = ext.AnnStore.loadPq(spark, dir)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        def panel(i: Int) = emb.filter(
+          pmod(col("vec_id"), lit(97)) === i).limit(21)
+        ext.AnnStore.pqServe(panel(0), "vec_id", "embedding", loaded,
+          k = 10).count() // warm-up
+        val served = (1 to panels).map { i =>
+          val t0 = System.nanoTime()
+          ext.AnnStore.pqServe(panel(i), "vec_id", "embedding", loaded,
+            k = 10).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cb = loaded.codebook
+        val pipelined = (1 to panels).map { i =>
+          val t0 = System.nanoTime()
+          ext.Similarity.pqTopKRefined(panel(i), "vec_id", "embedding",
+            emb, "vec_id", "embedding", cb, k = 10).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+        println(f"""{"audit":"pq-amortize","sf":"$sfDir","panels":$panels,"build_save_load_sec":$buildSec%.2f,"served_sec":${fmt(served)},"pipeline_sec":${fmt(pipelined)}}""")
       case "stream-ramp" :: kind :: sfDir :: refMode :: rest =>
         // optional probe divisor: probe keeps ids ≡ 0 (mod d), so a
         // 10×-corpus run with d = 10 holds the MICRO-BATCH size fixed

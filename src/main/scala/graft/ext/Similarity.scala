@@ -1088,14 +1088,28 @@ object Similarity {
 
   def pqTopK(queries: DataFrame, qId: String, qVec: String,
              corpus: DataFrame, cId: String, cVec: String,
-             codebook: Seq[Seq[Seq[Long]]], k: Int): DataFrame = {
+             codebook: Seq[Seq[Seq[Long]]], k: Int): DataFrame =
+    pqTopKFromCodes(queries, qId, qVec,
+      pqEncode(corpus, cId, cVec, codebook)
+        .select(col(cId).as("corpus_id"), col("codes")),
+      codebook, k)
+
+  /** [[pqTopK]] over an ALREADY-ENCODED codes frame
+    * ((corpus_id, codes) — [[pqEncode]]'s output, e.g. loaded from a
+    * persisted [[AnnStore]] index): the serving path minus the
+    * per-call corpus encode, which the round-10 panel split measured
+    * as ~the entire wall (SCALING.md — build 8–10 s vs serve
+    * 11–31 ms/query at sf1). Same bit-deterministic ADC arithmetic;
+    * the codes frame is scanned, never joined, so plain parquet is
+    * its right layout. */
+  def pqTopKFromCodes(queries: DataFrame, qId: String, qVec: String,
+                      codes: DataFrame, codebook: Seq[Seq[Seq[Long]]],
+                      k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val q = broadcast(pqQueryFrame(queries, qId, qVec, codebook)
       .select(col("query_id"), col("_dtab")))
-    val enc = pqEncode(corpus, cId, cVec, codebook)
-      .select(col(cId).as("_cid"), col("codes"))
     val dist = pqAdcDistance(codebook)
-    enc.crossJoin(q)
+    codes.select(col("corpus_id").as("_cid"), col("codes")).crossJoin(q)
       .select(col("query_id"), col("_cid"), dist.as("_d2"))
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg.topk(-col("_d2"), col("_cid"), k).as("top"))
@@ -1123,16 +1137,30 @@ object Similarity {
   def pqTopKRefined(queries: DataFrame, qId: String, qVec: String,
                     corpus: DataFrame, cId: String, cVec: String,
                     codebook: Seq[Seq[Seq[Long]]], k: Int,
-                    refine: Int = 4): DataFrame = {
+                    refine: Int = 4): DataFrame =
+    pqTopKRefinedFromCodes(queries, qId, qVec,
+      pqEncode(corpus, cId, cVec, codebook)
+        .select(col(cId).as("corpus_id"), col("codes")),
+      corpus.select(col(cId).as("corpus_id"), col(cVec).as("_cv")),
+      codebook, k, refine)
+
+  /** [[pqTopKRefined]] over an already-encoded codes frame plus a
+    * (corpus_id, _cv) payload frame for the exact re-rank — the
+    * persisted-index serving form ([[AnnStore]]): ADC proposes
+    * k·refine candidates from the codes scan, only those read their
+    * float vectors from the payload. */
+  def pqTopKRefinedFromCodes(queries: DataFrame, qId: String, qVec: String,
+                             codes: DataFrame, payload: DataFrame,
+                             codebook: Seq[Seq[Seq[Long]]], k: Int,
+                             refine: Int = 4): DataFrame = {
     require(k >= 1 && refine >= 1, "k and refine must be positive")
-    val cand = pqTopK(queries, qId, qVec, corpus, cId, cVec, codebook,
+    val cand = pqTopKFromCodes(queries, qId, qVec, codes, codebook,
         k * refine)
       .select(col("query_id"), col("corpus_id"))
     val qv = broadcast(queries.select(col(qId).as("query_id"),
       col(qVec).as("_qv")))
-    val cv = corpus.select(col(cId).as("corpus_id"), col(cVec).as("_cv"))
     cand.join(qv, Seq("query_id"))
-      .join(cv, Seq("corpus_id"))
+      .join(payload, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("_qv"), col("_cv")).as("_cos"))
       .groupBy("query_id")

@@ -6787,6 +6787,31 @@ object ExtQ {
     },
     x50._2) // persistence must not change a single pair
 
+  /** Persistent PQ SERVING index: x197's refine pipeline with the
+    * codebook + codes + payload persisted through
+    * [[graft.ext.AnnStore]] and served from the LOADED index — the
+    * amortization mechanism for the round-10 build-vs-serve split
+    * (encode once, serve many panels at the measured ~30 ms/query).
+    * Same oracle as x197: persistence must not move a single rank. */
+  private val x210: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x210_pqidx").getAbsolutePath
+      graft.ext.AnnStore.savePq(
+        graft.ext.AnnStore.buildPq(emb, "vec_id", "embedding",
+          subspaces = 8, ksub = 16, dim = 64), dir)
+      val loaded = graft.ext.AnnStore.loadPq(s, dir)
+      graft.ext.AnnStore.pqServe(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", loaded, k = 10, refine = 4)
+        .select($"query_id", $"rank", $"corpus_id",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    },
+    x197._2) // persistence must not move a single rank
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -6997,5 +7022,6 @@ object ExtQ {
     "x207_containment_from_store" -> (x207._1, Some(x207._2)),
     "x208_persistent_sig_index" -> (x208._1, Some(x208._2)),
     "x209_persistent_minhash_index" -> (x209._1, Some(x209._2)),
+    "x210_persistent_pq_serve" -> (x210._1, Some(x210._2)),
   )
 }

@@ -181,43 +181,68 @@ object RefIndexStore {
     spark.table(name)
   }
 
-  private def saveParts(dir: String, buckets: Int, ns: DataFrame,
-                        bandRows: DataFrame, payload: DataFrame,
-                        meta: Map[String, String]): Unit = {
-    require(buckets > 0, "bucket count must be positive")
-    val spark = ns.sparkSession
+  /** Atomic dir publish shared by the index stores ([[saveParts]]
+    * here, [[graft.ext.AnnStore]]): `write` fills a dot-prefixed
+    * sibling staging dir, then ONE rename swaps it in (old aside to
+    * trash first, dropped after). The writer's LAST artifact should
+    * be `meta/` — its presence is what [[recover]] treats as the
+    * completeness marker. */
+  private[graft] def atomicPublish(spark: SparkSession, dir: String,
+                                   write: Path => Unit): Unit = {
     val target = new Path(dir)
     val hfs = fileSystem(spark, target)
     val parent = parentOf(target)
     hfs.mkdirs(parent)
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new Path(parent, s".${target.getName}.refidx_tmp-$uuid")
-    writeBucketedAt(
-      bandRows.select(col("band"), col("bucket"), col("sub"), col("id_b")),
-      new Path(stage, "band_rows").toString,
-      tableName(dir, "stage_band"), Seq("band", "bucket", "sub"), buckets)
-    writeBucketedAt(payload, new Path(stage, "payload").toString,
-      tableName(dir, "stage_payload"), Seq("id_b"), buckets)
-    ns.write.mode(SaveMode.Overwrite)
-      .parquet(new Path(stage, "ns").toString)
-    // meta last — its presence marks the staged index complete
-    import spark.implicits._
-    meta.updated("buckets", buckets.toString).toSeq.toDF("key", "value")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(new Path(stage, "meta").toString)
-    // atomic swap: old aside, stage in, trash dropped
+    write(stage)
     val trash = new Path(parent, s".${target.getName}.refidx_trash-$uuid")
     if (hfs.exists(target)) renameStrict(hfs, target, trash)
     renameStrict(hfs, stage, target)
     hfs.delete(trash, true)
   }
 
-  private def loadParts(spark: SparkSession, dir: String, kind: String)
-      : (Map[String, String], DataFrame, DataFrame, DataFrame) = {
+  /** Write a knob map as the `meta/` table — the completeness marker;
+    * call LAST inside an [[atomicPublish]] writer. */
+  private[graft] def writeMeta(spark: SparkSession, stage: Path,
+                               meta: Map[String, String]): Unit = {
+    import spark.implicits._
+    meta.toSeq.toDF("key", "value")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(stage, "meta").toString)
+  }
+
+  private[graft] def readMeta(spark: SparkSession, dir: String,
+                              kind: String): Map[String, String] = {
     val meta = spark.read.parquet(new Path(dir, "meta").toString)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     require(meta.get("kind").contains(kind),
       s"index at $dir is kind=${meta.getOrElse("kind", "?")}, not $kind")
+    meta
+  }
+
+  private def saveParts(dir: String, buckets: Int, ns: DataFrame,
+                        bandRows: DataFrame, payload: DataFrame,
+                        meta: Map[String, String]): Unit = {
+    require(buckets > 0, "bucket count must be positive")
+    val spark = ns.sparkSession
+    atomicPublish(spark, dir, { stage =>
+      writeBucketedAt(
+        bandRows.select(col("band"), col("bucket"), col("sub"), col("id_b")),
+        new Path(stage, "band_rows").toString,
+        tableName(dir, "stage_band"), Seq("band", "bucket", "sub"), buckets)
+      writeBucketedAt(payload, new Path(stage, "payload").toString,
+        tableName(dir, "stage_payload"), Seq("id_b"), buckets)
+      ns.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(stage, "ns").toString)
+      // meta last — its presence marks the staged index complete
+      writeMeta(spark, stage, meta.updated("buckets", buckets.toString))
+    })
+  }
+
+  private def loadParts(spark: SparkSession, dir: String, kind: String)
+      : (Map[String, String], DataFrame, DataFrame, DataFrame) = {
+    val meta = readMeta(spark, dir, kind)
     val buckets = meta("buckets").toInt
     val bandRows = registerBucketed(spark, tableName(dir, "band"),
       new Path(dir, "band_rows").toString,
