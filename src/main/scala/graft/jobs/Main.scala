@@ -92,31 +92,81 @@ object Main {
       case SilverDealDetails => Jobs.silverDealDetails(spark, lakeRoot)
       case IndexBuild =>
         val src = spark.read.parquet(req("source"))
-        val id = opts.getOrElse("id", "vec_id")
-        val vec = opts.getOrElse("vec", "embedding")
         val dir = req("index-dir")
-        val idx = opts.get("merge-into") match {
-          case Some(existing) =>
-            graft.streaming.EmbedStream.mergeRefIndex(
-              graft.streaming.RefIndexStore.loadSemantic(spark, existing),
-              src, id, vec)
-          case None =>
-            graft.streaming.EmbedStream.semanticRefIndex(src, id, vec,
-              bands = opts.getOrElse("bands", "0").toInt,
-              bitsPerBand = opts.getOrElse("bits", "0").toInt,
-              dim = opts.getOrElse("dim", "64").toInt,
-              maxBucket = opts.getOrElse("max-bucket", "4096").toInt)
+        val kind = opts.getOrElse("kind", "semantic")
+        val merge = opts.get("merge-into")
+        kind match {
+          case "semantic" =>
+            val (id, vec) = (opts.getOrElse("id", "vec_id"),
+              opts.getOrElse("vec", "embedding"))
+            val idx = merge match {
+              case Some(existing) =>
+                graft.streaming.EmbedStream.mergeRefIndex(
+                  graft.streaming.RefIndexStore.loadSemantic(spark, existing),
+                  src, id, vec)
+              case None =>
+                graft.streaming.EmbedStream.semanticRefIndex(src, id, vec,
+                  bands = opts.getOrElse("bands", "0").toInt,
+                  bitsPerBand = opts.getOrElse("bits", "0").toInt,
+                  dim = opts.getOrElse("dim", "64").toInt,
+                  maxBucket = opts.getOrElse("max-bucket", "4096").toInt)
+            }
+            graft.streaming.RefIndexStore.saveSemantic(idx, dir)
+          case "simhash" =>
+            val (id, text) = (opts.getOrElse("id", "doc_id"),
+              opts.getOrElse("text", "text"))
+            val idx = merge match {
+              case Some(existing) =>
+                graft.streaming.SimHashStream.mergeRefIndex(
+                  graft.streaming.RefIndexStore.loadSimHash(spark, existing),
+                  src, id, text)
+              case None =>
+                graft.streaming.SimHashStream.simhashRefIndex(src, id, text,
+                  maxHamming = opts.getOrElse("max-hamming", "3").toInt,
+                  maxBucket = opts.getOrElse("max-bucket", "4096").toInt)
+            }
+            graft.streaming.RefIndexStore.saveSimHash(idx, dir)
+          case "minhash" =>
+            val (id, text) = (opts.getOrElse("id", "doc_id"),
+              opts.getOrElse("text", "text"))
+            val idx = merge match {
+              case Some(existing) =>
+                graft.streaming.MinHashStream.mergeRefIndex(
+                  graft.streaming.RefIndexStore.loadMinHash(spark, existing),
+                  src, id, text)
+              case None =>
+                graft.streaming.MinHashStream.minhashRefIndex(src, id, text,
+                  n = opts.getOrElse("ngram", "3").toInt,
+                  threshold = opts.getOrElse("threshold", "0.7").toDouble,
+                  maxBucket = opts.getOrElse("max-bucket", "4096").toInt)
+            }
+            graft.streaming.RefIndexStore.saveMinHash(idx, dir)
+          case other => sys.error(
+            s"invalid --kind $other; expected semantic, simhash or minhash")
         }
-        graft.streaming.RefIndexStore.saveSemantic(idx, dir)
       case IndexProbe =>
-        val idx = graft.streaming.RefIndexStore.loadSemantic(
-          spark, req("index-dir"))
         val probe = spark.read.parquet(req("probe"))
-        graft.streaming.EmbedStream.semanticDupMatches(probe, idx,
-            opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"),
-            cos2Num = opts.getOrElse("cos2-num", "1").toLong,
-            cos2Den = opts.getOrElse("cos2-den", "4").toLong)
-          .select("id_a", "id_b").distinct()
+        val dir = req("index-dir")
+        val matches = opts.getOrElse("kind", "semantic") match {
+          case "semantic" =>
+            graft.streaming.EmbedStream.semanticDupMatches(probe,
+              graft.streaming.RefIndexStore.loadSemantic(spark, dir),
+              opts.getOrElse("id", "vec_id"),
+              opts.getOrElse("vec", "embedding"),
+              cos2Num = opts.getOrElse("cos2-num", "1").toLong,
+              cos2Den = opts.getOrElse("cos2-den", "4").toLong)
+          case "simhash" =>
+            graft.streaming.SimHashStream.simhashDupMatches(probe,
+              graft.streaming.RefIndexStore.loadSimHash(spark, dir),
+              opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"))
+          case "minhash" =>
+            graft.streaming.MinHashStream.minhashDupMatches(probe,
+              graft.streaming.RefIndexStore.loadMinHash(spark, dir),
+              opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"))
+          case other => sys.error(
+            s"invalid --kind $other; expected semantic, simhash or minhash")
+        }
+        matches.select("id_a", "id_b").distinct()
           .repartition(1).write.mode("overwrite").parquet(req("out"))
     }
   }

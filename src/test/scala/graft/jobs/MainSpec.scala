@@ -79,6 +79,31 @@ class MainSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("index stages: --kind simhash and minhash route through the same dirs") {
+    import spark.implicits._
+    def doc(i: Long) = (0 until 24).map(j => s"w${(i % 3) * 7 + j}").mkString(" ")
+    val base = Files.createTempDirectory("mainidxsig").toString
+    (100L until 130L).map(i => (i, doc(i))).toDF("doc_id", "text")
+      .write.parquet(s"$base/ref")
+    (0L until 12L).map(i => (i, doc(i))).toDF("doc_id", "text")
+      .write.parquet(s"$base/probe")
+    for (kind <- Seq("simhash", "minhash")) {
+      Main.run(Map("stage-name" -> "index_build", "kind" -> kind,
+        "source" -> s"$base/ref", "index-dir" -> s"$base/idx_$kind"), spark)
+      Main.run(Map("stage-name" -> "index_probe", "kind" -> kind,
+        "index-dir" -> s"$base/idx_$kind", "probe" -> s"$base/probe",
+        "out" -> s"$base/out_$kind"), spark)
+      val got = spark.read.parquet(s"$base/out_$kind").count()
+      assert(got > 0, s"$kind probe produced no matches")
+    }
+    // a pq dir (different store family) is refused by kind
+    val e = intercept[RuntimeException](Main.run(
+      Map("stage-name" -> "index_probe", "kind" -> "nope",
+        "index-dir" -> s"$base/idx_simhash", "probe" -> s"$base/probe",
+        "out" -> s"$base/out_bad"), spark))
+    assert(e.getMessage.contains("invalid --kind"))
+  }
+
   test("invalid stage and missing args error clearly") {
     val e1 = intercept[RuntimeException] {
       Main.run(Map("stage-name" -> "nope", "lake-root" -> "/tmp"), spark)
