@@ -194,7 +194,8 @@ class PlanSpec extends AnyFunSuite {
       "x201_signature_merge_overlap", // same ≤groups-row a<b theta join over merged signatures
       "x202_dedup_threshold_sweep", // ≤64-row threshold list crossed with the bounded pair list
       "x205_truncation_recall",  // exact baseline: panel broadcast over the corpus scan + 1-row panel count crossed
-      "x207_containment_from_store") // x200's ≤groups-row a<b theta join, sizes from the maintained store
+      "x207_containment_from_store", // x200's ≤groups-row a<b theta join, sizes from the maintained store
+      "x210_persistent_pq_serve")  // x197's shape served from the persisted index: ≤6-row query panel broadcast, corpus side scans persisted CODES
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -266,7 +267,8 @@ class PlanSpec extends AnyFunSuite {
       "x194_bm25_retrieval",       // retrieval: ≤6-row query-term panel broadcast (doc_id % 97)
       "x196_hybrid_retrieval",     // hybrid: the same two panel broadcasts as x194 + x06
       "x197_pq_refine_topk",       // refine: ≤6-row query set broadcast; corpus side scans CODES
-      "x205_truncation_recall")    // audit: ≤6-row query set broadcast (vec_id % 97), full + sliced
+      "x205_truncation_recall",    // audit: ≤6-row query set broadcast (vec_id % 97), full + sliced
+      "x210_persistent_pq_serve")  // x197's panel broadcast, served from the persisted codes+payload
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>
