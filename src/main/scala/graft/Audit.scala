@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   *   // exhaustive (docSampleBits = 0), the x192 gate behavior
   * sbt "runMain graft.Audit time <queryName> <sfDir> [runs]"
   *   // median wall of one SparkEntry query, Bench's per-run hygiene
+  * sbt "runMain graft.Audit stream-ramp <semantic|simhash> <sfDir>
+  *   <session|disk> [probeDiv] [bands] [bits]"
+  *   // scaled micro-batch through the dedup-at-ingest path
+  * sbt "runMain graft.Audit index-save <sfDir> <dir>"   // then, in a
+  * sbt "runMain graft.Audit index-probe <sfDir> <dir>"  // FRESH JVM:
+  *   // cross-JVM index-survival pair (counts must agree)
+  * sbt "runMain graft.Audit pq-amortize <sfDir> [panels]"
+  *   // AnnStore serving economics: served-from-disk vs re-encode
   * }}}
   *
   * Timing convention matches Bench: one discarded warm-up execution,

@@ -102,4 +102,10 @@ object AnnStore {
                  idx: PqServeIndex, k: Int): DataFrame =
     Similarity.pqTopKFromCodes(queries, qId, qVec, idx.codes,
       idx.codebook, k)
+
+  /** Heal a pq index dir after a crashed save — the publish protocol
+    * (staging/trash names, meta-as-completeness-marker) is shared
+    * with [[RefIndexStore]], so its healer applies verbatim. */
+  def recover(spark: SparkSession, dir: String): Boolean =
+    RefIndexStore.recover(spark, dir)
 }

@@ -96,7 +96,7 @@ class MainSpec extends AnyFunSuite {
       val got = spark.read.parquet(s"$base/out_$kind").count()
       assert(got > 0, s"$kind probe produced no matches")
     }
-    // a pq dir (different store family) is refused by kind
+    // an unknown kind string is refused loudly
     val e = intercept[RuntimeException](Main.run(
       Map("stage-name" -> "index_probe", "kind" -> "nope",
         "index-dir" -> s"$base/idx_simhash", "probe" -> s"$base/probe",
