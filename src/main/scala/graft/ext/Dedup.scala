@@ -235,7 +235,20 @@ object Dedup {
   def containmentFromSignatures(sigs: DataFrame, store: DataFrame,
                                 k: Int): DataFrame = {
     val sizes = store.groupBy("grp").agg(count(lit(1)).as("n_sh"))
-    withContainments(sigs.join(sizes, Seq("grp")), k)
+    // LEFT join + loud failure on a signed group the store has never
+    // seen: the two indexes are maintained in lockstep by contract,
+    // so a missing store row is state DRIFT (a slice merged into one
+    // index but not the other) — an inner join here would silently
+    // drop the group from the matrix instead of surfacing the drift
+    val joined = sigs.join(sizes, Seq("grp"), "left")
+      .select(col("grp"), col("sig"),
+        when(col("n_sh").isNotNull, col("n_sh")).otherwise(raise_error(
+          concat(lit("containmentFromSignatures: group "),
+            col("grp").cast("string"),
+            lit(" is signed but absent from the distinct-shingle store" +
+              " — the two maintained indexes have drifted"))))
+          .as("n_sh"))
+    withContainments(joined, k)
   }
 
   /** Dedup threshold sweep — the TUNING report run before committing

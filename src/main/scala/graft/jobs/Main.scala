@@ -166,8 +166,14 @@ object Main {
           case other => sys.error(
             s"invalid --kind $other; expected semantic, simhash or minhash")
         }
-        matches.select("id_a", "id_b").distinct()
-          .repartition(1).write.mode("overwrite").parquet(req("out"))
+        // natural write parallelism: a dup-heavy probe can yield an
+        // arbitrarily large match set, so never funnel it through one
+        // task (the bottleneck/OOM shape at corpus scale) — callers
+        // that want few output files opt in via --out-files
+        val pairs = matches.select("id_a", "id_b").distinct()
+        opts.get("out-files").map(n => pairs.coalesce(n.toInt))
+          .getOrElse(pairs)
+          .write.mode("overwrite").parquet(req("out"))
     }
   }
 }

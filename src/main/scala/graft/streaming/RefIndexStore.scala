@@ -97,26 +97,59 @@ object RefIndexStore {
   /** Heal an index dir after a crashed [[saveParts]] swap: if `dir`
     * is missing but an aside trash sibling holds a complete index
     * (its `meta/` exists — meta is written last, so its presence
-    * proves completeness), rename it back; then drop every stale
-    * staging/trash sibling of `dir`. Returns true when a restore
-    * happened. Run before maintenance, not concurrently with a
-    * writer (same discipline as [[graft.io.Lake.recover]]). */
-  def recover(spark: SparkSession, dir: String): Boolean = {
+    * proves completeness), rename the NEWEST such sibling back (the
+    * publish timestamp is embedded in the sibling name, so a stale
+    * snapshot from an older crash can never shadow the most recent
+    * complete one); then drop every stale staging/trash sibling of
+    * `dir`. Returns true when a restore happened.
+    *
+    * Run before maintenance, not concurrently with a writer (same
+    * discipline as [[graft.io.Lake.recover]]) — and the
+    * no-concurrent-writer rule is now ENFORCED, not just documented:
+    * recover REFUSES (IllegalStateException) when a staging sibling
+    * younger than `inFlightGraceMs` exists, because deleting a live
+    * writer's staging dir would corrupt its in-flight save. A crashed
+    * save's staging dir ages past the grace and is then swept
+    * normally; pass a smaller grace only when the writer is known
+    * dead. */
+  def recover(spark: SparkSession, dir: String,
+              inFlightGraceMs: Long = 15 * 60 * 1000L): Boolean = {
     val target = new Path(dir)
     val hfs = fileSystem(spark, target)
     val parent = parentOf(target)
     if (!hfs.exists(parent)) return false
-    val siblings = hfs.listStatus(parent).map(_.getPath)
-      .filter(_.getName.startsWith(s".${target.getName}.refidx_"))
+    val siblings = hfs.listStatus(parent)
+      .filter(_.getPath.getName.startsWith(s".${target.getName}.refidx_"))
+    // publish time: millis embedded in the sibling suffix at publish
+    // time; names from before the timestamp scheme fall back to the
+    // dir's modification time
+    def publishTs(s: org.apache.hadoop.fs.FileStatus): Long = {
+      val name = s.getPath.getName
+      val marker = name.indexOf("refidx_")
+      val tok = name.substring(marker).split('-').drop(1).headOption
+      tok.filter(t => t.nonEmpty && t.forall(_.isDigit)).map(_.toLong)
+        .getOrElse(s.getModificationTime)
+    }
+    val now = System.currentTimeMillis()
+    val inFlight = siblings
+      .filter(_.getPath.getName.contains(".refidx_tmp-"))
+      .filter(s => now - publishTs(s) < inFlightGraceMs)
+    if (inFlight.nonEmpty) throw new IllegalStateException(
+      s"recover($dir): a save appears to be IN FLIGHT (staging " +
+        s"${inFlight.map(_.getPath.getName).mkString(", ")} younger than " +
+        s"$inFlightGraceMs ms) — recover must not run concurrently with " +
+        "a writer; retry after the save finishes, or pass a smaller " +
+        "grace when the writer is known dead")
     var restored = false
     if (!hfs.exists(target)) {
-      siblings.filter(_.getName.contains(".refidx_trash-"))
-        .find(p => hfs.exists(new Path(p, "meta"))) match {
-          case Some(tr) => renameStrict(hfs, tr, target); restored = true
-          case None => ()
-        }
+      val complete = siblings
+        .filter(_.getPath.getName.contains(".refidx_trash-"))
+        .filter(s => hfs.exists(new Path(s.getPath, "meta")))
+      complete.sortBy(publishTs).lastOption.foreach { tr =>
+        renameStrict(hfs, tr.getPath, target); restored = true
+      }
     }
-    siblings.filter(p => hfs.exists(p)).filter(p => p != target)
+    siblings.map(_.getPath).filter(p => hfs.exists(p) && p != target)
       .foreach(p => hfs.delete(p, true))
     restored
   }
@@ -193,7 +226,10 @@ object RefIndexStore {
     val hfs = fileSystem(spark, target)
     val parent = parentOf(target)
     hfs.mkdirs(parent)
-    val uuid = java.util.UUID.randomUUID().toString
+    // publish-time millis lead the suffix: [[recover]] restores the
+    // NEWEST complete trash sibling by this timestamp, and refuses to
+    // sweep a staging dir younger than its in-flight grace
+    val uuid = s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}"
     val stage = new Path(parent, s".${target.getName}.refidx_tmp-$uuid")
     write(stage)
     val trash = new Path(parent, s".${target.getName}.refidx_trash-$uuid")

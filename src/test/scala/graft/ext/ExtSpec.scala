@@ -690,6 +690,25 @@ class ExtSpec extends AnyFunSuite {
       case ((a, _), v) if a == "g0" => v._2 }.get == n0)
   }
 
+  test("containmentFromSignatures: a signed group missing from the store drifts loudly") {
+    def sent(i: Int) = (0 until 6).map(j => s"d${i}w$j").mkString(" ")
+    val df = (0 until 12).map(i => (s"g${i % 3}", sent(i)))
+      .toDF("src", "text")
+    val sigs = Dedup.corpusSignatures(df, "src", "text", n = 3, k = 64)
+    // the store was maintained from a slice that never saw g1 — state
+    // drift between the two lockstep indexes must FAIL, not silently
+    // drop g1's rows from the matrix
+    val store = Dedup.distinctShingleStore(
+      df.filter($"src" =!= "g1"), "src", "text", n = 3)
+    val e = intercept[Exception] {
+      Dedup.containmentFromSignatures(sigs, store, k = 64).collect()
+    }
+    def drifted(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("drifted")) ||
+        drifted(t.getCause))
+    assert(drifted(e))
+  }
+
   test("dedup threshold sweep: hand counts, zero rows kept, floor guard") {
     val pairs = Seq(
       (1L, 2L, 0.95), (1L, 3L, 0.80), (2L, 3L, 0.62), (4L, 5L, 0.55))

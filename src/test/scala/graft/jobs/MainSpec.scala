@@ -87,14 +87,28 @@ class MainSpec extends AnyFunSuite {
       .write.parquet(s"$base/ref")
     (0L until 12L).map(i => (i, doc(i))).toDF("doc_id", "text")
       .write.parquet(s"$base/probe")
+    val refDf = (100L until 130L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val probeDf = (0L until 12L).map(i => (i, doc(i))).toDF("doc_id", "text")
     for (kind <- Seq("simhash", "minhash")) {
       Main.run(Map("stage-name" -> "index_build", "kind" -> kind,
         "source" -> s"$base/ref", "index-dir" -> s"$base/idx_$kind"), spark)
       Main.run(Map("stage-name" -> "index_probe", "kind" -> kind,
         "index-dir" -> s"$base/idx_$kind", "probe" -> s"$base/probe",
         "out" -> s"$base/out_$kind"), spark)
-      val got = spark.read.parquet(s"$base/out_$kind").count()
-      assert(got > 0, s"$kind probe produced no matches")
+      val got = spark.read.parquet(s"$base/out_$kind")
+        .as[(Long, Long)].collect().toSet
+      // exact oracle: the batch cross operator at the CLI defaults,
+      // mirroring the semantic case (the x208/x209 stream==batch
+      // parity makes this the same pair set by construction)
+      val want = (kind match {
+        case "simhash" => graft.ext.Dedup.simhashPairsAcross(
+          probeDf, refDf, "doc_id", "text", maxHamming = 3)
+        case _ => graft.ext.Dedup.minhashLshPairsAcross(
+          probeDf, refDf, "doc_id", "text", n = 3, threshold = 0.7)
+      }).select($"id_a", $"id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty,
+        s"$kind probe stage != batch cross oracle")
     }
     // an unknown kind string is refused loudly
     val e = intercept[RuntimeException](Main.run(

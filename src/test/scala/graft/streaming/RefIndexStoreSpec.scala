@@ -166,4 +166,37 @@ class RefIndexStoreSpec extends AnyFunSuite {
     assert(RefIndexStore.loadSemantic(spark, dir).payload.count() == 40)
     assert(!RefIndexStore.recover(spark, dir)) // idempotent: nothing left
   }
+
+  test("recover restores the NEWEST complete trash; refuses an in-flight save") {
+    val mk = (ids: Seq[Long]) => EmbedStream.semanticRefIndex(
+      ids.map(i => (i, mkVec(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", bands = 4, bitsPerBand = 4, dim = 8)
+    val dir = tmp("refidx_recover2")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two crashed-save trash siblings, both complete, publish millis
+    // embedded in the name: the OLDER one holds 10 rows, the NEWER 20
+    RefIndexStore.saveSemantic(mk(100L until 110L), dir, buckets = 4)
+    assert(fs.rename(p,
+      new org.apache.hadoop.fs.Path(p.getParent,
+        s".${p.getName}.refidx_trash-1000-old")))
+    RefIndexStore.saveSemantic(mk(100L until 120L), dir, buckets = 4)
+    assert(fs.rename(p,
+      new org.apache.hadoop.fs.Path(p.getParent,
+        s".${p.getName}.refidx_trash-2000-new")))
+    assert(RefIndexStore.recover(spark, dir))
+    // a stale snapshot must never shadow the most recent complete one
+    assert(RefIndexStore.loadSemantic(spark, dir).payload.count() == 20)
+    // a FRESH staging sibling means a writer may be mid-save: recover
+    // must refuse rather than destroy its in-flight work
+    val live = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.refidx_tmp-${System.currentTimeMillis()}-live")
+    fs.mkdirs(live)
+    val e = intercept[IllegalStateException](RefIndexStore.recover(spark, dir))
+    assert(e.getMessage.contains("IN FLIGHT"))
+    assert(fs.exists(live), "refusal must leave the staging dir intact")
+    // with the grace overridden (writer known dead) the sweep proceeds
+    assert(!RefIndexStore.recover(spark, dir, inFlightGraceMs = 0))
+    assert(!fs.exists(live))
+  }
 }
