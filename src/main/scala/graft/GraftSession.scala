@@ -38,6 +38,13 @@ object GraftSession {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // IN-list pushdown cutoff (default 10): at or under it parquet
+      // gets an eq or-chain (row-group + dictionary pruning), past it
+      // a [min, max] range. The ANN serving path pushes bounded
+      // candidate-id sets into the sorted payload scan
+      // (Similarity.pqTopKRefinedFromCodes) — keep precise pruning for
+      // realistic k·refine·panel sizes
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       // local-scale split sizing: the synthetic tables are single
       // sub-128MB parquet files, which the default maxPartitionBytes
       // turns into ONE scan partition — serializing every downstream

@@ -24,14 +24,36 @@ import graft.streaming.RefIndexStore
   *    bucketed) is its right layout — `subspaces` small ints per
   *    corpus row, the memory-bandwidth serving regime;
   *  - `payload/` — (corpus_id, _cv) float vectors for the exact
-  *    re-rank; only k·refine·panel rows are ever read per batch
-  *    (the candidates join);
+  *    re-rank, written SORTED on corpus_id: the serving path pushes
+  *    the bounded candidate id set into this scan as a predicate
+  *    ([[Similarity.pqTopKRefinedFromCodes]]), and the sort makes
+  *    parquet row-group min/max + dictionary stats prune the read to
+  *    ~candidate row groups — served payload BYTES scale with
+  *    k·refine·panel, not corpus (the float payload is ~32× the
+  *    codes' bytes; re-scanning it per batch would invert the PQ
+  *    economics the index exists for);
   *  - `meta/` — knobs, written last (the completeness marker).
   *
   * Everything downstream is bit-deterministic for the persisted
   * codebook, so a served ranking equals the in-session
   * [[Similarity.pqTopKRefined]] exactly — gated end-to-end (x210)
-  * against the same oracle as x197. */
+  * against the same oracle as x197.
+  *
+  * CONCURRENT SERVING is free by construction: [[loadPq]] holds only
+  * an immutable driver-local codebook plus plain parquet scans — no
+  * catalog registration (unlike [[RefIndexStore]]'s bucket-spec
+  * tables, which are per-session and re-registered per loader), no
+  * session mutation, no shared writer state — so any number of
+  * probing JVMs or threads can serve from one saved index
+  * simultaneously (measured: `graft.Audit pq-save` / `pq-probe`, a
+  * fresh JVM serving two panels from two concurrent threads
+  * reproduces the builder's checksums exactly). The only shared-state
+  * hazard is a concurrent [[savePq]] OVERWRITE of the same dir: the
+  * atomic rename publish keeps every LOAD all-old or all-new, but a
+  * probe job that opened files before the swap can fail mid-read when
+  * the old dir is dropped — schedule index refresh like any
+  * maintenance op (or version the dir name) rather than racing live
+  * probes. */
 object AnnStore {
 
   /** In-session handle: integer codebook + the two frames. */
@@ -63,7 +85,12 @@ object AnnStore {
         .parquet(new Path(stage, "codebook").toString)
       idx.codes.write.mode(SaveMode.Overwrite)
         .parquet(new Path(stage, "codes").toString)
-      idx.payload.write.mode(SaveMode.Overwrite)
+      // global sort on corpus_id (range partition + in-partition
+      // sort): each payload file/row group covers a tight id range,
+      // so the serving path's pushed candidate-id predicate prunes
+      // the scan by footer stats — a build-time shuffle paid once,
+      // amortized over every served batch
+      idx.payload.sort("corpus_id").write.mode(SaveMode.Overwrite)
         .parquet(new Path(stage, "payload").toString)
       RefIndexStore.writeMeta(spark, stage, Map(
         "kind" -> "pq", "subspaces" -> idx.subspaces.toString,
@@ -102,6 +129,88 @@ object AnnStore {
                  idx: PqServeIndex, k: Int): DataFrame =
     Similarity.pqTopKFromCodes(queries, qId, qVec, idx.codes,
       idx.codebook, k)
+
+  // --------------------------------------------------------- IVF-PQ
+  /** In-session handle for the persisted IVF-PQ index: integer PQ
+    * codebook + the (cluster, cvec) coarse centroids + the
+    * cluster-assigned codes. */
+  case class IvfPqServeIndex(subspaces: Int, ksub: Int, dim: Int,
+                             nCentroids: Int,
+                             codebook: Seq[Seq[Seq[Long]]],
+                             cents: DataFrame, codes: DataFrame)
+
+  /** Build the IVF-PQ serving index: train the PQ codebook and the
+    * coarse Lloyd centroids, assign + encode the corpus ONCE — its
+    * float vectors are never read again at query time (and, unlike
+    * the flat-PQ index, neither are most of its CODES: serving scans
+    * only the probed clusters' partitions). */
+  def buildIvfPq(corpus: DataFrame, id: String, vec: String,
+                 subspaces: Int = 8, ksub: Int = 16, dim: Int = 64,
+                 nCentroids: Int = 16, rounds: Int = 2): IvfPqServeIndex = {
+    val cb = Similarity.pqCodebook(corpus, id, vec, subspaces, ksub, dim)
+    val cq = corpus.select(col(id).as("vid"),
+        Similarity.int8Quantize(col(vec)).getField("q").as("q8"))
+      .localCheckpoint()
+    val cents = Similarity.lloydLoop(cq, nCentroids, rounds)
+    IvfPqServeIndex(subspaces, ksub, dim, nCentroids, cb, cents,
+      Similarity.ivfPqEncodeAssigned(cq, cents, cb))
+  }
+
+  /** Persist the IVF-PQ index — codes PARTITIONED BY cluster, so a
+    * served batch's probed-cluster predicate prunes whole DIRECTORIES
+    * (the inverted-list read pattern, delivered by the lake layout:
+    * nProbe/nCentroids of the code bytes per batch instead of a full
+    * scan). Centroids are nCentroids rows (driver-bounded like the
+    * codebook); atomic publish shared with [[savePq]]. */
+  def saveIvfPq(idx: IvfPqServeIndex, dir: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    RefIndexStore.atomicPublish(spark, dir, { stage =>
+      idx.codebook.zipWithIndex.flatMap { case (entries, m) =>
+        entries.zipWithIndex.map { case (cvec, c) => (m, c, cvec) }
+      }.toDF("m", "code", "cvec")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(stage, "codebook").toString)
+      idx.cents.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(stage, "centroids").toString)
+      idx.codes.write.mode(SaveMode.Overwrite).partitionBy("cluster")
+        .parquet(new Path(stage, "codes").toString)
+      RefIndexStore.writeMeta(spark, stage, Map(
+        "kind" -> "ivfpq", "subspaces" -> idx.subspaces.toString,
+        "ksub" -> idx.ksub.toString, "dim" -> idx.dim.toString,
+        "nCentroids" -> idx.nCentroids.toString))
+    })
+  }
+
+  def loadIvfPq(spark: SparkSession, dir: String): IvfPqServeIndex = {
+    val meta = RefIndexStore.readMeta(spark, dir, "ivfpq")
+    val (subspaces, ksub) = (meta("subspaces").toInt, meta("ksub").toInt)
+    val rows = spark.read.parquet(new Path(dir, "codebook").toString)
+      .select(col("m"), col("code"), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    require(rows.length == subspaces * ksub,
+      s"codebook at $dir has ${rows.length} entries, " +
+        s"expected $subspaces x $ksub")
+    val cb = (0 until subspaces).map { m =>
+      rows.filter(_._1 == m).sortBy(_._2).map(_._3.toIndexedSeq).toIndexedSeq
+    }
+    // the partition column comes back type-inferred — leave it as
+    // read: the serving filter emits Int literals against it (no cast
+    // on the attribute, so directory pruning engages) and the probes
+    // join promotes types without touching the scan predicate
+    IvfPqServeIndex(subspaces, ksub, meta("dim").toInt,
+      meta("nCentroids").toInt, cb,
+      spark.read.parquet(new Path(dir, "centroids").toString),
+      spark.read.parquet(new Path(dir, "codes").toString))
+  }
+
+  /** Serve ADC top-k from the persisted IVF-PQ index —
+    * [[Similarity.ivfPqTopKFromCodes]]: routing collected (bounded),
+    * probed clusters pushed into the partitioned codes read. */
+  def ivfPqServe(queries: DataFrame, qId: String, qVec: String,
+                 idx: IvfPqServeIndex, k: Int, nProbe: Int = 4): DataFrame =
+    Similarity.ivfPqTopKFromCodes(queries, qId, qVec, idx.codes,
+      idx.cents, idx.codebook, k, nProbe)
 
   /** Heal a pq index dir after a crashed save — the publish protocol
     * (staging/trash names, meta-as-completeness-marker) is shared

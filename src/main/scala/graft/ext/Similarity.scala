@@ -452,14 +452,21 @@ object Similarity {
     // slice() silently truncates past the array end, so a dim larger
     // than the real embedding dimension would alias the full dim and
     // report recall_ppm == 1e6 as if that prefix were a design point —
-    // probe one vector (driver-side, one row) and fail loudly instead
-    corpus.select(size(col(cVec)).as("_d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).foreach { fullDim =>
-        require(dims.forall(_ <= fullDim),
-          s"dims ${dims.filter(_ > fullDim).mkString(",")} exceed the " +
-            s"embedding dimension $fullDim — an over-length prefix " +
-            "aliases the full dim and its recall row would be vacuous")
-      }
+    // validate against MIN(size(vec)) over the whole corpus (one tiny
+    // map-combined aggregate), not an arbitrary first row: a single
+    // short vector anywhere makes the over-length dims alias for THAT
+    // row, and a null/atypical first row must not decide the guard.
+    // min() skips null vectors; a null result (empty or all-null
+    // corpus) skips the guard — the audit then reports its zero
+    // overlaps honestly rather than NPEing here
+    val minDimRow = corpus.agg(min(size(col(cVec))).as("_d")).collect().head
+    if (!minDimRow.isNullAt(0)) {
+      val fullDim = minDimRow.getInt(0)
+      require(dims.forall(_ <= fullDim),
+        s"dims ${dims.filter(_ > fullDim).mkString(",")} exceed the " +
+          s"minimum embedding dimension $fullDim — an over-length " +
+          "prefix aliases the full dim and its recall row would be vacuous")
+    }
     val full = bruteForceTopK(queries, qId, qVec, corpus, cId, cVec, k)
       .select(col("query_id"), col("neighbour_id"))
       .localCheckpoint()
@@ -1148,19 +1155,64 @@ object Similarity {
     * (corpus_id, _cv) payload frame for the exact re-rank — the
     * persisted-index serving form ([[AnnStore]]): ADC proposes
     * k·refine candidates from the codes scan, only those read their
-    * float vectors from the payload. */
+    * float vectors from the payload.
+    *
+    * THE SERVING SCAN IS PRUNED, not joined-then-discarded: the ADC
+    * candidate stage executes eagerly at call time (its output is
+    * bounded by construction at k·refine rows per panel query — the
+    * bounded [[graft.functions.TopKAgg]] heap, the same driver-bounded
+    * class as the AnnStore codebook collect), and the candidate id set
+    * is pushed INTO the payload read as a scan predicate. Joining the
+    * tiny candidate frame against the corpus-sized payload instead
+    * would broadcast the candidates and STREAM the payload — every
+    * served batch re-reading the full float vectors, ~32× the bytes of
+    * the ADC code scan the PQ split exists to avoid (inverted PQ
+    * economics at 100 TB). With the payload written SORTED on
+    * corpus_id ([[AnnStore.savePq]]), parquet row-group min/max and
+    * dictionary stats prune the read to ~candidate row groups, so
+    * served payload bytes scale with candidates, not corpus
+    * (spec-asserted in AnnStoreSpec via the scan's numOutputRows).
+    * Candidate id lists at or under the session's parquet
+    * inFilterThreshold push down as an eq or-chain (row-group AND
+    * dictionary pruning); past it Spark degrades the predicate to a
+    * [min, max] range — still row-group-prunable on the sorted
+    * layout. */
   def pqTopKRefinedFromCodes(queries: DataFrame, qId: String, qVec: String,
                              codes: DataFrame, payload: DataFrame,
                              codebook: Seq[Seq[Seq[Long]]], k: Int,
                              refine: Int = 4): DataFrame = {
     require(k >= 1 && refine >= 1, "k and refine must be positive")
-    val cand = pqTopKFromCodes(queries, qId, qVec, codes, codebook,
+    val spark = queries.sparkSession
+    val candDf = pqTopKFromCodes(queries, qId, qVec, codes, codebook,
         k * refine)
       .select(col("query_id"), col("corpus_id"))
+    val candRows = candDf.collect()
+    require(candRows.length <= (4 << 20),
+      s"refine stage holds ${candRows.length} candidate rows " +
+        "(k·refine·|panel|) — serve panels are bounded by contract; " +
+        "split the query panel")
+    if (candRows.isEmpty) {
+      // empty panel: nothing to refine — an empty frame with the
+      // contract schema, so downstream unions/selects still work
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        candDf.schema("query_id"),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType),
+        candDf.schema("corpus_id"),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType)))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        outSchema)
+    }
+    val cand = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), candDf.schema)
+    val candIds = candRows.map(_.get(1)).distinct.toSeq
+    val pruned = payload.filter(col("corpus_id").isin(candIds: _*))
     val qv = broadcast(queries.select(col(qId).as("query_id"),
       col(qVec).as("_qv")))
-    cand.join(qv, Seq("query_id"))
-      .join(payload, Seq("corpus_id"))
+    broadcast(cand).join(qv, Seq("query_id"))
+      .join(pruned, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("_qv"), col("_cv")).as("_cos"))
       .groupBy("query_id")
@@ -1196,22 +1248,46 @@ object Similarity {
                 nCentroids: Int = 16, nProbe: Int = 4,
                 rounds: Int = 2): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
-    val dotL = graft.functions.VectorExpressions.dot_long _
-    val ksub = codebook.head.length
     val cq = corpus.select(col(cId).as("vid"),
         int8Quantize(col(cVec)).getField("q").as("q8"))
       .localCheckpoint()
     val cents = lloydLoop(cq, nCentroids, rounds)
+    val bucketed = ivfPqEncodeAssigned(cq, cents, codebook)
+    ivfAdcTopK(
+      ivfProbes(queries, qId, qVec, cents, codebook, nProbe)
+        .join(bucketed, Seq("cluster")),
+      codebook, k)
+  }
+
+  /** The IVF-PQ corpus side shared by [[ivfPqTopK]] and the persisted
+    * index build ([[AnnStore.buildIvfPq]]): assign each quantized
+    * corpus row to its nearest coarse centroid and PQ-encode it.
+    * `cq` is (vid, q8); returns (cluster, _cid, codes). One
+    * definition so the in-session and served paths cannot drift. */
+  private[ext] def ivfPqEncodeAssigned(cq: DataFrame, cents: DataFrame,
+                                       codebook: Seq[Seq[Seq[Long]]])
+      : DataFrame = {
+    val ksub = codebook.head.length
     val assigned = int8AssignTo(cq, cents)
       .select(col("vid"), col("cluster"))
     val enc = cq.select(col("vid"),
       graft.functions.VectorExpressions.pq_encode(col("q8"),
         codebook.flatten, ksub).as("codes"))
-    val bucketed = assigned.join(enc, "vid")
+    assigned.join(enc, "vid")
       .select(col("cluster"), col("vid").as("_cid"), col("codes"))
+  }
+
+  /** Shared IVF query routing: each query keeps its `nProbe` nearest
+    * coarse centroids (exact integer d2, ties to the smaller cluster
+    * id) and carries its per-subspace ADC distance table. Returns
+    * (query_id, _dtab, cluster). */
+  private def ivfProbes(queries: DataFrame, qId: String, qVec: String,
+                        cents: DataFrame, codebook: Seq[Seq[Seq[Long]]],
+                        nProbe: Int): DataFrame = {
+    val dotL = graft.functions.VectorExpressions.dot_long _
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("_d2c"), col("cluster"))
-    val probes = pqQueryFrame(queries, qId, qVec, codebook)
+    pqQueryFrame(queries, qId, qVec, codebook)
       .withColumn("_qq", dotL(col("_q"), col("_q")))
       .crossJoin(broadcast(
         cents.withColumn("_cc", dotL(col("cvec"), col("cvec")))))
@@ -1220,8 +1296,16 @@ object Similarity {
       .withColumn("_pr", row_number().over(w))
       .filter(col("_pr") <= nProbe)
       .select(col("query_id"), col("_dtab"), col("cluster"))
+  }
+
+  /** Shared ADC top-k tail over (query_id, _dtab, _cid, codes) probe
+    * rows — the bounded native heap, ties to the smaller corpus id.
+    * Returns (query_id, rank, corpus_id, adc_d2). */
+  private def ivfAdcTopK(probedRows: DataFrame,
+                         codebook: Seq[Seq[Seq[Long]]], k: Int)
+      : DataFrame = {
     val dist = pqAdcDistance(codebook)
-    probes.join(bucketed, Seq("cluster"))
+    probedRows
       .select(col("query_id"), col("_cid"), dist.as("_d2"))
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg.topk(-col("_d2"), col("_cid"), k).as("top"))
@@ -1229,6 +1313,53 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("corpus_id"),
         (-col("col.v")).cast("long").as("adc_d2"))
+  }
+
+  /** [[ivfPqTopK]] over an ALREADY-ENCODED, cluster-assigned codes
+    * frame ((cluster, _cid, codes) — [[ivfPqEncodeAssigned]]'s output,
+    * e.g. loaded from a persisted [[AnnStore]] IVF-PQ index) plus its
+    * (cluster, cvec) coarse-centroid frame: the IVF-PQ SERVING form.
+    * The query routing executes eagerly (its output is bounded by
+    * construction at nProbe rows per panel query) and the probed
+    * cluster-id set is PUSHED INTO the codes read — with the codes
+    * PARTITIONED BY cluster at save time ([[AnnStore.saveIvfPq]])
+    * that is DIRECTORY-level partition pruning: a served batch reads
+    * only the probed lists' files, which is the IVF contract
+    * delivered at scan granularity (the flat-PQ serve scans all
+    * codes; this reads nProbe/nCentroids of them). Probed ids are
+    * emitted as Int literals so no cast lands on the partition
+    * attribute (a cast would defeat the pruning). Bit-identical to
+    * [[ivfPqTopK]] for the same persisted centroids + codebook. */
+  def ivfPqTopKFromCodes(queries: DataFrame, qId: String, qVec: String,
+                         codes: DataFrame, cents: DataFrame,
+                         codebook: Seq[Seq[Seq[Long]]], k: Int,
+                         nProbe: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
+    val spark = queries.sparkSession
+    val probesDf = ivfProbes(queries, qId, qVec, cents, codebook, nProbe)
+    val rows = probesDf.collect()
+    require(rows.length <= (1 << 20),
+      s"IVF routing holds ${rows.length} probe rows (nProbe·|panel|) — " +
+        "serve panels are bounded by contract; split the query panel")
+    if (rows.isEmpty) {
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        probesDf.schema("query_id"),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("corpus_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("adc_d2",
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        outSchema)
+    }
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probesDf.schema)
+    val ci = probesDf.schema.fieldIndex("cluster")
+    val probed = rows.map(_.getLong(ci).toInt).distinct.toSeq
+    val pruned = codes.filter(col("cluster").isin(probed: _*))
+    ivfAdcTopK(broadcast(local).join(pruned, Seq("cluster")), codebook, k)
   }
 
   /** Farthest-point (k-center greedy) sampling in the int8 domain —

@@ -188,14 +188,14 @@ class PlanSpec extends AnyFunSuite {
       "x192_semantic_ivf_audit", // audit: exact int8 ground truth a<b broadcast over the fixture
       "x194_bm25_retrieval",     // 1-row (N, T) corpus totals crossed with the postings hits
       "x196_hybrid_retrieval",   // composes x194's totals cross + x06's ≤6-row query broadcast
-      "x197_pq_refine_topk",     // x172's ≤6-row query distance tables crossed with the codes scan
+      "x197_pq_refine_topk",     // ADC stage (dtab × codes scan) now EXECUTES at build (bounded collect); the refine plan joins the local candidate frame
       "x198_rocchio_classifier", // 1-row class-token-total frame crossed with the B-row weight table
       "x200_corpus_overlap_matrix", // ≤groups-row signature matrix a<b broadcast theta join
       "x201_signature_merge_overlap", // same ≤groups-row a<b theta join over merged signatures
       "x202_dedup_threshold_sweep", // ≤64-row threshold list crossed with the bounded pair list
       "x205_truncation_recall",  // exact baseline: panel broadcast over the corpus scan + 1-row panel count crossed
       "x207_containment_from_store", // x200's ≤groups-row a<b theta join, sizes from the maintained store
-      "x210_persistent_pq_serve")  // x197's shape served from the persisted index: ≤6-row query panel broadcast, corpus side scans persisted CODES
+      "x210_persistent_pq_serve")  // x197 served from the persisted index: candidates pushed into the sorted payload scan
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -266,9 +266,9 @@ class PlanSpec extends AnyFunSuite {
       "x192_semantic_ivf_audit",   // audit: exact int8 ground truth broadcasts the fixture slice
       "x194_bm25_retrieval",       // retrieval: ≤6-row query-term panel broadcast (doc_id % 97)
       "x196_hybrid_retrieval",     // hybrid: the same two panel broadcasts as x194 + x06
-      "x197_pq_refine_topk",       // refine: ≤6-row query set broadcast; corpus side scans CODES
+      "x197_pq_refine_topk",       // refine: ≤6-row panel broadcast; ADC candidates collected + pushed into the payload scan
       "x205_truncation_recall",    // audit: ≤6-row query set broadcast (vec_id % 97), full + sliced
-      "x210_persistent_pq_serve")  // x197's panel broadcast, served from the persisted codes+payload
+      "x210_persistent_pq_serve")  // x197 served from disk: panel broadcast + candidate-pruned payload scan
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

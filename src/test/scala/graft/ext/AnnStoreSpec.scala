@@ -47,6 +47,117 @@ class AnnStoreSpec extends AnyFunSuite {
         corpus, "vec_id", "embedding", idx.codebook, k = 5)))
   }
 
+  test("served payload scan is pruned: read rows scale with candidates, not corpus") {
+    // 600-row corpus, sorted payload at save time, 2-query panel with
+    // k·refine = 6 candidates each (≤ 12 distinct ids): the refine
+    // stage must push the candidate ids into the payload scan so
+    // row-group stats prune it — the scan's output rows must be far
+    // below the corpus size (a corpus-sized stream here is the
+    // inverted-PQ-economics defect this gate keeps extinct)
+    val n = 600L
+    val corpus = (0L until n).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .repartition(8)
+    val dir = tmp("annstore_prune")
+    // tiny parquet row groups for the fixture: at production scale the
+    // 128 MB default gives each file many prunable groups; 600 rows
+    // would land in ONE group and hide the pruning this test asserts
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 4096)
+    try {
+      AnnStore.savePq(AnnStore.buildPq(corpus, "vec_id", "embedding",
+        subspaces = 4, ksub = 8, dim = 16), dir)
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+    }
+    val loaded = AnnStore.loadPq(spark, dir)
+    // mkVec repeats with period 7, and ADC ties break to the SMALLER
+    // corpus id — so each query's k·refine candidates are the lowest
+    // ids of its residue class, clustered in the first sorted row
+    // group(s) by construction
+    val queries = Seq((9001L, mkVec(3)), (9002L, mkVec(5)))
+      .toDF("vec_id", "embedding")
+    val served = AnnStore.pqServe(queries, "vec_id", "embedding", loaded,
+      k = 3, refine = 2)
+    served.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    val payloadScans = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("payload")))
+    assert(payloadScans.nonEmpty, "no payload scan found in the served plan")
+    // the candidate-id predicate reached the parquet scan…
+    assert(payloadScans.exists(_.metadata.get("PushedFilters")
+        .exists(f => f.contains("In(corpus_id") || f.contains("corpus_id"))),
+      s"no pushed corpus_id filter: ${payloadScans.map(_.metadata.get("PushedFilters"))}")
+    // …and actually pruned: rows read ≪ corpus (sorted row groups)
+    val rows = payloadScans.map(_.metrics("numOutputRows").value).sum
+    assert(rows < n / 2,
+      s"payload scan read $rows of $n rows — candidate pruning did not engage")
+    // and the pruned serving path still ranks exactly like in-session
+    val inSession = Similarity.pqTopKRefined(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", loaded.codebook, k = 3, refine = 2)
+      .select($"query_id", $"rank", $"corpus_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = served.select($"query_id", $"rank", $"corpus_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == inSession && got.nonEmpty)
+  }
+
+  test("ivfpq index: round-trip; served == in-session; partition pruning engages") {
+    // 400 rows over 7 distinct embeddings (mkVec period 7) and 8
+    // coarse centroids: every cluster holds ~n/7 rows, so a 2-probe
+    // query must read well under half the codes if directory pruning
+    // works — and exactly all of them if it doesn't
+    val n = 400L
+    val corpus = (0L until n).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .repartition(8)
+    val idx = AnnStore.buildIvfPq(corpus, "vec_id", "embedding",
+      subspaces = 4, ksub = 8, dim = 16, nCentroids = 8, rounds = 2)
+    val dir = tmp("annstore_ivfpq")
+    AnnStore.saveIvfPq(idx, dir)
+    val loaded = AnnStore.loadIvfPq(spark, dir)
+    assert(loaded.codebook == idx.codebook)
+    assert(loaded.cents.as[(Long, Seq[Long])].collect().toSet ==
+      idx.cents.as[(Long, Seq[Long])].collect().toSet)
+    val queries = Seq((9001L, mkVec(3)), (9002L, mkVec(5)))
+      .toDF("vec_id", "embedding")
+    val served = AnnStore.ivfPqServe(queries, "vec_id", "embedding",
+      loaded, k = 5, nProbe = 2)
+    def ranking(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"corpus_id", $"adc_d2")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val got = ranking(served)
+    // lloydLoop is deterministic (smallest-id seeds, integer means),
+    // so the in-session operator retrained on the same corpus + knobs
+    // is the exact oracle
+    val want = ranking(Similarity.ivfPqTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", idx.codebook, k = 5,
+      nCentroids = 8, nProbe = 2, rounds = 2))
+    assert(got == want && got.nonEmpty)
+    // the probed-cluster predicate pruned the partitioned codes read
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    val codeScans = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+    assert(codeScans.nonEmpty, "no codes scan found in the served plan")
+    val rows = codeScans.map(_.metrics("numOutputRows").value).sum
+    assert(rows < n / 2,
+      s"codes scan read $rows of $n rows — cluster partition pruning did not engage")
+  }
+
   test("save over an existing pq index swaps atomically") {
     val mk = (n: Long) => AnnStore.buildPq(
       (0L until n).map(i => (i, mkVec(i))).toDF("vec_id", "embedding"),
