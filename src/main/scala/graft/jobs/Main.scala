@@ -36,12 +36,23 @@ object Main {
   case object IndexBuild extends Stage { val name = "index_build" }
   /** Probe --probe rows against the index at --index-dir and write
     * the match pairs to --out (parquet): the probe-from-many-jobs
-    * consumer of a nightly-built index. */
+    * consumer of a nightly-built index. `--layout sliced` probes an
+    * [[graft.streaming.RefIndexSlices]] store instead of the bucketed
+    * one. */
   case object IndexProbe extends Stage { val name = "index_probe" }
+  /** Nightly APPEND to a sliced index
+    * ([[graft.streaming.RefIndexSlices]]): band + commit only
+    * --source, never rewriting history — the write-optimized cadence;
+    * knobs freeze at the first append. */
+  case object IndexAppend extends Stage { val name = "index_append" }
+  /** Collapse a sliced index's committed slices into one (the full
+    * rewrite, paid on THIS stage's cadence instead of per append) and
+    * sweep unreferenced slice dirs. */
+  case object IndexCompact extends Stage { val name = "index_compact" }
 
   val stages: Seq[Stage] = Seq(BronzeAsset, BronzeBondInfo, BronzeAmortisation,
     BronzeDealDetails, SilverAsset, SilverBondInfo, SilverDealDetails, RunAll,
-    IndexBuild, IndexProbe)
+    IndexBuild, IndexProbe, IndexAppend, IndexCompact)
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -147,21 +158,30 @@ object Main {
       case IndexProbe =>
         val probe = spark.read.parquet(req("probe"))
         val dir = req("index-dir")
+        val sliced = opts.get("layout") match {
+          case Some("sliced") => true
+          case Some("store") | None => false
+          case Some(other) => sys.error(
+            s"invalid --layout $other; expected store or sliced")
+        }
         val matches = opts.getOrElse("kind", "semantic") match {
           case "semantic" =>
             graft.streaming.EmbedStream.semanticDupMatches(probe,
-              graft.streaming.RefIndexStore.loadSemantic(spark, dir),
+              if (sliced) graft.streaming.RefIndexSlices.loadSemantic(spark, dir)
+              else graft.streaming.RefIndexStore.loadSemantic(spark, dir),
               opts.getOrElse("id", "vec_id"),
               opts.getOrElse("vec", "embedding"),
               cos2Num = opts.getOrElse("cos2-num", "1").toLong,
               cos2Den = opts.getOrElse("cos2-den", "4").toLong)
           case "simhash" =>
             graft.streaming.SimHashStream.simhashDupMatches(probe,
-              graft.streaming.RefIndexStore.loadSimHash(spark, dir),
+              if (sliced) graft.streaming.RefIndexSlices.loadSimHash(spark, dir)
+              else graft.streaming.RefIndexStore.loadSimHash(spark, dir),
               opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"))
           case "minhash" =>
             graft.streaming.MinHashStream.minhashDupMatches(probe,
-              graft.streaming.RefIndexStore.loadMinHash(spark, dir),
+              if (sliced) graft.streaming.RefIndexSlices.loadMinHash(spark, dir)
+              else graft.streaming.RefIndexStore.loadMinHash(spark, dir),
               opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"))
           case other => sys.error(
             s"invalid --kind $other; expected semantic, simhash or minhash")
@@ -174,6 +194,33 @@ object Main {
         opts.get("out-files").map(n => pairs.coalesce(n.toInt))
           .getOrElse(pairs)
           .write.mode("overwrite").parquet(req("out"))
+      case IndexAppend =>
+        val src = spark.read.parquet(req("source"))
+        val dir = req("index-dir")
+        opts.getOrElse("kind", "semantic") match {
+          case "semantic" =>
+            graft.streaming.RefIndexSlices.appendSemantic(src, dir,
+              opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"),
+              bands = opts.getOrElse("bands", "0").toInt,
+              bitsPerBand = opts.getOrElse("bits", "0").toInt,
+              dim = opts.getOrElse("dim", "64").toInt,
+              maxBucket = opts.getOrElse("max-bucket", "4096").toInt)
+          case "simhash" =>
+            graft.streaming.RefIndexSlices.appendSimHash(src, dir,
+              opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+              maxHamming = opts.getOrElse("max-hamming", "3").toInt,
+              maxBucket = opts.getOrElse("max-bucket", "4096").toInt)
+          case "minhash" =>
+            graft.streaming.RefIndexSlices.appendMinHash(src, dir,
+              opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+              n = opts.getOrElse("ngram", "3").toInt,
+              threshold = opts.getOrElse("threshold", "0.7").toDouble,
+              maxBucket = opts.getOrElse("max-bucket", "4096").toInt)
+          case other => sys.error(
+            s"invalid --kind $other; expected semantic, simhash or minhash")
+        }
+      case IndexCompact =>
+        graft.streaming.RefIndexSlices.compact(spark, req("index-dir"))
     }
   }
 }

@@ -45,6 +45,17 @@ import graft.streaming.SimHashStream.SimHashRefIndex
   * merge's lazy union lineage (one checkpointed slice per merge)
   * materializes into flat parquet, and the loaded index reads it back
   * as a single scan.
+  *
+  * Cadence trade, stated plainly: every save here is a FULL-INDEX
+  * rewrite (all band rows, all payload), which is the right cost when
+  * save-frequency is low and probe-frequency is high — the bucketed
+  * layout amortizes its one sort/shuffle over every probing job. For
+  * a nightly-append cadence over a 100 TB reference, use
+  * [[RefIndexSlices]] instead: appends cost ∝ the new slice, the
+  * combined load is gate-proven equal to a full rebuild, and the
+  * periodic compaction (or a round-trip through THIS store for the
+  * read-optimized serving layout) pays the full rewrite on the
+  * compaction cadence rather than per merge.
   */
 object RefIndexStore {
 

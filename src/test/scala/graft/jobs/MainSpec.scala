@@ -118,6 +118,50 @@ class MainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("invalid --kind"))
   }
 
+  test("index_append + index_compact + sliced probe: nightly-append stages") {
+    import spark.implicits._
+    def mkVec(i: Long): Array[Double] =
+      Array.tabulate(8)(j => math.cos((i % 5 + 1) * (j + 2) * 0.31))
+    val base = Files.createTempDirectory("mainslices").toString
+    (100L until 120L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .write.parquet(s"$base/ref_a")
+    (120L until 140L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .write.parquet(s"$base/ref_b")
+    (0L until 20L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .write.parquet(s"$base/probe")
+    // two nightly appends (knobs freeze at the first), sliced probe
+    Main.run(Map("stage-name" -> "index_append",
+      "source" -> s"$base/ref_a", "index-dir" -> s"$base/idx",
+      "bands" -> "4", "bits" -> "4", "dim" -> "8"), spark)
+    Main.run(Map("stage-name" -> "index_append",
+      "source" -> s"$base/ref_b", "index-dir" -> s"$base/idx"), spark)
+    def probeTo(out: String): Set[(Long, Long)] = {
+      Main.run(Map("stage-name" -> "index_probe", "layout" -> "sliced",
+        "index-dir" -> s"$base/idx", "probe" -> s"$base/probe",
+        "cos2-num" -> "4", "cos2-den" -> "25", "out" -> out), spark)
+      spark.read.parquet(out).as[(Long, Long)].collect().toSet
+    }
+    val got = probeTo(s"$base/matches")
+    val want = graft.ext.Dedup.semanticDupPairsInt8Across(
+        (0L until 20L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding"),
+        (100L until 140L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cos2Num = 4, cos2Den = 25,
+        bands = 4, bitsPerBand = 4, dim = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // compaction collapses the slices and changes no pair
+    Main.run(Map("stage-name" -> "index_compact",
+      "index-dir" -> s"$base/idx"), spark)
+    assert(graft.streaming.RefIndexSlices.sliceCount(spark, s"$base/idx") == 1)
+    assert(probeTo(s"$base/matches2") == want)
+    // a bad layout string is refused loudly
+    val e = intercept[RuntimeException](Main.run(
+      Map("stage-name" -> "index_probe", "layout" -> "nope",
+        "index-dir" -> s"$base/idx", "probe" -> s"$base/probe",
+        "out" -> s"$base/bad"), spark))
+    assert(e.getMessage.contains("invalid --layout"))
+  }
+
   test("invalid stage and missing args error clearly") {
     val e1 = intercept[RuntimeException] {
       Main.run(Map("stage-name" -> "nope", "lake-root" -> "/tmp"), spark)
