@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * sbt "runMain graft.Audit ivf-recall <sfDir> <cos2Num> <cos2Den> <k>"
   *   // k = 0 resolves the corpus-aware Planes.nClustersFor default;
   *   // exhaustive (docSampleBits = 0), the x192 gate behavior
+  * sbt "runMain graft.Audit ivf-recall-planted <sfDir> <m> <cos2Num>
+  *   <cos2Den> <k>"
+  *   // same audit with m planted ≥0.85-cosine clone pairs, so the
+  *   // SemDeDup design threshold has nonzero exact-pair support
   * sbt "runMain graft.Audit time <queryName> <sfDir> [runs]"
   *   // median wall of one SparkEntry query, Bench's per-run hygiene
   * sbt "runMain graft.Audit stream-ramp <semantic|simhash> <sfDir>
@@ -19,6 +23,10 @@ import org.apache.spark.sql.functions._
   * sbt "runMain graft.Audit index-save <sfDir> <dir>"   // then, in a
   * sbt "runMain graft.Audit index-probe <sfDir> <dir>"  // FRESH JVM:
   *   // cross-JVM index-survival pair (counts must agree)
+  * sbt "runMain graft.Audit pq-save <sfDir> <dir>"      // AnnStore's
+  * sbt "runMain graft.Audit pq-probe <sfDir> <dir>"     // counterpart:
+  *   // the probe half ALSO serves two panels from TWO CONCURRENT
+  *   // threads over one loaded index (checksums must all agree)
   * sbt "runMain graft.Audit pq-amortize <sfDir> [panels]"
   *   // AnnStore serving economics: served-from-disk vs re-encode
   * }}}
@@ -50,6 +58,49 @@ object Audit {
         val payload = run()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"""{"audit":"ivf-recall","sf":"$sfDir","cos2":"$num/$den","k":${k.toInt},"bits":$bits,$payload,"wall_sec":$secs%.2f}""")
+      case "ivf-recall-planted" :: sfDir :: m :: num :: den :: k :: Nil =>
+        // plant mode (round-10 verdict item 2): the synthetic corpus
+        // has NO exact pairs at the SemDeDup production threshold
+        // (cos ≥ 0.85 — support ends near |cos| 0.6), so the design
+        // point was unmeasurable. Inject m KNOWN near-duplicate pairs:
+        // each clone is a scaled copy of a seed vector with a
+        // deterministic ±25% per-dimension multiplicative jitter, so
+        // cos(seed, clone) ∈ [0.970, 1] ≥ 0.85 by arithmetic (worst
+        // case (0.75+0.5t)/sqrt(0.5625+t) at t = 1/2), while the 1.3×
+        // scale is free under cosine and the per-vector-anchored int8
+        // quantization. Seeds are the m smallest vec_ids; clones are
+        // id-tagged +40 000 000 (outside every replica id space).
+        val base = tables.t(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val nPlant = m.toInt
+        require(nPlant >= 1, "plant at least one clone pair")
+        val clones = base.orderBy("vec_id").limit(nPlant)
+          .select((col("vec_id") + 40000000L).as("vec_id"),
+            transform(col("embedding"), (x, j) =>
+              (x * lit(1.3) * when(
+                pmod(xxhash64(col("vec_id"), j), lit(2)) === 0,
+                lit(1.25)).otherwise(lit(0.75))).cast("float"))
+              .as("embedding"))
+        // no localCheckpoint here: the between-run unpersist hygiene
+        // would drop its blocks and the timed run could not recompute
+        // a truncated lineage (the audit materializes what it needs)
+        val planted = base.unionByName(clones)
+        def runPlanted(): String = {
+          val row = ext.Dedup.semanticIvfAudit(planted, "vec_id",
+            "embedding", cos2Num = num.toLong, cos2Den = den.toLong,
+            nClusters = k.toInt, rounds = 2, docSampleBits = 0)
+            .collect().head
+          s""""n_exact":${row.getLong(0)},"n_ivf":${row.getLong(1)},""" +
+            s""""n_hits":${row.getLong(2)},"recall_ppm":${row.get(3)}"""
+        }
+        runPlanted() // warm-up, discarded
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+        val tp0 = System.nanoTime()
+        val payloadP = runPlanted()
+        val secsP = (System.nanoTime() - tp0) / 1e9
+        println(f"""{"audit":"ivf-recall-planted","sf":"$sfDir","planted":$nPlant,"cos2":"$num/$den","k":${k.toInt},$payloadP,"wall_sec":$secsP%.2f}""")
       case "time" :: name :: sfDir :: rest =>
         val runs = rest.headOption.map(_.toInt).getOrElse(3)
         val fn = SparkEntry.queries(name)
@@ -92,6 +143,80 @@ object Audit {
             "vec_id", "embedding", cos2Num = 4, cos2Den = 25)
           .select("id_a", "id_b").distinct().count()
         println(s"""{"audit":"index-probe","sf":"$sfDir","dir":"$dir","loader_matches":$n}""")
+      case "pq-save" :: sfDir :: dir :: Nil =>
+        // cross-JVM + concurrent serving instrument, save half: build
+        // and persist the PQ index, then serve two fixed panels from
+        // the builder JVM and print their deterministic checksums.
+        val emb = tables.t(spark, sfDir, "embeddings")
+        ext.AnnStore.savePq(
+          ext.AnnStore.buildPq(emb, "vec_id", "embedding"), dir)
+        val loaded = ext.AnnStore.loadPq(spark, dir)
+        val sums = (0 to 1).map(i => pqPanelChecksum(spark, sfDir, loaded, i))
+        println(s"""{"audit":"pq-save","sf":"$sfDir","dir":"$dir","panel_checksums":[${sums.mkString(",")}]}""")
+      case "pq-probe" :: sfDir :: dir :: Nil =>
+        // probe half, run in a FRESH JVM: load the persisted index and
+        // serve the same two panels from TWO CONCURRENT THREADS over
+        // the ONE loaded handle — serving is pure parquet scans plus a
+        // driver-local codebook (no catalog or session mutation), so
+        // concurrent probes from any number of JVMs/threads must
+        // reproduce the builder's checksums exactly.
+        val loaded = ext.AnnStore.loadPq(spark, dir)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val sums = Await.result(
+          Future.sequence((0 to 1).map(i =>
+            Future(pqPanelChecksum(spark, sfDir, loaded, i)))), Duration.Inf)
+        println(s"""{"audit":"pq-probe","sf":"$sfDir","dir":"$dir","panel_checksums":[${sums.mkString(",")}]}""")
+      case "slice-append-cost" :: sfDir :: Nil =>
+        // the RefIndexSlices economics: with 90% of the corpus already
+        // indexed, what does tonight's 10% slice cost under (a) the
+        // bucketed store's merge-then-save (full-index rewrite) vs
+        // (b) an append-slices commit (∝ slice)? Plus the read-side
+        // price the append layout charges: the combined load's census
+        // merge + a probe batch against the 2-slice index.
+        val emb = tables.t(spark, sfDir, "embeddings")
+        val hist = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        val slice = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        val base = java.nio.file.Files.createTempDirectory("graft_slicecost")
+        val (dirA, dirB) =
+          (base.resolve("store").toString, base.resolve("slices").toString)
+        // setup (untimed): both layouts hold the 90% history
+        val histIdx = streaming.EmbedStream.semanticRefIndex(
+          hist, "vec_id", "embedding")
+        streaming.RefIndexStore.saveSemantic(histIdx, dirA)
+        streaming.RefIndexSlices.appendSemantic(hist, dirB,
+          "vec_id", "embedding",
+          bands = histIdx.bands, bitsPerBand = histIdx.bitsPerBand)
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tRewrite = timed {
+          val merged = streaming.EmbedStream.mergeRefIndex(
+            streaming.RefIndexStore.loadSemantic(spark, dirA),
+            slice, "vec_id", "embedding")
+          streaming.RefIndexStore.saveSemantic(merged, dirA)
+        }
+        val tAppend = timed {
+          streaming.RefIndexSlices.appendSemantic(slice, dirB,
+            "vec_id", "embedding")
+        }
+        val probe = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        def probeCount(idx: streaming.EmbedStream.SemanticRefIndex): Long =
+          streaming.EmbedStream.semanticDupMatches(probe, idx,
+              "vec_id", "embedding", cos2Num = 4, cos2Den = 25)
+            .select("id_a", "id_b").distinct().count()
+        var nStore = 0L; var nSliced = 0L
+        val tProbeStore = timed {
+          nStore = probeCount(streaming.RefIndexStore.loadSemantic(spark, dirA))
+        }
+        val tProbeSliced = timed {
+          nSliced = probeCount(streaming.RefIndexSlices.loadSemantic(spark, dirB))
+        }
+        require(nStore == nSliced,
+          s"layout mismatch: store probe $nStore != sliced probe $nSliced")
+        println(f"""{"audit":"slice-append-cost","sf":"$sfDir","rewrite_sec":$tRewrite%.2f,"append_sec":$tAppend%.2f,"probe_store_sec":$tProbeStore%.2f,"probe_sliced_sec":$tProbeSliced%.2f,"matches":$nStore}""")
       case "pq-amortize" :: sfDir :: rest =>
         // the serving-economics measurement behind AnnStore: one
         // build+save, then N panels served from the LOADED index,
@@ -140,6 +265,22 @@ object Audit {
         sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** Deterministic checksum of one served panel (panel `i` = vec_ids
+    * ≡ i mod 97 below 3000 — a fixed set, no limit() nondeterminism):
+    * Σ over result rows of a rank-weighted id mix. Equal checksums ⇒
+    * identical served rankings. */
+  private def pqPanelChecksum(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String,
+                              idx: ext.AnnStore.PqServeIndex,
+                              i: Int): Long = {
+    val panel = tables.t(spark, sfDir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(97)) === i && col("vec_id") < 3000)
+    ext.AnnStore.pqServe(panel, "vec_id", "embedding", idx, k = 10)
+      .agg(sum(col("query_id") * 1000003L + col("rank") * 97L +
+        col("corpus_id")))
+      .collect().head.getLong(0)
   }
 
   /** Streaming dedup-at-ingest at a SCALED micro-batch (SCALING.md

@@ -296,10 +296,15 @@ object Planes {
     * deficit vs the old fixed k = 16 is a LOOSE-threshold
     * phenomenon: 2.24× at the gate's |cos| ≥ 0.4, 1.58× at 0.5,
     * 1.14× (one pair in 28) at 0.6, with exact-pair support ending
-    * before the cos ≥ 0.85 design regime on that corpus. Tight
-    * near-duplicates concentrate within clusters (the SemDeDup
-    * operating assumption), so the default trades no measurable
-    * tight-regime recall for its ~3× wall saving; retune
+    * before the cos ≥ 0.85 design regime on that corpus. AT the
+    * design regime the claim is now measured directly (round 11,
+    * `graft.Audit ivf-recall-planted`, 100 planted ≥0.97-cosine clone
+    * pairs in the sf1 corpus): derived k recalls 100/100
+    * (1 000 000 ppm) where fixed k = 16 recalls 65/100 (650 000 ppm)
+    * — the derivation GAINS tight-regime recall, it does not trade
+    * it. Tight near-duplicates concentrate within clusters (the
+    * SemDeDup operating assumption), so the default trades no
+    * measurable tight-regime recall for its ~3× wall saving; retune
     * `targetOccupancy` only with [[Dedup.semanticIvfAudit]] run at
     * YOUR decision threshold. */
   def nClustersFor(n: Long, targetOccupancy: Int = 128): Int = {

@@ -6812,6 +6812,66 @@ object ExtQ {
     },
     x197._2) // persistence must not move a single rank
 
+  /** Append-slices index layout ([[graft.streaming.RefIndexSlices]]):
+    * the same two-slice semantic build as x193/x206, but each slice
+    * APPENDED to the store (write cost ∝ slice, manifest-committed)
+    * instead of merged-and-rewritten; the combined load re-derives
+    * every row's sub against the census merged from per-slice counts.
+    * Same oracle as x193: the sliced layout must reproduce the full
+    * rebuild's pair set exactly. */
+  private val x211: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x211_slicedidx").getAbsolutePath
+      // appends accumulate by design — reset the store per execution
+      // so the gate's repeated runs (verify + bench medians) always
+      // measure the same two-slice build
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.streaming.RefIndexSlices.appendSemantic(
+        emb.filter(pmod($"vec_id", lit(5)).isin(1, 2)), dir,
+        "vec_id", "embedding", bands = 8, bitsPerBand = 4, dim = 64)
+      graft.streaming.RefIndexSlices.appendSemantic(
+        emb.filter(pmod($"vec_id", lit(5)).isin(3, 4)), dir,
+        "vec_id", "embedding")
+      val loaded = graft.streaming.RefIndexSlices.loadSemantic(s, dir)
+      graft.streaming.EmbedStream.semanticDupMatches(
+          benchPanelCap(emb.filter(pmod($"vec_id", lit(5)) === 0),
+            "vec_id"), loaded,
+          "vec_id", "embedding", cos2Num = 4, cos2Den = 25)
+        .select($"id_a", $"id_b", $"dotq", $"na", $"nb").distinct()
+        .orderBy($"id_a", $"id_b")
+    },
+    x193._2) // the sliced layout must reproduce the full rebuild
+
+  /** Persistent IVF-PQ SERVING index ([[graft.ext.AnnStore]]
+    * buildIvfPq/saveIvfPq/loadIvfPq/ivfPqServe): x181's pipeline with
+    * centroids + codebook + cluster-assigned codes persisted, the
+    * codes PARTITIONED BY cluster so the served batch's probed
+    * clusters prune whole directories — the inverted-list read
+    * pattern at lake-layout granularity (flat-PQ serving scans every
+    * code; this reads nProbe/nCentroids of them). Same oracle as
+    * x181: persistence + pruning must not move a single rank. */
+  private val x212: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x212_ivfpqidx").getAbsolutePath
+      graft.ext.AnnStore.saveIvfPq(
+        graft.ext.AnnStore.buildIvfPq(emb, "vec_id", "embedding",
+          subspaces = 8, ksub = 16, dim = 64, nCentroids = 16,
+          rounds = 2), dir)
+      val loaded = graft.ext.AnnStore.loadIvfPq(s, dir)
+      graft.ext.AnnStore.ivfPqServe(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", loaded, k = 10, nProbe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+    x181._2) // persistence + partition pruning must not move a rank
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -7023,5 +7083,7 @@ object ExtQ {
     "x208_persistent_sig_index" -> (x208._1, Some(x208._2)),
     "x209_persistent_minhash_index" -> (x209._1, Some(x209._2)),
     "x210_persistent_pq_serve" -> (x210._1, Some(x210._2)),
+    "x211_sliced_index_probe" -> (x211._1, Some(x211._2)),
+    "x212_persistent_ivfpq_serve" -> (x212._1, Some(x212._2)),
   )
 }
