@@ -217,6 +217,50 @@ object Audit {
         require(nStore == nSliced,
           s"layout mismatch: store probe $nStore != sliced probe $nSliced")
         println(f"""{"audit":"slice-append-cost","sf":"$sfDir","rewrite_sec":$tRewrite%.2f,"append_sec":$tAppend%.2f,"probe_store_sec":$tProbeStore%.2f,"probe_sliced_sec":$tProbeSliced%.2f,"matches":$nStore}""")
+      case "pq-append-cost" :: sfDir :: Nil =>
+        // the sliced-PQ economics (x213): with 90% of the corpus
+        // already encoded under a frozen codebook, what does tonight's
+        // 10% batch cost under (a) the flat store's refresh
+        // (re-encode + full rewrite via savePq) vs (b) an appendPq
+        // commit (encode + write ∝ batch)? Plus serve parity + cost
+        // from both layouts afterwards.
+        val emb = tables.t(spark, sfDir, "embeddings")
+        val hist = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        val slice = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        val base = java.nio.file.Files.createTempDirectory("graft_pqappend")
+        val (dirA, dirB) =
+          (base.resolve("flat").toString, base.resolve("sliced").toString)
+        val cb = ext.Similarity.pqCodebook(hist, "vec_id", "embedding",
+          subspaces = 8, ksub = 16, dim = 64)
+        def fullIndex(df: org.apache.spark.sql.DataFrame) =
+          ext.AnnStore.PqServeIndex(8, 16, 64, cb,
+            ext.Similarity.pqEncode(df, "vec_id", "embedding", cb)
+              .select(col("vec_id").as("corpus_id"), col("codes")),
+            df.select(col("vec_id").as("corpus_id"),
+              col("embedding").as("_cv")))
+        // setup (untimed): both layouts hold the 90% history
+        ext.AnnStore.savePq(fullIndex(hist), dirA)
+        ext.AnnStore.createPqSliced(spark, dirB, cb, dim = 64)
+        ext.AnnStore.appendPq(hist, dirB, "vec_id", "embedding")
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tRewrite = timed { ext.AnnStore.savePq(fullIndex(emb), dirA) }
+        val tAppend = timed {
+          ext.AnnStore.appendPq(slice, dirB, "vec_id", "embedding")
+        }
+        var (sumA, sumB) = (0L, 0L)
+        val tServeFlat = timed {
+          sumA = pqPanelChecksum(spark, sfDir,
+            ext.AnnStore.loadPq(spark, dirA), 0)
+        }
+        val tServeSliced = timed {
+          sumB = pqPanelChecksum(spark, sfDir,
+            ext.AnnStore.loadPqSliced(spark, dirB), 0)
+        }
+        require(sumA == sumB,
+          s"layout mismatch: flat checksum $sumA != sliced $sumB")
+        println(f"""{"audit":"pq-append-cost","sf":"$sfDir","rewrite_sec":$tRewrite%.2f,"append_sec":$tAppend%.2f,"serve_flat_sec":$tServeFlat%.2f,"serve_sliced_sec":$tServeSliced%.2f,"checksum":$sumA}""")
       case "pq-amortize" :: sfDir :: rest =>
         // the serving-economics measurement behind AnnStore: one
         // build+save, then N panels served from the LOADED index,

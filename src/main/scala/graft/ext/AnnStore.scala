@@ -130,6 +130,102 @@ object AnnStore {
     Similarity.pqTopKFromCodes(queries, qId, qVec, idx.codes,
       idx.codebook, k)
 
+  // ------------------------------------------------------ sliced PQ
+  /** Initialize a SLICED PQ index at `dir` with a FROZEN codebook —
+    * the incremental counterpart of [[savePq]], whose save re-encodes
+    * and re-writes the whole corpus per refresh. PQ codes are per-row
+    * functions of the codebook, so once it is frozen (standard
+    * product-quantization practice: train on a sample, encode
+    * forever; re-train only with a full rebuild at the usual
+    * retune-audit discipline), newly ingested vectors can be encoded
+    * and APPENDED without touching history:
+    *
+    * {{{
+    *   dir/codebook/, dir/meta/          written once, at create
+    *   dir/_slog/<v>.mf                  rename-CAS manifest
+    *   dir/slices/<uuid>/{codes,payload} one dir per appended batch
+    * }}}
+    *
+    * [[loadPqSliced]] returns the same [[PqServeIndex]] handle as
+    * [[loadPq]] (codes/payload as unions over committed slices), so
+    * [[pqServe]]/[[pqServeAdc]] work unchanged — and the serving
+    * payload prune survives the union: the candidate-id predicate
+    * pushes into EVERY slice's scan, and each slice's payload is
+    * sorted on corpus_id at append, so row-group pruning holds
+    * per slice. Append == full re-encode exactly (spec-gated):
+    * the union of per-slice encodes is bit-identical to one encode
+    * over the union, because encoding is per-row. */
+  def createPqSliced(spark: SparkSession, dir: String,
+                     codebook: Seq[Seq[Seq[Long]]], dim: Int): Unit = {
+    import spark.implicits._
+    val (fs, root) = graft.streaming.RefIndexSlices.fsOf(spark, dir)
+    require(!fs.exists(new Path(root, "meta")),
+      s"sliced pq index already exists at $dir")
+    fs.mkdirs(root)
+    codebook.zipWithIndex.flatMap { case (entries, m) =>
+      entries.zipWithIndex.map { case (cvec, c) => (m, c, cvec) }
+    }.toDF("m", "code", "cvec")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(root, "codebook").toString)
+    RefIndexStore.writeMeta(spark, root, Map(
+      "kind" -> "pq_sliced", "subspaces" -> codebook.length.toString,
+      "ksub" -> codebook.head.length.toString, "dim" -> dim.toString))
+  }
+
+  /** Encode `more` with the frozen codebook and commit it as a new
+    * slice — write cost ∝ the batch, never the corpus. Returns the
+    * committed manifest version. */
+  def appendPq(more: DataFrame, dir: String, id: String,
+               vec: String): Long = {
+    val spark = more.sparkSession
+    val loaded = loadPqSlicedMeta(spark, dir)
+    val (fs, root) = graft.streaming.RefIndexSlices.fsOf(spark, dir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val slice = graft.streaming.RefIndexSlices.slicePath(root, uuid)
+    Similarity.pqEncode(more, id, vec, loaded)
+      .select(col(id).as("corpus_id"), col("codes"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(slice, "codes").toString)
+    more.select(col(id).as("corpus_id"), col(vec).as("_cv"))
+      .sort("corpus_id")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(slice, "payload").toString)
+    graft.streaming.RefIndexSlices.commitManifest(fs, root, Seq(uuid),
+      replace = false)
+  }
+
+  def loadPqSliced(spark: SparkSession, dir: String): PqServeIndex = {
+    val meta = RefIndexStore.readMeta(spark, dir, "pq_sliced")
+    val cb = loadPqSlicedMeta(spark, dir)
+    val (fs, root) = graft.streaming.RefIndexSlices.fsOf(spark, dir)
+    val v = graft.streaming.RefIndexSlices.currentVersion(fs, root)
+    require(v > 0, s"no committed slices at $dir")
+    val slices = graft.streaming.RefIndexSlices.readSlices(fs, root, v)
+    def part(u: String, p: String) = spark.read.parquet(new Path(
+      graft.streaming.RefIndexSlices.slicePath(root, u), p).toString)
+    PqServeIndex(meta("subspaces").toInt, meta("ksub").toInt,
+      meta("dim").toInt, cb,
+      slices.map(part(_, "codes")).reduce(_ unionByName _),
+      slices.map(part(_, "payload")).reduce(_ unionByName _))
+  }
+
+  /** The frozen codebook of a sliced pq index (bounded collect, same
+    * validation as [[loadPq]]'s). */
+  private def loadPqSlicedMeta(spark: SparkSession, dir: String)
+      : Seq[Seq[Seq[Long]]] = {
+    val meta = RefIndexStore.readMeta(spark, dir, "pq_sliced")
+    val (subspaces, ksub) = (meta("subspaces").toInt, meta("ksub").toInt)
+    val rows = spark.read.parquet(new Path(dir, "codebook").toString)
+      .select(col("m"), col("code"), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    require(rows.length == subspaces * ksub,
+      s"codebook at $dir has ${rows.length} entries, " +
+        s"expected $subspaces x $ksub")
+    (0 until subspaces).map { m =>
+      rows.filter(_._1 == m).sortBy(_._2).map(_._3.toIndexedSeq).toIndexedSeq
+    }
+  }
+
   // --------------------------------------------------------- IVF-PQ
   /** In-session handle for the persisted IVF-PQ index: integer PQ
     * codebook + the (cluster, cvec) coarse centroids + the

@@ -6872,6 +6872,41 @@ object ExtQ {
     },
     x181._2) // persistence + partition pruning must not move a rank
 
+  /** INCREMENTAL PQ index maintenance ([[graft.ext.AnnStore]]
+    * createPqSliced/appendPq/loadPqSliced): the codebook freezes at
+    * create (standard PQ practice — train once, encode forever) and
+    * each ingest batch is encoded and committed as a slice, so the
+    * nightly write cost is ∝ the batch where savePq re-encodes and
+    * re-writes the whole corpus. Serving unions the slices; the
+    * candidate prune pushes into every slice's sorted payload. Same
+    * oracle as x197/x210: two appends must serve exactly like the
+    * one-shot pipeline. */
+  private val x213: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        subspaces = 8, ksub = 16, dim = 64)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x213_pqslices").getAbsolutePath
+      // appends accumulate by design — reset the store per execution
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.ext.AnnStore.createPqSliced(s, dir, cb, dim = 64)
+      graft.ext.AnnStore.appendPq(
+        emb.filter(pmod($"vec_id", lit(2)) === 0), dir, "vec_id", "embedding")
+      graft.ext.AnnStore.appendPq(
+        emb.filter(pmod($"vec_id", lit(2)) === 1), dir, "vec_id", "embedding")
+      val loaded = graft.ext.AnnStore.loadPqSliced(s, dir)
+      graft.ext.AnnStore.pqServe(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", loaded, k = 10, refine = 4)
+        .select($"query_id", $"rank", $"corpus_id",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    },
+    x197._2) // frozen-codebook appends must not move a single rank
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -7085,5 +7120,6 @@ object ExtQ {
     "x210_persistent_pq_serve" -> (x210._1, Some(x210._2)),
     "x211_sliced_index_probe" -> (x211._1, Some(x211._2)),
     "x212_persistent_ivfpq_serve" -> (x212._1, Some(x212._2)),
+    "x213_pq_append_serve" -> (x213._1, Some(x213._2)),
   )
 }

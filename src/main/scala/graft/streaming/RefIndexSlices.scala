@@ -304,17 +304,17 @@ object RefIndexSlices {
   }
 
   // ------------------------------------------------------- manifest
-  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+  private[graft] def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def slicePath(root: Path, uuid: String): Path =
+  private[graft] def slicePath(root: Path, uuid: String): Path =
     new Path(new Path(root, SlicesDir), uuid)
 
   private def manifestName(v: Long) = f"$v%020d$Ext"
 
-  private def currentVersion(fs: FileSystem, root: Path): Long = {
+  private[graft] def currentVersion(fs: FileSystem, root: Path): Long = {
     val log = new Path(root, LogDir)
     if (!fs.exists(log)) 0L
     else fs.listStatus(log)
@@ -323,7 +323,7 @@ object RefIndexSlices {
       .foldLeft(0L)(math.max)
   }
 
-  private def readSlices(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+  private[graft] def readSlices(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     val in = fs.open(new Path(new Path(root, LogDir), manifestName(v)))
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toVector finally in.close()
@@ -341,7 +341,7 @@ object RefIndexSlices {
     * Hadoop rename-to-existing returns false, so concurrent writers
     * race on the version name and exactly one wins; the loser
     * re-reads the live list and retries (the io.VersionedLake CAS). */
-  private def commitManifest(fs: FileSystem, root: Path,
+  private[graft] def commitManifest(fs: FileSystem, root: Path,
                              addSlices: Seq[String],
                              replace: Boolean): Long = {
     val log = new Path(root, LogDir)

@@ -110,6 +110,43 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(got == inSession && got.nonEmpty)
   }
 
+  test("sliced pq: frozen-codebook appends == one-shot build; serve parity") {
+    val a = (0L until 30L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val b = (30L until 60L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val union = (0L until 60L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    // codebook frozen at create (trained wherever the caller likes —
+    // here the union, matching the one-shot build it must equal)
+    val cb = Similarity.pqCodebook(union, "vec_id", "embedding",
+      subspaces = 4, ksub = 8, dim = 16)
+    val dir = tmp("annstore_sliced")
+    AnnStore.createPqSliced(spark, dir, cb, dim = 16)
+    AnnStore.appendPq(a, dir, "vec_id", "embedding")
+    AnnStore.appendPq(b, dir, "vec_id", "embedding")
+    val loaded = AnnStore.loadPqSliced(spark, dir)
+    assert(loaded.codebook == cb)
+    // encoding is per-row, so slice-wise appends must be bit-identical
+    // to one encode over the union
+    assert(loaded.codes.as[(Long, Seq[Int])].collect().toSet ==
+      Similarity.pqEncode(union, "vec_id", "embedding", cb)
+        .select($"vec_id".as("corpus_id"), $"codes")
+        .as[(Long, Seq[Int])].collect().toSet)
+    // served ranking == the in-session pipeline at the same codebook
+    val queries = (0L until 60L by 11).map(i => (1000L + i, mkVec(i)))
+      .toDF("vec_id", "embedding")
+    def ranking(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"corpus_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val got = ranking(AnnStore.pqServe(queries, "vec_id", "embedding",
+      loaded, k = 5, refine = 3))
+    val want = ranking(Similarity.pqTopKRefined(queries, "vec_id",
+      "embedding", union, "vec_id", "embedding", cb, k = 5, refine = 3))
+    assert(got == want && got.nonEmpty)
+    // creating over an existing index is refused loudly
+    val e = intercept[IllegalArgumentException](
+      AnnStore.createPqSliced(spark, dir, cb, dim = 16))
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("ivfpq index: round-trip; served == in-session; partition pruning engages") {
     // 400 rows over 7 distinct embeddings (mkVec period 7) and 8
     // coarse centroids: every cluster holds ~n/7 rows, so a 2-probe
