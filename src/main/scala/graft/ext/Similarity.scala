@@ -456,10 +456,15 @@ object Similarity {
     // map-combined aggregate), not an arbitrary first row: a single
     // short vector anywhere makes the over-length dims alias for THAT
     // row, and a null/atypical first row must not decide the guard.
-    // min() skips null vectors; a null result (empty or all-null
-    // corpus) skips the guard — the audit then reports its zero
+    // size(NULL) is -1 under non-ANSI semantics, so aggregate over
+    // non-null vectors ONLY — otherwise one null vector drives the
+    // min to -1 and the guard rejects every dim with a nonsense
+    // "minimum dimension -1". A null aggregate (empty corpus, or all
+    // vectors null) skips the guard — the audit then reports its zero
     // overlaps honestly rather than NPEing here
-    val minDimRow = corpus.agg(min(size(col(cVec))).as("_d")).collect().head
+    val minDimRow = corpus
+      .agg(min(when(col(cVec).isNotNull, size(col(cVec)))).as("_d"))
+      .collect().head
     if (!minDimRow.isNullAt(0)) {
       val fullDim = minDimRow.getInt(0)
       require(dims.forall(_ <= fullDim),
@@ -1176,21 +1181,31 @@ object Similarity {
     * inFilterThreshold push down as an eq or-chain (row-group AND
     * dictionary pruning); past it Spark degrades the predicate to a
     * [min, max] range — still row-group-prunable on the sorted
-    * layout. */
+    * layout. Above 65536 distinct candidates the literal In itself
+    * becomes the hazard (a driver-built expression with millions of
+    * Literal nodes), so the scan predicate switches to the explicit
+    * [min, max] range + a broadcast semi-join — same pruning, bounded
+    * expression. */
   def pqTopKRefinedFromCodes(queries: DataFrame, qId: String, qVec: String,
                              codes: DataFrame, payload: DataFrame,
                              codebook: Seq[Seq[Seq[Long]]], k: Int,
                              refine: Int = 4): DataFrame = {
     require(k >= 1 && refine >= 1, "k and refine must be positive")
     val spark = queries.sparkSession
+    // enforce the candidate bound BEFORE the collect it exists to
+    // gate: the panel row count is one cheap count job, and
+    // panel · k · refine upper-bounds the ADC stage's output (the
+    // per-query heap emits at most k·refine rows), so an oversized
+    // panel fails here without ever materializing its candidates
+    val nPanel = queries.count()
+    require(nPanel * k * refine <= (4L << 20),
+      s"refine stage would hold up to ${nPanel * k * refine} candidate " +
+        "rows (|panel|·k·refine) — serve panels are bounded by " +
+        "contract; split the query panel")
     val candDf = pqTopKFromCodes(queries, qId, qVec, codes, codebook,
         k * refine)
       .select(col("query_id"), col("corpus_id"))
     val candRows = candDf.collect()
-    require(candRows.length <= (4 << 20),
-      s"refine stage holds ${candRows.length} candidate rows " +
-        "(k·refine·|panel|) — serve panels are bounded by contract; " +
-        "split the query panel")
     if (candRows.isEmpty) {
       // empty panel: nothing to refine — an empty frame with the
       // contract schema, so downstream unions/selects still work
@@ -1208,7 +1223,25 @@ object Similarity {
     val cand = spark.createDataFrame(
       java.util.Arrays.asList(candRows: _*), candDf.schema)
     val candIds = candRows.map(_.get(1)).distinct.toSeq
-    val pruned = payload.filter(col("corpus_id").isin(candIds: _*))
+    // small candidate sets push down as an In predicate (eq or-chain
+    // under the session's raised parquet inFilterThreshold, InSet in
+    // the filter) — the spec-asserted row-group + dictionary prune.
+    // Past this bound a literal In is a driver-side expression-build
+    // hazard (millions of Literal nodes before InSet conversion), so
+    // push only the candidate id RANGE into the scan — row-group
+    // prunable on the corpus_id-sorted payload all the same — and
+    // make it exact with a broadcast semi-join on the tiny id frame
+    val pruned =
+      if (candIds.length <= 65536)
+        payload.filter(col("corpus_id").isin(candIds: _*))
+      else {
+        val b = cand.agg(min(col("corpus_id")).as("lo"),
+          max(col("corpus_id")).as("hi")).collect().head
+        payload
+          .filter(col("corpus_id").between(lit(b.get(0)), lit(b.get(1))))
+          .join(broadcast(cand.select("corpus_id").distinct()),
+            Seq("corpus_id"), "left_semi")
+      }
     val qv = broadcast(queries.select(col(qId).as("query_id"),
       col(qVec).as("_qv")))
     broadcast(cand).join(qv, Seq("query_id"))
@@ -1342,12 +1375,15 @@ object Similarity {
       s"IVF routing holds ${rows.length} probe rows (nProbe·|panel|) — " +
         "serve panels are bounded by contract; split the query panel")
     if (rows.isEmpty) {
+      // corpus_id inherits the codes frame's _cid type (as the
+      // non-empty branch does via ivfAdcTopK) — hardcoding Long here
+      // would diverge the two branches' schemas for a non-Long corpus
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
         probesDf.schema("query_id"),
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("corpus_id",
-          org.apache.spark.sql.types.LongType),
+          codes.schema("_cid").dataType),
         org.apache.spark.sql.types.StructField("adc_d2",
           org.apache.spark.sql.types.LongType)))
       return spark.createDataFrame(

@@ -115,14 +115,18 @@ object RefIndexStore {
     * `dir`. Returns true when a restore happened.
     *
     * Run before maintenance, not concurrently with a writer (same
-    * discipline as [[graft.io.Lake.recover]]) — and the
-    * no-concurrent-writer rule is now ENFORCED, not just documented:
+    * discipline as [[graft.io.Lake.recover]]). The no-concurrent-
+    * writer rule is backed by a LIVENESS HEURISTIC, not a lock:
     * recover REFUSES (IllegalStateException) when a staging sibling
-    * younger than `inFlightGraceMs` exists, because deleting a live
-    * writer's staging dir would corrupt its in-flight save. A crashed
-    * save's staging dir ages past the grace and is then swept
-    * normally; pass a smaller grace only when the writer is known
-    * dead. */
+    * shows write activity (its newest recursive content modification
+    * time) within `inFlightGraceMs`, because deleting a live writer's
+    * staging dir would corrupt its in-flight save. Keying liveness on
+    * content mtime rather than the staging dir's publish-name
+    * timestamp means a long-running save stays protected for as long
+    * as it keeps writing files — but a save that can stall LONGER
+    * than the grace between file closes (realistic for very large
+    * single-file writes) needs a LARGER grace passed here; pass a
+    * smaller one only when the writer is known dead. */
   def recover(spark: SparkSession, dir: String,
               inFlightGraceMs: Long = 15 * 60 * 1000L): Boolean = {
     val target = new Path(dir)
@@ -132,22 +136,36 @@ object RefIndexStore {
     val siblings = hfs.listStatus(parent)
       .filter(_.getPath.getName.startsWith(s".${target.getName}.refidx_"))
     // publish time: millis embedded in the sibling suffix at publish
-    // time; names from before the timestamp scheme fall back to the
-    // dir's modification time
+    // time. Trust the token only when it is exactly the 13 digits an
+    // epoch-millis stamp has (2001–2286): a legacy pre-timestamp name
+    // whose first UUID segment happens to be all digits would
+    // otherwise parse as a bogus epoch and mis-order the snapshots.
+    // Anything else falls back to the dir's modification time.
     def publishTs(s: org.apache.hadoop.fs.FileStatus): Long = {
       val name = s.getPath.getName
       val marker = name.indexOf("refidx_")
       val tok = name.substring(marker).split('-').drop(1).headOption
-      tok.filter(t => t.nonEmpty && t.forall(_.isDigit)).map(_.toLong)
+      tok.filter(t => t.length == 13 && t.forall(_.isDigit)).map(_.toLong)
         .getOrElse(s.getModificationTime)
+    }
+    // liveness = newest modification time anywhere under the staging
+    // dir: a healthy long save keeps closing files, so its activity
+    // stays fresh however old its publish-name stamp grows — the
+    // name timestamp only says when the save STARTED
+    def newestMtime(p: Path): Long = {
+      val st = hfs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else hfs.listStatus(p).foldLeft(st.getModificationTime) {
+        (acc, c) => math.max(acc, newestMtime(c.getPath))
+      }
     }
     val now = System.currentTimeMillis()
     val inFlight = siblings
       .filter(_.getPath.getName.contains(".refidx_tmp-"))
-      .filter(s => now - publishTs(s) < inFlightGraceMs)
+      .filter(s => now - newestMtime(s.getPath) < inFlightGraceMs)
     if (inFlight.nonEmpty) throw new IllegalStateException(
       s"recover($dir): a save appears to be IN FLIGHT (staging " +
-        s"${inFlight.map(_.getPath.getName).mkString(", ")} younger than " +
+        s"${inFlight.map(_.getPath.getName).mkString(", ")} wrote within " +
         s"$inFlightGraceMs ms) — recover must not run concurrently with " +
         "a writer; retry after the save finishes, or pass a smaller " +
         "grace when the writer is known dead")

@@ -175,15 +175,16 @@ class RefIndexStoreSpec extends AnyFunSuite {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // two crashed-save trash siblings, both complete, publish millis
-    // embedded in the name: the OLDER one holds 10 rows, the NEWER 20
+    // embedded in the name (13-digit epoch tokens — the width the
+    // parser trusts): the OLDER one holds 10 rows, the NEWER 20
     RefIndexStore.saveSemantic(mk(100L until 110L), dir, buckets = 4)
     assert(fs.rename(p,
       new org.apache.hadoop.fs.Path(p.getParent,
-        s".${p.getName}.refidx_trash-1000-old")))
+        f".${p.getName}.refidx_trash-${1000L}%013d-old")))
     RefIndexStore.saveSemantic(mk(100L until 120L), dir, buckets = 4)
     assert(fs.rename(p,
       new org.apache.hadoop.fs.Path(p.getParent,
-        s".${p.getName}.refidx_trash-2000-new")))
+        f".${p.getName}.refidx_trash-${2000L}%013d-new")))
     assert(RefIndexStore.recover(spark, dir))
     // a stale snapshot must never shadow the most recent complete one
     assert(RefIndexStore.loadSemantic(spark, dir).payload.count() == 20)
@@ -198,5 +199,28 @@ class RefIndexStoreSpec extends AnyFunSuite {
     // with the grace overridden (writer known dead) the sweep proceeds
     assert(!RefIndexStore.recover(spark, dir, inFlightGraceMs = 0))
     assert(!fs.exists(live))
+  }
+
+  test("recover liveness keys on staging CONTENT mtime, not the name stamp") {
+    // a healthy save that has been running longer than the grace:
+    // its staging NAME timestamp is ancient, but it is still closing
+    // files — recover must key liveness on the newest content mtime
+    // and refuse, not treat the old name stamp as a death certificate
+    val dir = tmp("refidx_slowsave")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val slow = new org.apache.hadoop.fs.Path(p.getParent,
+      f".${p.getName}.refidx_tmp-${1000L}%013d-slowwriter")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(slow, "band_rows"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(slow, "band_rows"), "part-0.parquet"))
+    out.writeBytes("fresh"); out.close() // freshly-written content
+    val e = intercept[IllegalStateException](RefIndexStore.recover(spark, dir))
+    assert(e.getMessage.contains("IN FLIGHT"))
+    assert(fs.exists(slow), "refusal must leave the slow save intact")
+    // once the content itself ages past the grace it is a dead save
+    assert(!RefIndexStore.recover(spark, dir, inFlightGraceMs = 0))
+    assert(!fs.exists(slow))
   }
 }
