@@ -101,20 +101,26 @@ object AnnStore {
   def loadPq(spark: SparkSession, dir: String): PqServeIndex = {
     val meta = RefIndexStore.readMeta(spark, dir, "pq")
     val (subspaces, ksub) = (meta("subspaces").toInt, meta("ksub").toInt)
-    // the codebook is subspaces·ksub rows by construction — the same
-    // bounded-collect class as its training
+    PqServeIndex(subspaces, ksub, meta("dim").toInt,
+      readCodebookAt(spark, dir, subspaces, ksub),
+      spark.read.parquet(new Path(dir, "codes").toString),
+      spark.read.parquet(new Path(dir, "payload").toString))
+  }
+
+  /** The persisted integer codebook — subspaces·ksub rows by
+    * construction, the same bounded-collect class as its training. */
+  private def readCodebookAt(spark: SparkSession, dir: String,
+                             subspaces: Int, ksub: Int)
+      : Seq[Seq[Seq[Long]]] = {
     val rows = spark.read.parquet(new Path(dir, "codebook").toString)
       .select(col("m"), col("code"), col("cvec"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
     require(rows.length == subspaces * ksub,
       s"codebook at $dir has ${rows.length} entries, " +
         s"expected $subspaces x $ksub")
-    val cb = (0 until subspaces).map { m =>
+    (0 until subspaces).map { m =>
       rows.filter(_._1 == m).sortBy(_._2).map(_._3.toIndexedSeq).toIndexedSeq
     }
-    PqServeIndex(subspaces, ksub, meta("dim").toInt, cb,
-      spark.read.parquet(new Path(dir, "codes").toString),
-      spark.read.parquet(new Path(dir, "payload").toString))
   }
 
   /** Serve: ADC top-k (+ exact refine) from the persisted frames —
@@ -214,15 +220,35 @@ object AnnStore {
   private def loadPqSlicedMeta(spark: SparkSession, dir: String)
       : Seq[Seq[Seq[Long]]] = {
     val meta = RefIndexStore.readMeta(spark, dir, "pq_sliced")
-    val (subspaces, ksub) = (meta("subspaces").toInt, meta("ksub").toInt)
-    val rows = spark.read.parquet(new Path(dir, "codebook").toString)
-      .select(col("m"), col("code"), col("cvec"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-    require(rows.length == subspaces * ksub,
-      s"codebook at $dir has ${rows.length} entries, " +
-        s"expected $subspaces x $ksub")
-    (0 until subspaces).map { m =>
-      rows.filter(_._1 == m).sortBy(_._2).map(_._3.toIndexedSeq).toIndexedSeq
+    readCodebookAt(spark, dir, meta("subspaces").toInt, meta("ksub").toInt)
+  }
+
+  /** Collapse a sliced PQ index's committed slices into one (codes
+    * unioned; payload unioned and GLOBALLY RE-SORTED on corpus_id so
+    * the serving candidate prune keeps its row-group stats over the
+    * single slice), CAS-commit the replace manifest, sweep replaced
+    * slices + aged orphans — [[graft.streaming.RefIndexSlices.compact]]'s
+    * skeleton and discipline, applied to the pq slice shape. Without
+    * this, nightly appends grow the serving plan one scan+union
+    * branch per slice forever and crashed appends leak orphan dirs.
+    * Changes no served rank (spec-gated): the union of slices IS the
+    * index; compaction only re-lays it out. */
+  def compactPq(spark: SparkSession, dir: String,
+                graceMs: Long = graft.streaming.RefIndexSlices.DefaultGraceMs)
+      : Long = {
+    RefIndexStore.readMeta(spark, dir, "pq_sliced") // kind guard
+    graft.streaming.RefIndexSlices.compactCore(spark, dir, graceMs) {
+      (slices, slice) =>
+        def part(u: String, p: String) = spark.read.parquet(new Path(
+          graft.streaming.RefIndexSlices.slicePath(new Path(dir), u),
+          p).toString)
+        slices.map(part(_, "codes")).reduce(_ unionByName _)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(new Path(slice, "codes").toString)
+        slices.map(part(_, "payload")).reduce(_ unionByName _)
+          .sort("corpus_id")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(new Path(slice, "payload").toString)
     }
   }
 
@@ -281,23 +307,138 @@ object AnnStore {
   def loadIvfPq(spark: SparkSession, dir: String): IvfPqServeIndex = {
     val meta = RefIndexStore.readMeta(spark, dir, "ivfpq")
     val (subspaces, ksub) = (meta("subspaces").toInt, meta("ksub").toInt)
-    val rows = spark.read.parquet(new Path(dir, "codebook").toString)
-      .select(col("m"), col("code"), col("cvec"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-    require(rows.length == subspaces * ksub,
-      s"codebook at $dir has ${rows.length} entries, " +
-        s"expected $subspaces x $ksub")
-    val cb = (0 until subspaces).map { m =>
-      rows.filter(_._1 == m).sortBy(_._2).map(_._3.toIndexedSeq).toIndexedSeq
-    }
     // the partition column comes back type-inferred — leave it as
     // read: the serving filter emits Int literals against it (no cast
     // on the attribute, so directory pruning engages) and the probes
     // join promotes types without touching the scan predicate
     IvfPqServeIndex(subspaces, ksub, meta("dim").toInt,
-      meta("nCentroids").toInt, cb,
+      meta("nCentroids").toInt,
+      readCodebookAt(spark, dir, subspaces, ksub),
       spark.read.parquet(new Path(dir, "centroids").toString),
       spark.read.parquet(new Path(dir, "codes").toString))
+  }
+
+  // ------------------------------------------------- sliced IVF-PQ
+  /** Initialize a SLICED IVF-PQ index at `dir` with FROZEN coarse
+    * centroids AND a frozen PQ codebook — the incremental counterpart
+    * of [[saveIvfPq]], which re-trains, re-assigns, re-encodes and
+    * re-writes the whole corpus per refresh. Cluster assignment and
+    * PQ encoding are both per-row functions of the frozen artifacts
+    * (the same argument that made [[appendPq]] bit-exact), so newly
+    * ingested vectors can be assigned + encoded and APPENDED without
+    * touching history — nightly cost ∝ the batch. Re-training either
+    * artifact (centroid drift, codebook retune — watched by the
+    * recall-audit discipline) is a full rebuild, as everywhere in
+    * standard IVF/PQ practice.
+    *
+    * Layout: `codebook/`, `centroids/`, `meta/` written once at
+    * create; `_slog/` rename-CAS manifests; one
+    * `slices/<uuid>/codes/cluster=*` dir per appended batch — codes
+    * stay PARTITIONED BY cluster inside every slice, so the serving
+    * probed-cluster predicate prunes directories per slice and a
+    * served batch still reads ~nProbe/nCentroids of the code bytes.
+    * [[loadIvfPqSliced]] returns the same [[IvfPqServeIndex]] handle
+    * as [[loadIvfPq]] (codes as the union over committed slices), so
+    * [[ivfPqServe]] works unchanged. `cents` is (cluster, cvec) —
+    * nCentroids rows, driver-bounded like the codebook (take them
+    * from [[buildIvfPq]] over the seed corpus, or any prior index's
+    * `cents`). */
+  def createIvfPqSliced(spark: SparkSession, dir: String,
+                        codebook: Seq[Seq[Seq[Long]]], cents: DataFrame,
+                        dim: Int): Unit = {
+    import spark.implicits._
+    val (fs, root) = graft.streaming.RefIndexSlices.fsOf(spark, dir)
+    require(!fs.exists(new Path(root, "meta")),
+      s"sliced ivfpq index already exists at $dir")
+    fs.mkdirs(root)
+    codebook.zipWithIndex.flatMap { case (entries, m) =>
+      entries.zipWithIndex.map { case (cvec, c) => (m, c, cvec) }
+    }.toDF("m", "code", "cvec")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(root, "codebook").toString)
+    val nCentroids = cents.count()
+    cents.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(root, "centroids").toString)
+    RefIndexStore.writeMeta(spark, root, Map(
+      "kind" -> "ivfpq_sliced", "subspaces" -> codebook.length.toString,
+      "ksub" -> codebook.head.length.toString, "dim" -> dim.toString,
+      "nCentroids" -> nCentroids.toString))
+  }
+
+  /** Assign `more` to the frozen centroids, encode it with the frozen
+    * codebook, and commit it as a new cluster-partitioned code slice
+    * — write cost ∝ the batch, never the corpus. Returns the
+    * committed manifest version. */
+  def appendIvfPq(more: DataFrame, dir: String, id: String,
+                  vec: String): Long = {
+    val spark = more.sparkSession
+    val meta = RefIndexStore.readMeta(spark, dir, "ivfpq_sliced")
+    val cb = readCodebookAt(spark, dir,
+      meta("subspaces").toInt, meta("ksub").toInt)
+    val cents = spark.read.parquet(new Path(dir, "centroids").toString)
+    val (fs, root) = graft.streaming.RefIndexSlices.fsOf(spark, dir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val slice = graft.streaming.RefIndexSlices.slicePath(root, uuid)
+    val cq = more.select(col(id).as("vid"),
+        Similarity.int8Quantize(col(vec)).getField("q").as("q8"))
+      .localCheckpoint()
+    Similarity.ivfPqEncodeAssigned(cq, cents, cb)
+      .write.mode(SaveMode.Overwrite).partitionBy("cluster")
+      .parquet(new Path(slice, "codes").toString)
+    graft.streaming.RefIndexSlices.commitManifest(fs, root, Seq(uuid),
+      replace = false)
+  }
+
+  def loadIvfPqSliced(spark: SparkSession, dir: String): IvfPqServeIndex = {
+    val meta = RefIndexStore.readMeta(spark, dir, "ivfpq_sliced")
+    val (subspaces, ksub) = (meta("subspaces").toInt, meta("ksub").toInt)
+    val (fs, root) = graft.streaming.RefIndexSlices.fsOf(spark, dir)
+    val v = graft.streaming.RefIndexSlices.currentVersion(fs, root)
+    require(v > 0, s"no committed slices at $dir")
+    val slices = graft.streaming.RefIndexSlices.readSlices(fs, root, v)
+    IvfPqServeIndex(subspaces, ksub, meta("dim").toInt,
+      meta("nCentroids").toInt,
+      readCodebookAt(spark, dir, subspaces, ksub),
+      spark.read.parquet(new Path(dir, "centroids").toString),
+      slices.map(u => spark.read.parquet(new Path(
+          graft.streaming.RefIndexSlices.slicePath(root, u),
+          "codes").toString))
+        .reduce(_ unionByName _))
+  }
+
+  /** [[compactPq]] for the ivfpq slice shape: union every slice's
+    * codes into ONE slice, re-written PARTITIONED BY cluster (the
+    * directory-prune layout preserved across compaction), CAS-commit
+    * + graced sweep via the shared skeleton. Changes no served rank
+    * (spec-gated). */
+  def compactIvfPq(spark: SparkSession, dir: String,
+                   graceMs: Long = graft.streaming.RefIndexSlices.DefaultGraceMs)
+      : Long = {
+    RefIndexStore.readMeta(spark, dir, "ivfpq_sliced") // kind guard
+    graft.streaming.RefIndexSlices.compactCore(spark, dir, graceMs) {
+      (slices, slice) =>
+        slices.map(u => spark.read.parquet(new Path(
+            graft.streaming.RefIndexSlices.slicePath(new Path(dir), u),
+            "codes").toString))
+          .reduce(_ unionByName _)
+          .write.mode(SaveMode.Overwrite).partitionBy("cluster")
+          .parquet(new Path(slice, "codes").toString)
+    }
+  }
+
+  /** Kind-dispatching compaction for the sliced ANN stores — the CLI
+    * `index_compact` entry point when the dir holds a pq/ivfpq index. */
+  def compactAnn(spark: SparkSession, dir: String,
+                 graceMs: Long = graft.streaming.RefIndexSlices.DefaultGraceMs)
+      : Long = {
+    val meta = spark.read.parquet(new Path(dir, "meta").toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    meta.getOrElse("kind", "?") match {
+      case "pq_sliced" => compactPq(spark, dir, graceMs)
+      case "ivfpq_sliced" => compactIvfPq(spark, dir, graceMs)
+      case other => throw new IllegalArgumentException(
+        s"index at $dir is kind=$other, not a sliced ANN index")
+    }
   }
 
   /** Serve ADC top-k from the persisted IVF-PQ index —

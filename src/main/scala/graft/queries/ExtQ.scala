@@ -6907,6 +6907,76 @@ object ExtQ {
     },
     x197._2) // frozen-codebook appends must not move a single rank
 
+  /** INCREMENTAL IVF-PQ maintenance ([[graft.ext.AnnStore]]
+    * createIvfPqSliced/appendIvfPq/loadIvfPqSliced): the production
+    * serving layout (x212's cluster-partitioned codes) finally gets
+    * the append path x213 gave flat PQ — coarse centroids AND the PQ
+    * codebook freeze at create, each ingest batch is assigned +
+    * encoded (both per-row functions of the frozen artifacts) and
+    * committed as a cluster-partitioned code slice, so the nightly
+    * refresh costs ∝ batch where saveIvfPq re-trains + re-encodes +
+    * re-writes the corpus. Serving unions the slices; the probed-
+    * cluster predicate prunes directories inside every slice. Same
+    * oracle as x181/x212: two appends must serve exactly like the
+    * one-shot build. */
+  private val x214: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val built = graft.ext.AnnStore.buildIvfPq(emb, "vec_id", "embedding",
+        subspaces = 8, ksub = 16, dim = 64, nCentroids = 16, rounds = 2)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x214_ivfpqslices").getAbsolutePath
+      // appends accumulate by design — reset the store per execution
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.ext.AnnStore.createIvfPqSliced(s, dir, built.codebook,
+        built.cents, dim = 64)
+      graft.ext.AnnStore.appendIvfPq(
+        emb.filter(pmod($"vec_id", lit(2)) === 0), dir, "vec_id", "embedding")
+      graft.ext.AnnStore.appendIvfPq(
+        emb.filter(pmod($"vec_id", lit(2)) === 1), dir, "vec_id", "embedding")
+      val loaded = graft.ext.AnnStore.loadIvfPqSliced(s, dir)
+      graft.ext.AnnStore.ivfPqServe(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", loaded, k = 10, nProbe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+    x181._2) // frozen-artifact appends must not move a single rank
+
+  /** Sliced-PQ COMPACTION ([[graft.ext.AnnStore.compactPq]]): two
+    * appended slices collapsed into one (codes unioned, payload
+    * globally re-sorted on corpus_id so the serving candidate prune
+    * keeps its row-group stats), CAS replace-manifest + graced sweep,
+    * then served. Same oracle as x197/x210/x213: compaction re-lays
+    * out the index, it must not move a single rank. */
+  private val x215: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        subspaces = 8, ksub = 16, dim = 64)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x215_pqcompact").getAbsolutePath
+      // appends accumulate by design — reset the store per execution
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.ext.AnnStore.createPqSliced(s, dir, cb, dim = 64)
+      graft.ext.AnnStore.appendPq(
+        emb.filter(pmod($"vec_id", lit(2)) === 0), dir, "vec_id", "embedding")
+      graft.ext.AnnStore.appendPq(
+        emb.filter(pmod($"vec_id", lit(2)) === 1), dir, "vec_id", "embedding")
+      graft.ext.AnnStore.compactPq(s, dir)
+      val loaded = graft.ext.AnnStore.loadPqSliced(s, dir)
+      graft.ext.AnnStore.pqServe(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", loaded, k = 10, refine = 4)
+        .select($"query_id", $"rank", $"corpus_id",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    },
+    x197._2) // compaction must not move a single rank
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -7121,5 +7191,7 @@ object ExtQ {
     "x211_sliced_index_probe" -> (x211._1, Some(x211._2)),
     "x212_persistent_ivfpq_serve" -> (x212._1, Some(x212._2)),
     "x213_pq_append_serve" -> (x213._1, Some(x213._2)),
+    "x214_ivfpq_append_serve" -> (x214._1, Some(x214._2)),
+    "x215_pq_compact_serve" -> (x215._1, Some(x215._2)),
   )
 }

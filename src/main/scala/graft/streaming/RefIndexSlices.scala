@@ -181,41 +181,87 @@ object RefIndexSlices {
   /** Collapse every committed slice into ONE (family-agnostic: band
     * rows unioned, censuses summed, payloads unioned — no banding
     * re-run), commit a manifest referencing only it, and sweep the
-    * now-unreferenced slice dirs (including crash orphans). The full
-    * rewrite happens HERE, on compaction cadence, not per append.
-    * Returns the committed version. Maintenance op: not concurrent
-    * with appends (a racing append could commit between the compact
-    * commit and be lost from the replacement list — run it in the
-    * maintenance window, like [[graft.io.Lake.compact]]). */
-  def compact(spark: SparkSession, dir: String): Long = {
+    * now-unreferenced slice dirs (including aged crash orphans). The
+    * full rewrite happens HERE, on compaction cadence, not per append.
+    * Returns the committed version.
+    *
+    * Concurrency discipline (the [[RefIndexStore.recover]] twin):
+    * the replace-manifest commit is a strict CAS on the version read
+    * at compact start — if a concurrent append commits in between,
+    * compact REFUSES (IllegalStateException, half-built slice cleaned
+    * up) instead of retrying with a stale list, so an appended slice
+    * can never silently drop out of the live set OR lose its data to
+    * the sweep. The sweep itself deletes (a) the slices this compact
+    * provably replaced and (b) unreferenced orphan dirs with no write
+    * activity within `graceMs` — a concurrent append that has written
+    * its slice but not yet committed looks like a FRESH orphan and is
+    * left alone (its commit is a replace=false CAS that simply lands
+    * on the compacted manifest). Pass a larger grace when appends can
+    * stall longer than the default between file closes. */
+  def compact(spark: SparkSession, dir: String,
+              graceMs: Long = DefaultGraceMs): Long =
+    compactCore(spark, dir, graceMs) { (slices, slice) =>
+      def part(u: String, p: String) =
+        spark.read.parquet(new Path(slicePath(new Path(dir), u), p).toString)
+      slices.map(part(_, "band_rows")).reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new Path(slice, "band_rows").toString)
+      slices.map(part(_, "census")).reduce(_ unionByName _)
+        .groupBy("band", "bucket").agg(sum(col("cnt")).as("cnt"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new Path(slice, "census").toString)
+      slices.map(part(_, "payload")).reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new Path(slice, "payload").toString)
+    }
+
+  private[graft] val DefaultGraceMs: Long = 15 * 60 * 1000L
+
+  /** Shared compaction skeleton (this store's three families and
+    * [[graft.ext.AnnStore]]'s pq/ivfpq slice stores): read the live
+    * slice list at version v, let `write` build the single compacted
+    * slice dir from it, CAS-commit a replace manifest at exactly
+    * v + 1, then sweep replaced slices and AGED orphans. A lost CAS
+    * (concurrent append) cleans up the compacted dir and rethrows. */
+  private[graft] def compactCore(spark: SparkSession, dir: String,
+                                 graceMs: Long)
+                                (write: (Seq[String], Path) => Unit): Long = {
     val (fs, root) = fsOf(spark, dir)
     val v = currentVersion(fs, root)
     require(v > 0, s"no committed slices at $dir")
     val slices = readSlices(fs, root, v)
     val uuid = java.util.UUID.randomUUID().toString
-    val slice = new Path(new Path(root, SlicesDir), uuid)
-    def part(u: String, p: String) =
-      spark.read.parquet(new Path(slicePath(root, u), p).toString)
-    slices.map(part(_, "band_rows")).reduce(_ unionByName _)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(new Path(slice, "band_rows").toString)
-    slices.map(part(_, "census")).reduce(_ unionByName _)
-      .groupBy("band", "bucket").agg(sum(col("cnt")).as("cnt"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(new Path(slice, "census").toString)
-    slices.map(part(_, "payload")).reduce(_ unionByName _)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(new Path(slice, "payload").toString)
-    val committed = commitManifest(fs, root, Seq(uuid), replace = true)
-    // sweep every slice dir the new manifest does not reference —
-    // replaced slices and unreferenced crash orphans alike
-    val live = readSlices(fs, root, committed).toSet
+    val slice = slicePath(root, uuid)
+    write(slices, slice)
+    val committed =
+      try commitManifest(fs, root, Seq(uuid), replace = true,
+        expectedVersion = Some(v))
+      catch { case e: IllegalStateException =>
+        fs.delete(slice, true) // the half-built compacted slice
+        throw e
+      }
+    val replaced = slices.toSet
     val slicesRoot = new Path(root, SlicesDir)
+    val now = System.currentTimeMillis()
     if (fs.exists(slicesRoot))
       fs.listStatus(slicesRoot).map(_.getPath)
-        .filterNot(p => live.contains(p.getName))
+        .filter(p => p.getName != uuid &&
+          (replaced.contains(p.getName) ||
+            now - newestMtime(fs, p) >= graceMs))
         .foreach(p => fs.delete(p, true))
     committed
+  }
+
+  /** Newest modification time anywhere under `p` — the same liveness
+    * signal [[RefIndexStore.recover]] keys its in-flight grace on: an
+    * active writer keeps closing files, so its newest content mtime
+    * stays fresh however long the job has been running. */
+  private[graft] def newestMtime(fs: FileSystem, p: Path): Long = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) st.getModificationTime
+    else fs.listStatus(p).foldLeft(st.getModificationTime) {
+      (acc, c) => math.max(acc, newestMtime(fs, c.getPath))
+    }
   }
 
   /** Committed slice count (0 for an absent/empty index) — the
@@ -340,16 +386,31 @@ object RefIndexSlices {
   /** Commit the next manifest version via write-to-temp + rename:
     * Hadoop rename-to-existing returns false, so concurrent writers
     * race on the version name and exactly one wins; the loser
-    * re-reads the live list and retries (the io.VersionedLake CAS). */
+    * re-reads the live list and retries (the io.VersionedLake CAS).
+    *
+    * `expectedVersion` makes the commit a STRICT CAS for replace-mode
+    * writers (compaction): the manifest must still be at that version
+    * when the commit lands, else IllegalStateException — a replace
+    * retry against a moved manifest would silently discard whatever
+    * the concurrent writer committed (the data-loss race the r11
+    * verdict flagged). Append-mode writers re-read and retry safely,
+    * so they leave it unset. */
   private[graft] def commitManifest(fs: FileSystem, root: Path,
                              addSlices: Seq[String],
-                             replace: Boolean): Long = {
+                             replace: Boolean,
+                             expectedVersion: Option[Long] = None): Long = {
     val log = new Path(root, LogDir)
     fs.mkdirs(log)
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
       val v = currentVersion(fs, root)
+      expectedVersion.filter(_ != v).foreach { ev =>
+        throw new IllegalStateException(
+          s"manifest at $root moved ($ev -> $v) under a replace " +
+            "commit — a concurrent append won the race; re-run " +
+            "compaction over the new slice list")
+      }
       val prev =
         if (replace || v == 0) Seq.empty else readSlices(fs, root, v)
       val next = prev ++ addSlices

@@ -196,7 +196,8 @@ class PlanSpec extends AnyFunSuite {
       "x205_truncation_recall",  // exact baseline: panel broadcast over the corpus scan + 1-row panel count crossed
       "x207_containment_from_store", // x200's ≤groups-row a<b theta join, sizes from the maintained store
       "x210_persistent_pq_serve",  // x197 served from the persisted index: candidates pushed into the sorted payload scan
-      "x213_pq_append_serve")    // x210's served shape over frozen-codebook slices (same local-candidate refine plan)
+      "x213_pq_append_serve",    // x210's served shape over frozen-codebook slices (same local-candidate refine plan)
+      "x215_pq_compact_serve")   // x213's served shape after compaction (same local-candidate refine plan, one slice)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -270,7 +271,8 @@ class PlanSpec extends AnyFunSuite {
       "x197_pq_refine_topk",       // refine: ≤6-row panel broadcast; ADC candidates collected + pushed into the payload scan
       "x205_truncation_recall",    // audit: ≤6-row query set broadcast (vec_id % 97), full + sliced
       "x210_persistent_pq_serve",  // x197 served from disk: panel broadcast + candidate-pruned payload scan
-      "x213_pq_append_serve")    // x210's panel broadcast, served from appended slices
+      "x213_pq_append_serve",    // x210's panel broadcast, served from appended slices
+      "x215_pq_compact_serve")   // x210's panel broadcast, served from the compacted slice
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

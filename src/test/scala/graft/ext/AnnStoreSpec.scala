@@ -195,6 +195,104 @@ class AnnStoreSpec extends AnyFunSuite {
       s"codes scan read $rows of $n rows — cluster partition pruning did not engage")
   }
 
+  test("sliced ivfpq: frozen centroids+codebook appends == one-shot build; compact keeps ranks and pruning") {
+    val n = 400L
+    val union = (0L until n).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .repartition(8)
+    val a = union.filter($"vec_id" < 200L)
+    val b = union.filter($"vec_id" >= 200L)
+    // centroids + codebook frozen at create — trained here on the
+    // union so the one-shot build is the exact oracle (production
+    // trains on the seed corpus under the retune-audit discipline)
+    val idx = AnnStore.buildIvfPq(union, "vec_id", "embedding",
+      subspaces = 4, ksub = 8, dim = 16, nCentroids = 8, rounds = 2)
+    val dir = tmp("annstore_ivfpq_sliced")
+    AnnStore.createIvfPqSliced(spark, dir, idx.codebook, idx.cents, dim = 16)
+    AnnStore.appendIvfPq(a, dir, "vec_id", "embedding")
+    AnnStore.appendIvfPq(b, dir, "vec_id", "embedding")
+    val loaded = AnnStore.loadIvfPqSliced(spark, dir)
+    assert(loaded.codebook == idx.codebook)
+    // assignment + encoding are per-row for frozen artifacts, so
+    // slice-wise appends must be bit-identical to the one-shot build
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cluster".cast("long"), $"_cid", $"codes")
+        .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(codeSet(loaded.codes) == codeSet(idx.codes))
+    val queries = Seq((9001L, mkVec(3)), (9002L, mkVec(5)))
+      .toDF("vec_id", "embedding")
+    def ranking(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"corpus_id", $"adc_d2")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val want = ranking(Similarity.ivfPqTopK(queries, "vec_id", "embedding",
+      union, "vec_id", "embedding", idx.codebook, k = 5,
+      nCentroids = 8, nProbe = 2, rounds = 2))
+    assert(ranking(AnnStore.ivfPqServe(queries, "vec_id", "embedding",
+      loaded, k = 5, nProbe = 2)) == want && want.nonEmpty)
+    // compaction: one slice, not a rank moved, pruning layout kept
+    assert(graft.streaming.RefIndexSlices.sliceCount(spark, dir) == 2)
+    AnnStore.compactIvfPq(spark, dir, graceMs = 0)
+    assert(graft.streaming.RefIndexSlices.sliceCount(spark, dir) == 1)
+    val compacted = AnnStore.loadIvfPqSliced(spark, dir)
+    val served = AnnStore.ivfPqServe(queries, "vec_id", "embedding",
+      compacted, k = 5, nProbe = 2)
+    assert(ranking(served) == want)
+    // the probed-cluster predicate still prunes the compacted,
+    // cluster-partitioned codes read
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
+      case ad: AdaptiveSparkPlanExec => scans(ad.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    val codeScans = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+    assert(codeScans.nonEmpty)
+    val rows = codeScans.map(_.metrics("numOutputRows").value).sum
+    assert(rows < n / 2,
+      s"compacted codes scan read $rows of $n rows — pruning lost")
+    // double-create refused loudly
+    val e = intercept[IllegalArgumentException](
+      AnnStore.createIvfPqSliced(spark, dir, idx.codebook, idx.cents, dim = 16))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("sliced pq compaction: one slice, ranks unchanged, graced orphan sweep") {
+    val union = (0L until 60L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(union, "vec_id", "embedding",
+      subspaces = 4, ksub = 8, dim = 16)
+    val dir = tmp("annstore_sliced_compact")
+    AnnStore.createPqSliced(spark, dir, cb, dim = 16)
+    AnnStore.appendPq(union.filter($"vec_id" < 30L), dir, "vec_id", "embedding")
+    AnnStore.appendPq(union.filter($"vec_id" >= 30L), dir, "vec_id", "embedding")
+    val queries = (0L until 60L by 11).map(i => (1000L + i, mkVec(i)))
+      .toDF("vec_id", "embedding")
+    def ranking(dirIdx: AnnStore.PqServeIndex) =
+      AnnStore.pqServe(queries, "vec_id", "embedding", dirIdx, k = 5,
+          refine = 3)
+        .select($"query_id", $"rank", $"corpus_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val want = ranking(AnnStore.loadPqSliced(spark, dir))
+    // a crashed append's orphan: fresh → survives the graced compact,
+    // aged → swept (the RefIndexSlices discipline, pq shape)
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/slices/orphan-uuid")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, Seq(1, 2))).toDF("corpus_id", "codes")
+      .write.parquet(s"$dir/slices/orphan-uuid/codes")
+    AnnStore.compactPq(spark, dir)
+    assert(fs.exists(orphan),
+      "a young unreferenced dir may be an in-flight append — keep it")
+    assert(graft.streaming.RefIndexSlices.sliceCount(spark, dir) == 1)
+    assert(ranking(AnnStore.loadPqSliced(spark, dir)) == want && want.nonEmpty)
+    AnnStore.compactPq(spark, dir, graceMs = 0)
+    assert(!fs.exists(orphan), "compact must sweep AGED orphans")
+    assert(ranking(AnnStore.loadPqSliced(spark, dir)) == want)
+    // compactAnn dispatches on the meta kind; a non-sliced dir refuses
+    AnnStore.compactAnn(spark, dir, graceMs = 0)
+    assert(graft.streaming.RefIndexSlices.sliceCount(spark, dir) == 1)
+  }
+
   test("save over an existing pq index swaps atomically") {
     val mk = (n: Long) => AnnStore.buildPq(
       (0L until n).map(i => (i, mkVec(i))).toDF("vec_id", "embedding"),

@@ -129,8 +129,44 @@ class RefIndexSlicesSpec extends AnyFunSuite {
     (0L until 99L).map(i => (1, 1L, i)).toDF("band", "bucket", "id_b")
       .write.parquet(s"$dir/slices/orphan-uuid/band_rows")
     assert(RefIndexSlices.loadSemantic(spark, dir).payload.count() == 10)
+    // a FRESH unreferenced dir is indistinguishable from a concurrent
+    // append mid-write: the graced compact must leave it alone
     RefIndexSlices.compact(spark, dir)
-    assert(!fs.exists(orphan), "compact must sweep unreferenced slices")
+    assert(fs.exists(orphan),
+      "a young unreferenced dir may be an in-flight append — keep it")
     assert(RefIndexSlices.loadSemantic(spark, dir).payload.count() == 10)
+    // once its content has aged past the grace it is a dead orphan
+    RefIndexSlices.compact(spark, dir, graceMs = 0)
+    assert(!fs.exists(orphan), "compact must sweep AGED unreferenced slices")
+    assert(RefIndexSlices.loadSemantic(spark, dir).payload.count() == 10)
+  }
+
+  test("a replace commit against a moved manifest refuses (no lost append)") {
+    // the r11 verdict race: compact reads the slice list at v, a
+    // concurrent append commits v+1, compact's replace commit must
+    // now REFUSE — a retry with the stale list would both drop the
+    // appended slice from the live set and let the sweep delete its
+    // data. The CAS primitive is what compactCore runs on.
+    val a = (0L until 6L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val b = (6L until 12L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val dir = tmp("slices_cas")
+    RefIndexSlices.appendSemantic(a, dir, "vec_id", "embedding",
+      bands = 4, bitsPerBand = 4, dim = 8)
+    val e = intercept[IllegalStateException] {
+      RefIndexSlices.compactCore(spark, dir, graceMs = 0) { (_, slice) =>
+        // mid-compact, an append wins the next version
+        RefIndexSlices.appendSemantic(b, dir, "vec_id", "embedding")
+        (0L until 3L).map(i => (1, 1L, i)).toDF("band", "bucket", "id_b")
+          .write.parquet(new org.apache.hadoop.fs.Path(slice, "band_rows").toString)
+      }
+    }
+    assert(e.getMessage.contains("moved"))
+    // the appended slice survived, data intact, and the half-built
+    // compacted slice was cleaned up; a re-run compacts both slices
+    assert(RefIndexSlices.sliceCount(spark, dir) == 2)
+    assert(RefIndexSlices.loadSemantic(spark, dir).payload.count() == 12)
+    RefIndexSlices.compact(spark, dir, graceMs = 0)
+    assert(RefIndexSlices.sliceCount(spark, dir) == 1)
+    assert(RefIndexSlices.loadSemantic(spark, dir).payload.count() == 12)
   }
 }
