@@ -35,10 +35,11 @@ object Main {
     * save doubles as lineage compaction). */
   case object IndexBuild extends Stage { val name = "index_build" }
   /** Probe --probe rows against the index at --index-dir and write
-    * the match pairs to --out (parquet): the probe-from-many-jobs
-    * consumer of a nightly-built index. `--layout sliced` probes an
-    * [[graft.streaming.RefIndexSlices]] store instead of the bucketed
-    * one. */
+    * the result to --out (parquet): the probe-from-many-jobs consumer
+    * of a nightly-built index. Dedup kinds (semantic/simhash/minhash)
+    * write the match PAIR set; ANN kinds (pq/ivfpq) write the served
+    * RANKING (query_id, rank, corpus_id, score). `--layout sliced`
+    * probes the append-slices store instead of the one-shot one. */
   case object IndexProbe extends Stage { val name = "index_probe" }
   /** Nightly APPEND to a sliced index
     * ([[graft.streaming.RefIndexSlices]]): band + commit only
@@ -152,8 +153,41 @@ object Main {
                   maxBucket = opts.getOrElse("max-bucket", "4096").toInt)
             }
             graft.streaming.RefIndexStore.saveMinHash(idx, dir)
+          case "pq" =>
+            // ANN lifecycle through the same dispatcher: one-shot
+            // build+save, or (--layout sliced) freeze the codebook and
+            // commit --source as the first slice — subsequent
+            // index_append runs cost ∝ their batch
+            val (id, vec) = (opts.getOrElse("id", "vec_id"),
+              opts.getOrElse("vec", "embedding"))
+            val (sub, ksub, dimN) = (opts.getOrElse("subspaces", "8").toInt,
+              opts.getOrElse("ksub", "16").toInt,
+              opts.getOrElse("dim", "64").toInt)
+            if (opts.get("layout").contains("sliced")) {
+              val cb = graft.ext.Similarity.pqCodebook(src, id, vec,
+                sub, ksub, dimN)
+              graft.ext.AnnStore.createPqSliced(spark, dir, cb, dimN)
+              graft.ext.AnnStore.appendPq(src, dir, id, vec)
+            } else graft.ext.AnnStore.savePq(
+              graft.ext.AnnStore.buildPq(src, id, vec, sub, ksub, dimN), dir)
+          case "ivfpq" =>
+            val (id, vec) = (opts.getOrElse("id", "vec_id"),
+              opts.getOrElse("vec", "embedding"))
+            val built = graft.ext.AnnStore.buildIvfPq(src, id, vec,
+              subspaces = opts.getOrElse("subspaces", "8").toInt,
+              ksub = opts.getOrElse("ksub", "16").toInt,
+              dim = opts.getOrElse("dim", "64").toInt,
+              nCentroids = opts.getOrElse("ncentroids", "16").toInt,
+              rounds = opts.getOrElse("rounds", "2").toInt)
+            if (opts.get("layout").contains("sliced")) {
+              graft.ext.AnnStore.createIvfPqSliced(spark, dir,
+                built.codebook, built.cents,
+                dim = opts.getOrElse("dim", "64").toInt)
+              graft.ext.AnnStore.appendIvfPq(src, dir, id, vec)
+            } else graft.ext.AnnStore.saveIvfPq(built, dir)
           case other => sys.error(
-            s"invalid --kind $other; expected semantic, simhash or minhash")
+            s"invalid --kind $other; expected semantic, simhash, " +
+              "minhash, pq or ivfpq")
         }
       case IndexProbe =>
         val probe = spark.read.parquet(req("probe"))
@@ -163,6 +197,31 @@ object Main {
           case Some("store") | None => false
           case Some(other) => sys.error(
             s"invalid --layout $other; expected store or sliced")
+        }
+        val annKind = opts.get("kind").filter(Set("pq", "ivfpq"))
+        if (annKind.isDefined) {
+          // ANN serving: the output is a RANKING (query_id, rank,
+          // corpus_id, score), not a dedup pair set — written at the
+          // serve plan's natural parallelism like the pair path
+          val (id, vec) = (opts.getOrElse("id", "vec_id"),
+            opts.getOrElse("vec", "embedding"))
+          val k = opts.getOrElse("k", "10").toInt
+          val ranks = annKind.get match {
+            case "pq" =>
+              graft.ext.AnnStore.pqServe(probe, id, vec,
+                if (sliced) graft.ext.AnnStore.loadPqSliced(spark, dir)
+                else graft.ext.AnnStore.loadPq(spark, dir),
+                k, refine = opts.getOrElse("refine", "4").toInt)
+            case "ivfpq" =>
+              graft.ext.AnnStore.ivfPqServe(probe, id, vec,
+                if (sliced) graft.ext.AnnStore.loadIvfPqSliced(spark, dir)
+                else graft.ext.AnnStore.loadIvfPq(spark, dir),
+                k, nProbe = opts.getOrElse("nprobe", "4").toInt)
+          }
+          opts.get("out-files").map(n => ranks.coalesce(n.toInt))
+            .getOrElse(ranks)
+            .write.mode("overwrite").parquet(req("out"))
+          return
         }
         val matches = opts.getOrElse("kind", "semantic") match {
           case "semantic" =>
@@ -198,6 +257,12 @@ object Main {
         val src = spark.read.parquet(req("source"))
         val dir = req("index-dir")
         opts.getOrElse("kind", "semantic") match {
+          case "pq" =>
+            graft.ext.AnnStore.appendPq(src, dir,
+              opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+          case "ivfpq" =>
+            graft.ext.AnnStore.appendIvfPq(src, dir,
+              opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
           case "semantic" =>
             graft.streaming.RefIndexSlices.appendSemantic(src, dir,
               opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"),
@@ -220,7 +285,17 @@ object Main {
             s"invalid --kind $other; expected semantic, simhash or minhash")
         }
       case IndexCompact =>
-        graft.streaming.RefIndexSlices.compact(spark, req("index-dir"))
+        // dispatch on the stored kind: the sliced ANN stores compact
+        // through AnnStore (codes/payload shapes), the streaming
+        // families through RefIndexSlices — one stage, every index
+        val dir = req("index-dir")
+        val kind = spark.read.parquet(
+            new org.apache.hadoop.fs.Path(dir, "meta").toString)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          .getOrElse("kind", "?")
+        if (kind == "pq_sliced" || kind == "ivfpq_sliced")
+          graft.ext.AnnStore.compactAnn(spark, dir)
+        else graft.streaming.RefIndexSlices.compact(spark, dir)
     }
   }
 }

@@ -162,6 +162,100 @@ class MainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("invalid --layout"))
   }
 
+  test("ANN lifecycle through the CLI: pq sliced build/append/compact/probe at exact rank parity") {
+    import spark.implicits._
+    def mkVec(i: Long): Array[Double] =
+      Array.tabulate(16)(j => math.cos((i % 7 + 1) * (j + 2) * 0.23))
+    val base = Files.createTempDirectory("mainann").toString
+    val refA = (0L until 30L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val refB = (30L until 60L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val probeDf = (0L until 60L by 11).map(i => (1000L + i, mkVec(i)))
+      .toDF("vec_id", "embedding")
+    refA.write.parquet(s"$base/ref_a")
+    refB.write.parquet(s"$base/ref_b")
+    probeDf.write.parquet(s"$base/probe")
+    val knobs = Map("subspaces" -> "4", "ksub" -> "8", "dim" -> "16")
+    // nightly lifecycle: sliced build (codebook freezes on the first
+    // source), a second append, serve, compact, serve again
+    Main.run(Map("stage-name" -> "index_build", "kind" -> "pq",
+      "layout" -> "sliced", "source" -> s"$base/ref_a",
+      "index-dir" -> s"$base/pq") ++ knobs, spark)
+    Main.run(Map("stage-name" -> "index_append", "kind" -> "pq",
+      "source" -> s"$base/ref_b", "index-dir" -> s"$base/pq"), spark)
+    def ranksOf(out: String, extra: Map[String, String]): Set[(Long, Long, Long)] = {
+      Main.run(Map("stage-name" -> "index_probe", "layout" -> "sliced",
+        "index-dir" -> s"$base/pq", "probe" -> s"$base/probe",
+        "out" -> out, "k" -> "5") ++ extra, spark)
+      spark.read.parquet(out).select($"query_id", $"rank", $"corpus_id")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    // exact oracle: x197's in-session pipeline at the frozen (first-
+    // source) codebook over the full appended corpus
+    val cbA = graft.ext.Similarity.pqCodebook(refA, "vec_id", "embedding",
+      subspaces = 4, ksub = 8, dim = 16)
+    val want = graft.ext.Similarity.pqTopKRefined(probeDf, "vec_id",
+        "embedding", refA.unionByName(refB), "vec_id", "embedding", cbA,
+        k = 5, refine = 3)
+      .select($"query_id", $"rank", $"corpus_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = ranksOf(s"$base/pq_out", Map("kind" -> "pq", "refine" -> "3"))
+    assert(got == want && got.nonEmpty)
+    // index_compact dispatches on the stored kind (pq_sliced) and
+    // must not move a rank
+    Main.run(Map("stage-name" -> "index_compact",
+      "index-dir" -> s"$base/pq"), spark)
+    assert(graft.streaming.RefIndexSlices.sliceCount(spark, s"$base/pq") == 1)
+    assert(ranksOf(s"$base/pq_out2",
+      Map("kind" -> "pq", "refine" -> "3")) == want)
+  }
+
+  test("ANN lifecycle through the CLI: ivfpq one-shot and sliced serve at exact rank parity") {
+    import spark.implicits._
+    def mkVec(i: Long): Array[Double] =
+      Array.tabulate(16)(j => math.cos((i % 7 + 1) * (j + 2) * 0.23))
+    val base = Files.createTempDirectory("mainannivf").toString
+    val union = (0L until 60L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val probeDf = (0L until 60L by 11).map(i => (1000L + i, mkVec(i)))
+      .toDF("vec_id", "embedding")
+    union.write.parquet(s"$base/ref")
+    probeDf.write.parquet(s"$base/probe")
+    val knobs = Map("subspaces" -> "4", "ksub" -> "8", "dim" -> "16",
+      "ncentroids" -> "8", "rounds" -> "2")
+    // exact oracle: x181's in-session operator (deterministic Lloyd)
+    // at the same knobs over the same corpus
+    val cb = graft.ext.Similarity.pqCodebook(union, "vec_id", "embedding",
+      subspaces = 4, ksub = 8, dim = 16)
+    val want = graft.ext.Similarity.ivfPqTopK(probeDf, "vec_id", "embedding",
+        union, "vec_id", "embedding", cb, k = 5, nCentroids = 8,
+        nProbe = 2, rounds = 2)
+      .select($"query_id", $"rank", $"corpus_id")
+      .as[(Long, Long, Long)].collect().toSet
+    def cliServe(dir: String, out: String, layout: Map[String, String]) = {
+      Main.run(Map("stage-name" -> "index_probe", "kind" -> "ivfpq",
+        "index-dir" -> dir, "probe" -> s"$base/probe", "out" -> out,
+        "k" -> "5", "nprobe" -> "2") ++ layout, spark)
+      spark.read.parquet(out).select($"query_id", $"rank", $"corpus_id")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    // one-shot layout
+    Main.run(Map("stage-name" -> "index_build", "kind" -> "ivfpq",
+      "source" -> s"$base/ref", "index-dir" -> s"$base/flat") ++ knobs, spark)
+    assert(cliServe(s"$base/flat", s"$base/flat_out", Map.empty) == want
+      && want.nonEmpty)
+    // sliced layout: same artifacts (trained on the one source),
+    // served through the slice union — and compact keeps the ranks
+    Main.run(Map("stage-name" -> "index_build", "kind" -> "ivfpq",
+      "layout" -> "sliced", "source" -> s"$base/ref",
+      "index-dir" -> s"$base/sliced") ++ knobs, spark)
+    assert(cliServe(s"$base/sliced", s"$base/sliced_out",
+      Map("layout" -> "sliced")) == want)
+    Main.run(Map("stage-name" -> "index_compact",
+      "index-dir" -> s"$base/sliced"), spark)
+    assert(graft.streaming.RefIndexSlices.sliceCount(spark, s"$base/sliced") == 1)
+    assert(cliServe(s"$base/sliced", s"$base/sliced_out2",
+      Map("layout" -> "sliced")) == want)
+  }
+
   test("invalid stage and missing args error clearly") {
     val e1 = intercept[RuntimeException] {
       Main.run(Map("stage-name" -> "nope", "lake-root" -> "/tmp"), spark)
