@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   // SemDeDup design threshold has nonzero exact-pair support
   * sbt "runMain graft.Audit time <queryName> <sfDir> [runs]"
   *   // median wall of one SparkEntry query, Bench's per-run hygiene
-  * sbt "runMain graft.Audit stream-ramp <semantic|simhash> <sfDir>
+  * sbt "runMain graft.Audit stream-ramp <semantic|simhash|minhash> <sfDir>
   *   <session|disk> [probeDiv] [bands] [bits]"
   *   // scaled micro-batch through the dedup-at-ingest path
   * sbt "runMain graft.Audit index-save <sfDir> <dir>"   // then, in a
@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   *   // threads over one loaded index (checksums must all agree)
   * sbt "runMain graft.Audit pq-amortize <sfDir> [panels]"
   *   // AnnStore serving economics: served-from-disk vs re-encode
+  * sbt "runMain graft.Audit ivfpq-append-cost <sfDir>"
+  *   // sliced IVF-PQ economics: full re-encode refresh vs appendIvfPq
   * }}}
   *
   * Timing convention matches Bench: one discarded warm-up execution,
@@ -197,10 +199,13 @@ object Audit {
             slice, "vec_id", "embedding")
           streaming.RefIndexStore.saveSemantic(merged, dirA)
         }
+        val bytesRewrite = dirBytes(spark, dirA)
+        val bytesB0 = dirBytes(spark, dirB)
         val tAppend = timed {
           streaming.RefIndexSlices.appendSemantic(slice, dirB,
             "vec_id", "embedding")
         }
+        val bytesAppend = dirBytes(spark, dirB) - bytesB0
         val probe = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
           .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
         def probeCount(idx: streaming.EmbedStream.SemanticRefIndex): Long =
@@ -216,7 +221,7 @@ object Audit {
         }
         require(nStore == nSliced,
           s"layout mismatch: store probe $nStore != sliced probe $nSliced")
-        println(f"""{"audit":"slice-append-cost","sf":"$sfDir","rewrite_sec":$tRewrite%.2f,"append_sec":$tAppend%.2f,"probe_store_sec":$tProbeStore%.2f,"probe_sliced_sec":$tProbeSliced%.2f,"matches":$nStore}""")
+        println(f"""{"audit":"slice-append-cost","sf":"$sfDir","rewrite_sec":$tRewrite%.2f,"append_sec":$tAppend%.2f,"rewrite_bytes":$bytesRewrite,"append_bytes":$bytesAppend,"probe_store_sec":$tProbeStore%.2f,"probe_sliced_sec":$tProbeSliced%.2f,"matches":$nStore}""")
       case "pq-append-cost" :: sfDir :: Nil =>
         // the sliced-PQ economics (x213): with 90% of the corpus
         // already encoded under a frozen codebook, what does tonight's
@@ -246,9 +251,12 @@ object Audit {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
         val tRewrite = timed { ext.AnnStore.savePq(fullIndex(emb), dirA) }
+        val bytesRewrite = dirBytes(spark, dirA)
+        val bytesB0 = dirBytes(spark, dirB)
         val tAppend = timed {
           ext.AnnStore.appendPq(slice, dirB, "vec_id", "embedding")
         }
+        val bytesAppend = dirBytes(spark, dirB) - bytesB0
         var (sumA, sumB) = (0L, 0L)
         val tServeFlat = timed {
           sumA = pqPanelChecksum(spark, sfDir,
@@ -260,7 +268,53 @@ object Audit {
         }
         require(sumA == sumB,
           s"layout mismatch: flat checksum $sumA != sliced $sumB")
-        println(f"""{"audit":"pq-append-cost","sf":"$sfDir","rewrite_sec":$tRewrite%.2f,"append_sec":$tAppend%.2f,"serve_flat_sec":$tServeFlat%.2f,"serve_sliced_sec":$tServeSliced%.2f,"checksum":$sumA}""")
+        println(f"""{"audit":"pq-append-cost","sf":"$sfDir","rewrite_sec":$tRewrite%.2f,"append_sec":$tAppend%.2f,"rewrite_bytes":$bytesRewrite,"append_bytes":$bytesAppend,"serve_flat_sec":$tServeFlat%.2f,"serve_sliced_sec":$tServeSliced%.2f,"checksum":$sumA}""")
+      case "ivfpq-append-cost" :: sfDir :: Nil =>
+        // the sliced IVF-PQ economics (x214): with 90% of the corpus
+        // already assigned + encoded under FROZEN centroids + codebook
+        // (trained on the history — the production posture), what does
+        // tonight's 10% batch cost under (a) a full-corpus re-encode +
+        // rewrite (the refresh the one-shot layout pays) vs (b) an
+        // appendIvfPq commit (assign + encode + write ∝ batch)? Both
+        // stores hold identical per-row codes afterwards, so the serve
+        // checksums must agree exactly.
+        val emb = tables.t(spark, sfDir, "embeddings")
+        val hist = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        val slice = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        val base = java.nio.file.Files.createTempDirectory("graft_ivfpqappend")
+        val (dirA, dirB) =
+          (base.resolve("rebuild").toString, base.resolve("sliced").toString)
+        val built = ext.AnnStore.buildIvfPq(hist, "vec_id", "embedding")
+        // setup (untimed): the sliced store holds the 90% history
+        ext.AnnStore.createIvfPqSliced(spark, dirB, built.codebook,
+          built.cents, dim = 64)
+        ext.AnnStore.appendIvfPq(hist, dirB, "vec_id", "embedding")
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tRebuild = timed {
+          ext.AnnStore.createIvfPqSliced(spark, dirA, built.codebook,
+            built.cents, dim = 64)
+          ext.AnnStore.appendIvfPq(emb, dirA, "vec_id", "embedding")
+        }
+        val bytesRebuild = dirBytes(spark, dirA)
+        val bytesB0 = dirBytes(spark, dirB)
+        val tAppend = timed {
+          ext.AnnStore.appendIvfPq(slice, dirB, "vec_id", "embedding")
+        }
+        val bytesAppend = dirBytes(spark, dirB) - bytesB0
+        var (sumA, sumB) = (0L, 0L)
+        val tServeRebuild = timed {
+          sumA = ivfPqPanelChecksum(spark, sfDir,
+            ext.AnnStore.loadIvfPqSliced(spark, dirA), 0)
+        }
+        val tServeSliced = timed {
+          sumB = ivfPqPanelChecksum(spark, sfDir,
+            ext.AnnStore.loadIvfPqSliced(spark, dirB), 0)
+        }
+        require(sumA == sumB,
+          s"layout mismatch: rebuild checksum $sumA != sliced $sumB")
+        println(f"""{"audit":"ivfpq-append-cost","sf":"$sfDir","rebuild_sec":$tRebuild%.2f,"append_sec":$tAppend%.2f,"rebuild_bytes":$bytesRebuild,"append_bytes":$bytesAppend,"serve_rebuild_sec":$tServeRebuild%.2f,"serve_sliced_sec":$tServeSliced%.2f,"checksum":$sumA}""")
       case "pq-amortize" :: sfDir :: rest =>
         // the serving-economics measurement behind AnnStore: one
         // build+save, then N panels served from the LOADED index,
@@ -322,6 +376,31 @@ object Audit {
     val panel = tables.t(spark, sfDir, "embeddings")
       .filter(pmod(col("vec_id"), lit(97)) === i && col("vec_id") < 3000)
     ext.AnnStore.pqServe(panel, "vec_id", "embedding", idx, k = 10)
+      .agg(sum(col("query_id") * 1000003L + col("rank") * 97L +
+        col("corpus_id")))
+      .collect().head.getLong(0)
+  }
+
+  /** Total on-disk bytes under `dir` (0 when absent) — the write-
+    * volume term the append-economics rows extrapolate on. */
+  private def dirBytes(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** [[pqPanelChecksum]]'s IVF-PQ counterpart: panel `i` served from
+    * the given index at the gate knobs (k = 10, nProbe = 4); equal
+    * checksums ⇒ identical served rankings. */
+  private def ivfPqPanelChecksum(spark: org.apache.spark.sql.SparkSession,
+                                 sfDir: String,
+                                 idx: ext.AnnStore.IvfPqServeIndex,
+                                 i: Int): Long = {
+    val panel = tables.t(spark, sfDir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(97)) === i && col("vec_id") < 3000)
+    ext.AnnStore.ivfPqServe(panel, "vec_id", "embedding", idx, k = 10,
+        nProbe = 4)
       .agg(sum(col("query_id") * 1000003L + col("rank") * 97L +
         col("corpus_id")))
       .collect().head.getLong(0)
@@ -402,8 +481,28 @@ object Audit {
           .option("maxFilesPerTrigger", n.toString).parquet(dir)
         (streaming.SimHashStream.simhashDupMatches(
           stream, idx, "doc_id", "text"), dir, n)
+      case "minhash" =>
+        // x50/x209's at-ingest family: shingle-MinHash banding against
+        // a static reference index — knobs at the gate defaults
+        val docs = tables.t(spark, sfDir, "documents")
+        val idx0 = streaming.MinHashStream.minhashRefIndex(
+          docs, "doc_id", "text", n = 3, threshold = 0.7)
+        val idx = if (refMode == "disk") {
+          val dir = stage.resolve("idx").toString
+          streaming.RefIndexStore.saveMinHash(idx0, dir)
+          streaming.RefIndexStore.loadMinHash(spark, dir)
+        } else idx0
+        val (dir, n) = stageCopies(
+          docs.filter(pmod(col("doc_id"), lit(probeDiv)) === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              col("text")))
+        val schema = spark.read.parquet(dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", n.toString).parquet(dir)
+        (streaming.MinHashStream.minhashDupMatches(
+          stream, idx, "doc_id", "text"), dir, n)
       case other => throw new IllegalArgumentException(
-        s"stream-ramp kind must be semantic|simhash, got $other")
+        s"stream-ramp kind must be semantic|simhash|minhash, got $other")
     }
     val buildSec = (System.nanoTime() - t0) / 1e9
     val q = matched.writeStream.outputMode("append").format("noop").start()
