@@ -255,17 +255,24 @@ object AnnStore {
   // --------------------------------------------------------- IVF-PQ
   /** In-session handle for the persisted IVF-PQ index: integer PQ
     * codebook + the (cluster, cvec) coarse centroids + the
-    * cluster-assigned codes. */
+    * cluster-assigned codes. `payload` is the (corpus_id, _cv) float
+    * frame the EXACT-REFINE serve reads — optional because ADC-only
+    * serving never touches floats, and persisting them costs ~32× the
+    * codes' bytes; an index saved without payload serves
+    * [[ivfPqServe]] but refuses [[ivfPqServeRefined]] loudly. */
   case class IvfPqServeIndex(subspaces: Int, ksub: Int, dim: Int,
                              nCentroids: Int,
                              codebook: Seq[Seq[Seq[Long]]],
-                             cents: DataFrame, codes: DataFrame)
+                             cents: DataFrame, codes: DataFrame,
+                             payload: Option[DataFrame] = None)
 
   /** Build the IVF-PQ serving index: train the PQ codebook and the
     * coarse Lloyd centroids, assign + encode the corpus ONCE — its
-    * float vectors are never read again at query time (and, unlike
-    * the flat-PQ index, neither are most of its CODES: serving scans
-    * only the probed clusters' partitions). */
+    * float vectors are never read again at query time by the ADC
+    * serve (and, unlike the flat-PQ index, neither are most of its
+    * CODES: serving scans only the probed clusters' partitions). The
+    * handle carries the lazy payload frame; whether it persists is
+    * [[saveIvfPq]]'s `withPayload` decision. */
   def buildIvfPq(corpus: DataFrame, id: String, vec: String,
                  subspaces: Int = 8, ksub: Int = 16, dim: Int = 64,
                  nCentroids: Int = 16, rounds: Int = 2): IvfPqServeIndex = {
@@ -275,7 +282,8 @@ object AnnStore {
       .localCheckpoint()
     val cents = Similarity.lloydLoop(cq, nCentroids, rounds)
     IvfPqServeIndex(subspaces, ksub, dim, nCentroids, cb, cents,
-      Similarity.ivfPqEncodeAssigned(cq, cents, cb))
+      Similarity.ivfPqEncodeAssigned(cq, cents, cb),
+      Some(corpus.select(col(id).as("corpus_id"), col(vec).as("_cv"))))
   }
 
   /** Persist the IVF-PQ index — codes PARTITIONED BY cluster, so a
@@ -283,10 +291,17 @@ object AnnStore {
     * (the inverted-list read pattern, delivered by the lake layout:
     * nProbe/nCentroids of the code bytes per batch instead of a full
     * scan). Centroids are nCentroids rows (driver-bounded like the
-    * codebook); atomic publish shared with [[savePq]]. */
-  def saveIvfPq(idx: IvfPqServeIndex, dir: String): Unit = {
+    * codebook); atomic publish shared with [[savePq]].
+    * `withPayload = true` additionally persists the float payload
+    * SORTED on corpus_id (the [[savePq]] layout), enabling
+    * [[ivfPqServeRefined]] at ~32× the codes' disk bytes — opt-in,
+    * because the ADC-only serve never reads it. */
+  def saveIvfPq(idx: IvfPqServeIndex, dir: String,
+                withPayload: Boolean = false): Unit = {
     val spark = idx.codes.sparkSession
     import spark.implicits._
+    if (withPayload) require(idx.payload.isDefined,
+      "withPayload = true but the index handle carries no payload frame")
     RefIndexStore.atomicPublish(spark, dir, { stage =>
       idx.codebook.zipWithIndex.flatMap { case (entries, m) =>
         entries.zipWithIndex.map { case (cvec, c) => (m, c, cvec) }
@@ -297,10 +312,14 @@ object AnnStore {
         .parquet(new Path(stage, "centroids").toString)
       idx.codes.write.mode(SaveMode.Overwrite).partitionBy("cluster")
         .parquet(new Path(stage, "codes").toString)
+      if (withPayload)
+        idx.payload.get.sort("corpus_id").write.mode(SaveMode.Overwrite)
+          .parquet(new Path(stage, "payload").toString)
       RefIndexStore.writeMeta(spark, stage, Map(
         "kind" -> "ivfpq", "subspaces" -> idx.subspaces.toString,
         "ksub" -> idx.ksub.toString, "dim" -> idx.dim.toString,
-        "nCentroids" -> idx.nCentroids.toString))
+        "nCentroids" -> idx.nCentroids.toString,
+        "payload" -> withPayload.toString))
     })
   }
 
@@ -315,7 +334,10 @@ object AnnStore {
       meta("nCentroids").toInt,
       readCodebookAt(spark, dir, subspaces, ksub),
       spark.read.parquet(new Path(dir, "centroids").toString),
-      spark.read.parquet(new Path(dir, "codes").toString))
+      spark.read.parquet(new Path(dir, "codes").toString),
+      if (meta.getOrElse("payload", "false").toBoolean)
+        Some(spark.read.parquet(new Path(dir, "payload").toString))
+      else None)
   }
 
   // ------------------------------------------------- sliced IVF-PQ
@@ -345,7 +367,7 @@ object AnnStore {
     * `cents`). */
   def createIvfPqSliced(spark: SparkSession, dir: String,
                         codebook: Seq[Seq[Seq[Long]]], cents: DataFrame,
-                        dim: Int): Unit = {
+                        dim: Int, withPayload: Boolean = false): Unit = {
     import spark.implicits._
     val (fs, root) = graft.streaming.RefIndexSlices.fsOf(spark, dir)
     require(!fs.exists(new Path(root, "meta")),
@@ -362,13 +384,16 @@ object AnnStore {
     RefIndexStore.writeMeta(spark, root, Map(
       "kind" -> "ivfpq_sliced", "subspaces" -> codebook.length.toString,
       "ksub" -> codebook.head.length.toString, "dim" -> dim.toString,
-      "nCentroids" -> nCentroids.toString))
+      "nCentroids" -> nCentroids.toString,
+      "payload" -> withPayload.toString))
   }
 
   /** Assign `more` to the frozen centroids, encode it with the frozen
     * codebook, and commit it as a new cluster-partitioned code slice
-    * — write cost ∝ the batch, never the corpus. Returns the
-    * committed manifest version. */
+    * — write cost ∝ the batch, never the corpus. A `withPayload`
+    * store also writes the batch's float payload, sorted on corpus_id
+    * so the refined serve's candidate prune holds per slice. Returns
+    * the committed manifest version. */
   def appendIvfPq(more: DataFrame, dir: String, id: String,
                   vec: String): Long = {
     val spark = more.sparkSession
@@ -385,6 +410,11 @@ object AnnStore {
     Similarity.ivfPqEncodeAssigned(cq, cents, cb)
       .write.mode(SaveMode.Overwrite).partitionBy("cluster")
       .parquet(new Path(slice, "codes").toString)
+    if (meta.getOrElse("payload", "false").toBoolean)
+      more.select(col(id).as("corpus_id"), col(vec).as("_cv"))
+        .sort("corpus_id")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new Path(slice, "payload").toString)
     graft.streaming.RefIndexSlices.commitManifest(fs, root, Seq(uuid),
       replace = false)
   }
@@ -396,33 +426,42 @@ object AnnStore {
     val v = graft.streaming.RefIndexSlices.currentVersion(fs, root)
     require(v > 0, s"no committed slices at $dir")
     val slices = graft.streaming.RefIndexSlices.readSlices(fs, root, v)
+    def part(u: String, p: String) = spark.read.parquet(new Path(
+      graft.streaming.RefIndexSlices.slicePath(root, u), p).toString)
     IvfPqServeIndex(subspaces, ksub, meta("dim").toInt,
       meta("nCentroids").toInt,
       readCodebookAt(spark, dir, subspaces, ksub),
       spark.read.parquet(new Path(dir, "centroids").toString),
-      slices.map(u => spark.read.parquet(new Path(
-          graft.streaming.RefIndexSlices.slicePath(root, u),
-          "codes").toString))
-        .reduce(_ unionByName _))
+      slices.map(part(_, "codes")).reduce(_ unionByName _),
+      if (meta.getOrElse("payload", "false").toBoolean)
+        Some(slices.map(part(_, "payload")).reduce(_ unionByName _))
+      else None)
   }
 
   /** [[compactPq]] for the ivfpq slice shape: union every slice's
     * codes into ONE slice, re-written PARTITIONED BY cluster (the
-    * directory-prune layout preserved across compaction), CAS-commit
-    * + graced sweep via the shared skeleton. Changes no served rank
-    * (spec-gated). */
+    * directory-prune layout preserved across compaction) — plus the
+    * payload re-sorted on corpus_id when the store carries one —
+    * CAS-commit + graced sweep via the shared skeleton. Changes no
+    * served rank (spec-gated). */
   def compactIvfPq(spark: SparkSession, dir: String,
                    graceMs: Long = graft.streaming.RefIndexSlices.DefaultGraceMs)
       : Long = {
-    RefIndexStore.readMeta(spark, dir, "ivfpq_sliced") // kind guard
+    val meta = RefIndexStore.readMeta(spark, dir, "ivfpq_sliced") // kind guard
+    val hasPayload = meta.getOrElse("payload", "false").toBoolean
     graft.streaming.RefIndexSlices.compactCore(spark, dir, graceMs) {
       (slices, slice) =>
-        slices.map(u => spark.read.parquet(new Path(
-            graft.streaming.RefIndexSlices.slicePath(new Path(dir), u),
-            "codes").toString))
-          .reduce(_ unionByName _)
+        def part(u: String, p: String) = spark.read.parquet(new Path(
+          graft.streaming.RefIndexSlices.slicePath(new Path(dir), u),
+          p).toString)
+        slices.map(part(_, "codes")).reduce(_ unionByName _)
           .write.mode(SaveMode.Overwrite).partitionBy("cluster")
           .parquet(new Path(slice, "codes").toString)
+        if (hasPayload)
+          slices.map(part(_, "payload")).reduce(_ unionByName _)
+            .sort("corpus_id")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(new Path(slice, "payload").toString)
     }
   }
 
@@ -448,6 +487,20 @@ object AnnStore {
                  idx: IvfPqServeIndex, k: Int, nProbe: Int = 4): DataFrame =
     Similarity.ivfPqTopKFromCodes(queries, qId, qVec, idx.codes,
       idx.cents, idx.codebook, k, nProbe)
+
+  /** Serve exact-refined top-k — the full IVFPQ+refine chain
+    * ([[Similarity.ivfPqTopKRefinedFromCodes]]): directory-pruned ADC
+    * candidates, then the candidate-pruned float re-rank over the
+    * persisted payload. Requires an index saved `withPayload`. */
+  def ivfPqServeRefined(queries: DataFrame, qId: String, qVec: String,
+                        idx: IvfPqServeIndex, k: Int, nProbe: Int = 4,
+                        refine: Int = 4): DataFrame = {
+    require(idx.payload.isDefined,
+      "refined serving needs the float payload — save the index " +
+        "withPayload = true (ADC-only serving works without it)")
+    Similarity.ivfPqTopKRefinedFromCodes(queries, qId, qVec, idx.codes,
+      idx.cents, idx.payload.get, idx.codebook, k, nProbe, refine)
+  }
 
   /** Heal a pq index dir after a crashed save — the publish protocol
     * (staging/trash names, meta-as-completeness-marker) is shared

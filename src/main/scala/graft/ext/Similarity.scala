@@ -1191,7 +1191,6 @@ object Similarity {
                              codebook: Seq[Seq[Seq[Long]]], k: Int,
                              refine: Int = 4): DataFrame = {
     require(k >= 1 && refine >= 1, "k and refine must be positive")
-    val spark = queries.sparkSession
     // enforce the candidate bound BEFORE the collect it exists to
     // gate: the panel row count is one cheap count job, and
     // panel · k · refine upper-bounds the ADC stage's output (the
@@ -1202,13 +1201,59 @@ object Similarity {
       s"refine stage would hold up to ${nPanel * k * refine} candidate " +
         "rows (|panel|·k·refine) — serve panels are bounded by " +
         "contract; split the query panel")
-    val candDf = pqTopKFromCodes(queries, qId, qVec, codes, codebook,
-        k * refine)
-      .select(col("query_id"), col("corpus_id"))
+    refineExact(queries, qId, qVec,
+      pqTopKFromCodes(queries, qId, qVec, codes, codebook, k * refine)
+        .select(col("query_id"), col("corpus_id")),
+      payload, k)
+  }
+
+  /** [[pqTopKRefinedFromCodes]] with IVF routing in front — the full
+    * production serving chain (FAISS's IVFPQ + RFlat): queries route
+    * to `nProbe` coarse lists, the DIRECTORY-pruned codes scan
+    * proposes `k·refine` ADC candidates per query, and only those
+    * candidates read their float vectors from the corpus_id-sorted
+    * payload for the exact cosine re-rank. Both prunings compose: a
+    * served batch reads ~nProbe/nCentroids of the code bytes AND
+    * ~candidate row groups of the float payload — the two scans that
+    * decide ANN serving cost at 100 TB, each bounded. Deterministic
+    * end to end (integer routing + ADC, the x197 double-cosine
+    * re-rank, ties to the smaller id), so the oracle replays it
+    * bit-for-bit. Returns (query_id, rank, corpus_id, cosine). */
+  def ivfPqTopKRefinedFromCodes(queries: DataFrame, qId: String,
+                                qVec: String, codes: DataFrame,
+                                cents: DataFrame, payload: DataFrame,
+                                codebook: Seq[Seq[Seq[Long]]], k: Int,
+                                nProbe: Int = 4, refine: Int = 4)
+      : DataFrame = {
+    require(k >= 1 && refine >= 1 && nProbe >= 1,
+      "k, refine and nProbe must be positive")
+    val nPanel = queries.count()
+    require(nPanel * k * refine <= (4L << 20),
+      s"refine stage would hold up to ${nPanel * k * refine} candidate " +
+        "rows (|panel|·k·refine) — serve panels are bounded by " +
+        "contract; split the query panel")
+    refineExact(queries, qId, qVec,
+      ivfPqTopKFromCodes(queries, qId, qVec, codes, cents, codebook,
+          k * refine, nProbe)
+        .select(col("query_id"), col("corpus_id")),
+      payload, k)
+  }
+
+  /** Shared exact-refine tail ([[pqTopKRefinedFromCodes]] /
+    * [[ivfPqTopKRefinedFromCodes]]): execute the candidate stage
+    * (bounded by the callers' pre-checked |panel|·k·refine contract),
+    * push the id set into the payload scan, re-rank by exact cosine.
+    * THE SERVING SCAN IS PRUNED, not joined-then-discarded — see the
+    * scan-economics discussion at [[pqTopKRefinedFromCodes]]. */
+  private def refineExact(queries: DataFrame, qId: String, qVec: String,
+                          candDf: DataFrame, payload: DataFrame,
+                          k: Int): DataFrame = {
+    val spark = queries.sparkSession
     val candRows = candDf.collect()
     if (candRows.isEmpty) {
       // empty panel: nothing to refine — an empty frame with the
-      // contract schema, so downstream unions/selects still work
+      // contract schema (id types inherited from the candidate
+      // stage), so downstream unions/selects still work
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
         candDf.schema("query_id"),
         org.apache.spark.sql.types.StructField("rank",

@@ -179,12 +179,19 @@ object Main {
               dim = opts.getOrElse("dim", "64").toInt,
               nCentroids = opts.getOrElse("ncentroids", "16").toInt,
               rounds = opts.getOrElse("rounds", "2").toInt)
+            // --payload true persists the float payload (sorted on
+            // corpus_id), enabling refined probes at ~32x the codes'
+            // disk bytes; ADC-only serving never needs it
+            val withPayload =
+              opts.getOrElse("payload", "false").toBoolean
             if (opts.get("layout").contains("sliced")) {
               graft.ext.AnnStore.createIvfPqSliced(spark, dir,
                 built.codebook, built.cents,
-                dim = opts.getOrElse("dim", "64").toInt)
+                dim = opts.getOrElse("dim", "64").toInt,
+                withPayload = withPayload)
               graft.ext.AnnStore.appendIvfPq(src, dir, id, vec)
-            } else graft.ext.AnnStore.saveIvfPq(built, dir)
+            } else graft.ext.AnnStore.saveIvfPq(built, dir,
+              withPayload = withPayload)
           case other => sys.error(
             s"invalid --kind $other; expected semantic, simhash, " +
               "minhash, pq or ivfpq")
@@ -213,10 +220,19 @@ object Main {
                 else graft.ext.AnnStore.loadPq(spark, dir),
                 k, refine = opts.getOrElse("refine", "4").toInt)
             case "ivfpq" =>
-              graft.ext.AnnStore.ivfPqServe(probe, id, vec,
+              val idx =
                 if (sliced) graft.ext.AnnStore.loadIvfPqSliced(spark, dir)
-                else graft.ext.AnnStore.loadIvfPq(spark, dir),
-                k, nProbe = opts.getOrElse("nprobe", "4").toInt)
+                else graft.ext.AnnStore.loadIvfPq(spark, dir)
+              val nProbe = opts.getOrElse("nprobe", "4").toInt
+              // --refine N opts into the exact re-rank (needs an
+              // index built with --payload true); without it the
+              // probe serves ADC ranks
+              opts.get("refine") match {
+                case Some(r) => graft.ext.AnnStore.ivfPqServeRefined(
+                  probe, id, vec, idx, k, nProbe, refine = r.toInt)
+                case None => graft.ext.AnnStore.ivfPqServe(
+                  probe, id, vec, idx, k, nProbe)
+              }
           }
           opts.get("out-files").map(n => ranks.coalesce(n.toInt))
             .getOrElse(ranks)

@@ -6977,6 +6977,126 @@ object ExtQ {
     },
     x197._2) // compaction must not move a single rank
 
+  /** IVF-PQ + EXACT REFINE serving ([[graft.ext.AnnStore]]
+    * saveIvfPq(withPayload)/ivfPqServeRefined) — the full production
+    * ANN chain (FAISS's IVFPQ + RFlat): coarse routing prunes the
+    * cluster-partitioned codes read at DIRECTORY level, ADC proposes
+    * k·refine candidates from the probed lists, and only those read
+    * their float vectors from the corpus_id-sorted payload for the
+    * exact cosine re-rank. Both scans bounded: codes ∝
+    * nProbe/nCentroids, payload ∝ candidates. Oracle: x181's
+    * routing + ADC chain widened to k·refine, then x197's re-rank
+    * tail — fully integer until the final double cosine, so DuckDB
+    * replays every rank. */
+  private val x216: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x216_ivfpqrefine").getAbsolutePath
+      graft.ext.AnnStore.saveIvfPq(
+        graft.ext.AnnStore.buildIvfPq(emb, "vec_id", "embedding",
+          subspaces = 8, ksub = 16, dim = 64, nCentroids = 16,
+          rounds = 2), dir, withPayload = true)
+      val loaded = graft.ext.AnnStore.loadIvfPq(s, dir)
+      graft.ext.AnnStore.ivfPqServeRefined(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", loaded, k = 10, nProbe = 4, refine = 4)
+        .select($"query_id", $"rank", $"corpus_id",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    }, {
+      val (ctes, asgRel, centRel) =
+        Similarity.kmeansLloydCtes("embeddings", k = 16, rounds = 2)
+      s"""WITH $ctes,
+         |psel AS (SELECT vec_id, q8,
+         |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+         |  FROM (SELECT vec_id, q8 FROM q
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+         |pcb AS (SELECT ms.mm, psel.code,
+         |    list_slice(psel.q8, ms.mm * 8 + 1, ms.mm * 8 + 8) AS cvec
+         |  FROM psel, (SELECT unnest(range(8)) AS mm) ms),
+         |penc AS (SELECT vec_id, mm, code FROM (
+         |  SELECT c.vec_id, pcb.mm, pcb.code,
+         |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, pcb.mm
+         |      ORDER BY list_sum(list_transform(range(1, 9),
+         |        i -> (c.q8[pcb.mm * 8 + i] - pcb.cvec[i])
+         |           * (c.q8[pcb.mm * 8 + i] - pcb.cvec[i]))), pcb.code)
+         |      AS r
+         |  FROM q c, pcb) WHERE r = 1),
+         |qsel AS (SELECT vec_id AS query_id, q8 FROM q
+         |         WHERE vec_id % 97 = 0),
+         |qdq AS (SELECT qs.query_id, c.cluster,
+         |    list_sum([ (qs.q8[j] - c.cvec[j]) * (qs.q8[j] - c.cvec[j])
+         |               for j in range(1, len(qs.q8) + 1) ])::BIGINT
+         |      AS d2c
+         |  FROM qsel qs CROSS JOIN $centRel c),
+         |qpr AS (SELECT query_id, cluster FROM (
+         |  SELECT query_id, cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY d2c, cluster) AS pr
+         |  FROM qdq) WHERE pr <= 4),
+         |pdist AS (SELECT qpr.query_id, a.vec_id AS corpus_id,
+         |    SUM(list_sum(list_transform(range(1, 9),
+         |      i -> (qs.q8[penc.mm * 8 + i] - pcb.cvec[i])
+         |         * (qs.q8[penc.mm * 8 + i] - pcb.cvec[i]))))::BIGINT AS d2
+         |  FROM qpr
+         |  JOIN $asgRel a ON a.cluster = qpr.cluster
+         |  JOIN penc ON penc.vec_id = a.vec_id
+         |  JOIN pcb ON pcb.mm = penc.mm AND pcb.code = penc.code
+         |  JOIN qsel qs ON qs.query_id = qpr.query_id
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT query_id, corpus_id FROM (
+         |  SELECT query_id, corpus_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY d2, corpus_id) AS r
+         |  FROM pdist) WHERE r <= 40),
+         |rer AS (
+         |  SELECT cand.query_id, cand.corpus_id,
+         |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+         |  JOIN embeddings ce ON ce.vec_id = cand.corpus_id)
+         |SELECT query_id, rank, corpus_id,
+         |  floor(cosine * 1e6 + 0.5) / 1e6 AS cos6 FROM (
+         |  SELECT query_id, corpus_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id)::BIGINT AS rank
+         |  FROM rer) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    })
+
+  /** x216's chain served from the SLICED store — frozen-artifact
+    * appends with payload slices, refined serve over the slice union
+    * (candidate prune pushing into every slice's sorted payload,
+    * cluster prune into every slice's partitioned codes). Same oracle
+    * as x216: the layout must not move a single refined rank. */
+  private val x217: (Fn, String) = (
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val built = graft.ext.AnnStore.buildIvfPq(emb, "vec_id", "embedding",
+        subspaces = 8, ksub = 16, dim = 64, nCentroids = 16, rounds = 2)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_x217_ivfpqrefslices").getAbsolutePath
+      // appends accumulate by design — reset the store per execution
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.ext.AnnStore.createIvfPqSliced(s, dir, built.codebook,
+        built.cents, dim = 64, withPayload = true)
+      graft.ext.AnnStore.appendIvfPq(
+        emb.filter(pmod($"vec_id", lit(2)) === 0), dir, "vec_id", "embedding")
+      graft.ext.AnnStore.appendIvfPq(
+        emb.filter(pmod($"vec_id", lit(2)) === 1), dir, "vec_id", "embedding")
+      val loaded = graft.ext.AnnStore.loadIvfPqSliced(s, dir)
+      graft.ext.AnnStore.ivfPqServeRefined(
+          benchPanelCap(emb.filter($"vec_id" % 97 === 0), "vec_id"),
+          "vec_id", "embedding", loaded, k = 10, nProbe = 4, refine = 4)
+        .select($"query_id", $"rank", $"corpus_id",
+          (floor($"cosine" * 1e6 + 0.5) / 1e6).as("cos6"))
+        .orderBy($"query_id", $"rank")
+    },
+    x216._2) // the sliced layout must not move a single refined rank
+
   val all: Seq[(String, (Fn, Option[String]))] = Seq(
     "x01_dedup_exact" -> (x01._1, Some(x01._2)),
     "x02_dedup_ngram_jaccard" -> (x02._1, Some(x02._2)),
@@ -7193,5 +7313,7 @@ object ExtQ {
     "x213_pq_append_serve" -> (x213._1, Some(x213._2)),
     "x214_ivfpq_append_serve" -> (x214._1, Some(x214._2)),
     "x215_pq_compact_serve" -> (x215._1, Some(x215._2)),
+    "x216_ivfpq_refine_serve" -> (x216._1, Some(x216._2)),
+    "x217_ivfpq_sliced_refine" -> (x217._1, Some(x217._2)),
   )
 }

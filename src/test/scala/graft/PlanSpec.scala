@@ -197,7 +197,9 @@ class PlanSpec extends AnyFunSuite {
       "x207_containment_from_store", // x200's ≤groups-row a<b theta join, sizes from the maintained store
       "x210_persistent_pq_serve",  // x197 served from the persisted index: candidates pushed into the sorted payload scan
       "x213_pq_append_serve",    // x210's served shape over frozen-codebook slices (same local-candidate refine plan)
-      "x215_pq_compact_serve")   // x213's served shape after compaction (same local-candidate refine plan, one slice)
+      "x215_pq_compact_serve",   // x213's served shape after compaction (same local-candidate refine plan, one slice)
+      "x216_ivfpq_refine_serve", // x212's routed ADC (≤16-row centroid cross) + x210's local-candidate refine plan
+      "x217_ivfpq_sliced_refine") // x216's served shape over frozen-artifact slices
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
@@ -272,7 +274,9 @@ class PlanSpec extends AnyFunSuite {
       "x205_truncation_recall",    // audit: ≤6-row query set broadcast (vec_id % 97), full + sliced
       "x210_persistent_pq_serve",  // x197 served from disk: panel broadcast + candidate-pruned payload scan
       "x213_pq_append_serve",    // x210's panel broadcast, served from appended slices
-      "x215_pq_compact_serve")   // x210's panel broadcast, served from the compacted slice
+      "x215_pq_compact_serve",   // x210's panel broadcast, served from the compacted slice
+      "x216_ivfpq_refine_serve", // ≤16-row centroid broadcast + panel broadcast + candidate-pruned payload scan
+      "x217_ivfpq_sliced_refine") // x216's broadcasts, served from the slice union
     def scansCorpus(p: SparkPlan): Boolean = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(rp =>

@@ -258,6 +258,69 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("ivfpq refined serve: == independent re-rank; payload optional and guarded") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 400L
+    val union = (0L until n).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+      .repartition(8)
+    val idx = AnnStore.buildIvfPq(union, "vec_id", "embedding",
+      subspaces = 4, ksub = 8, dim = 16, nCentroids = 8, rounds = 2)
+    val queries = Seq((9001L, mkVec(3)), (9002L, mkVec(5)))
+      .toDF("vec_id", "embedding")
+    // independent oracle: the in-session ADC operator widened to
+    // k·refine, then a test-local exact-cosine re-rank (no AnnStore
+    // code on this path)
+    val cand = Similarity.ivfPqTopK(queries, "vec_id", "embedding",
+        union, "vec_id", "embedding", idx.codebook, k = 3 * 2,
+        nCentroids = 8, nProbe = 2, rounds = 2)
+      .select($"query_id", $"corpus_id")
+    val rer = cand
+      .join(queries.select($"vec_id".as("query_id"), $"embedding".as("_q")),
+        Seq("query_id"))
+      .join(union.select($"vec_id".as("corpus_id"), $"embedding".as("_c")),
+        Seq("corpus_id"))
+      .select($"query_id", $"corpus_id",
+        Similarity.cosine($"_q", $"_c").as("_cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy($"_cos".desc, $"corpus_id")))
+      .filter($"rank" <= 3)
+    val want = rer.select($"query_id", $"rank".cast("long"), $"corpus_id")
+      .as[(Long, Long, Long)].collect().toSet
+    def ranking(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"corpus_id")
+        .as[(Long, Long, Long)].collect().toSet
+    // a payload-less save serves ADC but REFUSES the refined path
+    val bare = tmp("annstore_ivfpq_bare")
+    AnnStore.saveIvfPq(idx, bare)
+    val e = intercept[IllegalArgumentException](
+      AnnStore.ivfPqServeRefined(queries, "vec_id", "embedding",
+        AnnStore.loadIvfPq(spark, bare), k = 3, nProbe = 2, refine = 2))
+    assert(e.getMessage.contains("payload"))
+    // withPayload: refined serve == the independent composition
+    val dir = tmp("annstore_ivfpq_ref")
+    AnnStore.saveIvfPq(idx, dir, withPayload = true)
+    assert(ranking(AnnStore.ivfPqServeRefined(queries, "vec_id", "embedding",
+      AnnStore.loadIvfPq(spark, dir), k = 3, nProbe = 2, refine = 2))
+      == want && want.nonEmpty)
+    // sliced with payload: two appends == same refined ranks; compact
+    // collapses to one slice and moves nothing
+    val sdir = tmp("annstore_ivfpq_refsliced")
+    AnnStore.createIvfPqSliced(spark, sdir, idx.codebook, idx.cents,
+      dim = 16, withPayload = true)
+    AnnStore.appendIvfPq(union.filter($"vec_id" < 200L), sdir,
+      "vec_id", "embedding")
+    AnnStore.appendIvfPq(union.filter($"vec_id" >= 200L), sdir,
+      "vec_id", "embedding")
+    assert(ranking(AnnStore.ivfPqServeRefined(queries, "vec_id", "embedding",
+      AnnStore.loadIvfPqSliced(spark, sdir), k = 3, nProbe = 2,
+      refine = 2)) == want)
+    AnnStore.compactIvfPq(spark, sdir, graceMs = 0)
+    assert(graft.streaming.RefIndexSlices.sliceCount(spark, sdir) == 1)
+    assert(ranking(AnnStore.ivfPqServeRefined(queries, "vec_id", "embedding",
+      AnnStore.loadIvfPqSliced(spark, sdir), k = 3, nProbe = 2,
+      refine = 2)) == want)
+  }
+
   test("sliced pq compaction: one slice, ranks unchanged, graced orphan sweep") {
     val union = (0L until 60L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
     val cb = Similarity.pqCodebook(union, "vec_id", "embedding",

@@ -254,6 +254,21 @@ class MainSpec extends AnyFunSuite {
     assert(graft.streaming.RefIndexSlices.sliceCount(spark, s"$base/sliced") == 1)
     assert(cliServe(s"$base/sliced", s"$base/sliced_out2",
       Map("layout" -> "sliced")) == want)
+    // --payload true build + --refine probe routes the refined serve
+    // (library-level parity vs the loaded index; the refined chain's
+    // independent oracle lives in AnnStoreSpec)
+    Main.run(Map("stage-name" -> "index_build", "kind" -> "ivfpq",
+      "payload" -> "true", "source" -> s"$base/ref",
+      "index-dir" -> s"$base/flatp") ++ knobs, spark)
+    val gotRefined = cliServe(s"$base/flatp", s"$base/ref_out",
+      Map("refine" -> "2"))
+    val wantRefined = graft.ext.AnnStore.ivfPqServeRefined(probeDf,
+        "vec_id", "embedding",
+        graft.ext.AnnStore.loadIvfPq(spark, s"$base/flatp"),
+        k = 5, nProbe = 2, refine = 2)
+      .select($"query_id", $"rank", $"corpus_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotRefined == wantRefined && gotRefined.nonEmpty)
   }
 
   test("invalid stage and missing args error clearly") {
