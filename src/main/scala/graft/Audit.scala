@@ -31,6 +31,8 @@ import org.apache.spark.sql.functions._
   *   // AnnStore serving economics: served-from-disk vs re-encode
   * sbt "runMain graft.Audit ivfpq-append-cost <sfDir>"
   *   // sliced IVF-PQ economics: full re-encode refresh vs appendIvfPq
+  * sbt "runMain graft.Audit ivfpq-amortize <sfDir> [panels]"
+  *   // refined-serving economics: served-from-store vs re-encode chain
   * }}}
   *
   * Timing convention matches Bench: one discarded warm-up execution,
@@ -315,6 +317,48 @@ object Audit {
         require(sumA == sumB,
           s"layout mismatch: rebuild checksum $sumA != sliced $sumB")
         println(f"""{"audit":"ivfpq-append-cost","sf":"$sfDir","rebuild_sec":$tRebuild%.2f,"append_sec":$tAppend%.2f,"rebuild_bytes":$bytesRebuild,"append_bytes":$bytesAppend,"serve_rebuild_sec":$tServeRebuild%.2f,"serve_sliced_sec":$tServeSliced%.2f,"checksum":$sumA}""")
+      case "ivfpq-amortize" :: sfDir :: rest =>
+        // the refined-serving economics (x216): one build+save
+        // (withPayload) then N panels served refined from the LOADED
+        // index — against (a) ADC-only serving from the same index
+        // (the refine price) and (b) the in-session one-call chain
+        // re-encoding the corpus per panel (what the store saves).
+        // Panels are disjoint id slices so no caching flatters a side.
+        val panels = rest.headOption.map(_.toInt).getOrElse(5)
+        val emb = tables.t(spark, sfDir, "embeddings")
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_ivfpq_amort").getAbsolutePath
+        val tb0 = System.nanoTime()
+        val built = ext.AnnStore.buildIvfPq(emb, "vec_id", "embedding")
+        ext.AnnStore.saveIvfPq(built, dir, withPayload = true)
+        val loaded = ext.AnnStore.loadIvfPq(spark, dir)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        def panel(i: Int) = emb.filter(
+          pmod(col("vec_id"), lit(97)) === i).limit(21)
+        ext.AnnStore.ivfPqServeRefined(panel(0), "vec_id", "embedding",
+          loaded, k = 10).count() // warm-up
+        val refined = (1 to panels).map { i =>
+          val t0 = System.nanoTime()
+          ext.AnnStore.ivfPqServeRefined(panel(i), "vec_id", "embedding",
+            loaded, k = 10).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val adcOnly = (1 to panels).map { i =>
+          val t0 = System.nanoTime()
+          ext.AnnStore.ivfPqServe(panel(i), "vec_id", "embedding",
+            loaded, k = 10).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cbL = loaded.codebook
+        val pipelined = (1 to panels).map { i =>
+          val t0 = System.nanoTime()
+          ext.Similarity.ivfPqTopK(panel(i), "vec_id", "embedding",
+            emb, "vec_id", "embedding", cbL, k = 10).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def fmtD(xs: Seq[Double]) =
+          xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+        println(f"""{"audit":"ivfpq-amortize","sf":"$sfDir","panels":$panels,"build_save_load_sec":$buildSec%.2f,"refined_sec":${fmtD(refined)},"adc_sec":${fmtD(adcOnly)},"pipeline_sec":${fmtD(pipelined)}}""")
       case "pq-amortize" :: sfDir :: rest =>
         // the serving-economics measurement behind AnnStore: one
         // build+save, then N panels served from the LOADED index,
