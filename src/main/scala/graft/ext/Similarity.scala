@@ -265,30 +265,76 @@ object Similarity {
 
   /** Nearest-centroid assignment in the integer domain: exact int d2,
     * argmin ties to the smallest cluster id. `q` is (vid, q8); `c` is
-    * (cluster, cvec) and broadcasts. */
+    * (cluster, cvec) — ≤nCentroids rows by contract (the k-means
+    * codebook class, same bounded-collect family as [[pqCodebook]]).
+    *
+    * r12 shape (guide §2.4 — remove shuffles outright): `c` collects
+    * driver-side and the whole assignment runs IN-ROW — the argmin is
+    * the native [[graft.functions.PqEncode]] with ONE subspace (whole
+    * vector = one slice ⇒ the code IS the nearest centroid's position,
+    * exact integer L2, strict-< ties to the first = smallest cluster
+    * id in the sorted table), so the corpus is scanned once with NO
+    * Exchange. The previous broadcast-crossJoin + groupBy(vid)
+    * min(struct) shape put one corpus-sized Exchange (min-combined)
+    * into EVERY caller — Lloyd rounds, IVF bucketing, SemDeDup band
+    * rows, IVF-PQ appends. Same integers: PqEncode computes Σ(q−c)²
+    * exactly; d2 re-derives as |q|²−2·q·c+|c|², equal by exact algebra
+    * in the int8 domain. Same null semantics: a null or
+    * length-mismatched q8 encodes to null ⇒ falls back to the smallest
+    * cluster id with null d2, exactly the nulls-first struct-min
+    * outcome of the old shape. */
   private[ext] def int8AssignTo(q: DataFrame, c: DataFrame): DataFrame = {
-    // d2 = |q|² − 2·q·c + |c|² over the codegen'd native long dot
-    // ([[graft.functions.DotProductLong]]): same integers as the
-    // interpreted aggregate(zip_with((a−b)²)) it replaces (exact
-    // algebra in the int8 domain), without two lambdas per element —
-    // |q|² hoists out of the per-centroid loop entirely
+    val clusterType = c.schema("cluster").dataType
+    val rows = centroidTable(c)
+    if (rows.isEmpty)
+      return q.filter(lit(false)).select(col("vid"),
+        lit(null).cast(clusterType).as("cluster"),
+        lit(null).cast("long").as("d2"))
+    val cvecs = rows.map(_._2)
+    val ccs = cvecs.map(v => v.map(x => x * x).sum)
     val dotL = graft.functions.VectorExpressions.dot_long _
-    q.withColumn("_qq", dotL(col("q8"), col("q8")))
-      .crossJoin(broadcast(
-        c.withColumn("_cc", dotL(col("cvec"), col("cvec")))))
+    q.withColumn("_code", element_at(
+        graft.functions.VectorExpressions.pq_encode(
+          col("q8"), cvecs, rows.length), 1))
+      .withColumn("cluster",
+        coalesce(element_at(typedLit(rows.map(_._1)), col("_code") + 1),
+          lit(rows.head._1)).cast(clusterType))
       .withColumn("d2",
-        col("_qq") - dotL(col("q8"), col("cvec")) * 2 + col("_cc"))
-      .groupBy(col("vid"))
-      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
-      .select(col("vid"), col("m.cluster").as("cluster"),
-        col("m.d2").as("d2"))
+        dotL(col("q8"), col("q8"))
+          - dotL(col("q8"), element_at(typedLit(cvecs), col("_code") + 1)) * 2
+          + element_at(typedLit(ccs), col("_code") + 1))
+      .select(col("vid"), col("cluster"), col("d2"))
   }
 
+  /** Driver-collected centroid table of a (cluster, cvec) frame,
+    * sorted by cluster id — ≤nCentroids rows by contract. */
+  private def centroidTable(c: DataFrame)
+      : IndexedSeq[(Long, IndexedSeq[Long])] =
+    c.select(col("cluster").cast("long"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+
   /** The Lloyd's E/M loop over a quantized (vid, q8) frame; returns
-    * the trained (cluster, cvec) codebook. Seeds are the k smallest-id
-    * vectors, fetched with a distributed TakeOrdered heap and pinned
-    * driver-side (k·dims longs — bounded metadata, and windowless:
-    * no single-partition row_number anywhere in the plan). */
+    * the trained (cluster, cvec) codebook as a driver-built
+    * LocalRelation. Seeds are the k smallest-id vectors, fetched with
+    * a distributed TakeOrdered heap and pinned driver-side (k·dims
+    * longs — bounded metadata, and windowless: no single-partition
+    * row_number anywhere in the plan).
+    *
+    * r12 shape (guide §2.3/§2.4): each round is ONE scan of the
+    * checkpointed corpus — the in-row [[graft.functions.PqEncode]]
+    * argmin assigns, and the M-step's sufficient statistic (Σq8, n per
+    * cluster) is the native map-combined
+    * [[graft.functions.VectorSumAgg]], so the round's only Exchange
+    * carries ≤k·(dims+2) longs per map partition and the rounded-mean
+    * arithmetic runs driver-side on exact longs (identical integer
+    * formula, associative sums ⇒ bit-identical trajectory). The
+    * previous shape paid per round: a corpus-sized assignment Exchange,
+    * a corpus self-JOIN on vid (two more), a posexplode that
+    * multiplied the agg input by dims, and a centroid localCheckpoint.
+    * A cluster that loses all members keeps its previous centroid
+    * (unchanged); null or length-mismatched q8 rows contribute nothing
+    * to the M-step, exactly as their zero posexplode/partial rows did. */
   private[ext] def lloydLoop(q: DataFrame, k: Int, rounds: Int): DataFrame = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
@@ -296,27 +342,36 @@ object Similarity {
     val centSchema = StructType(Seq(
       StructField("cluster", LongType),
       StructField("cvec", ArrayType(LongType))))
-    val init = q.orderBy("vid").limit(k).select(col("q8")).collect()
-    var cents: DataFrame = spark.createDataFrame(
-      init.toSeq.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i.toLong, r.getSeq[Long](0))
-      }.asJava, centSchema)
-    (1 to rounds).foreach { _ =>
-      val asg = int8AssignTo(q, cents).select(col("vid"), col("cluster"))
-      val sums = asg.join(q, "vid")
-        .select(col("cluster"), posexplode(col("q8")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("c", expr("((2 * (s + 127 * n) + n) div (2 * n)) - 127"))
-      val fresh = sums.groupBy("cluster")
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
-          x => x("c")).as("cvec"))
-      cents = cents.select(col("cluster"), col("cvec").as("_old"))
-        .join(fresh, Seq("cluster"), "left")
-        .select(col("cluster"), coalesce(col("cvec"), col("_old")).as("cvec"))
-        .localCheckpoint()
+    var cents: IndexedSeq[IndexedSeq[Long]] =
+      q.orderBy("vid").limit(k).select(col("q8")).collect()
+        .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    if (cents.nonEmpty) {
+      val dims = cents.head.length
+      (1 to rounds).foreach { _ =>
+        val code = element_at(graft.functions.VectorExpressions.pq_encode(
+          col("q8"), cents, cents.length), 1)
+        val sums = q.select(code.as("c"), col("q8"))
+          .filter(col("c").isNotNull)
+          .groupBy("c")
+          .agg(graft.functions.VectorSumAgg.vecSum(col("q8"), dims).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getSeq[Long](1), r.getLong(2))))
+          .toMap
+        cents = cents.indices.map { ci =>
+          sums.get(ci) match {
+            case Some((s, n)) =>
+              s.map(si => ((2 * (si + 127 * n) + n) / (2 * n)) - 127)
+                .toIndexedSeq
+            case None => cents(ci)
+          }
+        }
+      }
     }
-    cents
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i.toLong, v: Seq[Long])
+      }.asJava, centSchema)
   }
 
   /** [[kmeansLloyd]] as unrolled DuckDB SQL (MATERIALIZED round CTEs)
@@ -946,10 +1001,12 @@ object Similarity {
         int8Quantize(col(cVec)).getField("q").as("q8"))
       .localCheckpoint()
     val cents = lloydLoop(cq.select("vid", "q8"), nCentroids, rounds)
-    val bucketed = int8AssignTo(cq.select("vid", "q8"), cents)
-      .select(col("vid"), col("cluster"))
-      .join(cq.select(col("vid"), col("cv")), "vid")
-      .select(col("vid").as("neighbour_id"), col("cluster"), col("cv"))
+    // r12: the bucketing assignment is in-row (see [[int8AssignTo]]),
+    // so cluster and cv ride the same scan — the old assign-then-join-
+    // back-on-vid shape cost two corpus Exchanges per call
+    val bucketed = cq.select(col("vid").as("neighbour_id"),
+      assignColumn(col("q8"), centroidTable(cents)).as("cluster"),
+      col("cv"))
     val dotL = graft.functions.VectorExpressions.dot_long _
     val probes = queries
       .select(col(qId).as("query_id"), col(qVec).as("qv"),
@@ -1345,14 +1402,36 @@ object Similarity {
   private[ext] def ivfPqEncodeAssigned(cq: DataFrame, cents: DataFrame,
                                        codebook: Seq[Seq[Seq[Long]]])
       : DataFrame = {
+    // r12: one in-row select — the coarse assignment (the one-subspace
+    // PqEncode argmin, see [[int8AssignTo]]) and the PQ encode are
+    // both per-row functions of q8, so the old assign-then-join-back-
+    // on-vid shape (two corpus Exchanges) collapses to a pure scan
     val ksub = codebook.head.length
-    val assigned = int8AssignTo(cq, cents)
-      .select(col("vid"), col("cluster"))
-    val enc = cq.select(col("vid"),
+    val clusterType = cents.schema("cluster").dataType
+    val rows = centroidTable(cents)
+    if (rows.isEmpty)
+      return cq.filter(lit(false)).select(
+        lit(null).cast(clusterType).as("cluster"),
+        col("vid").as("_cid"),
+        lit(null).cast("array<int>").as("codes"))
+    cq.select(
+      assignColumn(col("q8"), rows).cast(clusterType).as("cluster"),
+      col("vid").as("_cid"),
       graft.functions.VectorExpressions.pq_encode(col("q8"),
         codebook.flatten, ksub).as("codes"))
-    assigned.join(enc, "vid")
-      .select(col("cluster"), col("vid").as("_cid"), col("codes"))
+  }
+
+  /** In-row nearest-centroid cluster id over a collected centroid
+    * table — the one-subspace [[graft.functions.PqEncode]] argmin,
+    * falling back to the smallest cluster id for a null/mismatched
+    * q8 ([[int8AssignTo]]'s convention). */
+  private def assignColumn(q8: Column,
+                           rows: IndexedSeq[(Long, IndexedSeq[Long])])
+      : Column = {
+    val code = element_at(graft.functions.VectorExpressions.pq_encode(
+      q8, rows.map(_._2), rows.length), 1)
+    coalesce(element_at(typedLit(rows.map(_._1)), code + 1),
+      lit(rows.head._1))
   }
 
   /** Shared IVF query routing: each query keeps its `nProbe` nearest
