@@ -1614,11 +1614,22 @@ object Dedup {
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .localCheckpoint()
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Round 1 runs FUSED (r12, guide §2.4): every starting label is
+    // the node's own id, so min-neighbour-label adoption is just ONE
+    // map-combined aggregation over the undirected edges — no initial
+    // distinct-node frame, no label join. (Every node appears as src
+    // in `und` because both directions are present, so the groupBy IS
+    // the node set.) The result is bit-identical to the general round
+    // below evaluated at labels == id; the old shape paid a distinct
+    // + checkpoint + two shuffle joins to compute the same thing.
+    var merged = und.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_nbr"))
+      .select(col("id"), col("id").as("old"),
+        least(col("id"), col("_nbr")).as("nlabel"))
       .localCheckpoint()
-    var changed = 1L
-    var iters = 0
+    var changed = merged.filter(col("nlabel") < col("old")).count()
+    var labels = merged.select(col("id"), col("nlabel").as("label"))
+    var iters = 1
     while (changed > 0) {
       iters += 1
       require(iters <= 64,
@@ -1627,26 +1638,25 @@ object Dedup {
       // CHECKPOINTED tiny label frame) engages only from round 3:
       // dedup clusters are star/clique-shaped and converge in 2 rounds
       // of plain adoption, so the common case pays nothing, while
-      // long-chain graphs still compress geometrically
+      // long-chain graphs still compress geometrically. The jump
+      // carries the round's STARTING label (`old`) through its own
+      // join, so the convergence check needs no second labels join
+      // (the jump itself may be the only change of a round).
       val base =
-        if (iters <= 2) labels
+        if (iters <= 2) labels.select(col("id"), col("label"),
+          col("label").as("old"))
         else labels.as("a").join(
             labels.select(col("id").as("jid"), col("label").as("jl")).as("j"),
             col("a.label") === col("jid"), "left")
           .select(col("a.id").as("id"),
             least(col("a.label"), coalesce(col("jl"), col("a.label")))
-              .as("label"))
+              .as("label"),
+            col("a.label").as("old"))
           .localCheckpoint()
       // smallest neighbour label per node (partial agg before shuffle)
       val nbrMin = und.join(base, und("dst") === base("id"))
         .groupBy(und("src").as("id2")).agg(min("label").as("nbr"))
-      // carry the round's STARTING label for the convergence check
-      // (the jump itself may be the only change of a round)
-      val withOld =
-        if (base eq labels)
-          base.select(col("id"), col("label"), col("label").as("old"))
-        else labels.select(col("id"), col("label").as("old")).join(base, Seq("id"))
-      val merged = withOld
+      merged = base
         .join(nbrMin, col("id") === col("id2"), "left")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("nlabel"))
