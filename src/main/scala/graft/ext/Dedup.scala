@@ -1078,12 +1078,18 @@ object Dedup {
           .as(Seq("band", "bucket")))
       .localCheckpoint()
     val cand = Planes.cappedSelfPairs(banded, maxBucket)
-    val v = df.select(col(id).as("_id"), col(vec).as("v"))
+    // per-side norms hoist out of the pair row (r12, guide §1.2-2):
+    // computed once per SOURCE row before the candidate joins, not
+    // once per pair after — bit-identical cosine (same sqrt per side,
+    // same product order)
+    val v = df.select(col(id).as("_id"), col(vec).as("v"),
+      Similarity.norm(col(vec)).as("_nv"))
     cand
       .join(v.as("va"), col("id_a") === col("va._id"))
       .join(v.as("vb"), col("id_b") === col("vb._id"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va.v"), col("vb.v")).as("cosine"))
+        (Similarity.dot(col("va.v"), col("vb.v")) /
+          (col("va._nv") * col("vb._nv"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -1151,19 +1157,22 @@ object Dedup {
       .localCheckpoint()
     val cand = Planes.cappedSelfPairs(banded, maxBucket)
     // quantized payloads materialize separately (64 longs per row —
-    // small) because the scoring join reads them for both sides
+    // small) because the scoring join reads them for both sides; the
+    // self-dot ‖q‖² rides the checkpoint (r12, guide §1.2-2: exact
+    // long per ROW once, instead of twice per candidate pair)
+    val dotL = graft.functions.VectorExpressions.dot_long _
     val qv = src
       .select(col("_id"),
         Similarity.int8Quantize(col("fv")).getField("q").as("qv"))
+      .withColumn("_n", dotL(col("qv"), col("qv")))
       .localCheckpoint()
-    val dotL = graft.functions.VectorExpressions.dot_long _
     cand
       .join(qv.as("qa"), col("id_a") === col("qa._id"))
       .join(qv.as("qb"), col("id_b") === col("qb._id"))
       .select(col("id_a"), col("id_b"),
         dotL(col("qa.qv"), col("qb.qv")).as("dotq"),
-        dotL(col("qa.qv"), col("qa.qv")).as("na"),
-        dotL(col("qb.qv"), col("qb.qv")).as("nb"))
+        col("qa._n").as("na"),
+        col("qb._n").as("nb"))
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
@@ -1298,22 +1307,26 @@ object Dedup {
       .select(col("_id").as(out),
         posexplode(Planes.bandBuckets(col("fv"), planes, nBands, nBits))
           .as(Seq("band", "bucket")))
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    // ‖q‖² hoists into the quantized projection (once per source row
+    // per scan, not once per candidate pair — exact long arithmetic)
     def quant(df: DataFrame) = df
       .select(col(id).as("_id"),
         Similarity.int8Quantize(col(vec)).getField("q").as("qv"))
+      .withColumn("_n", dotL(col("qv"), col("qv")))
     val qa = quant(newDf)
     val qb = quant(histDf)
     val cand = Planes.cappedCrossPairs(
       bandRows(newDf, "id_a"),
       bandRows(histDf, "id_b").localCheckpoint(), maxBucket)
-    val dotL = graft.functions.VectorExpressions.dot_long _
     cand
-      .join(qa.select(col("_id").as("id_a"), col("qv").as("_qa")), Seq("id_a"))
-      .join(qb.select(col("_id").as("id_b"), col("qv").as("_qb")), Seq("id_b"))
+      .join(qa.select(col("_id").as("id_a"), col("qv").as("_qa"),
+        col("_n").as("na")), Seq("id_a"))
+      .join(qb.select(col("_id").as("id_b"), col("qv").as("_qb"),
+        col("_n").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         dotL(col("_qa"), col("_qb")).as("dotq"),
-        dotL(col("_qa"), col("_qa")).as("na"),
-        dotL(col("_qb"), col("_qb")).as("nb"))
+        col("na"), col("nb"))
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
@@ -1356,10 +1369,13 @@ object Dedup {
                               maxBucket: Int = 4096): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val k = if (nClusters > 0) nClusters else Planes.nClustersFor(df.count())
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    // ‖q8‖² rides the checkpoint (r12: once per row, not per pair)
     val q = df.select(col(id).as("vid"), col(vec).as("fv"))
       .repartition(parts)
       .select(col("vid"),
         Similarity.int8Quantize(col("fv")).getField("q").as("q8"))
+      .withColumn("_n", dotL(col("q8"), col("q8")))
       .localCheckpoint()
     val cents = Similarity.lloydLoop(q.select(col("vid"), col("q8")),
       k, rounds)
@@ -1370,14 +1386,14 @@ object Dedup {
         col("cluster").as("bucket"))
       .localCheckpoint()
     val cand = Planes.cappedSelfPairs(bandRows, maxBucket)
-    val dotL = graft.functions.VectorExpressions.dot_long _
     cand
-      .join(q.select(col("vid").as("id_a"), col("q8").as("_qa")), Seq("id_a"))
-      .join(q.select(col("vid").as("id_b"), col("q8").as("_qb")), Seq("id_b"))
+      .join(q.select(col("vid").as("id_a"), col("q8").as("_qa"),
+        col("_n").as("na")), Seq("id_a"))
+      .join(q.select(col("vid").as("id_b"), col("q8").as("_qb"),
+        col("_n").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         dotL(col("_qa"), col("_qb")).as("dotq"),
-        dotL(col("_qa"), col("_qa")).as("na"),
-        dotL(col("_qb"), col("_qb")).as("nb"))
+        col("na"), col("nb"))
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
@@ -1421,16 +1437,19 @@ object Dedup {
     val (nBands, nBits) = Planes.resolveBanding(bands, bitsPerBand, df.count())
     val base = if (docSampleBits == 0) df else df.filter(
       pmod(xxhash64(col(id).cast("string")), lit(1L << docSampleBits)) === 0)
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    // ‖q‖² rides the checkpoint: the O(n²) exact side pays ONE dot
+    // per pair instead of three (r12 — this is the audit's hot loop)
     val q = base.select(col(id).as("_id"),
         Similarity.int8Quantize(col(vec)).getField("q").as("qv"))
+      .withColumn("_n", dotL(col("qv"), col("qv")))
       .localCheckpoint()
-    val dotL = graft.functions.VectorExpressions.dot_long _
     val exact = q.repartition(parts).as("a")
       .join(broadcast(q).as("b"), col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         dotL(col("a.qv"), col("b.qv")).as("dotq"),
-        dotL(col("a.qv"), col("a.qv")).as("na"),
-        dotL(col("b.qv"), col("b.qv")).as("nb"))
+        col("a._n").as("na"),
+        col("b._n").as("nb"))
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
@@ -1482,16 +1501,18 @@ object Dedup {
     val k = if (nClusters > 0) nClusters else Planes.nClustersFor(df.count())
     val base = if (docSampleBits == 0) df else df.filter(
       pmod(xxhash64(col(id).cast("string")), lit(1L << docSampleBits)) === 0)
+    val dotL = graft.functions.VectorExpressions.dot_long _
+    // ‖q‖² rides the checkpoint (see semanticBandingAudit)
     val q = base.select(col(id).as("_id"),
         Similarity.int8Quantize(col(vec)).getField("q").as("qv"))
+      .withColumn("_n", dotL(col("qv"), col("qv")))
       .localCheckpoint()
-    val dotL = graft.functions.VectorExpressions.dot_long _
     val exact = q.repartition(parts).as("a")
       .join(broadcast(q).as("b"), col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         dotL(col("a.qv"), col("b.qv")).as("dotq"),
-        dotL(col("a.qv"), col("a.qv")).as("na"),
-        dotL(col("b.qv"), col("b.qv")).as("nb"))
+        col("a._n").as("na"),
+        col("b._n").as("nb"))
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
@@ -1850,11 +1871,13 @@ object Dedup {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     // the O(n²) pair scoring parallelizes over the LEFT side's
     // partitions (the right side broadcasts) — spread it
-    val v = df.select(col(id).as("_id"), col(vec).as("v"))
+    val v = df.select(col(id).as("_id"), col(vec).as("v"),
+      Similarity.norm(col(vec)).as("_nv"))
     v.repartition(parts).as("a")
       .join(broadcast(v).as("b"), col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a._nv") * col("b._nv"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -464,16 +464,23 @@ object Similarity {
                      corpus: DataFrame, cId: String, cVec: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
     val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv")))
+    // per-side norms hoist OUT of the pair row (r12, guide §1.2-2):
+    // sqrt(dot(v,v)) per row before the join instead of per pair after
+    // it — same expression per side, same product order, so the cosine
+    // value is bit-identical; the pair row pays ONE dot instead of three
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(qVec).as("qv"), norm(col(qVec)).as("_nq")))
     // corpus drives parallelism (queries broadcast): spread its rows
     // so per-pair scoring isn't bound to the scan's split count
-    val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"))
+    val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"),
+        norm(col(cVec)).as("_nc"))
       .repartition(parts)
     val cond = if (excludeSelf) col("query_id") =!= col("neighbour_id")
                else lit(true)
     val scored = c.join(q, cond)
       .select(col("query_id"), col("neighbour_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        (dot(col("qv"), col("cv")) / (col("_nq") * col("_nc")))
+          .as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -615,17 +622,25 @@ object Similarity {
                          bands: Int = 16, bitsPerBand: Int = 4,
                          dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val parts = a.sparkSession.sessionState.conf.numShufflePartitions
-    val va = a.select(col(aId).as("_id"), col(aVec).as("v"))
+    // norms ride the checkpointed side frames (computed once per ROW,
+    // not once per candidate pair — bit-identical cosine, see
+    // [[bruteForceTopK]])
+    val va = a.select(col(aId).as("_id"), col(aVec).as("v"),
+        norm(col(aVec)).as("_nv"))
       .repartition(parts).localCheckpoint()
-    val vb = b.select(col(bId).as("_id"), col(bVec).as("v"))
+    val vb = b.select(col(bId).as("_id"), col(bVec).as("v"),
+        norm(col(bVec)).as("_nv"))
       .repartition(parts).localCheckpoint()
     val cand = bandedCrossCandidates(va, vb, bands, bitsPerBand, dim,
       maxBucket)
     val scored = cand
-      .join(va.select(col("_id").as("id_a"), col("v").as("_va")), Seq("id_a"))
-      .join(vb.select(col("_id").as("id_b"), col("v").as("_vb")), Seq("id_b"))
+      .join(va.select(col("_id").as("id_a"), col("v").as("_va"),
+        col("_nv").as("_na")), Seq("id_a"))
+      .join(vb.select(col("_id").as("id_b"), col("v").as("_vb"),
+        col("_nv").as("_nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("_va"), col("_vb")).as("cosine"))
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+          .as("cosine"))
       .localCheckpoint()  // both direction windows read it — score once
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
@@ -704,16 +719,17 @@ object Similarity {
                            maxBucket: Int = 4096): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val v = df.select(col(id).as("_id"), col(vec).as("v"),
-        col(label).as("_lab"))
+        col(label).as("_lab"), norm(col(vec)).as("_nv"))
       .repartition(parts).localCheckpoint()
     val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim, maxBucket)
     val scored = cand
       .join(v.select(col("_id").as("id_a"), col("v").as("_va"),
-        col("_lab").as("_qlab")), Seq("id_a"))
+        col("_lab").as("_qlab"), col("_nv").as("_na")), Seq("id_a"))
       .join(v.select(col("_id").as("id_b"), col("v").as("_vb"),
-        col("_lab").as("_nlab")), Seq("id_b"))
+        col("_lab").as("_nlab"), col("_nv").as("_nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("_va"), col("_vb")).as("cosine"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+          .as("cosine"),
         col("_qlab"), col("_nlab"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
@@ -820,15 +836,19 @@ object Similarity {
     val exact = bruteForceTopK(df.filter(inSample(col(id))), id, vec,
         df, id, vec, k)
       .select(col("query_id"), col("neighbour_id"), lit(1L).as("_e"))
-    val v = df.select(col(id).as("_id"), col(vec).as("v"))
+    val v = df.select(col(id).as("_id"), col(vec).as("v"),
+        norm(col(vec)).as("_nv"))
       .repartition(parts).localCheckpoint()
     val cand = bandedSelfCandidates(v, bands, bitsPerBand, dim, maxBucket)
       .filter(inSample(col("id_a")))
     val scored = cand
-      .join(v.select(col("_id").as("id_a"), col("v").as("_va")), Seq("id_a"))
-      .join(v.select(col("_id").as("id_b"), col("v").as("_vb")), Seq("id_b"))
+      .join(v.select(col("_id").as("id_a"), col("v").as("_va"),
+        col("_nv").as("_na")), Seq("id_a"))
+      .join(v.select(col("_id").as("id_b"), col("v").as("_vb"),
+        col("_nv").as("_nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("_va"), col("_vb")).as("cosine"))
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+          .as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
     val banded = scored.withColumn("_r", row_number().over(w))
@@ -858,14 +878,16 @@ object Similarity {
                     cVec: String, cLabel: String, k: Int): DataFrame = {
     val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val q = broadcast(queries.select(col(qId).as("query_id"),
-      col(qVec).as("qv"), col(qLabel).as("qlab")))
+      col(qVec).as("qv"), col(qLabel).as("qlab"),
+      norm(col(qVec)).as("_nq")))
     val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"),
-        col(cLabel).as("neg_label"))
+        col(cLabel).as("neg_label"), norm(col(cVec)).as("_nc"))
       .repartition(parts)
     val scored = c.join(q, col("query_id") =!= col("neighbour_id") &&
         col("qlab") =!= col("neg_label"))
       .select(col("query_id"), col("neighbour_id"), col("neg_label"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        (dot(col("qv"), col("cv")) / (col("_nq") * col("_nc")))
+          .as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -1003,13 +1025,15 @@ object Similarity {
     val cents = lloydLoop(cq.select("vid", "q8"), nCentroids, rounds)
     // r12: the bucketing assignment is in-row (see [[int8AssignTo]]),
     // so cluster and cv ride the same scan — the old assign-then-join-
-    // back-on-vid shape cost two corpus Exchanges per call
+    // back-on-vid shape cost two corpus Exchanges per call; the corpus
+    // norm hoists here too (once per row, not once per probe pair)
     val bucketed = cq.select(col("vid").as("neighbour_id"),
       assignColumn(col("q8"), centroidTable(cents)).as("cluster"),
-      col("cv"))
+      col("cv"), norm(col("cv")).as("_nc"))
     val dotL = graft.functions.VectorExpressions.dot_long _
     val probes = queries
       .select(col(qId).as("query_id"), col(qVec).as("qv"),
+        norm(col(qVec)).as("_nq"),
         int8Quantize(col(qVec)).getField("q").as("qq8"))
       .withColumn("_qq", dotL(col("qq8"), col("qq8")))
       .crossJoin(broadcast(
@@ -1020,11 +1044,12 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("d2"), col("cluster"))))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cluster"))
+      .select(col("query_id"), col("qv"), col("_nq"), col("cluster"))
     val scored = probes.join(bucketed, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        (dot(col("qv"), col("cv")) / (col("_nq") * col("_nc")))
+          .as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -1038,15 +1063,17 @@ object Similarity {
               k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
     val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
-      lshSketch(col(qVec), bits, dim).as("sk")))
+      norm(col(qVec)).as("_nq"), lshSketch(col(qVec), bits, dim).as("sk")))
     // repartition BEFORE sketching: the per-row sketch (bits × dim
-    // muls) is the expensive map work
+    // muls) is the expensive map work; the corpus norm hoists with it
     val c = corpus.select(col(cId).as("neighbour_id"), col(cVec).as("cv"))
       .repartition(parts)
       .withColumn("sk", lshSketch(col("cv"), bits, dim))
+      .withColumn("_nc", norm(col("cv")))
     val scored = q.join(c, Seq("sk")).filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        (dot(col("qv"), col("cv")) / (col("_nq") * col("_nc")))
+          .as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbour_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -1345,11 +1372,12 @@ object Similarity {
             Seq("corpus_id"), "left_semi")
       }
     val qv = broadcast(queries.select(col(qId).as("query_id"),
-      col(qVec).as("_qv")))
+      col(qVec).as("_qv"), norm(col(qVec)).as("_nq")))
     broadcast(cand).join(qv, Seq("query_id"))
-      .join(pruned, Seq("corpus_id"))
+      .join(pruned.withColumn("_ncv", norm(col("_cv"))), Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("_qv"), col("_cv")).as("_cos"))
+        (dot(col("_qv"), col("_cv")) / (col("_nq") * col("_ncv")))
+          .as("_cos"))
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg.topk(col("_cos"), col("corpus_id"), k)
         .as("top"))

@@ -146,11 +146,17 @@ object EmbedStream {
     val planes = Planes.components(idx.bands * idx.bitsPerBand, idx.dim)
     val dotL = graft.functions.VectorExpressions.dot_long _
     val carryCols = carry.map(c => col(c))
+    // ‖q‖² hoists out of the match row (r12, guide §1.2-2): the probe
+    // side computes it once per PROBE row (after the generate — never
+    // in the same projection as the quantize HOF, the CollapseProject
+    // trap), the reference side once per payload row at scan time —
+    // a reference vector matching k probes paid k self-dots before
     val probes = stream.select(
         Seq(col(id).as("id_a"),
           Similarity.int8Quantize(col(vec)).getField("q").as("_qa"),
           posexplode(Planes.bandBuckets(col(vec), planes, idx.bands,
             idx.bitsPerBand)).as(Seq("band", "bucket"))) ++ carryCols: _*)
+      .withColumn("_na", dotL(col("_qa"), col("_qa")))
       .join(broadcast(idx.ns), Seq("band", "bucket"), "left")
       .withColumn("sub", when(col("_ns").isNull, lit(0L))
         .otherwise(pmod(Planes.subHash(col("id_a")), col("_ns"))))
@@ -161,11 +167,12 @@ object EmbedStream {
     // side re-shuffles zero times across micro-batches and jobs.
     val matches = probes
       .join(idx.bandRows, Seq("band", "bucket", "sub"))
-      .join(idx.payload, Seq("id_b"))
+      .join(idx.payload.withColumn("_nb", dotL(col("_qb"), col("_qb"))),
+        Seq("id_b"))
       .select(Seq(col("id_a"), col("id_b"),
         dotL(col("_qa"), col("_qb")).as("dotq"),
-        dotL(col("_qa"), col("_qa")).as("na"),
-        dotL(col("_qb"), col("_qb")).as("nb")) ++ carryCols.map(identity): _*)
+        col("_na").as("na"),
+        col("_nb").as("nb")) ++ carryCols.map(identity): _*)
       .filter(col("dotq") > 0 && col("na") > 0 && col("nb") > 0 &&
         col("dotq") * col("dotq") * lit(cos2Den) >=
           lit(cos2Num) * col("na") * col("nb"))
